@@ -79,11 +79,12 @@ def run_day(
     data_root: str,
     warehouse_root: str,
     day: dt.date,
+    hours: range = range(24),
 ) -> dict[str, int]:
     """The reference's catchup=True replay of 24 hourly runs
     (reference: dags/idh_etl.py:48-51)."""
     totals: dict[str, int] = {}
-    for h in range(24):
+    for h in hours:
         res = run_hour(
             spark, data_root, warehouse_root, dt.datetime(day.year, day.month, day.day, h)
         )
