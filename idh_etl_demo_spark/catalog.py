@@ -1,0 +1,616 @@
+"""Driver-facing query catalog.
+
+One entry per operator family in SURVEY §2 (IDs cited per entry), each as a
+(spark builder, equivalent ANSI-SQL oracle) pair over the synthetic
+benchmark tables (TESTDATA.md). The driver runs both sides at sf0.01 and
+hash-compares values — so every expression here is written for cross-engine
+determinism:
+
+- double aggregations go through DECIMAL (exact) and come back to double;
+- hashes are md5-derived (functions/hashing.py), never engine-native hash();
+- floating similarity scores are rounded to 6 dp BEFORE ranking;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from idh_etl_demo_spark.functions.delays import normalized_delay_minutes
+from idh_etl_demo_spark.functions.timeutils import (
+    is_business_day,
+    month_name,
+    season,
+    time_dim_id,
+    time_of_day,
+    weekday_name,
+    weekday_num,
+)
+from idh_etl_demo_spark.functions.weather import (
+    comfort_score,
+    fall_type,
+    general_circumstances,
+)
+from idh_etl_demo_spark.operators.dedup import dedup_keep_first
+from idh_etl_demo_spark.operators.mode import mode_per_group
+
+
+@dataclass(frozen=True)
+class QueryEntry:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+ENTRIES: dict[str, QueryEntry] = {}
+
+
+def query(name: str, oracle: Optional[str]):
+    def deco(fn):
+        ENTRIES[name] = QueryEntry(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read ns as long and integer-divide to µs — the
+        # same truncation DuckDB applies when it reads the file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col: F.Column, scale: int = 4) -> F.Column:
+    return col.cast(f"decimal(18,{scale})")
+
+
+# ===========================================================================
+# Scans, filters, aggregation (SURVEY §2.1 S1/S8, §2.2 P1, §2.4 A1/A2/A7)
+# ===========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    select
+      l_returnflag,
+      l_linestatus,
+      cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty,
+      cast(sum(cast(l_extendedprice as decimal(18,4))) as double) as sum_base_price,
+      cast(sum(cast(l_extendedprice as decimal(18,4))
+               * (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))) as double)
+        as sum_disc_price,
+      count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    order by l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→hash-agg→sort (SURVEY §2.1 S1/S8, §2.4 A1/A2).
+    Decimal-exact sums; filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "mode_quantity_per_flag",
+    """
+    select l_returnflag, mode_qty from (
+      select l_returnflag, l_quantity as mode_qty,
+             row_number() over (partition by l_returnflag
+                                order by count(*) desc, l_quantity desc nulls last) as rn
+      from lineitem
+      group by l_returnflag, l_quantity
+    ) where rn = 1
+    """,
+)
+def mode_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mode-via-window idiom with count-desc/value-desc
+    tie-break (SURVEY §2.4 A4, §2.5 W1, §2.2 P7)."""
+    return mode_per_group(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity", "mode_qty"
+    )
+
+
+@query(
+    "supplier_distinct_parts",
+    """
+    select l_suppkey,
+           count(distinct l_partkey) as n_parts,
+           count(*) as n_items
+    from lineitem
+    group by l_suppkey
+    order by l_suppkey
+    """,
+)
+def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) per group (SURVEY §2.4 A3)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ===========================================================================
+# Window rank / top-k / sort / limit (SURVEY §2.5 W1-W2, §2.6 O1-O3)
+# ===========================================================================
+
+
+@query(
+    "top_order_per_customer",
+    """
+    select o_custkey, o_orderkey, o_totalprice from (
+      select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey asc) as rn
+      from orders
+    ) where rn = 1
+    """,
+)
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group via ranking window (SURVEY §2.5 W1, §2.6 O3)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "top10_expensive_orders",
+    """
+    select o_orderkey, o_custkey, o_totalprice
+    from orders
+    order by o_totalprice desc, o_orderkey asc
+    limit 10
+    """,
+)
+def top10_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit with deterministic tie-break (SURVEY §2.6 O1/O2)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3 J1-J9, §2.1 S11)
+# ===========================================================================
+
+
+@query(
+    "revenue_by_nation",
+    """
+    select
+      n.n_name,
+      cast(sum(cast(l.l_extendedprice as decimal(18,4))
+               * (cast(1 as decimal(18,4)) - cast(l.l_discount as decimal(18,4)))) as double)
+        as revenue,
+      count(*) as n_lineitems
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    group by n.n_name
+    order by n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⨝ three broadcast dims (SURVEY §2.3 J5-J8 family).
+    All dimension sides are broadcast — the fact table never shuffles for
+    the joins, only for the final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "customer_order_activity",
+    """
+    select
+      c.c_custkey,
+      count(o.o_orderkey) as n_orders,
+      case when count(o.o_orderkey) = 0 then 'inactive' else 'active' end as activity
+    from customer c
+    left join orders o on c.c_custkey = o.o_custkey
+    group by c.c_custkey
+    order by c.c_custkey
+    """,
+)
+def customer_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + count-of-nulls→0 + CASE label
+    (SURVEY §2.3 J1/J2, §2.7 F1/F2)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+        .select(
+            "c_custkey",
+            "n_orders",
+            F.when(F.col("n_orders") == 0, "inactive").otherwise("active").alias("activity"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "expression_key_join",
+    """
+    with hourly as (
+      select 'EV-' || strftime(date_trunc('hour', ts), '%Y-%m-%d-%H') as hour_key,
+             count(*) as n_events_in_hour
+      from events
+      group by 1
+    )
+    select e.event_id, h.hour_key, h.n_events_in_hour
+    from events e
+    join hourly h on h.hour_key = 'EV-' || strftime(date_trunc('hour', e.ts), '%Y-%m-%d-%H')
+    order by e.event_id
+    """,
+)
+def expression_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER equi-join on a COMPUTED string key — the reference's weather-id
+    join shape (SURVEY §2.3 J6, §2.7 F3/F4)."""
+    events = _t(spark, sf_dir, "events")
+    key = lambda ts: F.concat(
+        F.lit("EV-"), F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd-HH")
+    )
+    hourly = (
+        events.groupBy(key(F.col("ts")).alias("hour_key"))
+        .agg(F.count(F.lit(1)).alias("n_events_in_hour"))
+    )
+    return (
+        events.withColumn("hour_key", key(F.col("ts")))
+        .join(F.broadcast(hourly), "hour_key")
+        .select("event_id", "hour_key", "n_events_in_hour")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "merge_new_customers",
+    """
+    with staging as (
+      select o_custkey, o_orderkey, o_orderdate from (
+        select o_custkey, o_orderkey, o_orderdate,
+               row_number() over (partition by o_custkey
+                                  order by o_orderdate asc, o_orderkey asc) as rn
+        from orders
+        where o_orderdate >= timestamp '2000-01-01 00:00:00'
+      ) where rn = 1
+    )
+    select s.o_custkey, s.o_orderkey as first_orderkey
+    from staging s
+    where not exists (
+      select 1 from orders t
+      where t.o_custkey = s.o_custkey
+        and t.o_orderdate < timestamp '2000-01-01 00:00:00'
+    )
+    order by s.o_custkey
+    """,
+)
+def merge_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge sink protocol as a query: keyed batch dedup + LEFT ANTI
+    insert-if-absent (SURVEY §2.1 S11, §2.4 A5, §2.3 anti-join note)."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    staging = dedup_keep_first(
+        orders.filter(F.col("o_orderdate") >= cutoff).select(
+            "o_custkey", "o_orderkey", "o_orderdate"
+        ),
+        ["o_custkey"],
+        order_by=[F.asc("o_orderdate"), F.asc("o_orderkey")],
+    )
+    target_keys = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    return (
+        staging.join(target_keys, "o_custkey", "left_anti")
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "dedup_first_order",
+    """
+    select o_custkey, o_orderkey, o_orderdate from (
+      select o_custkey, o_orderkey, o_orderdate,
+             row_number() over (partition by o_custkey
+                                order by o_orderdate asc nulls last, o_orderkey asc nulls last) as rn
+      from orders
+    ) where rn = 1
+    """,
+)
+def dedup_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup with a deterministic keep-first rule — the distributed
+    replacement for pandas drop_duplicates (SURVEY §2.4 A5, §7 hard part 1)."""
+    return dedup_keep_first(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        ["o_custkey"],
+        order_by=[F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")],
+    )
+
+
+@query(
+    "union_priority_split",
+    """
+    select o_orderkey, 'high' as bucket from orders
+    where o_orderpriority in ('1-URGENT', '2-HIGH')
+    union all
+    select o_orderkey, 'low' as bucket from orders
+    where o_orderpriority = '5-LOW'
+    """,
+)
+def union_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of filtered projections (SURVEY §2.6 O4)."""
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", F.lit("high").alias("bucket"))
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return high.unionByName(low)
+
+
+# ===========================================================================
+# Scalar function gallery (SURVEY §2.7)
+# ===========================================================================
+
+
+@query(
+    "delay_parse_roundtrip",
+    r"""
+    with tagged as (
+      select l_orderkey, l_linenumber,
+             cast(l_quantity as bigint)::varchar || ' min'
+               || case when l_discount > 0.05 then ' przed czasem' else '' end as delay_str
+      from lineitem
+    )
+    select l_orderkey, l_linenumber, delay_str,
+           (case when delay_str like '%min przed czasem%' then -1 else 1 end)
+             * cast(regexp_extract(delay_str, '(-?\d+)', 1) as bigint) as delay_mins
+    from tagged
+    """,
+)
+def delay_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Polish delay-string parser as a column expression, driven over
+    synthesized strings (SURVEY §2.7 F9, §2.9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    delay_str = F.concat(
+        F.col("l_quantity").cast("long").cast("string"),
+        F.lit(" min"),
+        F.when(F.col("l_discount") > 0.05, " przed czasem").otherwise(""),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        delay_str.alias("delay_str"),
+        normalized_delay_minutes(delay_str).alias("delay_mins"),
+    )
+
+
+@query(
+    "weather_classify_events",
+    """
+    with derived as (
+      select event_id,
+             cast(round(value * 100, 0) as bigint) as v100
+      from events
+    ),
+    bands as (
+      select event_id,
+             (v100 % 50000) / 1000.0 - 10 as temperature,
+             (v100 % 2500) / 100.0 as wind,
+             (v100 % 6000) / 100.0 + 40 as humidity,
+             v100 % 8 as precip
+      from derived
+    ),
+    scored as (
+      select *,
+        (case when temperature >= 10 and temperature <= 25 then 2
+              when temperature >= 2 and temperature < 10 then 1
+              when temperature < 2 or temperature > 35 then -1 else 0 end
+         + case when wind < 5 then 2 when wind < 10 then 1
+                when wind > 15 then -1 else 0 end
+         + case when humidity < 70 then 1 when humidity > 90 then -1 else 0 end
+         + case when precip = 0 then 2 when precip > 5 then -1 else 0 end) as score
+      from bands
+    )
+    select event_id, temperature, wind, humidity, precip,
+           case when temperature < 2.0 then 'snow' else 'rain' end as fall_type,
+           case when score >= 6 then 'ludicrously-divine'
+                when score >= 4 then 'titanically-passable'
+                when score >= 2 then 'nobly-sufficient'
+                when score >= 0 then 'courageously-subpar'
+                else 'opera-level-atrocious' end as general_circumstances
+    from scored
+    order by event_id
+    """,
+)
+def weather_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weather classifiers (snow/rain + comfort bands) as pure
+    expressions over integer-derived inputs (SURVEY §2.7 F15/F16)."""
+    ev = _t(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100, 0).cast("long")
+    df = ev.select(
+        "event_id",
+        ((v100 % 50000) / F.lit(1000.0) - 10).alias("temperature"),
+        ((v100 % 2500) / F.lit(100.0)).alias("wind"),
+        ((v100 % 6000) / F.lit(100.0) + 40).alias("humidity"),
+        (v100 % 8).alias("precip"),
+    )
+    return df.select(
+        "event_id",
+        "temperature",
+        "wind",
+        "humidity",
+        "precip",
+        fall_type(F.col("temperature")).alias("fall_type"),
+        general_circumstances(
+            comfort_score(F.col("temperature"), F.col("wind"), F.col("humidity"), F.col("precip"))
+        ).alias("general_circumstances"),
+    ).orderBy("event_id")
+
+
+@query(
+    "time_dim_from_events",
+    """
+    with hours as (select distinct date_trunc('hour', ts) as full_timestamp from events)
+    select
+      cast(strftime(full_timestamp, '%Y%m%d') as bigint) as id,
+      full_timestamp,
+      hour(full_timestamp)::bigint as hour_,
+      upper(dayname(full_timestamp)) as weekday,
+      isodow(full_timestamp)::bigint as weekday_num,
+      monthname(full_timestamp) as month_,
+      month(full_timestamp)::bigint as month_num,
+      case when month(full_timestamp) in (12, 1, 2) then 'winter'
+           when month(full_timestamp) in (3, 4, 5) then 'spring'
+           when month(full_timestamp) in (6, 7, 8) then 'summer'
+           else 'autumn' end as season,
+      year(full_timestamp)::bigint as year_,
+      case when hour(full_timestamp) between 6 and 9 then 'morning'
+           when hour(full_timestamp) between 10 and 13 then 'midday'
+           when hour(full_timestamp) between 14 and 17 then 'afternoon'
+           when hour(full_timestamp) between 18 and 22 then 'evening'
+           else 'night' end as time_of_day,
+      isodow(full_timestamp) <= 5 as is_business_day
+    from hours
+    order by full_timestamp
+    """,
+)
+def time_dim_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TimeDim derivation (day-grain id quirk included) from data
+    timestamps (SURVEY §2.7 F17-F20, §1.3)."""
+    hours = (
+        _t(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", F.col("ts")).alias("full_timestamp"))
+        .distinct()
+    )
+    ts = F.col("full_timestamp")
+    return hours.select(
+        time_dim_id(ts).alias("id"),
+        ts.alias("full_timestamp"),
+        F.hour(ts).cast("long").alias("hour_"),
+        weekday_name(ts).alias("weekday"),
+        weekday_num(ts).alias("weekday_num"),
+        month_name(ts).alias("month_"),
+        F.month(ts).cast("long").alias("month_num"),
+        season(F.month(ts)).alias("season"),
+        F.year(ts).cast("long").alias("year_"),
+        time_of_day(F.hour(ts)).alias("time_of_day"),
+        is_business_day(ts).alias("is_business_day"),
+    ).orderBy("full_timestamp")
+
+
+@query(
+    "json_extract_filter",
+    r"""
+    select event_id, event_type,
+           cast(json_extract_string(props, '$.k') as bigint) as k_val
+    from events
+    where regexp_matches(json_extract_string(props, '$.k'), '^\d+$')
+      and cast(json_extract_string(props, '$.k') as bigint) % 7 = 0
+    order by event_id
+    """,
+)
+def json_extract_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + regex digit-guard + cast — the reference's
+    dirty-string guard pattern over semi-structured props
+    (SURVEY §2.2 P5, §2.7 F6/F7; JSON is beyond-reference)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.filter(k.rlike(r"^\d+$") & (k.cast("long") % 7 == 0))
+        .select("event_id", "event_type", k.cast("long").alias("k_val"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "events_hourly_tumbling",
+    """
+    select date_trunc('hour', ts) as hour_start,
+           event_type,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+    from events
+    group by 1, 2
+    order by hour_start, event_type
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch equivalent of the
+    streaming hourly micro-batch (SURVEY §2.8); the true Structured
+    Streaming variant lives in streaming.stream and is pytest-covered."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )

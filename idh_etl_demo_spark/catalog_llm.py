@@ -1,0 +1,446 @@
+"""Catalog part 2 — the training-data-pipeline operators over the
+``documents`` and ``embeddings`` tables: dedup family, similarity search,
+text analysis, multimodal plumbing.
+
+Oracle-parity techniques (see catalog.py header):
+- shingles/tokens built with the same normalize→split pipeline on both
+  sides; hashes md5-derived;
+- embedding math runs on integer-quantized vectors (round(x·10⁴)) so dot
+  products are exact integers (< 2^53) in every engine regardless of
+  summation order — the only floats in the output are deterministic
+  sqrt/divisions of those integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from idh_etl_demo_spark.catalog import _t, query
+from idh_etl_demo_spark.functions.hashing import MERSENNE_31, MINHASH_PARAMS
+from idh_etl_demo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from idh_etl_demo_spark.operators.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+# DuckDB fragments mirrored from the Spark expressions
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+_SHINGLES3 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(words) - 2, 0)), "
+    "i -> array_to_string(list_slice(words, i, i + 2), ' ')))"
+)
+_MD5_LONG = "('0x' || substring(md5({x}), 1, 15))::bigint"
+
+
+# ===========================================================================
+# Exact dedup + fingerprints (SURVEY north star: dedup, text analysis)
+# ===========================================================================
+
+
+@query(
+    "doc_exact_dedup",
+    f"""
+    select md5({_NORM}) as content_hash,
+           min(doc_id) as doc_id,
+           count(*) as dup_count
+    from documents
+    group by 1
+    order by doc_id
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash group-by on normalized text; survivor =
+    lowest doc_id. One shuffle of 16-byte digests, never document bodies."""
+    return exact_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint_tokens",
+    f"""
+    select doc_id,
+           {_MD5_LONG.format(x=_NORM)} as fingerprint,
+           len(list_filter({_WORDS}, w -> w != '')) as n_tokens,
+           length(regexp_replace(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', '#', 'g'))
+             - length(regexp_replace(regexp_replace(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', '#', 'g'), '#', '', 'g'))
+             as bpe_ish_tokens
+    from documents
+    order by doc_id
+    """,
+)
+def doc_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (portable 60-bit content hash) + whitespace and
+    BPE-ish token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_quality",
+    rf"""
+    with base as (
+      select doc_id, text,
+             list_filter({_WORDS}, w -> w != '') as toks,
+             length(text) as n_char
+      from documents
+    )
+    select doc_id,
+      n_char as n_chars_measured,
+      len(toks) as n_tokens,
+      case when len(toks) > 0
+           then length(array_to_string(toks, '')) / len(toks) else 0.0 end as mean_word_len,
+      case when n_char > 0
+           then (n_char - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / n_char
+           else 0.0 end as punct_ratio,
+      case when len(toks) > 0
+           then len(list_filter(toks, w -> w in ('the','and','of','to','in','is','that','it','for','with'))) / len(toks)
+           else 0.0 end as stopword_ratio,
+      case when n_char > 0
+           then length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / n_char
+           else 0.0 end as alpha_ratio
+    from base
+    order by doc_id
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features: lengths, mean word length, punctuation /
+    stopword / alphabetic ratios — all codegen'd expressions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        quality_features(docs)
+        .select(
+            "doc_id",
+            "n_chars_measured",
+            "n_tokens",
+            "mean_word_len",
+            "punct_ratio",
+            "stopword_ratio",
+            "alpha_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_scores_sql() -> str:
+    from idh_etl_demo_spark.operators.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(toks, w -> w in ({inlist}))) as score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    label = "'und'"
+    for l in reversed(langs):
+        label = f"case when score_{l} = {best} and {best} > 0 then '{l}' else {label} end"
+    return (
+        f"with base as (select doc_id, list_filter({_WORDS}, w -> w != '') as toks from documents),\n"
+        f"scored as (select doc_id, {', '.join(score_cols)} from base)\n"
+        f"select doc_id, {', '.join('score_' + l for l in langs)}, {label} as lang_pred\n"
+        "from scored order by doc_id"
+    )
+
+
+@query("doc_lang_id", _lang_scores_sql())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit counts per language +
+    deterministic argmax."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = language_id(docs)
+    return out.select(
+        "doc_id", *[c for c in out.columns if c.startswith("score_")], "lang_pred"
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Near-dup: n-gram Jaccard, MinHash-LSH, SimHash
+# ===========================================================================
+
+
+@query(
+    "doc_ngram_jaccard",
+    f"""
+    with docs as (
+      select doc_id, {_WORDS} as words from documents
+    ),
+    sets as (select doc_id, {_SHINGLES3} as sh from docs),
+    sizes as (select doc_id, len(sh) as set_size from sets),
+    exploded as (select doc_id, md5(unnest(sh)) as shingle from sets),
+    inter as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as intersection
+      from exploded a join exploded b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select id_a, id_b,
+           intersection / (sa.set_size + sb.set_size - intersection) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = id_a
+    join sizes sb on sb.doc_id = id_b
+    where intersection / (sa.set_size + sb.set_size - intersection) >= 0.5
+    order by id_a, id_b
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
+    ground-truth verifier for the LSH candidates below."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sql(num_hashes: int = 12, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    h = _MD5_LONG.format(x="s")
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = MINHASH_PARAMS[i]
+        sig_cols.append(
+            f"coalesce(list_min(list_transform(sh, s -> ({a} * ({h} % {MERSENNE_31}) + {b}) % {MERSENNE_31})), {MERSENNE_31}) as mh{i}"
+        )
+    band_keys = []
+    for bidx in range(bands):
+        parts = " || '_' || ".join(f"mh{bidx * rows + r}" for r in range(rows))
+        band_keys.append(f"'{bidx}' || '_' || {parts}")
+    return f"""
+    with docs as (select doc_id, {_WORDS} as words from documents),
+    sets as (select doc_id, {_SHINGLES3} as sh from docs),
+    sigs as (select doc_id, {', '.join(sig_cols)} from sets),
+    bands as (
+      select doc_id, unnest([{', '.join(band_keys)}]) as band_key from sigs
+    )
+    select distinct l.doc_id as id_a, r.doc_id as id_b
+    from bands l join bands r on l.band_key = r.band_key and l.doc_id < r.doc_id
+    order by id_a, id_b
+    """
+
+
+@query("doc_minhash_candidates", _minhash_sql())
+def doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands) near-dup candidate pairs: signature is a
+    projection, candidates surface via equi-join on band keys — no
+    quadratic comparison (SURVEY north star: dedup at scale)."""
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=12, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = _MD5_LONG.format(x="t")
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"case when list_sum(list_transform(hashes, h -> case when (h >> {j}) & 1 = 1 then 1 else -1 end)) > 0 then {1 << j} else 0 end"
+        )
+    return f"""
+    with toks as (
+      select doc_id, list_distinct(list_filter({_WORDS}, w -> w != '')) as tokens
+      from documents
+    ),
+    hashed as (select doc_id, list_transform(tokens, t -> {h}) as hashes from toks)
+    select doc_id, ({' + '.join(terms)})::bigint as simhash
+    from hashed
+    order by doc_id
+    """
+
+
+@query("doc_simhash", _simhash_sql())
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (bit-majority over md5 token hashes);
+    near-dups land at small Hamming distance."""
+    return simhash(_t(spark, sf_dir, "documents"), bits=16).orderBy("doc_id")
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+_QUANT = "list_transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))"
+
+
+def _spark_quant(col: F.Column) -> F.Column:
+    # widen float32→double BEFORE scaling: both engines then round the
+    # identical double and the quantized integers agree exactly
+    return F.transform(col, lambda x: F.round(x.cast("double") * 10000, 0).cast("long"))
+
+
+def _spark_int_dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+    with q as (
+      select vec_id as query_id, {quant} as qv from embeddings where vec_id % 25 = 0
+    ),
+    c as (select vec_id as neighbor_id, {quant} as cv from embeddings),
+    scored as (
+      select query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) as cosine_sim
+      from q, c
+      where neighbor_id != query_id
+    )
+    select query_id, neighbor_id, cosine_sim, rank from (
+      select *, row_number() over (partition by query_id
+                                   order by cosine_sim desc, neighbor_id asc) as rank
+      from scored
+    ) where rank <= 5
+    order by query_id, rank
+    """.format(quant=_QUANT),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a query subset. Integer-quantized
+    vectors → order-independent exact dot products; queries broadcast, the
+    corpus scan is embarrassingly parallel."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), _spark_quant(F.col("embedding")).alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _spark_quant(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _spark_int_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_spark_int_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_spark_int_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_ann_signbit",
+    """
+    with b as (
+      select vec_id, {quant} as v,
+             list_sum(list_transform(generate_series(1, 8),
+                      j -> case when embedding[j] > 0 then 1 << (j - 1) else 0 end))::bigint as bucket
+      from embeddings
+    ),
+    q as (select vec_id as query_id, v as qv, bucket from b where vec_id % 25 = 0),
+    c as (select vec_id as neighbor_id, v as cv, bucket from b),
+    scored as (
+      select query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) as cosine_sim
+      from q join c using (bucket)
+      where neighbor_id != query_id
+    )
+    select query_id, neighbor_id, cosine_sim, rank from (
+      select *, row_number() over (partition by query_id
+                                   order by cosine_sim desc, neighbor_id asc) as rank
+      from scored
+    ) where rank <= 5
+    order by query_id, rank
+    """.format(quant=_QUANT),
+)
+def embedding_ann_signbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: sign-bit coarse quantization (8 bits → 256 buckets),
+    exact ranking inside the bucket. The cross join becomes an equi-join on
+    bucket id — the 100 TB path (bucket-partition the corpus and only the
+    query batch moves)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from idh_etl_demo_spark.operators.similarity import signbit_bucket
+
+    bucket = signbit_bucket(F.col("embedding"), 8)
+    b = emb.select(
+        F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v"), bucket.alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _spark_int_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_spark_int_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_spark_int_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing (binary columns; decode kernels stubbed — see
+# operators.multimodal for the mapInPandas path, pytest-covered)
+# ===========================================================================
+
+
+@query(
+    "multimodal_metadata",
+    """
+    select doc_id as media_id,
+           case when doc_id % 3 = 0 then 'image'
+                when doc_id % 3 = 1 then 'audio'
+                else 'video' end as media_type,
+           octet_length(encode(text)) as media_bytes,
+           md5(text) as media_md5
+    from documents
+    order by media_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media columns: utf-8 payloads synthesized from text,
+    with decoder-free metadata (byte length + content md5). The decode /
+    feature-extract kernels are Arrow-batched mapInPandas stubs tested in
+    tests/test_multimodal.py — this entry gates the schema + binary path."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.length(payload).cast("long").alias("media_bytes"),
+        F.md5(payload).alias("media_md5"),
+    ).orderBy("media_id")

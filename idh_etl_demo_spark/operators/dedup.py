@@ -55,10 +55,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams (array<string>) of a document, built with
     array expressions only — no UDF, no explode unless the caller asks."""
     words = F.split(normalize_text(text), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    k = F.size(words) - F.lit(n - 1)
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
     )
     return F.array_distinct(grams)
 

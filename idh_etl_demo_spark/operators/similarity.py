@@ -79,10 +79,9 @@ def signbit_bucket(vec: Column, bits: int = 8) -> Column:
     """Bucket id from the sign bits of the first ``bits`` dimensions:
     Σ 2^j · [vec[j] > 0]. Deterministic, SQL-portable, no randomness."""
     return F.aggregate(
-        F.zip_with(
+        F.transform(
             F.slice(vec, 1, bits),
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, j: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
                 F.lit(0).cast("long")
             ),
         ),
