@@ -1,0 +1,70 @@
+"""Benchmark runner: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Timing forces full materialization through the noop sink (no driver-side
+collect, no Arrow conversion cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from idh_etl_demo_spark.session import get_spark
+from idh_etl_demo_spark.catalog import ENTRIES
+import idh_etl_demo_spark.catalog_llm  # noqa: F401
+import idh_etl_demo_spark.catalog_ztm  # noqa: F401
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "mode_quantity_per_flag",
+    "top_order_per_customer",
+    "merge_new_customers",
+    "events_hourly_tumbling",
+    "doc_exact_dedup",
+    "doc_minhash_candidates",
+    "embedding_cosine_topk",
+    "ztm_delay_fact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="idh-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest table so q1 isn't charged for it
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df_builder = ENTRIES[name].spark
+        t0 = time.perf_counter()
+        df_builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline catalog queries, end-to-end wall sec (noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -237,7 +237,10 @@ def doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, candidates surface via equi-join on band keys — no
     quadratic comparison (SURVEY north star: dedup at scale)."""
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), num_hashes=12, bands=4
+        _t(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
     ).orderBy("id_a", "id_b")
 
 
@@ -317,7 +320,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), _spark_quant(F.col("embedding")).alias("qv")
     )
-    c = emb.select(
+    c = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("neighbor_id"), _spark_quant(F.col("embedding")).alias("cv")
     )
     scored = (
@@ -378,7 +381,7 @@ def embedding_ann_signbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from idh_etl_demo_spark.operators.similarity import signbit_bucket
 
     bucket = signbit_bucket(F.col("embedding"), 8)
-    b = emb.select(
+    b = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v"), bucket.alias("bucket")
     )
     q = b.filter(F.col("vec_id") % 25 == 0).select(

@@ -126,6 +126,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
 
@@ -138,6 +139,10 @@ def minhash_lsh_candidates(
     plate docs) are the skew risk — AQE skew-join splits them.
     """
     rows_per_band = num_hashes // bands
+    if num_partitions:
+        # signature computation is the CPU-heavy narrow stage — spread it
+        # before projecting (source files may be few/large splits)
+        df = df.repartition(num_partitions)
     sigs = minhash_signature_cols(df, text_col, num_hashes, shingle_n)
     band_cols = [
         F.concat_ws(
@@ -151,18 +156,34 @@ def minhash_lsh_candidates(
         F.col(id_col),
         F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(right, on="band_key")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+    # group-then-expand instead of a self-join: the signature pipeline runs
+    # ONCE and candidates need a single shuffle (a self-join would execute
+    # the whole upstream plan twice — no exchange reuse across a broadcast).
+    # Skew note: a degenerate bucket of B docs expands to B²/2 pairs in one
+    # task; production pipelines cap bucket size upstream (boilerplate docs
+    # are near-identical anyway).
+    grouped = (
+        banded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda y: F.struct(
+                    F.get(ids, i - 1).alias("id_a"), y.alias("id_b")
+                ),
+            ),
         )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------

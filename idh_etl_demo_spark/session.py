@@ -44,7 +44,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # local single-JVM runs see small files: split aggressively so all
+        # cores scan in parallel; a real cluster keeps the 128 MB default
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            "8388608" if master.startswith("local") else "134217728",
+        )
+        .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
