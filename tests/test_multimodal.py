@@ -1,0 +1,56 @@
+"""Multimodal plumbing: binary payload columns through Arrow-batched
+mapInPandas — schema, batch shape, fan-out, and the stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from idh_etl_demo_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x10" * 300, None, "mem://a"),
+        (2, "image", b"\xff" + b"\x00" * 99 + b"\x3f", None, "mem://b"),
+        (3, "video", b"abc" * 1000, None, "mem://c"),
+        (4, "image", b"", None, "mem://d"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_metadata_without_decoder(media):
+    out = attach_media_metadata(media).select("media_id", "media_bytes", "media_md5")
+    got = {r.media_id: (r.media_bytes, r.media_md5) for r in out.collect()}
+    assert got[1][0] == 300
+    assert got[3][0] == 3000
+    assert got[4][0] == 0
+    assert len(got[1][1]) == 32  # md5 hex
+
+
+def test_image_features_fake_kernel(media):
+    out = image_features(media.filter("media_type = 'image'"), fake=True)
+    assert out.schema.fieldNames() == ["media_id", "width", "height", "mean_intensity"]
+    got = {r.media_id: r for r in out.collect()}
+    # deterministic fake: width = 1 + first_byte % 64, height = 1 + last_byte % 64
+    assert got[1].width == 1 + 0x10 % 64 and got[1].height == 1 + 0x10 % 64
+    assert got[2].width == 1 + 0xFF % 64 and got[2].height == 1 + 0x3F % 64
+    assert got[4].width == 0 and got[4].height == 0
+
+
+def test_real_kernel_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        image_features(media, fake=False).collect()
+
+
+def test_frame_sampling_fanout(media):
+    frames = sample_frames(media.filter("media_id = 3"), every_n_bytes=1024, fake=True)
+    rows = frames.collect()
+    assert len(rows) == 3  # 3000 bytes / 1024 → 3 frames
+    assert [r.frame_no for r in rows] == [0, 1, 2]
+    assert sum(len(r.frame_bytes) for r in rows) == 3000

@@ -1,0 +1,72 @@
+"""Structured Streaming ingest: file-stream cleansing shares the batch code
+path; foreachBatch upsert keeps the keyed idempotency; windowed agg with
+watermark handles the hourly grain (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import os
+
+from idh_etl_demo_spark.streaming.stream import (
+    hourly_delay_counts,
+    read_delay_stream,
+    stream_delays_to_table,
+)
+
+HEADER = "Timestamp,Delay,Route,Stop Name,Vehicle No\n"
+BATCH_1 = HEADER + (
+    "2024-12-25T07:14:05,7 min,1,Plac,v100\n"
+    "2024-12-25T07:40:00,3 min przed czasem,1,Brama,v101\n"
+    "2024-12-25T08:02:30,0 min,2,Dworzec,v103\n"
+)
+BATCH_2 = HEADER + (
+    "2024-12-25T08:02:30,0 min,2,Dworzec,v103\n"  # duplicate re-delivery
+    "2024-12-25T08:30:00,5 min,2,Dworzec,v109\n"
+)
+
+
+def test_stream_ingest_idempotent(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "delays_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    (landing / "b1.csv").write_text(BATCH_1)
+    q = stream_delays_to_table(spark, str(landing), target, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 3
+
+    # second file: one duplicate row + one new → exactly one appended
+    (landing / "b2.csv").write_text(BATCH_2)
+    q = stream_delays_to_table(spark, str(landing), target, ckpt)
+    q.awaitTermination(120)
+    df = spark.read.parquet(target)
+    assert df.count() == 4
+    # cleansing ran inside the stream: signed minutes, hour-floored ts
+    rows = {(str(r["Timestamp"]), r["Delay"]) for r in df.collect()}
+    assert ("2024-12-25 07:00:00", -3) in rows
+    assert ("2024-12-25 08:00:00", 5) in rows
+
+
+def test_windowed_aggregation_shape(spark, tmp_path):
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    (landing / "b1.csv").write_text(BATCH_1)
+    stream = read_delay_stream(spark, str(landing))
+    agg = hourly_delay_counts(stream)
+    out_dir = str(tmp_path / "agg_out")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.hour_start), r.Route): (r.n_delays, r.avg_delay_mins)
+        for r in spark.sql("select * from hourly_counts").collect()
+    }
+    assert got[("2024-12-25 07:00:00", "1")][0] == 2
+    assert got[("2024-12-25 07:00:00", "1")][1] == 2.0  # (7 + -3) / 2
+    assert got[("2024-12-25 08:00:00", "2")] == (1, 0.0)
