@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions — the scale guarantees, checked
+mechanically so a refactor can't silently regress them:
+
+- filters/column pruning reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins are broadcast (no fact-side shuffle for joins);
+- the merge sink's anti join only scans the target's key columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from idh_etl_demo_spark.catalog import ENTRIES
+import idh_etl_demo_spark.catalog_llm  # noqa: F401
+import idh_etl_demo_spark.catalog_ztm  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown(spark):
+    df = ENTRIES["pricing_summary"].spark(spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 5 needed columns are read, not all 11
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    for col in ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]:
+        assert col in read
+    for col in ["l_partkey", "l_suppkey", "l_tax", "l_comment"]:
+        assert col not in read
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(ENTRIES["revenue_by_nation"].spark(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_delay_fact_broadcasts_all_five_dims(spark):
+    plan = _plan(ENTRIES["ztm_delay_fact"].spark(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_json_filter_prunes_columns(spark):
+    plan = _formatted(ENTRIES["json_extract_filter"].spark(spark, SF))
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "value" not in read and "user_id" not in read
+
+
+def test_merge_scans_only_target_keys(spark, tmp_path):
+    from idh_etl_demo_spark.operators.merge import merge_insert_if_absent
+
+    target = str(tmp_path / "t")
+    wide = spark.createDataFrame(
+        [(1, "a", 1.0, "x"), (2, "b", 2.0, "y")], "id int, v string, d double, e string"
+    )
+    merge_insert_if_absent(spark, wide, target, ["id"])
+    # second merge: the anti-join probe of the existing target must read
+    # only the key column from parquet
+    batch = spark.createDataFrame([(3, "c", 3.0, "z")], "id int, v string, d double, e string")
+    existing_keys = spark.read.parquet(target).select("id")
+    anti = batch.join(existing_keys, "id", "left_anti")
+    plan = _formatted(anti)
+    read = plan[plan.rindex("ReadSchema") :].splitlines()[0]
+    assert "struct<id:int>" in read, f"target scan reads more than keys: {read}"
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Every catalog entry must avoid unplanned cartesian joins (the one
+    deliberate crossJoin — brute-force cosine — broadcasts its query side
+    and is explicitly allowed)."""
+    allowed_cross = {"embedding_cosine_topk"}
+    for name, e in ENTRIES.items():
+        plan = _plan(e.spark(spark, SF))
+        if name in allowed_cross:
+            continue
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
