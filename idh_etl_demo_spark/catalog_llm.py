@@ -412,6 +412,91 @@ def embedding_ann_signbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_near_dup",
+    """
+    with b as (
+      select vec_id, {quant} as v,
+             list_sum(list_transform(generate_series(1, 8),
+                      j -> case when embedding[j] > 0 then 1 << (j - 1) else 0 end))::bigint as bucket
+      from embeddings
+    )
+    select a.vec_id as id_a, c.vec_id as id_b,
+           list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) as cosine_sim
+    from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
+    where list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.45
+    order by id_a, id_b
+    """.format(quant=_QUANT),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate generation by
+    sign-bit bucket equi-join (never all-pairs), exact cosine filter inside
+    the bucket. Threshold is a knob — 0.45 here so the synthetic corpus
+    (max pairwise cosine ≈ 0.48) yields demonstrable pairs."""
+    from idh_etl_demo_spark.operators.similarity import signbit_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id"),
+        _spark_quant(F.col("embedding")).alias("v"),
+        signbit_bucket(F.col("embedding"), 8).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("bucket")
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("bucket")
+    )
+    cos = _spark_int_dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_spark_int_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_spark_int_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.45)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "doc_bottomk_sketch",
+    f"""
+    with docs as (select doc_id, {_WORDS} as words from documents),
+    sets as (select doc_id, {_SHINGLES3} as sh from docs),
+    hashed as (
+      select doc_id,
+             list_sort(list_distinct(list_transform(sh, s -> {_MD5_LONG.format(x='s')}))) as hs
+      from sets
+    )
+    select doc_id, array_to_string(hs[1:8], '-') as sketch
+    from hashed
+    order by doc_id
+    """,
+)
+def doc_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) content sketch: the 8 smallest md5 shingle hashes per
+    document, serialized as a string key. A compact rolling-hash-style
+    fingerprint whose overlap estimates set resemblance; sketches of equal
+    docs are identical, near-dups share most elements."""
+    from idh_etl_demo_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    hashes = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("text"), 3),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(hashes, 1, 8), "-").alias("sketch"),
+    ).orderBy("doc_id")
+
+
 # ===========================================================================
 # Multimodal plumbing (binary columns; decode kernels stubbed — see
 # operators.multimodal for the mapInPandas path, pytest-covered)
