@@ -614,3 +614,54 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@query(
+    "user_sessions",
+    """
+    with ordered as (
+      select user_id, event_id, ts,
+             case when lag(ts) over w is null
+                    or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts asc, event_id asc)
+    ),
+    sessions as (
+      select user_id, event_id, ts,
+             sum(new_session) over (partition by user_id order by ts asc, event_id asc
+                                    rows unbounded preceding) as session_no
+      from ordered
+    )
+    select user_id, session_no, count(*) as n_events,
+           min(ts) as session_start, max(ts) as session_end
+    from sessions
+    group by user_id, session_no
+    order by user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    analytic windows beyond the reference's ranking-only usage. The
+    continuous-stateful variant is streaming/stateful.py
+    (applyInPandasWithState), pytest-covered."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_no", F.sum("new_session").over(running))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )

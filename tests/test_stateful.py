@@ -1,0 +1,63 @@
+"""applyInPandasWithState: per-key state survives across micro-batches."""
+
+from __future__ import annotations
+
+from idh_etl_demo_spark.streaming.stateful import user_running_totals
+
+HEADER = "user_id,ts,value\n"
+BATCH_1 = HEADER + (
+    "1,2024-01-01T10:00:00,5.0\n"
+    "1,2024-01-01T10:05:00,3.0\n"
+    "2,2024-01-01T10:01:00,7.0\n"
+)
+BATCH_2 = HEADER + (
+    "1,2024-01-01T11:00:00,2.0\n"
+    "3,2024-01-01T11:02:00,1.0\n"
+)
+
+
+def _run_batch(spark, landing, ckpt, out_dir):
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("header", True)
+        .csv(str(landing))
+    )
+
+    def sink(batch, batch_id):
+        batch.withColumn("batch_id", __import__("pyspark").sql.functions.lit(batch_id)) \
+            .write.mode("append").parquet(str(out_dir))
+
+    q = (
+        user_running_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(str(out_dir)).toPandas()
+
+
+def test_state_accumulates_across_batches(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    (landing / "b1.csv").write_text(BATCH_1)
+    out1 = _run_batch(spark, landing, ckpt, out)
+    got1 = {r.user_id: (r.n_events, r.sum_value) for r in out1.itertuples()}
+    assert got1[1] == (2, 8.0)
+    assert got1[2] == (1, 7.0)
+
+    (landing / "b2.csv").write_text(BATCH_2)
+    out2 = _run_batch(spark, landing, ckpt, out)
+    latest = (
+        out2.sort_values("batch_id").groupby("user_id").last()
+    )
+    got2 = {uid: (r.n_events, r.sum_value) for uid, r in latest.iterrows()}
+    # user 1's state carried over: 2 prior events + 1 new
+    assert got2[1] == (3, 10.0)
+    assert got2[3] == (1, 1.0)
+    assert got2[2] == (1, 7.0)  # unchanged snapshot from batch 1
