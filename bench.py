@@ -45,20 +45,26 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         df_builder = ENTRIES[name].spark
-        t0 = time.perf_counter()
-        df_builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df_builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline catalog queries, end-to-end wall sec (noop sink)",
+                "metric": "headline catalog queries, best-of-2 wall sec (noop sink)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_run": cold,
                 "sf": sf,
             }
         )

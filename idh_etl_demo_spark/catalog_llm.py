@@ -201,7 +201,9 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
     ground-truth verifier for the LSH candidates below."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_partitions=spark.sparkContext.defaultParallelism,
     ).orderBy("id_a", "id_b")
 
 

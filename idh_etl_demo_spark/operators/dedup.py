@@ -154,8 +154,11 @@ def minhash_lsh_candidates(
     ]
     banded = sigs.select(
         F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("band_key"),
-    )
+        # explode_outer: see ngram_jaccard_pairs — explode's implicit
+        # non-empty filter would re-evaluate the signature expressions
+        # below the repartition exchange
+        F.explode_outer(F.array(*band_cols)).alias("band_key"),
+    ).filter(F.col("band_key").isNotNull())
     # group-then-expand instead of a self-join: the signature pipeline runs
     # ONCE and candidates need a single shuffle (a self-join would execute
     # the whole upstream plan twice — no exchange reuse across a broadcast).
@@ -236,38 +239,66 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for all pairs sharing
     ≥1 shingle; returns pairs with similarity ≥ threshold.
 
-    Shape: explode to (shingle, id), self-join on shingle (co-occurrence
-    counts = |A∩B|), then |A∪B| = |A|+|B|-|A∩B|. The join runs on shingle
-    hashes (16-byte md5), never full text. Exact but quadratic in bucket
-    size — use as the VERIFY stage after minhash_lsh_candidates at scale,
-    or standalone on moderate corpora.
+    Shape: explode to (shingle, id, |set|), group by shingle, expand each
+    bucket to its id pairs (set sizes ride along, so no extra joins), then
+    count pair occurrences — that count IS |A∩B| and |A∪B| follows from
+    the attached sizes. The whole shingle pipeline executes ONCE (a naive
+    self-join + two size joins would run it four times) and the pair
+    aggregation benefits from map-side partial combine. Exact but
+    Σ freq²-quadratic in hot-shingle buckets — use as the VERIFY stage
+    after minhash_lsh_candidates at extreme scale, or standalone on
+    moderate corpora.
     """
+    if num_partitions:
+        df = df.repartition(num_partitions)
     shingled = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    sizes = shingled.select(id_col, F.size("sh").alias("set_size"))
-    exploded = shingled.select(
-        F.col(id_col), F.explode("sh").alias("shingle")
-    ).withColumn("shingle", F.md5("shingle"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    # explode_outer, NOT explode: explode's implicit "array non-empty"
+    # filter gets pushed below the repartition exchange, where it
+    # re-evaluates the whole shingle expression on the un-parallelized
+    # input. explode_outer adds no filter; dropping the null rows after the
+    # generate is a cheap column-reference predicate.
+    exploded = (
+        shingled.select(
+            F.col(id_col).alias("id"),
+            F.size("sh").alias("sz"),
+            F.explode_outer("sh").alias("shingle"),
         )
-        .agg(F.count(F.lit(1)).alias("intersection"))
+        .filter(F.col("shingle").isNotNull())
+        .withColumn("shingle", F.md5("shingle"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    grouped = (
+        exploded.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    members = F.col("members")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(members) - 1),
+            lambda i: F.transform(
+                F.slice(members, i + 1, F.size(members)),
+                lambda y: F.struct(
+                    F.get(members, i - 1).getField("id").alias("id_a"),
+                    F.get(members, i - 1).getField("sz").alias("size_a"),
+                    y.getField("id").alias("id_b"),
+                    y.getField("sz").alias("size_b"),
+                ),
+            ),
+        )
+    )
+    pairs = grouped.select(F.explode(combos).alias("p")).select(
+        "p.id_a", "p.size_a", "p.id_b", "p.size_b"
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
         .withColumn(
             "jaccard",
             F.col("intersection")
