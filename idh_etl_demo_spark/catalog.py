@@ -60,6 +60,9 @@ def query(name: str, oracle: Optional[str]):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # calendar expressions (date_format/hour/weekday) must agree with the
+    # timezone-naive SQL oracle whatever session the caller built
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read ns as long and integer-divide to µs — the
