@@ -26,7 +26,12 @@ from idh_etl_demo_spark.catalog import _t, query
 from idh_etl_demo_spark.plans.inputs import (  # noqa: F401  (time derivations reused)
     build_time_dim_rows,
 )
-from idh_etl_demo_spark.plans.star import build_delay_fact, build_line_dim
+from idh_etl_demo_spark.plans.star import (
+    build_delay_fact,
+    build_line_dim,
+    build_stop_dim,
+    build_vehicle_dim,
+)
 
 # ---------------------------------------------------------------------------
 # Spark-side derived inputs
@@ -194,6 +199,88 @@ def ztm_line_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         _delays(spark, sf_dir),
         _vehicles(spark, sf_dir),
     ).orderBy("id", "operator")
+
+
+_DIRTY_VEHICLES_CTE = """
+    dirty_vehicles as (
+      select
+        case when p_partkey % 11 = 0 then null
+             when p_partkey % 13 = 0 then '   '
+             else 'v' || p_partkey::varchar end as vehicle_number,
+        case when p_partkey % 17 = 0 then '' else p_brand end as manufacturer,
+        case when p_partkey % 19 = 0 then null else p_type end as type,
+        case when p_partkey % 7 = 0 then 'n/a'
+             when p_partkey % 7 = 1 then '20' || (p_size % 10)::varchar || 'a'
+             when p_partkey % 7 = 2 then null
+             else (1990 + p_size % 30)::varchar end as production_year,
+        p_name as carrier
+      from part
+    )
+"""
+
+
+@query(
+    "ztm_vehicle_dim",
+    f"""
+    with {_DIRTY_VEHICLES_CTE}
+    select vehicle_number as id, manufacturer as brand, type as v_model,
+           production_year::bigint as year_produced
+    from dirty_vehicles
+    where vehicle_number is not null and trim(vehicle_number) != ''
+      and manufacturer is not null and trim(manufacturer) != ''
+      and type is not null and trim(type) != ''
+      and production_year is not null
+      and regexp_matches(production_year, '^\\d+$')
+    order by id
+    """,
+)
+def ztm_vehicle_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VehicleDim builder (blank/null filters + digits-only year guard,
+    SURVEY §2.2 P4/P5, §2.7 F5-F7) over deliberately dirtied derived input
+    — production code path plans/star.py:build_vehicle_dim."""
+    p = _t(spark, sf_dir, "part")
+    dirty = p.select(
+        F.when(F.col("p_partkey") % 11 == 0, None)
+        .when(F.col("p_partkey") % 13 == 0, "   ")
+        .otherwise(F.concat(F.lit("v"), F.col("p_partkey").cast("string")))
+        .alias("vehicle_number"),
+        F.when(F.col("p_partkey") % 17 == 0, "").otherwise(F.col("p_brand")).alias("manufacturer"),
+        F.when(F.col("p_partkey") % 19 == 0, None).otherwise(F.col("p_type")).alias("type"),
+        F.when(F.col("p_partkey") % 7 == 0, "n/a")
+        .when(
+            F.col("p_partkey") % 7 == 1,
+            F.concat(F.lit("20"), (F.col("p_size") % 10).cast("string"), F.lit("a")),
+        )
+        .when(F.col("p_partkey") % 7 == 2, None)
+        .otherwise((F.lit(1990) + F.col("p_size") % 30).cast("string"))
+        .alias("production_year"),
+        F.col("p_name").alias("carrier"),
+    )
+    return build_vehicle_dim(dirty)
+
+
+@query(
+    "ztm_stop_dim",
+    """
+    select 'S' || c_custkey::varchar as id,
+           'stop-' || (c_custkey % 100)::varchar as name,
+           cast((c_custkey % 90)::varchar as double) as lat,
+           cast((c_custkey % 180)::varchar as double) as lon
+    from customer
+    """,
+)
+def ztm_stop_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The StopDim builder (projection + string→double coordinate casts,
+    SURVEY §2.2 P1, §2.7 F6) on derived input — production code path
+    plans/star.py:build_stop_dim."""
+    c = _t(spark, sf_dir, "customer")
+    stops = c.select(
+        F.concat(F.lit("S"), F.col("c_custkey").cast("string")).alias("stop_id"),
+        F.concat(F.lit("stop-"), (F.col("c_custkey") % 100).cast("string")).alias("stop_name"),
+        (F.col("c_custkey") % 90).cast("string").alias("stop_lat"),
+        (F.col("c_custkey") % 180).cast("string").alias("stop_lon"),
+    )
+    return build_stop_dim(stops)
 
 
 @query(
