@@ -1,0 +1,50 @@
+"""Regenerate PLANS.md — formatted physical plans of flagship queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from idh_etl_demo_spark.session import get_spark
+from idh_etl_demo_spark.catalog import ENTRIES
+import idh_etl_demo_spark.catalog_llm  # noqa: F401
+import idh_etl_demo_spark.catalog_ztm  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+PICKS = {
+    "pricing_summary": "filter + pruning pushed to the parquet scan; partial→final hash agg; AQE",
+    "revenue_by_nation": "all four dimension joins planned as BroadcastHashJoin — the fact side never shuffles for a join",
+    "ztm_delay_fact": "the five-way star join of the DelayFact builder: five broadcasts incl. the computed weather key",
+    "doc_minhash_candidates": "signature projection → single shuffle on band keys → in-bucket pair expansion",
+}
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# PLANS — physical-plan evidence for the flagship queries",
+        "",
+        "Regenerate with `python tools/gen_plans.py`. Guarded mechanically by",
+        "tests/test_plan_shape.py; this file is the human-readable snapshot.",
+        "",
+    ]
+    for name, why in PICKS.items():
+        plan = formatted(ENTRIES[name].spark(spark, SF))
+        phys = plan.split("\n\n")[0]
+        out.append(f"## {name}\n\n*{why}*\n\n```\n{phys}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
