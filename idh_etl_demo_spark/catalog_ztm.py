@@ -26,11 +26,13 @@ from idh_etl_demo_spark.catalog import _t, query
 from idh_etl_demo_spark.plans.inputs import (  # noqa: F401  (time derivations reused)
     build_time_dim_rows,
 )
+from idh_etl_demo_spark.plans.inputs import clean_weather
 from idh_etl_demo_spark.plans.star import (
     build_delay_fact,
     build_line_dim,
     build_stop_dim,
     build_vehicle_dim,
+    build_weather_dim,
 )
 
 # ---------------------------------------------------------------------------
@@ -331,3 +333,211 @@ def ztm_delay_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _routes(spark, sf_dir),
         _stops(spark, sf_dir),
     ).orderBy("time_id", "weather_id", "vehicle_id", "line_id", "stop_id", "delay_mins")
+
+
+# ---------------------------------------------------------------------------
+# IMGW-shaped weather feed derived from events → gates the full cleansing
+# chain (two-stage dedup, null filters, half-even rounds, classifiers)
+# through the driver oracle. Values are integer-derived so .5 boundaries
+# genuinely occur and exercise the half-even rounding parity.
+# ---------------------------------------------------------------------------
+
+_WEATHER_FEED_CTE = """
+    weather_feed as (
+      select
+        case when user_id % 4 = 0 then '99999' else '12375' end as id_stacji,
+        strftime(date_trunc('hour', ts), '%Y-%m-%d') as data_pomiaru,
+        hour(ts)::bigint as godzina_pomiaru,
+        case when event_id % 29 = 0 then null
+             else (cast(round(value * 100, 0) as bigint) % 700) / 10.0 - 20 end as temperatura,
+        case when event_id % 13 = 0 then null
+             else (cast(round(value * 100, 0) as bigint) % 120) / 10.0 end as suma_opadu,
+        case when event_id % 31 = 0 then null
+             else (cast(round(value * 100, 0) as bigint) % 220) / 10.0 end as predkosc_wiatru,
+        (cast(round(value * 100, 0) as bigint) % 360) as kierunek_wiatru,
+        30 + (cast(round(value * 100, 0) as bigint) % 700) / 10.0 as wilgotnosc_wzgledna,
+        case when event_id % 11 = 0 then null
+             else 980 + (cast(round(value * 100, 0) as bigint) % 500) / 10.0 end as cisnienie
+      from events
+      where event_id % 7 = 0
+    )
+"""
+
+_W_ORDER_1 = (
+    "station_id asc nulls last, measurement_date asc nulls last, "
+    "temperature asc nulls last, precipitation_mm asc nulls last, "
+    "wind_speed_raw asc nulls last, wind_direction_deg asc nulls last, "
+    "humidity_percent asc nulls last, pressure_raw asc nulls last"
+)
+_W_ORDER_2 = _W_ORDER_1.split(", ", 1)[1]
+
+
+@query(
+    "ztm_weather_dim",
+    f"""
+    with {_WEATHER_FEED_CTE},
+    renamed as (
+      select id_stacji::varchar as station_id, data_pomiaru::varchar as measurement_date,
+             godzina_pomiaru::bigint as hour, temperatura::double as temperature,
+             suma_opadu::double as precipitation_mm, predkosc_wiatru::double as wind_speed_raw,
+             kierunek_wiatru::bigint as wind_direction_deg,
+             wilgotnosc_wzgledna::double as humidity_percent, cisnienie::double as pressure_raw
+      from weather_feed
+    ),
+    dedup_hour as (
+      select * exclude (rn) from (
+        select *, row_number() over (partition by hour order by {_W_ORDER_1}) as rn
+        from renamed) where rn = 1
+    ),
+    filtered as (
+      select * from dedup_hour
+      where temperature is not null and wind_speed_raw is not null
+    ),
+    dedup_station as (
+      select * exclude (rn) from (
+        select *, row_number() over (partition by station_id, hour order by {_W_ORDER_2}) as rn
+        from filtered) where rn = 1
+    ),
+    biz as (
+      select
+        station_id || '-' || measurement_date || '-' || lpad(hour::varchar, 2, '0') as id,
+        temperature,
+        cast(round_even(coalesce(precipitation_mm, 0), 0) as bigint) as fall_mm,
+        case when temperature < 2.0 then 'snow' else 'rain' end as fall_type,
+        cast(round_even(coalesce(wind_speed_raw, 0), 0) as bigint) as wind_speed_mps,
+        wind_direction_deg, humidity_percent,
+        cast(round_even(coalesce(pressure_raw, 1013), 0) as bigint) as pressure_hpa
+      from dedup_station
+    ),
+    scored as (
+      select *,
+        (case when temperature >= 10 and temperature <= 25 then 2
+              when temperature >= 2 and temperature < 10 then 1
+              when temperature < 2 or temperature > 35 then -1 else 0 end
+         + case when wind_speed_mps < 5 then 2 when wind_speed_mps < 10 then 1
+                when wind_speed_mps > 15 then -1 else 0 end
+         + case when humidity_percent < 70 then 1 when humidity_percent > 90 then -1 else 0 end
+         + case when fall_mm = 0 then 2 when fall_mm > 5 then -1 else 0 end) as score
+      from biz
+    )
+    select id, temperature, fall_mm, fall_type, wind_speed_mps, wind_direction_deg,
+           humidity_percent, pressure_hpa,
+           case when score >= 6 then 'ludicrously-divine'
+                when score >= 4 then 'titanically-passable'
+                when score >= 2 then 'nobly-sufficient'
+                when score >= 0 then 'courageously-subpar'
+                else 'opera-level-atrocious' end as general_circumstances
+    from scored
+    order by id
+    """,
+)
+def ztm_weather_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weather cleansing chain + WeatherDim builder (SURVEY §2.1
+    S3, §2.4 A6, §2.7 F11-F16) on an IMGW-shaped feed derived from events —
+    production code path plans/inputs.py:clean_weather."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    v100 = F.round(F.col("value") * 100, 0).cast("long")
+    feed = ev.select(
+        F.when(F.col("user_id") % 4 == 0, "99999").otherwise("12375").alias("id_stacji"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd").alias("data_pomiaru"),
+        F.hour(F.col("ts")).cast("long").alias("godzina_pomiaru"),
+        F.when(F.col("event_id") % 29 == 0, None)
+        .otherwise((v100 % 700) / F.lit(10.0) - 20)
+        .alias("temperatura"),
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise((v100 % 120) / F.lit(10.0))
+        .alias("suma_opadu"),
+        F.when(F.col("event_id") % 31 == 0, None)
+        .otherwise((v100 % 220) / F.lit(10.0))
+        .alias("predkosc_wiatru"),
+        (v100 % 360).alias("kierunek_wiatru"),
+        (F.lit(30) + (v100 % 700) / F.lit(10.0)).alias("wilgotnosc_wzgledna"),
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(F.lit(980) + (v100 % 500) / F.lit(10.0))
+        .alias("cisnienie"),
+    )
+    return build_weather_dim(clean_weather(feed)).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join and rollup — beyond-reference relational coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_view_attribution",
+    """
+    with purchases as (
+      select event_id, user_id, ts from events where event_type = 'purchase'
+    ),
+    views as (
+      select user_id, ts as view_ts, event_id as view_event_id
+      from events where event_type = 'view'
+    )
+    select p.event_id, p.user_id, p.ts, v.view_ts as matched_view_ts, v.view_event_id
+    from purchases p
+    asof join views v on p.user_id = v.user_id and p.ts >= v.view_ts
+    order by p.event_id
+    """,
+)
+def purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase attributed to the user's most
+    recent prior view. Union + window implementation (operators/asof.py) —
+    one shuffle, no range-join explosion."""
+    from idh_etl_demo_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    return (
+        asof_join(
+            purchases,
+            views,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="view_ts",
+            value_cols=["view_event_id"],
+            how="inner",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("matched_view_ts"),
+            "view_event_id",
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    select o_orderpriority, o_orderstatus,
+           count(*) as n_orders,
+           cast(sum(cast(o_totalprice as decimal(18,4))) as double) as total
+    from orders
+    group by rollup (o_orderpriority, o_orderstatus)
+    order by o_orderpriority nulls first, o_orderstatus nulls first
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (order priority → status → grand total) —
+    multi-level aggregation beyond the reference's flat group-bys."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
