@@ -30,8 +30,12 @@ HEADLINE = [
     "events_hourly_tumbling",
     "doc_exact_dedup",
     "doc_minhash_candidates",
+    "doc_ngram_jaccard",
     "embedding_cosine_topk",
     "ztm_delay_fact",
+    "ztm_weather_dim",
+    "user_sessions",
+    "purchase_view_attribution",
 ]
 
 

@@ -17,6 +17,8 @@ from idh_etl_demo_spark.operators.text import (
     language_id,
     doc_fingerprint,
 )
+from idh_etl_demo_spark.operators.asof import asof_join
+from idh_etl_demo_spark.operators.skew import salted_join, two_stage_agg
 
 __all__ = [
     "mode_per_group",
@@ -32,4 +34,7 @@ __all__ = [
     "quality_features",
     "language_id",
     "doc_fingerprint",
+    "asof_join",
+    "salted_join",
+    "two_stage_agg",
 ]

@@ -75,6 +75,78 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k: numpy matmul inside
+    mapInPandas, queries shipped to every task as a plain broadcast
+    variable.
+
+    This is the THROUGHPUT variant — one BLAS matmul per Arrow batch
+    instead of per-element expression evaluation (10-100× faster per
+    core at real embedding dims). BLAS reduction order makes the low
+    float bits platform-dependent, so the exact fold version
+    (cosine_topk_bruteforce) remains the oracle-comparable baseline;
+    rankings agree whenever no two cosines are within float-sum noise.
+    Per-task top-k is computed locally, then the global top-k via one
+    small window over (|queries|·k·partitions) candidate rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sc = corpus.sparkSession.sparkContext
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = sc.broadcast((q_ids, q_norm))
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        ids, qn = bq.value
+        for pdf in it:
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = qn @ c_norm.T  # |Q| x |batch|
+            top = min(k + 1, sims.shape[1])  # +1: self-match may appear
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows = []
+            for qi, q_id in enumerate(ids):
+                for ci in idx[qi]:
+                    if c_ids[ci] != q_id:
+                        rows.append((q_id, int(c_ids[ci]), float(sims[qi, ci])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine_sim"])
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(batches, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def signbit_bucket(vec: Column, bits: int = 8) -> Column:
     """Bucket id from the sign bits of the first ``bits`` dimensions:
     Σ 2^j · [vec[j] > 0]. Deterministic, SQL-portable, no randomness."""
