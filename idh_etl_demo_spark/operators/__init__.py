@@ -9,6 +9,7 @@ from idh_etl_demo_spark.operators.dedup import (
 from idh_etl_demo_spark.operators.merge import merge_insert_if_absent
 from idh_etl_demo_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_pandas,
     signbit_bucket_ann,
 )
 from idh_etl_demo_spark.operators.text import (
@@ -29,6 +30,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "merge_insert_if_absent",
     "cosine_topk_bruteforce",
+    "cosine_topk_pandas",
     "signbit_bucket_ann",
     "token_count",
     "quality_features",
