@@ -668,3 +668,134 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@query(
+    "orders_with_high_value_items",
+    """
+    select o.o_orderkey, o.o_custkey, o.o_totalprice
+    from orders o
+    where exists (
+      select 1 from lineitem l
+      where l.l_orderkey = o.o_orderkey and l.l_extendedprice > 90000
+    )
+    order by o.o_orderkey
+    """,
+)
+def orders_with_high_value_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — the set-membership counterpart of the
+    merge sink's anti join; plans as one broadcast semi probe, no fan-out."""
+    orders = _t(spark, sf_dir, "orders")
+    big_items = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 90000)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big_items, orders["o_orderkey"] == big_items["l_orderkey"], "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "price_percentiles",
+    """
+    select l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) as p50,
+           quantile_cont(l_extendedprice, 0.95) as p95,
+           min(l_extendedprice) as lo,
+           max(l_extendedprice) as hi
+    from lineitem
+    group by l_returnflag
+    order by l_returnflag
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous percentiles per group (linear interpolation —
+    verified bit-identical to quantile_cont). Use approx_percentile at
+    true 100 TB scale; the exact form is the correctness baseline."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "value_stats",
+    """
+    with sums as (
+      select event_type,
+             count(*) as n,
+             sum(cast(value as decimal(18,4))) as s,
+             sum(cast(value as decimal(18,4)) * cast(value as decimal(18,4))) as s2
+      from events
+      group by event_type
+    )
+    select event_type, n,
+           cast(s as double) / n as mean_value,
+           (cast(s2 as double) - cast(s as double) * cast(s as double) / n) / (n - 1)
+             as var_value
+    from sums
+    order by event_type
+    """,
+)
+def value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance computed from DECIMAL-exact moment sums, so results
+    are order-independent and engine-reproducible — the pattern for any
+    algebraic statistic at scale (built-in stddev sums doubles in shuffle
+    order and is not bit-stable)."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,4)")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("s2"),
+    )
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    n = F.col("n")
+    return sums.select(
+        "event_type",
+        "n",
+        (s / n).alias("mean_value"),
+        ((s2 - s * s / n) / (n - 1)).alias("var_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "doc_word_histogram",
+    r"""
+    with toks as (
+      select unnest(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), w -> w != '')) as word
+      from documents
+    )
+    select word, count(*) as freq
+    from toks
+    group by word
+    order by freq desc, word asc
+    limit 25
+    """,
+)
+def doc_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word histogram (explode → count → deterministic top-25) —
+    the vocabulary-analysis primitive; partial aggregation collapses the
+    per-token stream before the shuffle."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode_outer(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(25)
+    )
