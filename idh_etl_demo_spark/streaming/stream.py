@@ -50,6 +50,20 @@ def hourly_delay_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def deduped_delay_stream(
+    stream: DataFrame,
+    keys: list[str] = ("Timestamp", "Route", "Stop Name", "Vehicle No"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """In-stream duplicate suppression: duplicates arriving within the
+    watermark horizon are dropped by the engine's state store, so the
+    downstream merge only re-checks LATE duplicates (state stays bounded —
+    the watermark is what makes streaming dedup feasible at scale)."""
+    return stream.withWatermark("Timestamp", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_delays_to_table(
     spark: SparkSession,
     landing_dir: str,

@@ -47,6 +47,31 @@ def test_stream_ingest_idempotent(spark, tmp_path):
     assert ("2024-12-25 08:00:00", 5) in rows
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from idh_etl_demo_spark.streaming.stream import deduped_delay_stream
+
+    landing = tmp_path / "landing3"
+    landing.mkdir()
+    # one batch containing the same row three times + two distinct rows
+    (landing / "b.csv").write_text(
+        HEADER
+        + "2024-12-25T07:14:05,7 min,1,Plac,v100\n" * 3
+        + "2024-12-25T07:40:00,3 min przed czasem,1,Brama,v101\n"
+    )
+    stream = deduped_delay_stream(read_delay_stream(spark, str(landing)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("deduped_delays")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from deduped_delays").collect()
+    assert len(rows) == 2  # triplicate collapsed in-stream
+
+
 def test_windowed_aggregation_shape(spark, tmp_path):
     landing = tmp_path / "landing2"
     landing.mkdir()
