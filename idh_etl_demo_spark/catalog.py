@@ -799,3 +799,90 @@ def doc_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(25)
     )
+
+
+@query(
+    "customers_active_both_years",
+    """
+    select o_custkey from orders
+    where o_orderdate >= timestamp '1996-01-01 00:00:00'
+      and o_orderdate < timestamp '1997-01-01 00:00:00'
+    intersect
+    select o_custkey from orders
+    where o_orderdate >= timestamp '1997-01-01 00:00:00'
+      and o_orderdate < timestamp '1998-01-01 00:00:00'
+    order by o_custkey
+    """,
+)
+def customers_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (beyond the reference's UNION-only usage)."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97).orderBy("o_custkey")
+
+
+@query(
+    "customers_churned_97",
+    """
+    select o_custkey from orders
+    where o_orderdate >= timestamp '1996-01-01 00:00:00'
+      and o_orderdate < timestamp '1997-01-01 00:00:00'
+    except
+    select o_custkey from orders
+    where o_orderdate >= timestamp '1997-01-01 00:00:00'
+      and o_orderdate < timestamp '1998-01-01 00:00:00'
+    order by o_custkey
+    """,
+)
+def customers_churned_97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op — active in 1996 but not 1997."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep a
+    # customer whose '96 order count merely exceeds their '97 count
+    return y96.subtract(y97).orderBy("o_custkey")
+
+
+@query(
+    "orders_status_pivot",
+    """
+    select o_orderpriority,
+           count(*) filter (o_orderstatus = 'F') as status_f,
+           count(*) filter (o_orderstatus = 'O') as status_o,
+           count(*) filter (o_orderstatus = 'P') as status_p
+    from orders
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (status → columns) with an explicit value list — the
+    deterministic form that skips Spark's value-discovery job; expressed
+    as FILTERed counts in the oracle (the portable equivalent)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
