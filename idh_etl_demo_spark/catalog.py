@@ -886,3 +886,102 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "volume_shipping",
+    """
+    select supp_nation, cust_nation, l_year,
+           cast(sum(volume) as double) as revenue
+    from (
+      select n1.n_name as supp_nation,
+             n2.n_name as cust_nation,
+             year(l.l_shipdate) as l_year,
+             cast(l.l_extendedprice as decimal(18,4))
+               * (cast(1 as decimal(18,4)) - cast(l.l_discount as decimal(18,4))) as volume
+      from lineitem l
+      join supplier s on s.s_suppkey = l.l_suppkey
+      join orders o on o.o_orderkey = l.l_orderkey
+      join customer c on c.c_custkey = o.o_custkey
+      join nation n1 on n1.n_nationkey = s.s_nationkey
+      join nation n2 on n2.n_nationkey = c.c_nationkey
+      where n1.n_name != n2.n_name
+    )
+    group by supp_nation, cust_nation, l_year
+    order by supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped multi-nation trade flow: five joins with the nation
+    dim used TWICE under different roles, cross-nation filter, per-year
+    decimal-exact revenue. Exercises Catalyst's join planning with a
+    self-referenced broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    """
+    with part_avg as (
+      select l_partkey,
+             cast(sum(cast(l_quantity as decimal(18,4))) as double) / count(*) as avg_qty
+      from lineitem
+      group by l_partkey
+    )
+    select l.l_partkey,
+           count(*) as n_small,
+           cast(sum(cast(l.l_extendedprice as decimal(18,4))) as double) as small_revenue
+    from lineitem l
+    join part_avg pa on pa.l_partkey = l.l_partkey
+    where l.l_quantity < 0.2 * pa.avg_qty
+    group by l.l_partkey
+    order by l.l_partkey
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped scalar-aggregate comparison: each row judged
+    against its group's average (decimal-exact mean, deterministic double
+    compare). The per-part aggregate is computed once and broadcast back —
+    no correlated-subquery re-execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("small_revenue"),
+        )
+        .orderBy("l_partkey")
+    )
