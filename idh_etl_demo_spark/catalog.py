@@ -985,3 +985,50 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@query(
+    "dq_orders_audit",
+    """
+    select
+      (select count(*) from orders) as n_rows,
+      (select count(*) from orders where o_orderkey is null) as null_keys,
+      (select count(*) from (
+         select o_orderkey from orders group by o_orderkey having count(*) > 1
+      )) as duplicate_keys,
+      (select count(*) from orders o
+       where not exists (select 1 from customer c where c.c_custkey = o.o_custkey)
+      ) as dangling_custkeys,
+      (select count(*) from orders where o_totalprice <= 0) as nonpositive_totals
+    """,
+)
+def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as one metrics row: null keys, duplicate keys,
+    dangling foreign keys (anti join), domain violations — the validation
+    layer the reference performs with ad-hoc guards
+    (reference: dags/idh_etl.py:190-225), as a single distributed plan."""
+    orders = _t(spark, sf_dir, "orders")
+    customer_keys = _t(spark, sf_dir, "customer").select("c_custkey")
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    dangling = (
+        orders.join(
+            customer_keys, orders["o_custkey"] == customer_keys["c_custkey"], "left_anti"
+        ).count()
+    )
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_keys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_totals"),
+    )
+    return agg.select(
+        "n_rows",
+        "null_keys",
+        F.lit(dup).cast("long").alias("duplicate_keys"),
+        F.lit(dangling).cast("long").alias("dangling_custkeys"),
+        "nonpositive_totals",
+    )

@@ -57,7 +57,7 @@ def clean_delays(raw: DataFrame) -> DataFrame:
     )
 
 
-def clean_weather(raw: DataFrame) -> DataFrame:
+def clean_weather(raw: DataFrame, streaming: bool = False) -> DataFrame:
     """The weather cleansing chain (reference: src/weather.py:51-121):
     rename → id → casts → null-filter → dedup → fills/rounds → classifiers
     → final projection.
@@ -93,17 +93,27 @@ def clean_weather(raw: DataFrame) -> DataFrame:
         "humidity_percent",
         "pressure_raw",
     ]
-    df = dedup_keep_first(
-        df, ["hour"], order_by=[F.asc_nulls_last(c) for c in order_cols]
-    )
+    if streaming:
+        # ranking windows are illegal on unbounded streams; stateful
+        # dropDuplicates keeps the FIRST ARRIVAL per key instead of the
+        # batch path's order-based rule (document: survivor differs only
+        # when duplicate keys carry different payloads)
+        df = df.dropDuplicates(["hour"])
+    else:
+        df = dedup_keep_first(
+            df, ["hour"], order_by=[F.asc_nulls_last(c) for c in order_cols]
+        )
     df = df.filter(
         F.col("temperature").isNotNull() & F.col("wind_speed_raw").isNotNull()
     )
-    df = dedup_keep_first(
-        df,
-        ["station_id", "hour"],
-        order_by=[F.asc_nulls_last(c) for c in order_cols[1:]],
-    )
+    if streaming:
+        df = df.dropDuplicates(["station_id", "hour"])
+    else:
+        df = dedup_keep_first(
+            df,
+            ["station_id", "hour"],
+            order_by=[F.asc_nulls_last(c) for c in order_cols[1:]],
+        )
     df = df.withColumn(
         "id",
         weather_id(F.col("station_id"), F.col("measurement_date"), F.col("hour")),

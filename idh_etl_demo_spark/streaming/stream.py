@@ -64,6 +64,38 @@ def deduped_delay_stream(
     )
 
 
+def delay_weather_stream_join(
+    delays: DataFrame,
+    weather: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each delay row enriched with the weather
+    observation of its hour, both sides unbounded streams.
+
+    Both sides carry watermarks and the join condition includes an hour
+    EQUALITY on event time, so the state store can expire rows once the
+    watermark passes — bounded state, the requirement for an unbounded
+    stream-stream join at scale.
+
+    ``weather`` is the cleansed hourly frame (plans.inputs.clean_weather
+    applied to a weather file stream) extended with ``weather_hour``
+    (timestamp of the observation hour).
+    """
+    d = delays.withWatermark("Timestamp", watermark).alias("d")
+    w = weather.withWatermark("weather_hour", watermark).alias("w")
+    return d.join(
+        w,
+        F.expr('d.Timestamp = w.weather_hour'),
+        "inner",
+    ).select(
+        "d.Timestamp",
+        "d.Delay",
+        "d.Route",
+        "w.temperature",
+        "w.general_circumstances",
+    )
+
+
 def stream_delays_to_table(
     spark: SparkSession,
     landing_dir: str,

@@ -72,6 +72,44 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert len(rows) == 2  # triplicate collapsed in-stream
 
 
+def test_stream_stream_join(spark, tmp_path, ztm_root):
+    from idh_etl_demo_spark.plans.inputs import clean_weather
+    from idh_etl_demo_spark.schemas import WEATHER_RAW_SCHEMA
+    from idh_etl_demo_spark.streaming.stream import delay_weather_stream_join
+    import pyspark.sql.functions as F
+
+    delays_landing = tmp_path / "d_landing"
+    delays_landing.mkdir()
+    (delays_landing / "b.csv").write_text(BATCH_1)
+    delays = read_delay_stream(spark, str(delays_landing))
+
+    # weather stream from the shared ZTM fixture day (covers hours 7/8)
+    weather_raw = (
+        spark.readStream.schema(WEATHER_RAW_SCHEMA)
+        .option("header", True)
+        .csv(f"{ztm_root}/weather/2024/12/25")
+    )
+    weather = clean_weather(weather_raw, streaming=True).withColumn(
+        "weather_hour",
+        F.to_timestamp(F.substring(F.col("id"), 7, 13), "yyyy-MM-dd-HH"),
+    )
+    joined = delay_weather_stream_join(delays, weather)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("delay_weather")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from delay_weather").collect()
+    assert len(rows) == 3  # all three delay rows have a weather hour
+    by_route = {(str(r.Timestamp), r.Route): r.temperature for r in rows}
+    assert ("2024-12-25 07:00:00", "1") in by_route
+    assert all(r.general_circumstances is not None for r in rows)
+
+
 def test_windowed_aggregation_shape(spark, tmp_path):
     landing = tmp_path / "landing2"
     landing.mkdir()
