@@ -79,6 +79,35 @@ def test_merge_scans_only_target_keys(spark, tmp_path):
     assert "struct<id:int>" in read, f"target scan reads more than keys: {read}"
 
 
+
+# per-entry shuffle budgets: loose upper bounds that still catch a
+# regression where a broadcast silently degrades to a shuffle join or a
+# projection starts re-shuffling. Entries not listed get the default.
+SHUFFLE_BUDGET_DEFAULT = 4
+SHUFFLE_BUDGETS = {
+    "doc_minhash_candidates": 5,   # repartition + band groupBy + distinct
+    "doc_ngram_jaccard": 5,        # repartition + shingle groupBy + pair agg
+    "user_sessions": 3,
+    "purchase_view_attribution": 3,
+    "ztm_line_dim": 8,             # two mode rollups + final assembly
+    "ztm_weather_dim": 6,          # two dedup windows + ordering
+    "rollup_revenue": 3,
+    "customers_active_both_years": 5,
+    "customers_churned_97": 5,
+    "small_quantity_revenue": 5,
+    "volume_shipping": 5,
+    "dq_orders_audit": 5,
+}
+
+
+def test_shuffle_budgets(spark):
+    for name, e in ENTRIES.items():
+        plan = _plan(e.spark(spark, SF))
+        n = plan.count("Exchange ")
+        budget = SHUFFLE_BUDGETS.get(name, SHUFFLE_BUDGET_DEFAULT)
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
 def test_no_cartesian_products_anywhere(spark):
     """Every catalog entry must avoid unplanned cartesian joins (the one
     deliberate crossJoin — brute-force cosine — broadcasts its query side
