@@ -636,7 +636,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     rows unbounded preceding) as session_no
       from ordered
     )
-    select user_id, session_no, count(*) as n_events,
+    select user_id, cast(session_no as bigint) as session_no, count(*) as n_events,
            min(ts) as session_start, max(ts) as session_end
     from sessions
     group by user_id, session_no

@@ -83,29 +83,43 @@ def test_merge_scans_only_target_keys(spark, tmp_path):
 # per-entry shuffle budgets: loose upper bounds that still catch a
 # regression where a broadcast silently degrades to a shuffle join or a
 # projection starts re-shuffling. Entries not listed get the default.
+# Budgets count SHUFFLE exchanges only (hash/range/single-partition);
+# BroadcastExchange is deliberately excluded — broadcasts are the cheap
+# path we *want*, and counting them would penalize broadcast-heavy plans.
 SHUFFLE_BUDGET_DEFAULT = 4
+
+
+def _shuffle_count(plan: str) -> int:
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
 SHUFFLE_BUDGETS = {
-    "doc_minhash_candidates": 5,   # repartition + band groupBy + distinct
-    "doc_ngram_jaccard": 5,        # repartition + shingle groupBy + pair agg
-    "user_sessions": 3,
-    "purchase_view_attribution": 3,
-    "ztm_line_dim": 8,             # two mode rollups + final assembly
-    "ztm_weather_dim": 6,          # two dedup windows + ordering
-    "rollup_revenue": 3,
-    "customers_active_both_years": 5,
-    "customers_churned_97": 5,
-    "small_quantity_revenue": 5,
-    "volume_shipping": 5,
-    "dq_orders_audit": 5,
+    "doc_minhash_candidates": 3,   # band groupBy + pair expand + dedup
+    "doc_ngram_jaccard": 3,        # shingle groupBy + pair agg + ordering
+    "user_sessions": 2,
+    "purchase_view_attribution": 2,
+    # ztm_line_dim: two mode-rollup chains (groupBy trip[,stop] → groupBy
+    # (route,stat) → route window) + final ordering. Each shuffle after the
+    # first in a chain carries partially-AGGREGATED rows (map-side combine),
+    # so the byte volume shrinks stage over stage — collapsing the chain
+    # into one early repartition would move MORE data at 100 TB, not less.
+    "ztm_line_dim": 10,
+    "ztm_delay_fact": 5,           # derived dims computed inline at test SF
+    "ztm_weather_dim": 2,          # two dedup windows share a partitioning
+    "rollup_revenue": 2,
+    "small_quantity_revenue": 3,
+    "supplier_distinct_parts": 3,
+    "orders_status_pivot": 3,
 }
 
 
 def test_shuffle_budgets(spark):
     for name, e in ENTRIES.items():
         plan = _plan(e.spark(spark, SF))
-        n = plan.count("Exchange ")
+        n = _shuffle_count(plan)
         budget = SHUFFLE_BUDGETS.get(name, SHUFFLE_BUDGET_DEFAULT)
-        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+        assert n <= budget, f"{name}: {n} shuffle exchanges (budget {budget})"
 
 
 def test_no_cartesian_products_anywhere(spark):
