@@ -46,3 +46,77 @@ def test_partition_column_must_be_key(spark, tmp_path):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "partition columns" in str(e)
+
+
+def test_null_partition_value_idempotent(spark, tmp_path):
+    """eqNullSafe pruning: rows in the NULL partition must anti-join on
+    replay (plain == would null out the clause and re-insert them)."""
+    target = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(None, 1, "a"), ("2024-12-25", 2, "b")], "dt string, id int, v string"
+    )
+    assert merge_insert_if_absent(spark, batch, target, ["dt", "id"], partition_by=["dt"]) == 2
+    assert merge_insert_if_absent(spark, batch, target, ["dt", "id"], partition_by=["dt"]) == 0
+    assert spark.read.parquet(target).count() == 2
+
+
+def test_crashed_staging_is_invisible(spark, tmp_path):
+    """A staging dir left by a crashed run must not be readable as table
+    data and must not break or double-count the next merge."""
+    target = str(tmp_path / "t")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    assert merge_insert_if_absent(spark, first, target, ["id"]) == 2
+
+    # simulate a crash: a staging dir with real parquet inside the target
+    import os
+
+    dead = os.path.join(target, "_staging_deadbeef")
+    spark.createDataFrame([(99, "ghost")], "id int, v string").write.parquet(dead)
+
+    # readers don't see the ghost row
+    assert spark.read.parquet(target).count() == 2
+    # replay appends nothing; a new row still merges; ghost never surfaces
+    assert merge_insert_if_absent(spark, first, target, ["id"]) == 0
+    third = spark.createDataFrame([(3, "c")], "id int, v string")
+    assert merge_insert_if_absent(spark, third, target, ["id"]) == 1
+    got = {r.id for r in spark.read.parquet(target).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_merge_executes_batch_plan_once(spark, tmp_path, monkeypatch):
+    """The appended count must come from the observe()-audited write —
+    the ONLY action on the batch plan. The old shape ran count() then
+    write (two executions that could even disagree); ban count() outright
+    and the merge must still report the right number."""
+    from pyspark.sql import DataFrame
+
+    target = str(tmp_path / "t")
+    seed = spark.createDataFrame([(1, "a")], "id int, v string")
+    merge_insert_if_absent(spark, seed, target, ["id"])
+
+    def _no_count(self):
+        raise AssertionError("merge must not run a separate count() action")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    batch = spark.createDataFrame([(2, "b"), (3, "c")], "id int, v string")
+    assert merge_insert_if_absent(spark, batch, target, ["id"]) == 2
+
+
+def test_concurrent_merge_locked(spark, tmp_path):
+    import os
+
+    from idh_etl_demo_spark.operators.merge import ConcurrentMergeError
+
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    with open(os.path.join(target, "_merge.lock"), "w"):
+        pass
+    batch = spark.createDataFrame([(1, "a")], "id int, v string")
+    try:
+        merge_insert_if_absent(spark, batch, target, ["id"])
+        assert False, "expected ConcurrentMergeError"
+    except ConcurrentMergeError:
+        pass
+    # lock released by the holder → merge proceeds
+    os.unlink(os.path.join(target, "_merge.lock"))
+    assert merge_insert_if_absent(spark, batch, target, ["id"]) == 1
