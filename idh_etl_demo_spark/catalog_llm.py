@@ -377,8 +377,9 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ann_signbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: sign-bit coarse quantization (8 bits → 256 buckets),
     exact ranking inside the bucket. The cross join becomes an equi-join on
-    bucket id — the 100 TB path (bucket-partition the corpus and only the
-    query batch moves)."""
+    bucket id. KEPT AS THE NAIVE BASELINE — axis-aligned bits cap at 256
+    buckets (N²/256 in-bucket work at corpus scale); the production path
+    is embedding_ann_hyperplane (K random hyperplanes + multi-probe)."""
     emb = _t(spark, sf_dir, "embeddings")
     from idh_etl_demo_spark.operators.similarity import signbit_bucket
 
@@ -414,48 +415,187 @@ def embedding_ann_signbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- random-hyperplane LSH constants (seeded, shared Spark ↔ oracle) ------
+# Rademacher ±1 planes over the ×10000 integer-quantized vectors: the
+# projection is exact integer arithmetic, so bucket ids agree bit-for-bit
+# between Spark and DuckDB. K=10 → 1024 buckets (sized for the sf catalog
+# corpus; the operator itself defaults to K=16 at scale), Hamming-1
+# multi-probe recovers recall lost to narrow buckets.
+_ANN_DIM = 64
+_ANN_BITS = 10
+_NEARDUP_TABLES = 4
+_NEARDUP_BITS = 12
+
+
+def _planes(tables: int, bits: int, seed: int):
+    from idh_etl_demo_spark.operators.similarity import rademacher_planes
+
+    return rademacher_planes(_ANN_DIM, bits, seed=seed, tables=tables)
+
+
+_ANN_PLANES = _planes(1, _ANN_BITS, seed=7)[0]
+_NEARDUP_PLANES = _planes(_NEARDUP_TABLES, _NEARDUP_BITS, seed=11)
+
+
+def _sql_bucket(planes: list[list[int]], var: str = "v") -> str:
+    terms = [
+        f"(case when list_dot_product({var}, [{','.join(str(int(w)) for w in p)}]) > 0"
+        f" then {1 << j} else 0 end)"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")::bigint"
+
+
+def _sql_probes(bits: int, var: str = "bucket") -> str:
+    return "[" + ", ".join([var] + [f"xor({var}, {1 << j})" for j in range(bits)]) + "]"
+
+
 @query(
-    "embedding_near_dup",
+    "embedding_ann_hyperplane",
     """
-    with b as (
-      select vec_id, {quant} as v,
-             list_sum(list_transform(generate_series(1, 8),
-                      j -> case when embedding[j] > 0 then 1 << (j - 1) else 0 end))::bigint as bucket
-      from embeddings
+    with vv as (select vec_id, {quant} as v from embeddings),
+    b as (select vec_id, v, {bucket} as bucket from vv),
+    q as (select vec_id as query_id, v as qv, unnest({probes}) as bucket
+          from b where vec_id % 25 = 0),
+    c as (select vec_id as neighbor_id, v as cv, bucket from b),
+    scored as (
+      select query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) as cosine_sim
+      from q join c using (bucket)
+      where neighbor_id != query_id
     )
-    select a.vec_id as id_a, c.vec_id as id_b,
-           list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) as cosine_sim
-    from b a join b c on a.bucket = c.bucket and a.vec_id < c.vec_id
-    where list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.45
-    order by id_a, id_b
-    """.format(quant=_QUANT),
+    select query_id, neighbor_id, cosine_sim, rank from (
+      select *, row_number() over (partition by query_id
+                                   order by cosine_sim desc, neighbor_id asc) as rank
+      from scored
+    ) where rank <= 5
+    order by query_id, rank
+    """.format(
+        quant=_QUANT,
+        bucket=_sql_bucket(_ANN_PLANES),
+        probes=_sql_probes(_ANN_BITS),
+    ),
 )
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidate generation by
-    sign-bit bucket equi-join (never all-pairs), exact cosine filter inside
-    the bucket. Threshold is a knob — 0.45 here so the synthetic corpus
-    (max pairwise cosine ≈ 0.48) yields demonstrable pairs."""
-    from idh_etl_demo_spark.operators.similarity import signbit_bucket
+def embedding_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with K seeded random-hyperplane sign bits + Hamming-1
+    multi-probe — the 100 TB fix for the axis-aligned 8-bit baseline
+    (embedding_ann_signbit): buckets decorrelate from data layout and K
+    scales past the leading dims, so in-bucket work is N/2^K per probe.
+    Queries explode to K+1 probe buckets (small side, broadcast); the
+    corpus carries exactly one bucket per row, so every candidate pair
+    appears at most once — no dedup stage."""
+    from idh_etl_demo_spark.operators.similarity import (
+        hamming1_probes,
+        hyperplane_bucket,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     b = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id"),
         _spark_quant(F.col("embedding")).alias("v"),
-        signbit_bucket(F.col("embedding"), 8).alias("bucket"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), _ANN_PLANES))
+    q = b.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(hamming1_probes(F.col("bucket"), _ANN_BITS)).alias("bucket"),
     )
-    a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("bucket")
+    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _spark_int_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_spark_int_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_spark_int_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine_sim"),
+        )
     )
-    c = b.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("bucket")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
     )
+
+
+def _sql_neardup_tables() -> str:
+    legs = [
+        f"select vec_id, v, {t} as tbl, {_sql_bucket(_NEARDUP_PLANES[t])} as bucket from vv"
+        for t in range(_NEARDUP_TABLES)
+    ]
+    return " union all ".join(legs)
+
+
+@query(
+    "embedding_near_dup",
+    """
+    with vv as (select vec_id, {quant} as v from embeddings),
+    keys as ({tables}),
+    pairs as (
+      select distinct a.vec_id as id_a, c.vec_id as id_b
+      from keys a join keys c on a.tbl = c.tbl and a.bucket = c.bucket
+      where a.vec_id < c.vec_id
+    )
+    select id_a, id_b,
+           list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) as cosine_sim
+    from pairs join vv a on id_a = a.vec_id join vv c on id_b = c.vec_id
+    where list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.45
+    order by id_a, id_b
+    """.format(quant=_QUANT, tables=_sql_neardup_tables()),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane
+    LSH: L=4 independent tables of K=12 random-hyperplane bits; a pair is
+    a candidate if it collides in ANY table (OR-construction — recall
+    ≈ 1-(1-p^K)^L for per-bit agreement p), then an exact cosine filter.
+    Never all-pairs: candidate volume is Σ_buckets B², bounded by table
+    granularity, and the distinct() collapses multi-table repeats before
+    the expensive cosine. Threshold 0.45 so the synthetic corpus (max
+    pairwise cosine ≈ 0.48) yields demonstrable pairs."""
+    from idh_etl_demo_spark.operators.similarity import hyperplane_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v")
+    )
+    keys = vv.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col("v"), _NEARDUP_PLANES[t]).alias("bucket"),
+                    )
+                    for t in range(_NEARDUP_TABLES)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", "v", F.col("k.tbl").alias("tbl"), F.col("k.bucket").alias("bucket"))
+    a = keys.select(F.col("vec_id").alias("id_a"), F.col("tbl"), F.col("bucket"))
+    c = keys.select(F.col("vec_id").alias("id_b"), F.col("tbl"), F.col("bucket"))
+    pairs = (
+        a.join(c, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vc = vv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     cos = _spark_int_dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_spark_int_dot(F.col("va"), F.col("va")))
         * F.sqrt(_spark_int_dot(F.col("vb"), F.col("vb")))
     )
     return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vc, "id_b")
         .select("id_a", "id_b", cos.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.45)
         .orderBy("id_a", "id_b")

@@ -147,9 +147,112 @@ def cosine_topk_pandas(
     )
 
 
+def rademacher_planes(dim: int, bits: int, seed: int = 7, tables: int = 1):
+    """Seeded ±1 random hyperplanes, shape (tables, bits, dim) as a nested
+    python list (deterministic across runs/machines — plain numpy RNG).
+
+    Rademacher entries instead of Gaussian so the projection of an
+    integer-quantized vector is EXACT integer arithmetic — the same bucket
+    id is reproducible in any engine (the DuckDB oracle included), and for
+    dim ≳ 32 the sign of a ±1 projection is statistically indistinguishable
+    from a Gaussian hyperplane's (CLT)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice(np.array([-1, 1], dtype=np.int64), size=(tables, bits, dim))
+    return planes.tolist()
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id from K seeded random hyperplanes: Σ 2^j·[⟨vec,h_j⟩>0].
+
+    Unlike first-K-dims sign bits, random hyperplanes decorrelate the
+    bucket id from the data layout and let K grow past the vector's
+    leading dims — K=16 gives 65 536 buckets, so in-bucket candidate work
+    is N²/65 536 instead of N²/256 (the round-1 weakness). All JVM-side
+    codegen expressions; the plane constants fold into the plan."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lits = F.array(*[F.lit(int(w)) for w in plane])
+        # double accumulator works for float AND integer-quantized vectors:
+        # quantized dot products stay < 2^53, so the double sum is exact
+        # and the sign test is engine-portable.
+        proj = F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def hamming1_probes(bucket: Column, bits: int) -> Column:
+    """The bucket plus its ``bits`` Hamming-1 neighbors — the multi-probe
+    set. Explode on the QUERY side only (queries are the small relation);
+    the corpus keeps exactly one bucket per row, so a (query, neighbor)
+    candidate pair appears at most once (probe buckets are distinct)."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
+
+
+def hyperplane_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 16,
+    seed: int = 7,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the query's
+    random-hyperplane bucket (∪ its Hamming-1 probes).
+
+    The 100 TB shape: corpus is bucketed once (one codegen projection —
+    at scale, persist/bucket-by this column); each query expands to
+    bits+1 probe buckets and the search is an equi-join on bucket id.
+    Expected in-bucket work is N/2^bits per probe — for K=16 that is a
+    65 536-fold pruning, with recall recovered by multi-probe instead of
+    coarser buckets."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = rademacher_planes(dim, bits, seed)[0]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = hyperplane_bucket(F.col(vec_col), planes)
+    probes = hamming1_probes(qb, bits) if multiprobe else F.array(qb)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def signbit_bucket(vec: Column, bits: int = 8) -> Column:
     """Bucket id from the sign bits of the first ``bits`` dimensions:
-    Σ 2^j · [vec[j] > 0]. Deterministic, SQL-portable, no randomness."""
+    Σ 2^j · [vec[j] > 0]. Deterministic, SQL-portable, no randomness.
+
+    NAIVE BASELINE — axis-aligned bits correlate with data layout and
+    cap out at ``bits`` ≤ leading dims. Prefer ``hyperplane_bucket``
+    (random projections, arbitrary K, multi-probe) for the scale path."""
     return F.aggregate(
         F.transform(
             F.slice(vec, 1, bits),
