@@ -207,7 +207,7 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_sql(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_sql(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> str:
     rows = num_hashes // bands
     h = _MD5_LONG.format(x="s")
     sig_cols = []
@@ -220,15 +220,22 @@ def _minhash_sql(num_hashes: int = 12, bands: int = 4) -> str:
     for bidx in range(bands):
         parts = " || '_' || ".join(f"mh{bidx * rows + r}" for r in range(rows))
         band_keys.append(f"'{bidx}' || '_' || {parts}")
+    # hot-bucket cap mirrored from minhash_lsh_candidates: each bucket keeps
+    # its first max_bucket members by sorted id before pair expansion
     return f"""
     with docs as (select doc_id, {_WORDS} as words from documents),
     sets as (select doc_id, {_SHINGLES3} as sh from docs),
     sigs as (select doc_id, {', '.join(sig_cols)} from sets),
     bands as (
       select doc_id, unnest([{', '.join(band_keys)}]) as band_key from sigs
-    )
+    ),
+    grouped as (
+      select band_key, list_sort(list(distinct doc_id)) as ids
+      from bands group by band_key having len(list(distinct doc_id)) >= 2
+    ),
+    kept as (select band_key, unnest(ids[1:{max_bucket}]) as doc_id from grouped)
     select distinct l.doc_id as id_a, r.doc_id as id_b
-    from bands l join bands r on l.band_key = r.band_key and l.doc_id < r.doc_id
+    from kept l join kept r on l.band_key = r.band_key and l.doc_id < r.doc_id
     order by id_a, id_b
     """
 
@@ -237,12 +244,15 @@ def _minhash_sql(num_hashes: int = 12, bands: int = 4) -> str:
 def doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12)+LSH(4 bands) near-dup candidate pairs: signature is a
     projection, candidates surface via equi-join on band keys — no
-    quadratic comparison (SURVEY north star: dedup at scale)."""
+    quadratic comparison (SURVEY north star: dedup at scale). Hot buckets
+    capped at 64 members (mirrored in the oracle) so a boilerplate-heavy
+    corpus can't expand B²/2 pairs inside one task."""
     return minhash_lsh_candidates(
         _t(spark, sf_dir, "documents"),
         num_hashes=12,
         bands=4,
         num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
     ).orderBy("id_a", "id_b")
 
 

@@ -127,6 +127,8 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     num_partitions: int | None = None,
+    max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding.
 
@@ -135,8 +137,16 @@ def minhash_lsh_candidates(
     collide. Returns distinct (id_a, id_b) with id_a < id_b.
 
     Scale shape: signature computation is a projection; the self-join
-    shuffles only (band_key, id) pairs, never the text. Hot buckets (boiler-
-    plate docs) are the skew risk — AQE skew-join splits them.
+    shuffles only (band_key, id) pairs, never the text. Hot buckets
+    (boilerplate docs) are the skew risk: a degenerate bucket of B docs
+    expands B²/2 pairs inside ONE task. ``max_bucket`` bounds that —
+    each bucket keeps its first ``max_bucket`` members (by sorted id,
+    deterministic) so per-task work is ≤ C(max_bucket, 2). No silent
+    caps: pass a ``pyspark.sql.Observation`` as ``observation`` and the
+    candidate action reports ``capped_buckets``/``dropped_docs`` — at
+    100 TB wire that into the run-audit. Truncation is semantically safe
+    for DEDUP use: boilerplate bucket members are near-identical, so the
+    kept representatives still link the cluster transitively.
     """
     rows_per_band = num_hashes // bands
     if num_partitions:
@@ -162,14 +172,26 @@ def minhash_lsh_candidates(
     # group-then-expand instead of a self-join: the signature pipeline runs
     # ONCE and candidates need a single shuffle (a self-join would execute
     # the whole upstream plan twice — no exchange reuse across a broadcast).
-    # Skew note: a degenerate bucket of B docs expands to B²/2 pairs in one
-    # task; production pipelines cap bucket size upstream (boilerplate docs
-    # are near-identical anyway).
     grouped = (
         banded.groupBy("band_key")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        grouped = grouped.withColumn("__n", F.size("ids")).withColumn(
+            "ids", F.slice("ids", 1, max_bucket)
+        )
+        if observation is not None:
+            grouped = grouped.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("__n") > max_bucket, 1).otherwise(0)
+                ).alias("capped_buckets"),
+                F.sum(F.greatest(F.col("__n") - max_bucket, F.lit(0))).alias(
+                    "dropped_docs"
+                ),
+            )
+        grouped = grouped.drop("__n")
     ids = F.col("ids")
     combos = F.flatten(
         F.transform(

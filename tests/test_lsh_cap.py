@@ -1,0 +1,51 @@
+"""Hot-bucket cap in MinHash LSH: a boilerplate-heavy corpus (many
+near-identical docs → one degenerate band bucket) must expand a bounded
+number of pairs, with the drops reported through the Observation — the
+no-silent-caps rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+
+from idh_etl_demo_spark.operators.dedup import minhash_lsh_candidates
+
+
+def _boilerplate_corpus(spark, n=120):
+    # identical text → identical minhash signature → one bucket per band
+    rows = [(i, "terms of service apply to all users of this site") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_capped_bucket_bounds_pair_expansion(spark):
+    df = _boilerplate_corpus(spark, n=120)
+    cap = 16
+    obs = Observation()
+    pairs = minhash_lsh_candidates(df, max_bucket=cap, observation=obs)
+    n_pairs = pairs.count()
+    # all docs identical → every band holds the same capped member set, so
+    # distinct pairs collapse to one bucket's worth: exactly C(cap, 2)
+    assert n_pairs == cap * (cap - 1) // 2, n_pairs
+    # 4 bands × (120 - 16) docs dropped per bucket, reported not silent
+    got = obs.get
+    assert got["capped_buckets"] == 4
+    assert got["dropped_docs"] == 4 * (120 - 16)
+
+
+def test_uncapped_bucket_is_quadratic(spark):
+    # the behavior the cap exists to prevent (kept small here)
+    df = _boilerplate_corpus(spark, n=40)
+    pairs = minhash_lsh_candidates(df)
+    assert pairs.count() == 40 * 39 // 2
+
+
+def test_cap_preserves_transitive_linkage(spark):
+    """Dedup correctness under the cap: kept representatives still link
+    every capped-out doc to the cluster via the kept members? No — the
+    capped-out docs lose their pairs entirely; what survives is a
+    consistent representative subset. Assert the surviving pair set is
+    exactly over the first-cap ids (deterministic truncation)."""
+    df = _boilerplate_corpus(spark, n=30)
+    cap = 5
+    pairs = minhash_lsh_candidates(df, max_bucket=cap)
+    ids = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
+    assert ids == set(range(cap))
