@@ -4,8 +4,16 @@ a plain run loop (reference: dags/idh_etl.py:47-272; SURVEY §3.1).
 Per logical hour: build the five cleansed input views for that hour's
 partition, build all six star tables, dedup on keys, left-anti-merge into
 the parquet targets. There are no shard files and no merge_shards step —
-Spark's catalog is the unification (SURVEY §2.1 S9) — and `verify` becomes
-real assertions instead of logged failures.
+Spark's catalog is the unification (SURVEY §2.1 S9).
+
+Fault tolerance mirrors the reference's operator defaults
+(reference: dags/idh_etl.py:41-44 — retries=3, retry_delay=30 s):
+- every per-table unit (build + merge) retries RETRY_ATTEMPTS times with
+  RETRY_DELAY_SEC backoff before giving up;
+- ``run_day(..., on_error="continue")`` isolates failures per hour the way
+  Airflow isolates failed DAG runs — one poisoned hour doesn't abort the
+  day's catchup, and because every insert is keyed (operators.merge), the
+  failed hour can simply be re-run later.
 
 Idempotency: re-running any hour (Airflow catchup semantics) appends
 nothing, because every target insert is keyed (operators.merge).
@@ -15,6 +23,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,6 +36,29 @@ from idh_etl_demo_spark.sources.csv_feeds import (
     read_vehicles,
     read_weather_raw,
 )
+
+RETRY_ATTEMPTS = 3
+RETRY_DELAY_SEC = 30.0
+_sleep = time.sleep  # injectable for tests
+
+
+class ViewVerificationError(RuntimeError):
+    """A cleansed input view failed its smoke read."""
+
+
+def _with_retries(fn, what: str):
+    """Reference parity: 3 attempts, fixed 30 s delay
+    (dags/idh_etl.py:41-44). Transient executor/IO failures recover;
+    deterministic failures surface with the unit name attached."""
+    last: Exception | None = None
+    for attempt in range(1, RETRY_ATTEMPTS + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — retry any task failure, like Airflow
+            last = e
+            if attempt < RETRY_ATTEMPTS:
+                _sleep(RETRY_DELAY_SEC)
+    raise RuntimeError(f"{what} failed after {RETRY_ATTEMPTS} attempts") from last
 
 
 def build_views(
@@ -44,13 +76,22 @@ def build_views(
 
 
 def verify_views(views: dict[str, DataFrame]) -> None:
-    """The reference's `verify` task logs failures and continues
-    (reference: dags/idh_etl.py:166-178); we assert."""
+    """The reference's `verify` task does a ``select * from t limit 1``
+    smoke READ per table (reference: dags/idh_etl.py:166-178). A schema
+    check alone would pass on a view that errors at execution, so each
+    view is materialized to one row — a per-view job that scans a single
+    file split, negligible against the hour's real work."""
     expected = {"routes", "trips", "stops", "stop_times", "delays", "vehicles", "weather", "time_dim"}
     missing = expected - set(views)
-    assert not missing, f"missing input views: {missing}"
+    if missing:
+        raise ViewVerificationError(f"missing input views: {missing}")
     for name, df in views.items():
-        assert df.schema.fieldNames(), f"view {name} has no schema"
+        if not df.schema.fieldNames():
+            raise ViewVerificationError(f"view {name} has no schema")
+        try:
+            df.limit(1).collect()
+        except Exception as e:  # noqa: BLE001 — surface as verification failure
+            raise ViewVerificationError(f"view {name} failed its smoke read: {e}") from e
 
 
 def run_hour(
@@ -59,18 +100,22 @@ def run_hour(
     warehouse_root: str,
     logical_hour: dt.datetime,
 ) -> dict[str, int]:
-    """One logical run: returns rows appended per table."""
+    """One logical run: returns rows appended per table. Each per-table
+    unit (build + merge) retries like a reference task instance."""
     views = build_views(spark, data_root, logical_hour)
     verify_views(views)
     appended = {}
     for spec in TABLES:
-        df = spec.build(views)
-        if df.isEmpty():
-            appended[spec.name] = 0
-            continue
-        appended[spec.name] = merge_insert_if_absent(
-            spark, df, os.path.join(warehouse_root, spec.name), list(spec.keys)
-        )
+
+        def unit(spec=spec):
+            df = spec.build(views)
+            if df.isEmpty():
+                return 0
+            return merge_insert_if_absent(
+                spark, df, os.path.join(warehouse_root, spec.name), list(spec.keys)
+            )
+
+        appended[spec.name] = _with_retries(unit, f"{spec.name}@{logical_hour:%Y-%m-%dT%H}")
     return appended
 
 
@@ -80,14 +125,29 @@ def run_day(
     warehouse_root: str,
     day: dt.date,
     hours: range = range(24),
+    on_error: str = "raise",
+    failures: list | None = None,
 ) -> dict[str, int]:
     """The reference's catchup=True replay of 24 hourly runs
-    (reference: dags/idh_etl.py:48-51)."""
+    (reference: dags/idh_etl.py:48-51).
+
+    ``on_error="continue"`` gives per-hour isolation: a failed hour is
+    recorded in ``failures`` (list of (datetime, exception)) and the
+    replay moves on — merges are keyed, so re-running just the failed
+    hours later converges to the same warehouse state."""
+    if on_error not in ("raise", "continue"):
+        raise ValueError(f"on_error must be 'raise' or 'continue', got {on_error!r}")
     totals: dict[str, int] = {}
     for h in hours:
-        res = run_hour(
-            spark, data_root, warehouse_root, dt.datetime(day.year, day.month, day.day, h)
-        )
+        logical = dt.datetime(day.year, day.month, day.day, h)
+        try:
+            res = run_hour(spark, data_root, warehouse_root, logical)
+        except Exception as e:  # noqa: BLE001 — per-hour isolation
+            if on_error == "raise":
+                raise
+            if failures is not None:
+                failures.append((logical, e))
+            continue
         for k, v in res.items():
             totals[k] = totals.get(k, 0) + v
     return totals
