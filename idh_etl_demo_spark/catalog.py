@@ -59,7 +59,22 @@ def query(name: str, oracle: Optional[str]):
     return deco
 
 
+# (applicationId, sf_dir, table) → DataFrame. DataFrames are lazy and
+# immutable, so reusing one skips the file-listing/schema-inference job
+# spark.read.parquet runs per call — builders become action-free and the
+# scan metadata is resolved once per session instead of once per entry.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        _TABLE_CACHE[key] = cached = _read_table(spark, sf_dir, name)
+    return cached
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # calendar expressions (date_format/hour/weekday) must agree with the
     # timezone-naive SQL oracle whatever session the caller built
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1009,26 +1024,30 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: dags/idh_etl.py:190-225), as a single distributed plan."""
     orders = _t(spark, sf_dir, "orders")
     customer_keys = _t(spark, sf_dir, "customer").select("c_custkey")
+    # ONE lazy plan: each audit metric is a single-row scalar aggregate,
+    # stitched with 1×1 joins (planned as broadcast nested-loop on a single
+    # row — no data movement). No driver-side action runs at build time;
+    # the catalog stays a registry of lazy builders.
     dup = (
         orders.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .count()
+        .agg(F.count(F.lit(1)).alias("duplicate_keys"))
     )
     dangling = (
         orders.join(
             customer_keys, orders["o_custkey"] == customer_keys["c_custkey"], "left_anti"
-        ).count()
+        ).agg(F.count(F.lit(1)).alias("dangling_custkeys"))
     )
     agg = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_keys"),
         F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_totals"),
     )
-    return agg.select(
+    return agg.crossJoin(dup).crossJoin(dangling).select(
         "n_rows",
         "null_keys",
-        F.lit(dup).cast("long").alias("duplicate_keys"),
-        F.lit(dangling).cast("long").alias("dangling_custkeys"),
+        "duplicate_keys",
+        "dangling_custkeys",
         "nonpositive_totals",
     )

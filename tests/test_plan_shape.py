@@ -122,6 +122,23 @@ def test_shuffle_budgets(spark):
         assert n <= budget, f"{name}: {n} shuffle exchanges (budget {budget})"
 
 
+def test_builders_are_lazy_no_actions(spark):
+    """Catalog builders are a registry of LAZY plans: with the table cache
+    warm, constructing an entry must run zero Spark jobs (the old
+    dq_orders_audit ran two eager full-scan counts at build time)."""
+    for name in ["dq_orders_audit", "pricing_summary", "user_sessions"]:
+        ENTRIES[name].spark(spark, SF)  # warm table cache
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-builders", "")
+    try:
+        for name in ["dq_orders_audit", "pricing_summary", "user_sessions"]:
+            ENTRIES[name].spark(spark, SF)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("lazy-builders")
+    assert len(jobs) == 0, f"builders ran {len(jobs)} jobs at construction time"
+
+
 def test_no_cartesian_products_anywhere(spark):
     """Every catalog entry must avoid unplanned cartesian joins (the one
     deliberate crossJoin — brute-force cosine — broadcasts its query side
