@@ -27,8 +27,26 @@ def time_dim_id(ts: Column) -> Column:
     return F.date_format(ts, "yyyyMMdd").cast("long")
 
 
+# fixed English names, mirroring the reference's literal maps
+# (reference: src/time_utils.py:3-16) — a CASE over dayofweek/month instead
+# of date_format('EEEE'/'MMMM') so a non-English default JVM locale on some
+# cluster can't silently change the dimension strings.
+_WEEKDAYS = ["MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY", "SATURDAY", "SUNDAY"]
+_MONTHS = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+
+
+def _case_map(key: Column, names: list[str], start: int = 0) -> Column:
+    expr = F.when(key == F.lit(start), names[0])
+    for i, n in enumerate(names[1:], 1):
+        expr = expr.when(key == F.lit(start + i), n)
+    return expr.otherwise(F.lit(None))
+
+
 def weekday_name(ts: Column) -> Column:
-    return F.upper(F.date_format(ts, "EEEE"))
+    return _case_map(F.weekday(ts), _WEEKDAYS)
 
 
 def weekday_num(ts: Column) -> Column:
@@ -41,7 +59,7 @@ def is_business_day(ts: Column) -> Column:
 
 
 def month_name(ts: Column) -> Column:
-    return F.date_format(ts, "MMMM")
+    return _case_map(F.month(ts), _MONTHS, start=1)
 
 
 def season(month_num: Column) -> Column:

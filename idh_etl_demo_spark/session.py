@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        # pin the JVM locale: any remaining date_format('E'/'MMM') pattern
+        # must emit English on every cluster (the reference emits fixed
+        # English names — src/time_utils.py:3-16). The load-bearing TimeDim
+        # names are CASE maps (functions/timeutils.py), this is defense.
+        .config("spark.driver.extraJavaOptions", "-Duser.language=en -Duser.country=US")
+        .config("spark.executor.extraJavaOptions", "-Duser.language=en -Duser.country=US")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -83,3 +83,36 @@ def test_weather_id_zero_pad(spark):
     col = weather_id(F.col("s"), F.col("d"), F.col("h"))
     out = _eval(spark, col, rows, "s string, d string, h int")
     assert out == ["12375-2024-12-25-03", "12375-2024-12-25-15"]
+
+
+def test_weekday_month_names_locale_independent(spark):
+    """Names come from CASE maps over weekday()/month(), not
+    date_format under the JVM locale — every weekday and month emits the
+    reference's fixed English strings (reference: src/time_utils.py:3-16)."""
+    from idh_etl_demo_spark.functions.timeutils import month_name, weekday_name
+
+    # 2024-01-01 is a Monday; first of each month covers all 12 months
+    days = [(f"2024-01-{d:02d}",) for d in range(1, 8)]
+    out = _eval(
+        spark, weekday_name(F.to_timestamp(F.col("d"))), days, "d string"
+    )
+    assert out == [
+        "MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY", "SATURDAY", "SUNDAY",
+    ]
+    months = [(f"2024-{m:02d}-01",) for m in range(1, 13)]
+    out = _eval(spark, month_name(F.to_timestamp(F.col("d"))), months, "d string")
+    assert out == [
+        "January", "February", "March", "April", "May", "June",
+        "July", "August", "September", "October", "November", "December",
+    ]
+
+
+def test_session_pins_jvm_locale(spark):
+    """Defense for any remaining date_format name pattern: the session
+    factory pins user.language/user.country on driver and executors."""
+    from idh_etl_demo_spark.session import get_spark
+
+    s = get_spark()
+    for key in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+        opts = s.conf.get(key, "")
+        assert "-Duser.language=en" in opts, f"{key} missing locale pin: {opts!r}"
