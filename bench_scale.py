@@ -1,0 +1,133 @@
+"""10× scale probe: headline operators on a synthetic sf≈1 built by
+unioning 10 key-shifted copies of the sf0.1 tables (~6M lineitem rows,
+~5k docs ×10). Run per-round so scaling regressions are tracked
+mechanically, not as a one-off note (NOTES_r1 §10×).
+
+Prints ONE JSON line:
+  {"metric": "scale probe 10x union, wall sec", "value": <total>,
+   "unit": "sec", "queries": {...}, "ratio_vs_sf": {...}, "sf": ~1.0}
+
+The interesting number is `ratio_vs_sf`: wall-time ratio of the 10×
+probe vs the same query at base sf. ≈10 means linear scaling (good —
+codegen/startup amortized); >>10 means a super-linear stage crept in
+(join explosion, shuffle skew, quadratic bucket).
+
+Usage: python bench_scale.py [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from idh_etl_demo_spark.session import get_spark
+from idh_etl_demo_spark.catalog import ENTRIES
+import idh_etl_demo_spark.catalog_llm  # noqa: F401
+import idh_etl_demo_spark.catalog_ztm  # noqa: F401
+
+COPIES = 10
+
+# operators whose cost profile matters at scale: a pure-agg, a window
+# chain, the dedup family, the LSH candidate path, sessionization
+PROBES = [
+    "pricing_summary",
+    "mode_quantity_per_flag",
+    "doc_exact_dedup",
+    "doc_minhash_candidates",
+    "user_sessions",
+]
+
+# key columns to shift per copy so unioned rows stay distinct entities
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _scaled(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    from idh_etl_demo_spark.catalog import _read_table
+
+    df = _read_table(spark, base_dir, name)  # handles events' TIMESTAMP(NANOS)
+    keys = SHIFT_KEYS.get(name, [])
+    if not keys:
+        return df  # small dims (region/nation/part/supplier) stay as-is
+    n = df.count()
+    copies = []
+    for i in range(COPIES):
+        c = df
+        for k in keys:
+            c = c.withColumn(k, (F.col(k) + F.lit(i * n * 10)).cast(dict(df.dtypes)[k]))
+        if name == "documents" and i > 0:
+            # vary text so dedup/LSH see shifted content, not 10× exact dups
+            c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" v{i}")))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    base_sf = float(os.path.basename(args.base.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="idh-etl-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # materialize the scaled tables once as parquet (temp dir) so probes
+    # time the OPERATOR, not the 10× union scan plan
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_scale_")
+    tables = sorted({t for t in SHIFT_KEYS} | {"region", "nation", "part", "supplier"})
+    for t in tables:
+        _scaled(spark, args.base, t).write.mode("overwrite").parquet(os.path.join(tmp, f"{t}.parquet"))
+
+    # base timings for the ratio
+    base_times: dict[str, float] = {}
+    scaled_times: dict[str, float] = {}
+    for name in PROBES:
+        t0 = time.perf_counter()
+        ENTRIES[name].spark(spark, args.base).write.format("noop").mode("overwrite").save()
+        base_times[name] = round(time.perf_counter() - t0, 3)
+    for name in PROBES:
+        t0 = time.perf_counter()
+        ENTRIES[name].spark(spark, tmp).write.format("noop").mode("overwrite").save()
+        scaled_times[name] = round(time.perf_counter() - t0, 3)
+
+    ratios = {
+        n: round(scaled_times[n] / base_times[n], 1) if base_times[n] > 0 else None
+        for n in PROBES
+    }
+    print(
+        json.dumps(
+            {
+                "metric": f"scale probe {COPIES}x union, wall sec",
+                "value": round(sum(scaled_times.values()), 3),
+                "unit": "sec",
+                "queries": scaled_times,
+                "queries_base": base_times,
+                "ratio_vs_sf": ratios,
+                "sf": round(base_sf * COPIES, 3),
+            }
+        )
+    )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

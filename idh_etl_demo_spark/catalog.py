@@ -1051,3 +1051,333 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dangling_custkeys",
         "nonpositive_totals",
     )
+
+
+# ===========================================================================
+# Round-2 coverage widening: scalar subqueries, semi/anti joins with
+# non-equi predicates, complex OR-of-ANDs pushdown, running/sliding
+# windows, cube/grouping sets, unpivot (SURVEY §2 extensions)
+# ===========================================================================
+
+
+@query(
+    "parts_above_avg_price",
+    """
+    select p_partkey, p_name, p_retailprice
+    from part
+    where p_retailprice > (select avg(p_retailprice) from part)
+    order by p_partkey
+    """,
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: the global average joins back as a broadcast
+    1-row aggregate — no driver-side action, no second scan plan (the
+    self-read shares the cached scan)."""
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        part.join(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("__avg"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "late_orders_by_priority",
+    """
+    select o_orderpriority, count(*) as n_orders
+    from orders o
+    where exists (
+      select 1 from lineitem l
+      where l.l_orderkey = o.o_orderkey
+        and l.l_shipdate > o.o_orderdate + interval 60 day
+    )
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → LEFT SEMI join with a non-equi residual (shipped >60 days
+    after order date), then a tiny group-by. TPC-H Q4 shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("interval 60 days")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "supplier_count_by_part_type",
+    """
+    select p.p_type, count(distinct l.l_suppkey) as supplier_cnt
+    from part p
+    join lineitem l on l.l_partkey = p.p_partkey
+    where p.p_brand <> 'Brand#1'
+      and l.l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+    group by p.p_type
+    order by p.p_type
+    """,
+)
+def supplier_count_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (no-null key set) → LEFT ANTI join against the excluded
+    supplier keys, broadcast part dim, count-distinct. TPC-H Q16 shape."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_type"
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "promo_brand_revenue",
+    """
+    select
+      cast(sum(cast(l_extendedprice as decimal(18,4))
+               * (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))) as double)
+        as revenue,
+      count(*) as n_lineitems
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+    where (p.p_brand = 'Brand#1' and p.p_size between 1 and 15 and l.l_quantity between 1 and 20)
+       or (p.p_brand = 'Brand#2' and p.p_size between 10 and 30 and l.l_quantity between 5 and 35)
+    """,
+)
+def promo_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across both join sides (TPC-H Q19 shape):
+    the planner keeps the conjunct-free OR as a post-join filter while
+    per-table IsNotNull/partial predicates still push to the scans;
+    part is broadcast so the fact side never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    one = F.lit(1).cast("decimal(18,4)")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 35)
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond1 | cond2)
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "customer_balance_by_code",
+    """
+    with avg_bal as (
+      select avg(c_acctbal) as a from customer where c_acctbal > 0
+    )
+    select
+      substring(c_name, length(c_name) - 1, 2) as code,
+      count(*) as numcust,
+      cast(sum(cast(c_acctbal as decimal(18,4))) as double) as total_bal
+    from customer c
+    where c_acctbal > (select a from avg_bal)
+      and not exists (
+        select 1 from orders o
+        where o.o_custkey = c.c_custkey
+          and o.o_orderdate >= timestamp '2000-01-01 00:00:00'
+      )
+    group by code
+    order by code
+    """,
+)
+def customer_balance_by_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row agg),
+    NOT EXISTS → LEFT ANTI on recent-order keys (high-balance customers
+    with no orders since 2000), substring-derived group key, decimal-exact
+    balance sum. The anti-join probe reads only (o_custkey, o_orderdate) —
+    filter + pruning reach the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    code = F.substring(F.col("c_name"), -2, 2).alias("code")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders_keys, cust["c_custkey"] == orders_keys["o_custkey"], "left_anti")
+        .groupBy(code)
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_bal"),
+        )
+        .orderBy("code")
+    )
+
+
+@query(
+    "orders_running_total",
+    """
+    select
+      o_custkey,
+      o_orderkey,
+      cast(sum(cast(o_totalprice as decimal(18,4)))
+             over (partition by o_custkey order by o_orderdate asc, o_orderkey asc
+                   rows unbounded preceding) as double) as running_spend,
+      cast(o_totalprice - coalesce(lag(o_totalprice)
+             over (partition by o_custkey order by o_orderdate asc, o_orderkey asc), 0)
+           as double) as delta_vs_prev
+    from orders
+    order by o_custkey, o_orderkey
+    """,
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond ranking: per-customer running sum
+    (decimal-exact) and lag delta over the same window frame — one
+    shuffle on o_custkey serves both."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec(F.col("o_totalprice"))).over(running).cast("double").alias("running_spend"),
+            (
+                F.col("o_totalprice")
+                - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0))
+            ).cast("double").alias("delta_vs_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "events_sliding_3h",
+    """
+    with hops as (
+      select e.event_type, e.value,
+             date_trunc('hour', e.ts) - to_hours(k) as win_start
+      from events e, unnest([0, 1, 2]) as t(k)
+    )
+    select win_start, event_type,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(18,4))) as double) as sum_value
+    from hops
+    group by win_start, event_type
+    order by win_start, event_type
+    """,
+)
+def events_sliding_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation — window(3h, slide 1h): each
+    event lands in 3 hourly hops. Same F.window operator the streaming
+    variant uses; batch-SQL-expressible so it stays oracle-gated."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "cube_revenue",
+    """
+    select
+      coalesce(l_returnflag, 'ALL') as flag,
+      coalesce(l_linestatus, 'ALL') as status,
+      (grouping(l_returnflag) * 2 + grouping(l_linestatus)) as gid,
+      cast(sum(cast(l_extendedprice as decimal(18,4))) as double) as revenue,
+      count(*) as n_rows
+    from lineitem
+    group by cube (l_returnflag, l_linestatus)
+    order by gid, flag, status
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with an explicit grouping id —
+    all four grouping sets in one pass (partial aggregation handles the
+    expansion map-side; no four-scan union)."""
+    li = _t(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("status"),
+            "gid",
+            "revenue",
+            "n_rows",
+        )
+        .orderBy("gid", "flag", "status")
+    )
+
+
+@query(
+    "lineitem_unpivot",
+    """
+    select l_orderkey, l_linenumber, measure, value from (
+      select l_orderkey, l_linenumber, 'quantity' as measure, l_quantity as value from lineitem
+      union all
+      select l_orderkey, l_linenumber, 'extendedprice', l_extendedprice from lineitem
+      union all
+      select l_orderkey, l_linenumber, 'discount', l_discount from lineitem
+    )
+    where l_orderkey % 100 = 0
+    order by l_orderkey, l_linenumber, measure
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack(): one scan emits all three measures
+    (the SQL union-all oracle scans three times; stack is the Spark-native
+    single-pass form). Filter still prunes partitions before the expand."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "stack(3, 'quantity', l_quantity, "
+                "'extendedprice', l_extendedprice, "
+                "'discount', l_discount) as (measure, value)"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
