@@ -684,3 +684,245 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("media_bytes"),
         F.md5(payload).alias("media_md5"),
     ).orderBy("media_id")
+
+
+# ===========================================================================
+# Round-2 text-analysis widening: TF-IDF terms, corpus vocabulary,
+# length histogram
+# ===========================================================================
+
+
+@query(
+    "doc_tfidf_topk",
+    f"""
+    with toks as (
+      select doc_id, unnest({_WORDS}) as token from documents
+    ),
+    tf as (
+      select doc_id, token, count(*) as tf
+      from toks where token != '' group by doc_id, token
+    ),
+    scored as (
+      select doc_id, token, tf,
+             count(*) over (partition by token) as df
+      from tf
+    )
+    select doc_id, token, tf, df, score_micro, rank from (
+      select doc_id, token, tf, df,
+             (tf * 1000000) // df as score_micro,
+             row_number() over (partition by doc_id
+                                order by (tf * 1000000) // df desc, token asc) as rank
+      from scored
+    ) where rank <= 3
+    order by doc_id, rank
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a tf/df ratio score.
+
+    The score is integer-exact (tf·10⁶ div df) instead of tf·ln(N/df):
+    both are monotone in (tf↑, df↓), but ln() differs in the last ulp
+    across engines and would break the value-hash gate. Shape: one token
+    explode, tf groupBy, document-frequency via a window over token (the
+    same shuffle partitioning the groupBy produced), ranking window per
+    doc. No vocabulary broadcast — df rides the token partitioning, so
+    the pipeline scales to any vocab size."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    w_token = Window.partitionBy("token")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(w_token))
+    score = F.expr("(tf * 1000000) div df")
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc(score), F.asc("token")
+    )
+    return (
+        scored.withColumn("score_micro", score)
+        .withColumn("rank", F.row_number().over(w_doc).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "score_micro", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query(
+    "doc_vocab_topk",
+    f"""
+    with toks as (
+      select doc_id, unnest({_WORDS}) as token from documents
+    )
+    select token,
+           count(*) as total_occurrences,
+           count(distinct doc_id) as n_docs
+    from toks where token != ''
+    group by token
+    order by total_occurrences desc, token asc
+    limit 50
+    """,
+)
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by occurrence with document
+    frequency — the tokenizer-training / vocab-audit primitive. One
+    explode + one groupBy (map-side combined) + global top-k via
+    TakeOrdered (no full sort of the vocabulary)."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("total_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("total_occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "doc_length_histogram",
+    """
+    select
+      (length(text) // 200) * 200 as bucket_lo,
+      count(*) as n_docs,
+      cast(sum(cast(length(text) as decimal(18,4))) as double) as total_chars
+    from documents
+    group by bucket_lo
+    order by bucket_lo
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 200-char buckets — the corpus
+    profiling primitive behind length-based quality filters. Pure
+    projection + groupBy; decimal-exact char totals."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / 200) * 200).cast("long")
+    from idh_etl_demo_spark.catalog import _dec
+
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_dec(F.length("text"))).cast("double").alias("total_chars"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+# ===========================================================================
+# IVF-shaped ANN: coarse quantizer (seed centroids) + in-cell exact search
+# ===========================================================================
+
+_IVF_CELLS = 8
+
+
+def _ivf_sql() -> str:
+    # squared L2 on the quantized ints is exact in any engine; the argmin
+    # is made deterministic with (dist, cid) ordering
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+    with vv as (select vec_id, {_QUANT} as v from embeddings),
+    cents as (select vec_id as cid, v as cv from vv where vec_id < {_IVF_CELLS}),
+    dists as (
+      select vv.vec_id, vv.v, cents.cid, {dist} as dist
+      from vv cross join cents
+    ),
+    assigned as (
+      select vec_id, v, cid as cluster from (
+        select vec_id, v, cid,
+               row_number() over (partition by vec_id order by dist asc, cid asc) as rn
+        from dists
+      ) where rn = 1
+    ),
+    q as (select vec_id as query_id, v as qv, cluster from assigned where vec_id % 25 = 0),
+    c as (select vec_id as neighbor_id, v as cv, cluster from assigned),
+    scored as (
+      select query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) as cosine_sim
+      from q join c using (cluster)
+      where neighbor_id != query_id
+    )
+    select query_id, neighbor_id, cosine_sim, rank from (
+      select *, row_number() over (partition by query_id
+                                   order by cosine_sim desc, neighbor_id asc) as rank
+      from scored
+    ) where rank <= 5
+    order by query_id, rank
+    """
+
+
+@query("embedding_ann_ivf", _ivf_sql())
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer assigns every vector to its
+    nearest of 8 seed centroids (exact integer squared-L2, deterministic
+    (dist, cid) argmin), then the search is an equi-join on the cell id
+    with exact cosine ranking inside the cell — the inverted-file shape
+    (coarse cells + in-list exact scan).
+
+    Seed centroids are the first-8 vectors so the whole pipeline stays a
+    deterministic, oracle-comparable plan; at scale the centroid table is
+    the output of MLlib KMeans (same assignment join, more/better cells).
+    Assignment is a broadcast 8-row expand + map-side-combined argmin —
+    one shuffle of N rows; no collect, no driver-side centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v")
+    )
+    cents = vv.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # quantized diffs squared stay < 2^53 summed over 64 dims → the double
+    # accumulator is exact and engine-portable
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d.cast("double"),
+    )
+    assigned = (
+        vv.join(F.broadcast(cents))
+        .select("vec_id", "v", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("m.cid").alias("cluster"))
+    )
+    q = assigned.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster"
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _spark_int_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_spark_int_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_spark_int_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
