@@ -1381,3 +1381,73 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+@query(
+    "revenue_by_nation_scale",
+    """
+    select
+      n.n_name,
+      cast(sum(cast(l.l_extendedprice as decimal(18,4))
+               * (cast(1 as decimal(18,4)) - cast(l.l_discount as decimal(18,4)))) as double)
+        as revenue,
+      count(*) as n_lineitems
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    group by n.n_name
+    order by n.n_name
+    """,
+)
+def revenue_by_nation_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB-shaped variant of revenue_by_nation (NOTES_r1 idea; VERDICT
+    round-1 item 10): at cluster scale orders and customer are fact-sized
+    and NOT broadcastable, so instead of broadcasting them this plan
+
+    1. pre-aggregates lineitem by l_orderkey FIRST — map-side combine, so
+       the shuffle carries (orderkey, rev, cnt) partial aggregates: ~1/4
+       the rows and none of the wide columns;
+    2. shuffle-joins orders — the lineitem side REUSES the aggregation's
+       hash partitioning on l_orderkey, so only orders shuffles;
+    3. re-aggregates by custkey (again map-side combined) and joins
+       customer the same way (partitioning reuse on o_custkey);
+    4. broadcasts only nation/region — 25 and 5 rows at every scale.
+
+    Decimal partial sums re-summed are exact (decimal(38,8) headroom), so
+    the result is bit-identical to the one-shot broadcast plan and shares
+    its oracle SQL. With AQE on, the two shuffle joins convert back to
+    broadcast at small sf — locally this costs about the same as
+    revenue_by_nation; at 1000 executors it is the plan that survives.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,4)")
+    li_agg = (
+        li.select(
+            "l_orderkey",
+            (_dec(F.col("l_extendedprice")) * (one - _dec(F.col("l_discount")))).alias("rev"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("cnt"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust_agg = (
+        li_agg.join(orders, li_agg["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"), F.sum("cnt").alias("cnt"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey")
+    return (
+        cust_agg.join(cust, cust_agg["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("cnt").alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )

@@ -27,7 +27,10 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-from idh_etl_demo_spark.operators.merge import merge_insert_if_absent
+from idh_etl_demo_spark.operators.merge import (
+    merge_insert_if_absent,
+    merge_insert_if_absent_bucketed,
+)
 from idh_etl_demo_spark.plans.inputs import build_time_dim_rows, clean_delays, clean_weather
 from idh_etl_demo_spark.plans.star import TABLES
 from idh_etl_demo_spark.sources.csv_feeds import (
@@ -99,11 +102,19 @@ def run_hour(
     data_root: str,
     warehouse_root: str,
     logical_hour: dt.datetime,
+    bucketed_tables: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """One logical run: returns rows appended per table. Each per-table
-    unit (build + merge) retries like a reference task instance."""
+    unit (build + merge) retries like a reference task instance.
+
+    ``bucketed_tables`` maps a star-table name to a bucket count: those
+    tables are loaded through the bucketed catalog merge (table
+    ``wh_<name>``, clustered on the merge keys) instead of the path sink,
+    so the hourly anti-join probe never re-shuffles the growing target —
+    the load shape that holds at 100 TB (see operators/merge.py)."""
     views = build_views(spark, data_root, logical_hour)
     verify_views(views)
+    bucketed_tables = bucketed_tables or {}
     appended = {}
     for spec in TABLES:
 
@@ -111,6 +122,14 @@ def run_hour(
             df = spec.build(views)
             if df.isEmpty():
                 return 0
+            if spec.name in bucketed_tables:
+                return merge_insert_if_absent_bucketed(
+                    spark,
+                    df,
+                    f"wh_{spec.name}",
+                    list(spec.keys),
+                    n_buckets=bucketed_tables[spec.name],
+                )
             return merge_insert_if_absent(
                 spark, df, os.path.join(warehouse_root, spec.name), list(spec.keys)
             )
@@ -127,6 +146,7 @@ def run_day(
     hours: range = range(24),
     on_error: str = "raise",
     failures: list | None = None,
+    bucketed_tables: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """The reference's catchup=True replay of 24 hourly runs
     (reference: dags/idh_etl.py:48-51).
@@ -141,7 +161,9 @@ def run_day(
     for h in hours:
         logical = dt.datetime(day.year, day.month, day.day, h)
         try:
-            res = run_hour(spark, data_root, warehouse_root, logical)
+            res = run_hour(
+                spark, data_root, warehouse_root, logical, bucketed_tables=bucketed_tables
+            )
         except Exception as e:  # noqa: BLE001 — per-hour isolation
             if on_error == "raise":
                 raise

@@ -133,3 +133,22 @@ def test_verify_catches_broken_view_at_verify_time(spark):
         assert False, "expected ViewVerificationError"
     except ViewVerificationError as e:
         assert "time_dim" in str(e)
+
+
+def test_run_hour_bucketed_tables(spark, ztm_root, tmp_path):
+    """Opting a star table into the bucketed catalog sink keeps run-loop
+    semantics (counts, idempotent replay) while the target is stored
+    clustered on its merge keys."""
+    spark.sql("drop table if exists wh_StopDim")
+    wh = str(tmp_path / "warehouse")
+    hour = dt.datetime(2024, 12, 25, 8)
+    first = run_hour(spark, ztm_root, wh, hour, bucketed_tables={"StopDim": 4})
+    assert first["StopDim"] == 8
+    assert spark.table("wh_StopDim").count() == 8
+    # the other tables still went through the path sink
+    assert spark.read.parquet(f"{wh}/VehicleDim").count() == first["VehicleDim"]
+    # replay: no-op everywhere, bucketed included
+    second = run_hour(spark, ztm_root, wh, hour, bucketed_tables={"StopDim": 4})
+    assert all(v == 0 for v in second.values()), second
+    assert spark.table("wh_StopDim").count() == 8
+    spark.sql("drop table if exists wh_StopDim")
