@@ -207,7 +207,9 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_sql(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> str:
+def _minhash_cte(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> str:
+    """CTE blocks computing the LSH candidate pairs as ``cand(id_a, id_b)``
+    — shared by the candidates oracle and the dup-clusters oracle."""
     rows = num_hashes // bands
     h = _MD5_LONG.format(x="s")
     sig_cols = []
@@ -222,8 +224,7 @@ def _minhash_sql(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> 
         band_keys.append(f"'{bidx}' || '_' || {parts}")
     # hot-bucket cap mirrored from minhash_lsh_candidates: each bucket keeps
     # its first max_bucket members by sorted id before pair expansion
-    return f"""
-    with docs as (select doc_id, {_WORDS} as words from documents),
+    return f"""docs as (select doc_id, {_WORDS} as words from documents),
     sets as (select doc_id, {_SHINGLES3} as sh from docs),
     sigs as (select doc_id, {', '.join(sig_cols)} from sets),
     bands as (
@@ -233,9 +234,17 @@ def _minhash_sql(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> 
       select band_key, list_sort(list(distinct doc_id)) as ids
       from bands group by band_key having len(list(distinct doc_id)) >= 2
     ),
-    kept as (select band_key, unnest(ids[1:{max_bucket}]) as doc_id from grouped)
-    select distinct l.doc_id as id_a, r.doc_id as id_b
-    from kept l join kept r on l.band_key = r.band_key and l.doc_id < r.doc_id
+    kept as (select band_key, unnest(ids[1:{max_bucket}]) as doc_id from grouped),
+    cand as (
+      select distinct l.doc_id as id_a, r.doc_id as id_b
+      from kept l join kept r on l.band_key = r.band_key and l.doc_id < r.doc_id
+    )"""
+
+
+def _minhash_sql(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> str:
+    return f"""
+    with {_minhash_cte(num_hashes, bands, max_bucket)}
+    select id_a, id_b from cand
     order by id_a, id_b
     """
 
@@ -925,4 +934,61 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "doc_dup_clusters",
+    f"""
+    with recursive {_minhash_cte()},
+    bi as (
+      select id_a as a, id_b as b from cand
+      union
+      select id_b as a, id_a as b from cand
+    ),
+    nodes as (select distinct a as id from bi),
+    reach as (
+      select id, id as r from nodes
+      union
+      select bi.a as id, reach.r from bi join reach on reach.id = bi.b
+    ),
+    comp as (select id, min(r) as component from reach group by id)
+    select id as doc_id, component as cluster_id,
+           count(*) over (partition by component) as cluster_size,
+           (id = component) as keep
+    from comp
+    order by cluster_id, doc_id
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: LSH candidate pairs (same pipeline as
+    doc_minhash_candidates) closed under transitivity via distributed
+    connected components (operators/graph.py min-label propagation), then
+    canonical selection — keep the min doc_id per cluster.
+
+    This is the step that turns pairwise candidates into an actionable
+    keep/drop list: A~B and B~C must drop two docs of {{A,B,C}}, which no
+    pair-level view can express. The oracle computes the same components
+    with a recursive transitive-closure CTE — exact on test scale, while
+    the Spark side's label propagation is the shape that scales (per
+    round: one keyed join + one map-side-combined min-agg; rounds =
+    component diameter, 2-3 for near-dup graphs)."""
+    from idh_etl_demo_spark.operators.graph import connected_components
+
+    cand = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
+    )
+    cc = connected_components(cand, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("cluster_id", "doc_id")
     )

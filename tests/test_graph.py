@@ -1,0 +1,40 @@
+"""connected_components: min-label propagation over an edge list
+(the near-dup clustering step; oracle-gated end-to-end via the
+doc_dup_clusters entry in test_catalog_oracle)."""
+
+from __future__ import annotations
+
+import pytest
+
+from idh_etl_demo_spark.operators.graph import connected_components
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst")
+    return {r.id: r.component for r in out.collect()}
+
+
+def test_chain_cycle_and_separate_components(spark):
+    # chain 1-2-3-4, cycle 10-11-12-10, pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    got = _components(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_edge_direction_irrelevant(spark):
+    assert _components(spark, [(5, 1), (1, 9)]) == {1: 1, 5: 1, 9: 1}
+
+
+def test_long_chain_converges(spark):
+    # diameter 12 — exercises multiple propagation rounds
+    edges = [(i, i + 1) for i in range(12)]
+    got = _components(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_non_convergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "src", "dst", max_iterations=1)
