@@ -23,6 +23,7 @@ from idh_etl_demo_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_hamming_pairs,
 )
 from idh_etl_demo_spark.operators.text import (
     bpe_ish_token_count,
@@ -265,21 +266,27 @@ def doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_cte(bits: int = 16) -> str:
+    """CTE blocks ending in ``sims(doc_id, simhash)`` — shared by the
+    fingerprint oracle and the Hamming-pairs oracle."""
     h = _MD5_LONG.format(x="t")
     terms = []
     for j in range(bits):
         terms.append(
             f"case when list_sum(list_transform(hashes, h -> case when (h >> {j}) & 1 = 1 then 1 else -1 end)) > 0 then {1 << j} else 0 end"
         )
-    return f"""
-    with toks as (
+    return f"""toks as (
       select doc_id, list_distinct(list_filter({_WORDS}, w -> w != '')) as tokens
       from documents
     ),
-    hashed as (select doc_id, list_transform(tokens, t -> {h}) as hashes from toks)
-    select doc_id, ({' + '.join(terms)})::bigint as simhash
-    from hashed
+    hashed as (select doc_id, list_transform(tokens, t -> {h}) as hashes from toks),
+    sims as (select doc_id, ({' + '.join(terms)})::bigint as simhash from hashed)"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    return f"""
+    with {_simhash_cte(bits)}
+    select doc_id, simhash from sims
     order by doc_id
     """
 
@@ -991,4 +998,75 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("cluster_id", "doc_id")
+    )
+
+
+@query(
+    "doc_simhash_neardup",
+    f"""
+    with {_simhash_cte()}
+    select a.doc_id as id_a, b.doc_id as id_b,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from sims a join sims b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 2
+    order by id_a, id_b
+    """,
+)
+def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 2 via pigeonhole
+    bit-block banding (complete for distance < #blocks — no all-pairs
+    scan; operators/dedup.py:simhash_hamming_pairs). The oracle is an
+    INDEPENDENT brute-force all-pairs scan, so the gate also proves the
+    banding loses nothing. 16 bits / 4 blocks here for oracle speed;
+    64 bits / 8 blocks is the corpus-scale configuration."""
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=16,
+        blocks=4,
+        max_hamming=2,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "embedding_centroid_by_label",
+    f"""
+    with q as (select label, {_QUANT} as v from embeddings)
+    select label, p - 1 as pos,
+           count(*) as n_vectors,
+           sum(v[p]) as sum_q,
+           cast(sum(v[p]) as double) / count(*) as mean_q
+    from q cross join range(1, 65) t(p)
+    group by label, p
+    order by label, pos
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the cluster-profile /
+    class-prototype primitive (and the update step of a distributed
+    KMeans iteration). Long form (label, dimension) so the comparison is
+    scalar-exact; sums are over quantized integers, so the mean is a
+    deterministic integer/integer division in every engine.
+
+    Scale shape: posexplode fans each vector into (label, pos, q) rows,
+    but partial aggregation combines them map-side to at most
+    |labels|·dim rows PER TASK before the one shuffle — the shuffle
+    volume is independent of the corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("label", _spark_quant(F.col("embedding")).alias("v"))
+    expl = q.select("label", F.posexplode("v").alias("pos", "q"))
+    return (
+        expl.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("q").alias("sum_q"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            "n_vectors",
+            "sum_q",
+            (F.col("sum_q").cast("double") / F.col("n_vectors")).alias("mean_q"),
+        )
+        .orderBy("label", "pos")
     )

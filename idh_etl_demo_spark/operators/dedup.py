@@ -329,3 +329,87 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    blocks: int = 4,
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``max_hamming`` between
+    SimHash fingerprints — the SimHash INDEX, not just the fingerprint.
+
+    Pigeonhole banding makes it complete without an all-pairs scan: split
+    the ``bits``-bit fingerprint into ``blocks`` equal blocks; two
+    fingerprints within Hamming distance < ``blocks`` must agree EXACTLY
+    on at least one block, so an equi-join on (block index, block value)
+    surfaces every qualifying pair (requires ``max_hamming < blocks``).
+    Group-then-expand carries (id, simhash) structs through the bucket
+    shuffle, so the exact Hamming check runs in-bucket with no join back
+    to the fingerprint table.
+
+    Scale: candidates are bucketed by block value — work is Σ B²/2 over
+    bucket sizes, not N²/2. At corpus scale use bits=64, blocks=7-8
+    (Manku et al.'s WWW'07 configuration): more blocks → smaller buckets
+    and a higher complete-detection radius.
+    """
+    if max_hamming >= blocks:
+        raise ValueError("completeness requires max_hamming < blocks")
+    if bits % blocks:
+        raise ValueError("bits must divide evenly into blocks")
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    sigs = simhash(df, text_col, id_col, bits)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode_outer(block_structs).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.val")
+    grouped = (
+        banded.groupBy("blk", "val")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    ms = F.col("members")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ms) - 1),
+            lambda i: F.transform(
+                F.slice(ms, i + 1, F.size(ms)),
+                lambda y: F.struct(
+                    F.get(ms, i - 1)["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(
+                        F.get(ms, i - 1)["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
