@@ -36,6 +36,11 @@ HEADLINE = [
     "ztm_weather_dim",
     "user_sessions",
     "purchase_view_attribution",
+    # appended round 2 (HEADLINE is append-only: r1 rows stay comparable)
+    "revenue_by_nation_scale",
+    "doc_simhash_neardup",
+    "doc_dup_clusters",
+    "event_session_windows",
 ]
 
 

@@ -1451,3 +1451,54 @@ def revenue_by_nation_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "event_session_windows",
+    """
+    with ordered as (
+      select user_id, event_id, ts,
+             case when lag(ts) over w is null
+                    or epoch_us(ts) - epoch_us(lag(ts) over w) >= 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts asc, event_id asc)
+    ),
+    sessions as (
+      select user_id, ts,
+             sum(new_session) over (partition by user_id order by ts asc, event_id asc
+                                    rows unbounded preceding) as session_no
+      from ordered
+    )
+    select user_id,
+           min(ts) as session_start,
+           max(ts) + interval 30 minutes as session_end,
+           count(*) as n_events
+    from sessions
+    group by user_id, session_no
+    order by user_id, session_start
+    """,
+)
+def event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window (dynamic-gap
+    merging inside the aggregation operator — the same operator the
+    streaming engine uses for stateful session aggregation, here in
+    batch). Complements user_sessions (lag + running-sum islands): one
+    shuffle on user_id, no analytic-window pass.
+
+    Exact-semantics note mirrored in the oracle: session_window treats a
+    gap of EXACTLY the timeout as a new session (half-open [ts, ts+gap)
+    extension — hence >= in the oracle's island test, vs > in
+    user_sessions'), and the window end is last event + gap."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

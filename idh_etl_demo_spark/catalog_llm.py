@@ -1004,7 +1004,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_simhash_neardup",
     f"""
-    with {_simhash_cte()}
+    with {_simhash_cte(bits=32)}
     select a.doc_id as id_a, b.doc_id as id_b,
            bit_count(xor(a.simhash, b.simhash)) as hamming
     from sims a join sims b on a.doc_id < b.doc_id
@@ -1017,14 +1017,18 @@ def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-block banding (complete for distance < #blocks — no all-pairs
     scan; operators/dedup.py:simhash_hamming_pairs). The oracle is an
     INDEPENDENT brute-force all-pairs scan, so the gate also proves the
-    banding loses nothing. 16 bits / 4 blocks here for oracle speed;
+    banding loses nothing. 32 bits / 4 blocks: 8-bit blocks give 256
+    bucket values, so only genuine near-dups collide (a 16-bit config
+    measured 64 s at sf0.1 from one degenerate 4-bit bucket — block
+    cardinality, plus the max_bucket=256 cap, is the scale control);
     64 bits / 8 blocks is the corpus-scale configuration."""
     return simhash_hamming_pairs(
         _t(spark, sf_dir, "documents"),
-        bits=16,
+        bits=32,
         blocks=4,
         max_hamming=2,
         num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=256,
     ).orderBy("id_a", "id_b")
 
 

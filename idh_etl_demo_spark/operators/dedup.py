@@ -335,10 +335,12 @@ def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 32,
     blocks: int = 4,
     max_hamming: int = 3,
     num_partitions: int | None = None,
+    max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``max_hamming`` between
     SimHash fingerprints — the SimHash INDEX, not just the fingerprint.
@@ -353,7 +355,10 @@ def simhash_hamming_pairs(
     to the fingerprint table.
 
     Scale: candidates are bucketed by block value — work is Σ B²/2 over
-    bucket sizes, not N²/2. At corpus scale use bits=64, blocks=7-8
+    bucket sizes, not N²/2, and ``max_bucket`` bounds the hot-bucket tail
+    (a 16-bit/4-block config on a templated 5k-doc corpus measured 64 s
+    from one degenerate bucket; 32-bit/4-block runs in ~2 s — block
+    cardinality is the lever). At corpus scale use bits=64, blocks=7-8
     (Manku et al.'s WWW'07 configuration): more blocks → smaller buckets
     and a higher complete-detection radius.
     """
@@ -391,6 +396,26 @@ def simhash_hamming_pairs(
         )
         .filter(F.size("members") >= 2)
     )
+    if max_bucket is not None:
+        # same hot-bucket policy as minhash_lsh_candidates: bound per-task
+        # pair expansion to C(max_bucket, 2); truncation is reported via
+        # the caller's Observation (no silent caps) and is dedup-safe —
+        # a bucket that hot is one near-identical template cluster, and
+        # the kept members still link it transitively.
+        grouped = grouped.withColumn("__n", F.size("members")).withColumn(
+            "members", F.slice("members", 1, max_bucket)
+        )
+        if observation is not None:
+            grouped = grouped.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("__n") > max_bucket, 1).otherwise(0)
+                ).alias("capped_buckets"),
+                F.sum(F.greatest(F.col("__n") - max_bucket, F.lit(0))).alias(
+                    "dropped_docs"
+                ),
+            )
+        grouped = grouped.drop("__n")
     ms = F.col("members")
     combos = F.flatten(
         F.transform(
