@@ -1502,3 +1502,197 @@ def event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "order_window_suite",
+    """
+    select
+      o_custkey,
+      o_orderkey,
+      ntile(4) over w as price_quartile,
+      percent_rank() over w as pct_rank,
+      cume_dist() over w as cume,
+      lead(o_orderkey) over w as next_orderkey,
+      lag(o_orderkey) over w as prev_orderkey
+    from orders
+    where o_custkey % 50 = 0
+    window w as (partition by o_custkey order by o_totalprice asc, o_orderkey asc)
+    order by o_custkey, o_totalprice asc, o_orderkey
+    """,
+)
+def order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth in one pass: ntile, percent_rank,
+    cume_dist, lead, lag share ONE window definition — a single sort
+    within each customer partition serves all five functions (one
+    shuffle, one sort; five window functions, zero extra passes)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        )
+        .orderBy("o_custkey", "pct_rank", "o_orderkey")
+    )
+
+
+@query(
+    "lineitem_profile",
+    """
+    select
+      count(*) as n_rows,
+      count(l_returnflag) as returnflag_nonnull,
+      count(distinct l_returnflag) as returnflag_distinct,
+      count(distinct l_linestatus) as linestatus_distinct,
+      count(distinct l_orderkey) as orderkey_distinct,
+      cast(min(l_quantity) as double) as quantity_min,
+      cast(max(l_quantity) as double) as quantity_max,
+      cast(cast(min(l_shipdate) as date) as varchar) as shipdate_min,
+      cast(cast(max(l_shipdate) as date) as varchar) as shipdate_max
+    from lineitem
+    """,
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in ONE aggregation pass: row count, per-column
+    non-null and exact distinct counts, numeric and date ranges — the
+    data-quality profiler every ingest pipeline runs first. Multiple
+    count(distinct) in one agg: Spark plans them as a single expand +
+    two-stage aggregate, so the table is still scanned once."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_returnflag").alias("returnflag_nonnull"),
+        F.count_distinct("l_returnflag").alias("returnflag_distinct"),
+        F.count_distinct("l_linestatus").alias("linestatus_distinct"),
+        F.count_distinct("l_orderkey").alias("orderkey_distinct"),
+        F.min("l_quantity").cast("double").alias("quantity_min"),
+        F.max("l_quantity").cast("double").alias("quantity_max"),
+        F.min("l_shipdate").cast("date").cast("string").alias("shipdate_min"),
+        F.max("l_shipdate").cast("date").cast("string").alias("shipdate_max"),
+    )
+
+
+@query(
+    "cheapest_lineitem_per_order",
+    """
+    with costs as (
+      select l_orderkey, l_linenumber, l_partkey,
+             cast(l_extendedprice as double) as extendedprice,
+             min(l_extendedprice) over (partition by l_orderkey) as min_price
+      from lineitem
+      where l_orderkey % 100 = 0
+    )
+    select l_orderkey, l_linenumber, l_partkey, extendedprice
+    from costs
+    where extendedprice = min_price
+    order by l_orderkey, l_linenumber
+    """,
+)
+def cheapest_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's core shape: the correlated 'row with the MIN value for
+    this group' subquery DECORRELATED into a window-min + equality
+    filter — one partitioned pass instead of re-joining an aggregated
+    subquery against the fact. Ties at the minimum are all kept,
+    matching the SQL semantics (row_number would drop them)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    w = Window.partitionBy("l_orderkey")
+    price = F.col("l_extendedprice").cast("double")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            price.alias("extendedprice"),
+            F.min("l_extendedprice").over(w).cast("double").alias("min_price"),
+        )
+        .filter(F.col("extendedprice") == F.col("min_price"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "salted_flag_join",
+    """
+    with dim as (
+      select distinct l_returnflag, 'flag_' || l_returnflag as flag_label
+      from lineitem
+    )
+    select d.flag_label,
+           count(*) as n_items,
+           cast(sum(cast(l.l_quantity as decimal(18,4))) as double) as total_qty
+    from lineitem l
+    join dim d on d.l_returnflag = l.l_returnflag
+    group by d.flag_label
+    order by flag_label
+    """,
+)
+def salted_flag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join gated for SEMANTICS: l_returnflag has 3 values, so a
+    shuffle join on it degenerates to 3 hot partitions; salted_join
+    (operators/skew.py) spreads each key over 8 deterministic sub-keys and
+    replicates the dim side. The oracle is the PLAIN join — equality
+    proves salting is a pure physical rewrite. (Mechanical partition-size
+    assertions live in tests/test_skew_and_sql.py; at local test SF
+    Catalyst may still broadcast the tiny dim, which is also correct.)"""
+    from idh_etl_demo_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    joined = salted_join(li, dim, on=["l_returnflag"], salt_factor=8)
+    return (
+        joined.groupBy("flag_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("total_qty"),
+        )
+        .orderBy("flag_label")
+    )
+
+
+@query(
+    "two_stage_flag_agg",
+    """
+    select l_returnflag,
+           count(*) as n_items,
+           min(l_extendedprice) as min_price,
+           max(l_extendedprice) as max_price
+    from lineitem
+    group by l_returnflag
+    order by l_returnflag
+    """,
+)
+def two_stage_flag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe aggregation gated for semantics: two_stage_agg
+    (operators/skew.py) groups by (key, deterministic salt) first, then
+    merges partials — count merges by sum; min/max are idempotent. Only
+    order-insensitive aggregates ride this path (double sums would be
+    order-dependent); the oracle is the direct one-stage group-by."""
+    from idh_etl_demo_spark.operators.skew import two_stage_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        two_stage_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n_items": ("l_returnflag", "count"),
+                "min_price": ("l_extendedprice", "min"),
+                "max_price": ("l_extendedprice", "max"),
+            },
+            salt_factor=16,
+        )
+        .orderBy("l_returnflag")
+    )
