@@ -1696,3 +1696,95 @@ def two_stage_flag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "part_name_fuzzy_pairs",
+    """
+    with names as (select distinct p_name from part),
+    blocked as (
+      select p_name, string_split(p_name, ' ')[1] as block_key from names
+    )
+    select a.p_name as name_a, b.p_name as name_b,
+           levenshtein(a.p_name, b.p_name) as distance
+    from blocked a
+    join blocked b on a.block_key = b.block_key and a.p_name < b.p_name
+    where levenshtein(a.p_name, b.p_name) <= 4
+    order by name_a, name_b
+    """,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution primitive: fuzzy-match pairs via edit distance
+    with BLOCKING — candidates come from an equi-join on a cheap block
+    key (first name token), so the quadratic levenshtein work is confined
+    to blocks instead of N²/2 over the corpus. Matching runs on the
+    DISTINCT name domain (names repeat across parts), which at 100 TB is
+    the difference between |names|² and |rows|² work. The blocking-key
+    recall trade-off (typos in the first token escape the block) is the
+    standard ER design; multi-pass blocking on other keys composes the
+    same way."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    blocked = names.withColumn(
+        "block_key", F.split(F.col("p_name"), " ").getItem(0)
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"), F.col("block_key").alias("k")
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"), F.col("block_key").alias("k")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= 4)
+        .select("name_a", "name_b", "distance")
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "orderkey_distinct_kmv",
+    """
+    with h as (
+      select distinct ('0x' || substring(md5(cast(l_orderkey as varchar)), 1, 15))::bigint as hv
+      from lineitem
+    ),
+    bottomk as (select hv from h order by hv limit 256)
+    select
+      256 as k,
+      max(hv) as kth_min_hash,
+      cast(floor(255.0 * 1152921504606846976.0 / max(hv)) as bigint) as est_distinct,
+      (select count(*) from h) as exact_distinct
+    from bottomk
+    """,
+)
+def orderkey_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct count via a KMV (bottom-k minimum values)
+    sketch — the engine-portable alternative to HyperLogLog: md5-derived
+    60-bit hashes are identical in every engine, so unlike
+    approx_count_distinct the estimate is cross-engine REPRODUCIBLE and
+    oracle-gated exactly. Estimator: (k-1)·|space|/kth_min (Bar-Yossef
+    et al. 2002). Scale shape: distinct-of-hashes shuffles 8-byte
+    digests with map-side combine, the bottom-k is a TakeOrdered (no
+    global sort); at 100 TB swap the exact-distinct audit column out and
+    keep the sketch. exact_distinct rides along to show the error."""
+    li = _t(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = li.select(hv.alias("hv")).distinct()
+    bottomk = h.orderBy("hv").limit(256)
+    exact = h.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = F.floor(
+        F.lit(255.0) * F.lit(1152921504606846976.0) / F.col("kth_min_hash")
+    ).cast("long")
+    return (
+        bottomk.agg(
+            F.lit(256).cast("int").alias("k"),
+            F.max("hv").alias("kth_min_hash"),
+        )
+        .withColumn("est_distinct", est)
+        .crossJoin(exact)
+        .select("k", "kth_min_hash", "est_distinct", "exact_distinct")
+    )
