@@ -1074,3 +1074,193 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ===========================================================================
+# Iterative KMeans (fixed-point arithmetic, 2 unrolled iterations)
+# ===========================================================================
+
+_KM_CELLS = 8
+
+
+def _km_sql() -> str:
+    # distances on integer grids are exact in any engine; centroid update
+    # re-quantizes to int via floor(sum*100/n) — floor of a double
+    # division, bit-identical across engines (sum*100 < 2^53 exact)
+    def dist(vexpr: str, cexpr: str) -> str:
+        return (
+            "list_sum(list_transform(generate_series(1, 64), "
+            f"i -> ({vexpr} - {cexpr}) * ({vexpr} - {cexpr})))"
+        )
+
+    assign = """
+    select vec_id, v, cid as cluster from (
+      select d.vec_id, d.v, d.cid,
+             row_number() over (partition by d.vec_id order by d.dist asc, d.cid asc) as rn
+      from ({d}) d
+    ) where rn = 1
+    """
+    d1 = f"""
+      select vv.vec_id, vv.v, c0.cid, {dist('vv.v[i]', 'c0.cv[i]')} as dist
+      from vv cross join c0
+    """
+    d2 = f"""
+      select a1.vec_id, a1.v, c1.cid, {dist('a1.v[i] * 100', 'c1.cv[i]')} as dist
+      from a1 cross join c1
+    """
+    return f"""
+    with vv as (select vec_id, {_QUANT} as v from embeddings),
+    c0 as (select vec_id as cid, v as cv from vv where vec_id < {_KM_CELLS}),
+    a1 as ({assign.format(d=d1)}),
+    upd as (
+      select cluster, p, sum(v[p]) as s, count(*) as n
+      from a1 cross join range(1, 65) t(p)
+      group by cluster, p
+    ),
+    c1 as (
+      select cluster as cid,
+             list(cast(floor(s * 100.0 / n) as bigint) order by p) as cv
+      from upd group by cluster
+    ),
+    a2 as ({assign.format(d=d2)})
+    select a2.vec_id, a2.cluster,
+           count(*) over (partition by a2.cluster) as cluster_size
+    from a2
+    order by vec_id
+    """
+
+
+@query("embedding_kmeans_2iter", _km_sql())
+def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMeans, two unrolled Lloyd iterations, EXACT across
+    engines — the iterative-ML-on-DataFrames pattern with a real oracle
+    gate (most engines can't gate KMeans because float means diverge in
+    the last ulp; here every arithmetic step is integral):
+
+    - assignment: broadcast the 8 centroids, per-vector integer squared-L2
+      argmin with deterministic (dist, cid) ties — one map-side-combined
+      argmin per round, no shuffle of the corpus;
+    - update: posexplode to (cluster, dim) partial sums (map-side
+      combine → shuffle volume is |clusters|·dim per task, independent of
+      corpus size), then RE-QUANTIZE the new centroid to an integer grid:
+      floor(sum·100 / n) — floor of one double division, bit-identical in
+      every engine, and it keeps the next round's distances in exact
+      int64 range (|terms| ≤ 4e12·64 ≈ 2.6e14 < 2^53).
+
+    Fixed-point re-quantization is the determinism contract: a 1e-6
+    centroid grid costs nothing against embedding noise but makes the
+    whole iteration reproducible cluster-to-cluster and engine-to-engine.
+    More iterations = repeat the same two stages; seed centroids are the
+    first 8 vectors (swap for kmeans|| at scale, same plan shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v")
+    )
+
+    def assign(df: DataFrame, cents: DataFrame, scale: int) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("cv"),
+                lambda x, y: (x * scale - y) * (x * scale - y),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d.cast("double"),
+        )
+        return (
+            df.join(F.broadcast(cents))
+            .select("vec_id", "v", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("m.cid").alias("cluster"))
+        )
+
+    c0 = vv.filter(F.col("vec_id") < _KM_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = assign(vv, c0, 1)
+    upd = (
+        a1.select("cluster", F.posexplode("v").alias("p", "q"))
+        .groupBy("cluster", "p")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    c1 = (
+        upd.select(
+            "cluster",
+            "p",
+            F.floor(F.col("s") * F.lit(100.0) / F.col("n")).cast("long").alias("cq"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "cq"))), lambda x: x["cq"]
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("cid"), "cv")
+    )
+    a2 = assign(a1.select("vec_id", "v"), c1, 100)
+    w = Window.partitionBy("cluster")
+    return (
+        a2.select("vec_id", "cluster")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "multimodal_chunks",
+    """
+    with media as (
+      select doc_id as media_id, text, length(text) as n_bytes
+      from documents where doc_id % 5 = 0
+    )
+    select media_id,
+           idx as chunk_idx,
+           octet_length(encode(substring(text, idx * 256 + 1, 256))) as chunk_bytes,
+           md5(substring(text, idx * 256 + 1, 256)) as chunk_md5
+    from media cross join range(0, 64) t(idx)
+    where idx * 256 < n_bytes
+    order by media_id, chunk_idx
+    """,
+)
+def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload chunking — the shard-for-decode step of a
+    multimodal pipeline (fixed 256-byte chunks, per-chunk digests, so
+    decode/feature kernels fan out over chunks instead of whole blobs and
+    a corrupted chunk is addressable). The Spark side slices the BINARY
+    column (true byte semantics); the oracle slices varchar, byte-equal
+    here because the corpus is ASCII (asserted by the hash gate itself —
+    a multi-byte corpus would surface as a mismatch, which is the honest
+    failure mode for a varchar oracle of a byte operator).
+
+    Scale shape: chunk enumeration is one generate/explode projection —
+    no shuffle at all until the final presentation sort; at 100 TB the
+    chunk table is written partitioned by media_id range, sort elided."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("bin"),
+        F.length(payload).alias("n_bytes"),
+    )
+    n_chunks = F.ceil(F.col("n_bytes") / 256).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.substring(F.col("bin"), i * 256 + 1, 256).alias("chunk"),
+        ),
+    )
+    return (
+        media.select("media_id", F.explode(chunks).alias("c"))
+        .select(
+            "media_id",
+            "c.chunk_idx",
+            F.length("c.chunk").cast("long").alias("chunk_bytes"),
+            F.md5("c.chunk").alias("chunk_md5"),
+        )
+        .orderBy("media_id", "chunk_idx")
+    )

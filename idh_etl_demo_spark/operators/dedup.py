@@ -262,6 +262,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     num_partitions: int | None = None,
+    max_docs_per_shingle: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for all pairs sharing
     ≥1 shingle; returns pairs with similarity ≥ threshold.
@@ -300,6 +302,28 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "sz"))).alias("members"))
         .filter(F.size("members") >= 2)
     )
+    if max_docs_per_shingle is not None:
+        # hot-shingle cap (same policy as minhash_lsh_candidates): the
+        # Σ freq² term is bounded to C(cap, 2) per shingle. Dropping tail
+        # members UNDERCOUNTS intersections for pairs that only co-occur
+        # in capped shingles, so capped runs are a lower-bound filter —
+        # position it as the approximate verify mode for boilerplate-heavy
+        # corpora and report truncation via the Observation (no silent
+        # caps).
+        grouped = grouped.withColumn("__n", F.size("members")).withColumn(
+            "members", F.slice("members", 1, max_docs_per_shingle)
+        )
+        if observation is not None:
+            grouped = grouped.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("__n") > max_docs_per_shingle, 1).otherwise(0)
+                ).alias("capped_shingles"),
+                F.sum(
+                    F.greatest(F.col("__n") - max_docs_per_shingle, F.lit(0))
+                ).alias("dropped_members"),
+            )
+        grouped = grouped.drop("__n")
     members = F.col("members")
     combos = F.flatten(
         F.transform(

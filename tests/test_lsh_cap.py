@@ -49,3 +49,26 @@ def test_cap_preserves_transitive_linkage(spark):
     pairs = minhash_lsh_candidates(df, max_bucket=cap)
     ids = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
     assert ids == set(range(cap))
+
+
+def test_jaccard_hot_shingle_cap_bounds_and_reports(spark):
+    """A boilerplate corpus (every doc shares one shingle set) expands
+    C(n,2) pairs per shingle; the cap bounds that and reports truncation."""
+    from pyspark.sql import Observation
+    from idh_etl_demo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate header text shared by all") for i in range(20)],
+        "doc_id long, text string",
+    )
+    obs = Observation()
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.0, max_docs_per_shingle=5, observation=obs
+    )
+    n_pairs = capped.count()
+    assert n_pairs == 10  # C(5,2): bounded, not C(20,2)=190
+    assert obs.get["capped_shingles"] > 0
+    assert obs.get["dropped_members"] > 0
+    # uncapped baseline still produces the full expansion
+    full = ngram_jaccard_pairs(docs, threshold=0.0)
+    assert full.count() == 190

@@ -111,6 +111,11 @@ SHUFFLE_BUDGETS = {
     "small_quantity_revenue": 3,
     "supplier_distinct_parts": 3,
     "orders_status_pivot": 3,
+    # two unrolled Lloyd iterations: argmin agg ×2, (cluster,dim) update
+    # agg, centroid array rebuild, cluster-size window, final sort — each
+    # round's shuffles carry |clusters|·dim-bounded or argmin-combined
+    # rows, so the count is linear in iterations, not data.
+    "embedding_kmeans_2iter": 6,
 }
 
 
