@@ -1788,3 +1788,171 @@ def orderkey_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(exact)
         .select("k", "kth_min_hash", "est_distinct", "exact_distinct")
     )
+
+
+@query(
+    "customer_dense_ids",
+    """
+    select c_custkey,
+           row_number() over (order by c_custkey) as dense_id
+    from customer
+    order by c_custkey
+    """,
+)
+def customer_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense surrogate IDs (1..N by key order) WITHOUT the
+    single-partition trap: a bare ``row_number() over (order by key)``
+    funnels the whole table through ONE task (and
+    monotonically_increasing_id is neither dense nor stable). Instead:
+
+    1. bucket rows by a key range (here key div 100);
+    2. count per bucket — a tiny aggregate;
+    3. cumulative offsets over the BUCKET TABLE only (the global window
+       runs on |buckets| rows, not |table| rows);
+    4. broadcast the offsets back and row_number WITHIN each bucket —
+       every partition numbers independently.
+
+    dense_id = bucket_offset + within_bucket_rank. The oracle is the
+    naive global row_number — equality proves the two-phase assignment
+    is exact. Bucketing by a key range keeps it deterministic (hash
+    partition ids would not be)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    bucketed = cust.withColumn("bucket", (F.col("c_custkey") / 100).cast("long"))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # global window over the small bucket table only
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("c_custkey")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "c_custkey",
+            (F.col("offset") + F.row_number().over(w_in)).alias("dense_id"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "promo_period_orders",
+    """
+    with promos as (
+      select i as promo_id,
+             date '1995-01-01' + (i * 60)::int as p_start,
+             date '1995-01-01' + (i * 60 + 75)::int as p_end
+      from range(0, 40) t(i)
+    )
+    select p.promo_id,
+           count(*) as n_orders,
+           cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) as total_price
+    from promos p
+    join orders o on o.o_orderdate >= p.p_start and o.o_orderdate < p.p_end
+    group by p.promo_id
+    order by promo_id
+    """,
+)
+def promo_period_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) join, scale-shaped: orders matched to OVERLAPPING
+    75-day promo windows (every 60 days, so adjacent windows share 15
+    days — a true interval join, not a bucketing function). A naive
+    inequality join plans as broadcast-nested-loop (per-row interval
+    scan); instead each window EXPLODES into the calendar months it
+    touches and the join is an equi-join on the month bucket plus a
+    residual between-filter — the standard interval-bucketing rewrite:
+    work scales with |rows| · windows-per-bucket, not |rows| · |windows|.
+    The oracle is the plain inequality join (DuckDB plans it as an
+    IEJoin), so the gate proves the rewrite loses/duplicates nothing on
+    the overlap regions."""
+    promos = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("promo_id"),
+            F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") * 60).cast("int")).alias("p_start"),
+            F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") * 60 + 75).cast("int")).alias("p_end"),
+        )
+    )
+    promo_months = promos.select(
+        "promo_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.trunc("p_start", "MM"),
+                F.trunc(F.date_sub("p_end", 1), "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month"),
+    )
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.trunc(F.col("o_orderdate").cast("date"), "MM")
+    )
+    joined = orders.join(F.broadcast(promo_months), "month").filter(
+        (F.col("o_orderdate") >= F.col("p_start"))
+        & (F.col("o_orderdate") < F.col("p_end"))
+    )
+    return (
+        joined.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .orderBy("promo_id")
+    )
+
+
+@query(
+    "lineitem_quarantine_report",
+    """
+    with flagged as (
+      select l_orderkey, l_linenumber,
+             list_filter([
+               case when l_quantity > 45 then 'quantity_gt_45' end,
+               case when l_discount >= 0.08 then 'discount_ge_8pct' end,
+               case when l_tax > 0.07 then 'tax_gt_7pct' end
+             ], x -> x is not null) as reasons
+      from lineitem
+    ),
+    exploded as (
+      select unnest(reasons) as reason, l_orderkey
+      from flagged
+      where len(reasons) > 0
+    )
+    select reason,
+           count(*) as n_rows,
+           min(l_orderkey) as sample_orderkey
+    from exploded
+    group by reason
+    order by reason
+    """,
+)
+def lineitem_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-split (quarantine) pattern: every row is checked against
+    a rule list IN ONE PASS; violating rows fan out one row per violated
+    rule (a row can trip several) and aggregate into a per-rule report
+    with a reproducible sample key. In the load pipeline the same
+    ``reasons`` column routes rows to clean/quarantine sinks — this entry
+    gates the rule-evaluation semantics. Complements dq_orders_audit
+    (table-level invariants) with row-level rule routing."""
+    li = _t(spark, sf_dir, "lineitem")
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("l_quantity") > 45, F.lit("quantity_gt_45")),
+            F.when(F.col("l_discount") >= 0.08, F.lit("discount_ge_8pct")),
+            F.when(F.col("l_tax") > 0.07, F.lit("tax_gt_7pct")),
+        )
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", reasons.alias("reasons"))
+        .filter(F.size("reasons") > 0)
+        .select("l_orderkey", F.explode("reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("sample_orderkey"),
+        )
+        .orderBy("reason")
+    )

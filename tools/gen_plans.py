@@ -17,6 +17,7 @@ PICKS = {
     "revenue_by_nation": "all four dimension joins planned as BroadcastHashJoin — the fact side never shuffles for a join",
     "ztm_delay_fact": "the five-way star join of the DelayFact builder: five broadcasts incl. the computed weather key",
     "doc_minhash_candidates": "signature projection → single shuffle on band keys → in-bucket pair expansion",
+    "revenue_by_nation_scale": "100 TB shape: lineitem pre-aggregated by orderkey BEFORE the joins; agg partitioning reused by the join (only orders/customer shuffle); nation/region broadcast",
 }
 
 
