@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_simhash_neardup",
     "doc_dup_clusters",
     "event_session_windows",
+    "embedding_kmeans_2iter",
 ]
 
 
