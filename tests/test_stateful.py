@@ -61,3 +61,73 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     assert got2[1] == (3, 10.0)
     assert got2[3] == (1, 1.0)
     assert got2[2] == (1, 7.0)  # unchanged snapshot from batch 1
+
+
+def test_transform_with_state_accumulates(spark, tmp_path):
+    """Same cross-batch semantics through the Spark 4.x StatefulProcessor
+    API (transformWithStateInPandas + RocksDB state store). Skipped when
+    protobuf is absent (TWS driver-worker dependency, not installable in
+    this container) — the contract surface is still import-checked."""
+    import pytest
+
+    from idh_etl_demo_spark.streaming.stateful import _HAS_TWS, user_running_totals_tws
+
+    if not _HAS_TWS:
+        dummy = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_running_totals_tws(dummy)
+        pytest.skip("transformWithState driver worker needs protobuf (not in container)")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run(files_written):
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .option("header", True)
+                .csv(str(landing))
+            )
+
+            def sink(batch, batch_id):
+                import pyspark.sql.functions as F
+
+                batch.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(str(out))
+
+            q = (
+                user_running_totals_tws(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.parquet(str(out)).toPandas()
+
+        (landing / "b1.csv").write_text(BATCH_1)
+        out1 = run(1)
+        got1 = {r.user_id: (r.n_events, r.sum_value) for r in out1.itertuples()}
+        assert got1[1] == (2, 8.0)
+        assert got1[2] == (1, 7.0)
+
+        (landing / "b2.csv").write_text(BATCH_2)
+        out2 = run(2)
+        latest = out2.sort_values("batch_id").groupby("user_id").last()
+        got2 = {uid: (r.n_events, r.sum_value) for uid, r in latest.iterrows()}
+        assert got2[1] == (3, 10.0)  # state carried across batches
+        assert got2[3] == (1, 1.0)
+        assert got2[2] == (1, 7.0)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
