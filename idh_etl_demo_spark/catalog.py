@@ -1956,3 +1956,72 @@ def lineitem_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("reason")
     )
+
+
+@query(
+    "event_funnel",
+    """
+    with w1 as (
+      select user_id, ts, event_type,
+             min(case when event_type = 'view' then ts end)
+               over (partition by user_id) as t1
+      from events
+    ),
+    w2 as (
+      select *, min(case when event_type = 'click'
+                              and ts >= t1 and ts < t1 + interval 24 hours then ts end)
+                  over (partition by user_id) as t2
+      from w1
+    ),
+    w3 as (
+      select *, min(case when event_type = 'purchase'
+                              and ts >= t2 and ts < t2 + interval 24 hours then ts end)
+                  over (partition by user_id) as t3
+      from w2
+    )
+    select
+      count(distinct case when t1 is not null then user_id end) as n_view,
+      count(distinct case when t2 is not null then user_id end) as n_view_click,
+      count(distinct case when t3 is not null then user_id end) as n_view_click_purchase
+    from w3
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, 24-hour conversion window
+    per step): stage k's timestamp is the earliest qualifying event at or
+    after stage k-1 and within the window — the product-analytics
+    sequence-match primitive. Three chained window-mins share
+    ONE user_id partitioning (a single shuffle, three in-partition
+    passes); the greedy earliest-next-step choice is the standard funnel
+    semantics and is order-deterministic."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    step1 = ev.withColumn("t1", t1)
+    hour = F.expr("interval 24 hours")
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") < F.col("t1") + hour),
+            F.col("ts"),
+        )
+    ).over(w)
+    step2 = step1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") < F.col("t2") + hour),
+            F.col("ts"),
+        )
+    ).over(w)
+    step3 = step2.withColumn("t3", t3)
+    stage = lambda t: F.count_distinct(  # noqa: E731
+        F.when(F.col(t).isNotNull(), F.col("user_id"))
+    )
+    return step3.agg(
+        stage("t1").alias("n_view"),
+        stage("t2").alias("n_view_click"),
+        stage("t3").alias("n_view_click_purchase"),
+    )
