@@ -1264,3 +1264,37 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "chunk_idx")
     )
+
+
+@query(
+    "doc_dup_triangles",
+    f"""
+    with {_minhash_cte()}
+    select a.id_a as x, a.id_b as y, b.id_b as z
+    from cand a
+    join cand b on b.id_a = a.id_b
+    join cand c on c.id_a = a.id_a and c.id_b = b.id_b
+    order by x, y, z
+    """,
+)
+def doc_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle motif enumeration over the near-dup candidate graph — the
+    graph-analytics primitive behind clustering-coefficient / community
+    checks (a near-dup cluster that is a clique is template boilerplate;
+    a chain is drift). Edges follow the id_a < id_b convention, so each
+    triangle x<y<z is produced exactly once by the two-join motif
+    pattern. The edge list is localCheckpoint-ed FIRST: a naive triple
+    self-join would execute the whole MinHash pipeline three times (no
+    exchange reuse across joins) — materialize-then-join is the rule for
+    any expensive relation joined against itself."""
+    cand = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
+    ).localCheckpoint(eager=True)
+    a = cand.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    b = cand.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
+    c = cand.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))
+    return a.join(b, "y").join(c, ["x", "z"]).select("x", "y", "z").orderBy("x", "y", "z")

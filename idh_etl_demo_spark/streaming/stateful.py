@@ -154,3 +154,78 @@ def user_running_totals_tws(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: cross-batch stage machine (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", LongType(), False),
+        StructField("stage_ts", TimestampType(), True),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("t_us", LongType()),  # stage timestamp, epoch micros
+    ]
+)
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _update_funnel(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    stage, t_us = state.get if state.exists else (0, None)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    for ts, etype in zip(rows["ts"], rows["event_type"]):
+        if stage >= len(_FUNNEL_STEPS):
+            break
+        ts_us = int(ts.value // 1000)  # pandas ns → µs
+        if stage == 0:
+            if etype == _FUNNEL_STEPS[0]:
+                stage, t_us = 1, ts_us
+        elif etype == _FUNNEL_STEPS[stage] and t_us is not None and (
+            t_us <= ts_us < t_us + _FUNNEL_WINDOW_US
+        ):
+            stage, t_us = stage + 1, ts_us
+    state.update((stage, t_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "stage": [stage],
+            "stage_ts": [pd.Timestamp(t_us, unit="us") if t_us is not None else None],
+        }
+    )
+
+
+def funnel_stages(events_stream: DataFrame) -> DataFrame:
+    """Continuous ordered-funnel tracking — the STREAMING twin of the
+    batch ``event_funnel`` catalog entry: per-user stage machine
+    (view → click → purchase, 24 h conversion window per step) whose
+    state survives micro-batches, so a click in batch N converts a view
+    from batch N-1. Emits the user's stage snapshot on every batch they
+    appear in.
+
+    Greedy earliest-next-step semantics match the batch entry for
+    in-order arrivals; late events beyond a batch boundary are evaluated
+    in arrival order (the standard streaming-funnel approximation — pair
+    with a watermarked dedup upstream for bounded disorder)."""
+    return (
+        events_stream.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -131,3 +131,61 @@ def test_transform_with_state_accumulates(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+FUNNEL_B1 = "user_id,ts,event_type\n" + (
+    "1,2024-01-01T10:00:00,view\n"
+    "1,2024-01-01T10:30:00,click\n"
+    "2,2024-01-01T10:00:00,view\n"
+    "3,2024-01-01T10:00:00,click\n"  # click before any view: no progress
+)
+FUNNEL_B2 = "user_id,ts,event_type\n" + (
+    "1,2024-01-01T11:00:00,purchase\n"   # converts within window → stage 3
+    "2,2024-01-03T11:00:00,click\n"      # 49h after view → window expired
+)
+
+
+def test_streaming_funnel_state_across_batches(spark, tmp_path):
+    from idh_etl_demo_spark.streaming.stateful import funnel_stages
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, event_type string")
+            .option("header", True)
+            .csv(str(landing))
+        )
+
+        def sink(batch, batch_id):
+            import pyspark.sql.functions as F
+
+            batch.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(str(out))
+
+        q = (
+            funnel_stages(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out)).toPandas()
+
+    (landing / "b1.csv").write_text(FUNNEL_B1)
+    out1 = run()
+    got1 = {r.user_id: r.stage for r in out1.itertuples()}
+    assert got1 == {1: 2, 2: 1, 3: 0}
+
+    (landing / "b2.csv").write_text(FUNNEL_B2)
+    out2 = run()
+    latest = out2.sort_values("batch_id").groupby("user_id").last()
+    got2 = {uid: r.stage for uid, r in latest.iterrows()}
+    assert got2[1] == 3  # purchase in batch 2 converted the batch-1 click
+    assert got2[2] == 1  # click came after the 24h window: stage unchanged
