@@ -1152,56 +1152,21 @@ def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole iteration reproducible cluster-to-cluster and engine-to-engine.
     More iterations = repeat the same two stages; seed centroids are the
     first 8 vectors (swap for kmeans|| at scale, same plan shape)."""
+    from idh_etl_demo_spark.operators.kmeans import CENTROID_GRID, lloyd_iterations
+
     emb = _t(spark, sf_dir, "embeddings")
     vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v")
     )
-
-    def assign(df: DataFrame, cents: DataFrame, scale: int) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.col("cv"),
-                lambda x, y: (x * scale - y) * (x * scale - y),
-            ),
-            F.lit(0.0),
-            lambda acc, d: acc + d.cast("double"),
-        )
-        return (
-            df.join(F.broadcast(cents))
-            .select("vec_id", "v", "cid", dist.alias("dist"))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
-                F.first("v").alias("v"),
-            )
-            .select("vec_id", "v", F.col("m.cid").alias("cluster"))
-        )
-
-    c0 = vv.filter(F.col("vec_id") < _KM_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    # seeds on the x100 centroid grid: iteration-1 distances scale by
+    # 100^2 uniformly, so every argmin — and hence the whole result — is
+    # identical to assigning against the raw seed vectors (the oracle's
+    # formulation)
+    seeds = vv.filter(F.col("vec_id") < _KM_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("v"), lambda x: x * CENTROID_GRID).alias("cv"),
     )
-    a1 = assign(vv, c0, 1)
-    upd = (
-        a1.select("cluster", F.posexplode("v").alias("p", "q"))
-        .groupBy("cluster", "p")
-        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    c1 = (
-        upd.select(
-            "cluster",
-            "p",
-            F.floor(F.col("s") * F.lit(100.0) / F.col("n")).cast("long").alias("cq"),
-        )
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "cq"))), lambda x: x["cq"]
-            ).alias("cv")
-        )
-        .select(F.col("cluster").alias("cid"), "cv")
-    )
-    a2 = assign(a1.select("vec_id", "v"), c1, 100)
+    a2 = lloyd_iterations(vv, seeds, iterations=2)
     w = Window.partitionBy("cluster")
     return (
         a2.select("vec_id", "cluster")

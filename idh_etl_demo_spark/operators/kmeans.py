@@ -1,0 +1,95 @@
+"""Distributed Lloyd (KMeans) iterations in fixed-point arithmetic.
+
+Floating-point KMeans is not reproducible across engines or even across
+partitionings (float means differ in the last ulp, and a last-ulp
+distance tie flips an assignment). This implementation keeps EVERY step
+integral:
+
+- vectors are integer-quantized upstream (×10⁴ — see catalog_llm);
+- centroids live on a ×100 sub-grid of that quantization: the update is
+  ``floor(sum · 100 / n)`` — floor of ONE double division of exact
+  integers, bit-identical in every engine;
+- assignment distances are integer sums (|terms| ≤ 4e12 · 64 dims
+  ≈ 2.6e14 < 2^53, so even a double accumulator is exact), argmin ties
+  broken by centroid id.
+
+Per-iteration plan shape (the part that must hold at 100 TB):
+- assignment: broadcast |k| centroids, per-vector min(struct(dist, cid))
+  with map-side combine — the corpus shuffles its (vec_id, argmin)
+  pairs only, never re-partitioned by cluster;
+- update: posexplode to (cluster, dim, q) with map-side partial sums —
+  the shuffle carries ≤ |k|·dim rows per task regardless of corpus size.
+
+Used by the ``embedding_kmeans_2iter`` catalog entry (oracle-gated: the
+unrolled DuckDB SQL reproduces the identical integers).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+CENTROID_GRID = 100
+
+
+def lloyd_iterations(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    iterations: int,
+) -> DataFrame:
+    """Run ``iterations`` Lloyd rounds; returns (vec_id, cluster).
+
+    ``vectors``: (vec_id, v array<long>) — integer-quantized.
+    ``seeds``: (cid, cv array<long>) — centroids ON THE ×100 GRID
+    (multiply quantized seed vectors by CENTROID_GRID).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.col("cv"),
+                lambda x, y: (x * CENTROID_GRID - y) * (x * CENTROID_GRID - y),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d.cast("double"),
+        )
+        return (
+            df.join(F.broadcast(cents))
+            .select("vec_id", "v", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("m.cid").alias("cluster"))
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cluster", F.posexplode("v").alias("p", "q"))
+            .groupBy("cluster", "p")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "p",
+                F.floor(F.col("s") * F.lit(float(CENTROID_GRID)) / F.col("n"))
+                .cast("long")
+                .alias("cq"),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "cq"))),
+                    lambda x: x["cq"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cid"), "cv")
+        )
+
+    assigned = assign(vectors, seeds)
+    for _ in range(iterations - 1):
+        assigned = assign(assigned.select("vec_id", "v"), update(assigned))
+    return assigned.select("vec_id", "cluster")
