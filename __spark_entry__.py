@@ -22,6 +22,77 @@ import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# The driver verifies the FIRST 50 entries of ``queries()`` — with more
+# entries than window rows, ordering is a verification-coverage decision.
+# Priority: the reference's actual star schema (ztm_*), then the LLM
+# training-data-pipeline suite (dedup / similarity / text / multimodal),
+# then the most operator-diverse TPC-H entries. Everything not named here
+# follows in registration order and is covered by the repo's own
+# parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
+DRIVER_PRIORITY: list[str] = [
+    # --- ZTM star schema (reference: src/queries.py) ---
+    "ztm_line_dim",
+    "ztm_vehicle_dim",
+    "ztm_stop_dim",
+    "ztm_delay_fact",
+    "ztm_weather_dim",
+    "purchase_view_attribution",
+    "rollup_revenue",
+    # --- LLM pipeline: dedup chain ---
+    "doc_exact_dedup",
+    "doc_minhash_candidates",
+    "doc_ngram_jaccard",
+    "doc_simhash",
+    "doc_simhash_neardup",
+    "doc_dup_clusters",
+    "doc_dup_triangles",
+    # --- LLM pipeline: similarity / embeddings ---
+    "embedding_cosine_topk",
+    "embedding_ann_signbit",
+    "embedding_ann_hyperplane",
+    "embedding_ann_ivf",
+    "embedding_near_dup",
+    "embedding_centroid_by_label",
+    "embedding_kmeans_2iter",
+    # --- LLM pipeline: text analysis / sketches / multimodal ---
+    "doc_lang_id",
+    "doc_quality",
+    "doc_fingerprint_tokens",
+    "doc_tfidf_topk",
+    "doc_vocab_topk",
+    "doc_length_histogram",
+    "doc_word_histogram",
+    "doc_bottomk_sketch",
+    "multimodal_metadata",
+    "multimodal_chunks",
+    # --- TPC-H / core operator diversity (20 slots) ---
+    "pricing_summary",
+    "mode_quantity_per_flag",
+    "top_order_per_customer",
+    "merge_new_customers",
+    "expression_key_join",
+    "weather_classify_events",
+    "time_dim_from_events",
+    "json_extract_filter",
+    "events_hourly_tumbling",
+    "user_sessions",
+    "event_funnel",
+    "event_session_windows",
+    "revenue_by_nation_scale",
+    "salted_flag_join",
+    "two_stage_flag_agg",
+    "part_name_fuzzy_pairs",
+    "orderkey_distinct_kmv",
+    "customer_dense_ids",
+    "promo_period_orders",
+]
+
+
+def _ordered_names() -> list[str]:
+    prioritized = [n for n in DRIVER_PRIORITY if n in ENTRIES]
+    tail = [n for n in ENTRIES if n not in DRIVER_PRIORITY]
+    return prioritized + tail
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -30,10 +101,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: e.spark for name, e in ENTRIES.items()}
+    return {name: ENTRIES[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for every entry that is
     SQL-expressible (all of them, by construction)."""
-    return {name: e.oracle for name, e in ENTRIES.items() if e.oracle is not None}
+    return {
+        name: ENTRIES[name].oracle
+        for name in _ordered_names()
+        if ENTRIES[name].oracle is not None
+    }

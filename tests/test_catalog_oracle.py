@@ -31,6 +31,30 @@ def test_entry_smoke(spark):
     assert df.schema.fieldNames()
 
 
+def test_driver_priority_names_exist():
+    """Every DRIVER_PRIORITY name must be a registered entry (no typos),
+    with no duplicates."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    missing = [n for n in entrymod.DRIVER_PRIORITY if n not in ENTRIES]
+    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
+    assert len(entrymod.DRIVER_PRIORITY) == len(set(entrymod.DRIVER_PRIORITY))
+
+
+def test_priority_entries_inside_driver_window():
+    """The driver verifies only the first 50 queries() entries; the ZTM
+    star schema and the whole LLM-pipeline suite must sit inside that
+    window (round-2 verdict lead item)."""
+    first50 = set(list(entrymod.queries())[:50])
+    must_cover = [
+        n
+        for n in entrymod.queries()
+        if n.startswith(("ztm_", "doc_", "embedding_", "multimodal_"))
+    ]
+    outside = [n for n in must_cover if n not in first50]
+    assert not outside, f"priority entries outside driver window: {outside}"
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_catalog_matches_oracle(name, spark, oracle_con):
     from tests.compare import assert_frames_equal
