@@ -1715,30 +1715,31 @@ def two_stage_flag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution primitive: fuzzy-match pairs via edit distance
-    with BLOCKING — candidates come from an equi-join on a cheap block
-    key (first name token), so the quadratic levenshtein work is confined
-    to blocks instead of N²/2 over the corpus. Matching runs on the
-    DISTINCT name domain (names repeat across parts), which at 100 TB is
-    the difference between |names|² and |rows|² work. The blocking-key
-    recall trade-off (typos in the first token escape the block) is the
-    standard ER design; multi-pass blocking on other keys composes the
-    same way."""
+    with BLOCKING — candidates come from a capped block join on a cheap
+    block key (first name token), so the quadratic levenshtein work is
+    confined to blocks instead of N²/2 over the corpus. Matching runs on
+    the DISTINCT name domain (names repeat across parts), which at 100 TB
+    is the difference between |names|² and |rows|² work. A degenerate
+    block (a common leading token) would expand quadratically inside one
+    task, so the block join is ``blocked_pairs`` with ``max_block`` —
+    the same cap + Observation policy as the LSH paths (bounded recall
+    loss, never unbounded work). The blocking-key recall trade-off
+    (typos in the first token escape the block) is the standard ER
+    design; multi-pass blocking on other keys composes the same way."""
+    from idh_etl_demo_spark.operators.dedup import blocked_pairs
+
     names = _t(spark, sf_dir, "part").select("p_name").distinct()
-    blocked = names.withColumn(
-        "block_key", F.split(F.col("p_name"), " ").getItem(0)
+    blocked = names.select(
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("block_key"),
     )
-    a = blocked.select(
-        F.col("p_name").alias("name_a"), F.col("block_key").alias("k")
-    )
-    b = blocked.select(
-        F.col("p_name").alias("name_b"), F.col("block_key").alias("k")
-    )
+    pairs = blocked_pairs(blocked, "name", "block_key", max_block=2048)
     return (
-        a.join(b, "k")
-        .filter(F.col("name_a") < F.col("name_b"))
+        pairs.select(
+            F.col("value_a").alias("name_a"), F.col("value_b").alias("name_b")
+        )
         .withColumn("distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("distance") <= 4)
-        .select("name_a", "name_b", "distance")
         .orderBy("name_a", "name_b")
     )
 

@@ -144,9 +144,13 @@ def minhash_lsh_candidates(
     deterministic) so per-task work is ≤ C(max_bucket, 2). No silent
     caps: pass a ``pyspark.sql.Observation`` as ``observation`` and the
     candidate action reports ``capped_buckets``/``dropped_docs`` — at
-    100 TB wire that into the run-audit. Truncation is semantically safe
-    for DEDUP use: boilerplate bucket members are near-identical, so the
-    kept representatives still link the cluster transitively.
+    100 TB wire that into the run-audit. Truncation is a bounded RECALL
+    LOSS, not a free pass: a capped-out member contributes no pairs from
+    that bucket, so unless it collides in another band it is NOT deduped
+    downstream — duplicates beyond the cap survive as keepers. The
+    Observation counters exist precisely so callers can audit the loss
+    and re-run the flagged buckets at a higher cap (or a finer banding)
+    when the drop count is material.
     """
     rows_per_band = num_hashes // bands
     if num_partitions:
@@ -423,9 +427,10 @@ def simhash_hamming_pairs(
     if max_bucket is not None:
         # same hot-bucket policy as minhash_lsh_candidates: bound per-task
         # pair expansion to C(max_bucket, 2); truncation is reported via
-        # the caller's Observation (no silent caps) and is dedup-safe —
-        # a bucket that hot is one near-identical template cluster, and
-        # the kept members still link it transitively.
+        # the caller's Observation (no silent caps). It is a bounded
+        # recall loss: capped-out members emit no pairs from this block
+        # and are only caught if another of their blocks matches — audit
+        # the counters and re-run hot buckets when the drops matter.
         grouped = grouped.withColumn("__n", F.size("members")).withColumn(
             "members", F.slice("members", 1, max_bucket)
         )
@@ -460,5 +465,75 @@ def simhash_hamming_pairs(
         grouped.select(F.explode(combos).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic ER blocking (capped block join for fuzzy matching)
+# ---------------------------------------------------------------------------
+
+
+def blocked_pairs(
+    df: DataFrame,
+    value_col: str,
+    block_col: str,
+    max_block: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Candidate ``(value_a, value_b)`` pairs within each block — the
+    blocking primitive for entity resolution. Expressed as
+    group-then-expand rather than a self-join, so the upstream plan runs
+    ONCE and one shuffle produces the buckets; the expensive pair
+    predicate (edit distance etc.) is applied by the caller to the
+    expanded pairs only. Pairs are emitted with value_a < value_b
+    (array_sort order), distinct across blocks.
+
+    Scale shape: work is Σ B²/2 over block sizes, not N²/2 over the
+    corpus. The skew risk is a degenerate block — a common leading token
+    ("the" in a real-name corpus) expands quadratically inside ONE task.
+    ``max_block`` bounds that: each block keeps its first ``max_block``
+    members by sorted value (deterministic), so per-task work is
+    ≤ C(max_block, 2). Truncation is a bounded RECALL LOSS — capped-out
+    members emit no pairs from that block and are simply not matched;
+    pass an ``Observation`` to get ``capped_blocks``/``dropped_values``
+    reported at the terminal action (no silent caps), and recover
+    escapes with a second blocking pass on an orthogonal key.
+    """
+    grouped = (
+        df.groupBy(block_col)
+        .agg(F.array_sort(F.collect_set(value_col)).alias("vals"))
+        .filter(F.size("vals") >= 2)
+    )
+    if max_block is not None:
+        grouped = grouped.withColumn("__n", F.size("vals")).withColumn(
+            "vals", F.slice("vals", 1, max_block)
+        )
+        if observation is not None:
+            grouped = grouped.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("__n") > max_block, 1).otherwise(0)
+                ).alias("capped_blocks"),
+                F.sum(F.greatest(F.col("__n") - max_block, F.lit(0))).alias(
+                    "dropped_values"
+                ),
+            )
+        grouped = grouped.drop("__n")
+    vals = F.col("vals")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(vals) - 1),
+            lambda i: F.transform(
+                F.slice(vals, i + 1, F.size(vals)),
+                lambda y: F.struct(
+                    F.get(vals, i - 1).alias("value_a"), y.alias("value_b")
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.value_a", "p.value_b")
         .distinct()
     )

@@ -72,3 +72,45 @@ def test_jaccard_hot_shingle_cap_bounds_and_reports(spark):
     # uncapped baseline still produces the full expansion
     full = ngram_jaccard_pairs(docs, threshold=0.0)
     assert full.count() == 190
+
+
+def test_blocked_pairs_hot_block_cap_bounds_and_reports(spark):
+    """ER blocking: one degenerate block (common leading token) must not
+    expand quadratically in a single task — max_block bounds the pair
+    count to C(cap, 2) and the Observation reports the truncation."""
+    from pyspark.sql import Observation
+
+    from idh_etl_demo_spark.operators.dedup import blocked_pairs
+
+    rows = [(f"the name {i:04d}", "the") for i in range(200)] + [
+        ("other alpha", "other"),
+        ("other beta", "other"),
+    ]
+    df = spark.createDataFrame(rows, "name string, block_key string")
+    cap = 8
+    obs = Observation()
+    pairs = blocked_pairs(df, "name", "block_key", max_block=cap, observation=obs)
+    rows_out = pairs.collect()
+    hot = [r for r in rows_out if r.value_a.startswith("the")]
+    assert len(hot) == cap * (cap - 1) // 2  # bounded, not C(200,2)=19900
+    # the small block is untouched
+    assert ("other alpha", "other beta") in {
+        (r.value_a, r.value_b) for r in rows_out
+    }
+    assert obs.get["capped_blocks"] == 1
+    assert obs.get["dropped_values"] == 200 - cap
+    # truncation is deterministic: survivors are the cap-first sorted names
+    survivors = {r.value_a for r in hot} | {r.value_b for r in hot}
+    assert survivors == {f"the name {i:04d}" for i in range(cap)}
+
+
+def test_blocked_pairs_uncapped_matches_oracle_shape(spark):
+    from idh_etl_demo_spark.operators.dedup import blocked_pairs
+
+    rows = [("aa", "k1"), ("ab", "k1"), ("ac", "k1"), ("zz", "k2")]
+    df = spark.createDataFrame(rows, "name string, block_key string")
+    got = {
+        (r.value_a, r.value_b)
+        for r in blocked_pairs(df, "name", "block_key").collect()
+    }
+    assert got == {("aa", "ab"), ("aa", "ac"), ("ab", "ac")}
