@@ -197,6 +197,7 @@ def hamming1_probes(bucket: Column, bits: int) -> Column:
 def hyperplane_ann(
     corpus: DataFrame,
     queries: DataFrame,
+    dim: int,
     k: int = 5,
     bits: int = 16,
     seed: int = 7,
@@ -207,13 +208,18 @@ def hyperplane_ann(
     """Approximate top-k: exact cosine ranking within the query's
     random-hyperplane bucket (∪ its Hamming-1 probes).
 
+    ``dim`` (the embedding dimensionality) is a caller-supplied constant,
+    NOT inferred from the data: a builder must stay a lazy plan — an
+    eager ``corpus.first()`` here would run a Spark job at plan-build
+    time (round-2 verdict item; the lazy-builders rule is mechanically
+    asserted in test_similarity).
+
     The 100 TB shape: corpus is bucketed once (one codegen projection —
     at scale, persist/bucket-by this column); each query expands to
     bits+1 probe buckets and the search is an equi-join on bucket id.
     Expected in-bucket work is N/2^bits per probe — for K=16 that is a
     65 536-fold pruning, with recall recovered by multi-probe instead of
     coarser buckets."""
-    dim = len(corpus.select(vec_col).first()[0])
     planes = rademacher_planes(dim, bits, seed)[0]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

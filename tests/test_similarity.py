@@ -54,7 +54,18 @@ def test_hyperplane_ann_recall_on_planted_neighbors(spark):
 
     corpus, n_base = _planted_corpus(spark)
     queries = corpus.filter(f"vec_id >= {n_base}")  # the planted copies
-    ann = hyperplane_ann(corpus, queries, k=1, bits=16, multiprobe=True)
+
+    # lazy-builders rule: constructing the ANN plan must run ZERO Spark
+    # jobs (the old signature inferred dim via corpus.first() — a driver
+    # action at plan-build time, round-2 verdict item)
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-build", "")
+    try:
+        ann = hyperplane_ann(corpus, queries, dim=64, k=1, bits=16, multiprobe=True)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("ann-build")
+    assert len(jobs) == 0, f"hyperplane_ann ran {len(jobs)} jobs at plan-build"
     top = {r.query_id: r.neighbor_id for r in ann.collect()}
     n_queries = queries.count()
     hits = sum(1 for q, n in top.items() if n == q - n_base)
@@ -62,7 +73,7 @@ def test_hyperplane_ann_recall_on_planted_neighbors(spark):
 
     # multi-probe is what buys the recall: single-bucket lookup at the
     # same K must be strictly worse or equal, never better
-    single = hyperplane_ann(corpus, queries, k=1, bits=16, multiprobe=False)
+    single = hyperplane_ann(corpus, queries, dim=64, k=1, bits=16, multiprobe=False)
     s_top = {r.query_id: r.neighbor_id for r in single.collect()}
     s_hits = sum(1 for q, n in s_top.items() if n == q - n_base)
     assert s_hits <= hits
