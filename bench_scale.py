@@ -52,6 +52,12 @@ SHIFT_KEYS = {
     "embeddings": ["vec_id"],
 }
 
+# ONE shared stride for every shifted key: orders.o_custkey and
+# customer.c_custkey must receive the SAME per-copy offset or cross-table
+# FK joins in a probe would silently join near-empty and time garbage.
+# Far above any key value at the probe's scale.
+SHIFT_STRIDE = 10**9
+
 
 def _scaled(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     from idh_etl_demo_spark.catalog import _read_table
@@ -60,12 +66,11 @@ def _scaled(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     keys = SHIFT_KEYS.get(name, [])
     if not keys:
         return df  # small dims (region/nation/part/supplier) stay as-is
-    n = df.count()
     copies = []
     for i in range(COPIES):
         c = df
         for k in keys:
-            c = c.withColumn(k, (F.col(k) + F.lit(i * n * 10)).cast(dict(df.dtypes)[k]))
+            c = c.withColumn(k, (F.col(k) + F.lit(i * SHIFT_STRIDE)).cast(dict(df.dtypes)[k]))
         if name == "documents" and i > 0:
             # vary text so dedup/LSH see shifted content, not 10× exact dups
             c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" v{i}")))

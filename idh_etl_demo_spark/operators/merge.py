@@ -23,8 +23,15 @@ plan runs once. This sink reproduces both properties on a filesystem:
 
 Concurrency: two simultaneous merges into one target are serialized by an
 O_EXCL lock file (the filesystem analogue of the warehouse serializing two
-MERGE statements). On an object store without atomic create/rename, swap
-this sink for a Delta/Iceberg MERGE; the call-site contract is unchanged.
+MERGE statements). The lock records ``pid timestamp``; a lock whose owner
+process is dead, or older than ``LOCK_TTL_SEC``, is STALE — the next merge
+reclaims it (atomic rename, so exactly one contender wins) instead of
+failing forever on a crash's leftovers. While holding the lock, orphaned
+``_staging_*`` directories from crashed runs are swept: no other merge can
+be active, so any staging dir present is garbage. On an object store
+without atomic create/rename, swap this sink for a Delta/Iceberg MERGE
+(see ``merge_insert_if_absent_delta``); the call-site contract is
+unchanged.
 
 Scale notes:
 - Only the target's KEY COLUMNS are scanned for the anti join (column
@@ -40,6 +47,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -47,9 +55,88 @@ import pyspark.sql.functions as F
 
 from idh_etl_demo_spark.operators.dedup import dedup_keep_first
 
+#: A lock older than this is considered abandoned even if the pid check is
+#: inconclusive (e.g. the owning host died and pids aren't comparable).
+LOCK_TTL_SEC = 3600.0
+
 
 class ConcurrentMergeError(RuntimeError):
     """Another merge into the same target holds the lock."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return True  # inconclusive: assume alive, let the TTL decide
+    return True
+
+
+def _lock_is_stale(lock_path: str, ttl: float = LOCK_TTL_SEC) -> bool:
+    """A lock is stale if its recorded owner pid is dead (same-host fast
+    path) or its recorded timestamp is past the TTL. A lock file that is
+    empty/unreadable (crash between create and write) falls back to the
+    file mtime + TTL."""
+    try:
+        with open(lock_path) as f:
+            parts = f.read().split()
+        pid, ts = int(parts[0]), float(parts[1])
+    except (OSError, ValueError, IndexError):
+        try:
+            ts = os.path.getmtime(lock_path)
+        except OSError:
+            return False  # vanished — owner released it; not stale
+        return time.time() - ts > ttl
+    if not _pid_alive(pid):
+        return True
+    return time.time() - ts > ttl
+
+
+def _acquire_merge_lock(target_path: str) -> tuple[int, str]:
+    """O_EXCL-create the merge lock, reclaiming a stale one at most once.
+
+    Reclaim is an atomic ``rename`` of the stale lock to a unique name:
+    of N contenders observing the same stale lock exactly one rename
+    succeeds, and the losers loop back to the O_EXCL create — no window
+    where a contender can delete another's FRESH lock (a naive unlink
+    would race exactly there)."""
+    lock_path = os.path.join(target_path, "_merge.lock")
+    for attempt in (1, 2):
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            return fd, lock_path
+        except FileExistsError:
+            if attempt == 2 or not _lock_is_stale(lock_path):
+                raise ConcurrentMergeError(
+                    f"merge already in progress for {target_path} "
+                    f"(lock: {lock_path}; stale locks auto-reclaim after "
+                    f"{LOCK_TTL_SEC:.0f}s — to force, remove the file)"
+                ) from None
+            reclaim = f"{lock_path}.stale_{uuid.uuid4().hex}"
+            try:
+                os.rename(lock_path, reclaim)
+            except FileNotFoundError:
+                continue  # another contender reclaimed/released it first
+            os.unlink(reclaim)
+    raise AssertionError("unreachable")
+
+
+def _sweep_orphan_staging(target_path: str) -> None:
+    """Remove ``_staging_*`` leftovers from crashed merges. Must be called
+    while HOLDING the merge lock: with the lock held no other merge is
+    active, so every staging dir under the target is an orphan."""
+    try:
+        names = os.listdir(target_path)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if name.startswith("_staging_"):
+            _remove_tree(os.path.join(target_path, name))
 
 
 def _is_hidden(name: str) -> bool:
@@ -118,15 +205,10 @@ def merge_insert_if_absent(
     batch = dedup_keep_first(incoming, keys)
 
     os.makedirs(target_path, exist_ok=True)
-    lock_path = os.path.join(target_path, "_merge.lock")
-    try:
-        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise ConcurrentMergeError(
-            f"merge already in progress for {target_path} (lock: {lock_path})"
-        )
+    lock_fd, lock_path = _acquire_merge_lock(target_path)
     staging = os.path.join(target_path, f"_staging_{uuid.uuid4().hex}")
     try:
+        _sweep_orphan_staging(target_path)
         if _has_parquet(target_path):
             existing = spark.read.parquet(target_path)
             if partition_by:
@@ -173,6 +255,32 @@ def merge_insert_if_absent(
         os.unlink(lock_path)
 
 
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path of a catalog table's location (local fs only)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Location":
+            loc = r.data_type
+            if loc.startswith("file:"):
+                from urllib.parse import urlparse
+
+                return urlparse(loc).path
+            return loc
+    raise ValueError(f"no location for table {table}")
+
+
+def _drop_orphan_staging_tables(spark: SparkSession, table: str) -> None:
+    """Drop ``<table>__staging_*`` leftovers from crashed bucketed merges.
+    Must be called while HOLDING the target's merge lock (same reasoning
+    as :func:`_sweep_orphan_staging`). Dropping a crashed staging table
+    discards its un-published rows — correct, because recovery for an
+    interrupted merge is re-running it: the re-run recomputes the batch
+    and the anti-join re-selects everything not yet published."""
+    prefix = f"{table}__staging_".lower()
+    for t in spark.catalog.listTables():
+        if t.name.lower().startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
 def merge_insert_if_absent_bucketed(
     spark: SparkSession,
     incoming: DataFrame,
@@ -192,11 +300,19 @@ def merge_insert_if_absent_bucketed(
     tests/test_bucketing.py), so only the small incoming batch shuffles,
     and the bucketed APPEND needs no shuffle of historical data either.
 
-    Trade-off vs the path variant: atomicity is delegated to the session
-    catalog's append (no filesystem write-audit-publish) — on a
-    production lakehouse this function IS a Delta/Iceberg MERGE into a
-    clustered table. Idempotency is unchanged: inserts are keyed, so a
-    replayed hour appends nothing (same guarantee the runner relies on).
+    Atomicity matches the path variant (write-audit-publish, not a bare
+    ``saveAsTable(append)``): the batch plan executes ONCE into a
+    uniquely-named staging TABLE (bucketed the same way — Spark encodes
+    the bucket id in each part filename, so the files are layout-valid in
+    either table), the appended count is audited from the write's own
+    Observation, and publish moves the staged part files into the target
+    table's location (each rename atomic) before dropping the staging
+    table's metadata. A crash mid-publish leaves the un-moved files
+    invisible to target readers; the re-run's anti-join skips the
+    published keys — exactly the path sink's recovery story. Serialized
+    by the same stale-reclaiming merge lock, held in the target table's
+    location. On a production lakehouse prefer
+    :func:`merge_insert_if_absent_delta` (a real transactional MERGE).
 
     Keys must be NON-NULL here (star-table surrogate keys are): a
     null-safe join hashes ``(coalesce(k), isnull(k))`` pairs, which does
@@ -218,19 +334,82 @@ def merge_insert_if_absent_bucketed(
             F.raise_error(f"bucketed merge into {table}: null merge key {k}"),
         ).otherwise(F.col(k))
         batch = batch.withColumn(k, guarded.cast(batch.schema[k].dataType))
-    if spark.catalog.tableExists(table):
+
+    def _stage(df: DataFrame, name: str) -> int:
+        obs = Observation()
+        audited = df.observe(obs, F.count(F.lit(1)).alias("appended"))
+        (
+            audited.write.format("parquet")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .mode("error")
+            .saveAsTable(name)
+        )
+        return int(obs.get["appended"])
+
+    if not spark.catalog.tableExists(table):
+        # initial load: the staged write IS the publish — table metadata
+        # appears only after the data files are fully committed.
+        return _stage(batch, table)
+
+    target_loc = _table_location(spark, table)
+    lock_fd, lock_path = _acquire_merge_lock(target_loc)
+    staging_table = f"{table}__staging_{uuid.uuid4().hex[:12]}"
+    try:
+        _drop_orphan_staging_tables(spark, table)
         # plain equi-join on the bucket columns: the target side's bucketed
         # layout satisfies the join's required distribution — no exchange.
+        # Probed INSIDE the lock so no concurrent publish can add keys
+        # between the probe and our publish.
         probe = spark.table(table).select(*keys)
-        batch = batch.join(probe.hint("merge"), on=keys, how="left_anti")
+        todo = batch.join(probe.hint("merge"), on=keys, how="left_anti")
+        appended = _stage(todo, staging_table)
+        if appended:
+            _publish(_table_location(spark, staging_table), target_loc)
+            spark.catalog.refreshTable(table)
+        spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
+        return appended
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock_path)
 
-    obs = Observation()
-    audited = batch.observe(obs, F.count(F.lit(1)).alias("appended"))
-    (
-        audited.write.format("parquet")
-        .bucketBy(n_buckets, *keys)
-        .sortBy(*keys)
-        .mode("append")
-        .saveAsTable(table)
-    )
-    return int(obs.get["appended"])
+
+def merge_insert_if_absent_delta(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table: str,
+    keys: list[str],
+) -> int:
+    """Transactional insert-if-absent via Delta Lake's MERGE — the
+    production-lakehouse form of this sink (single atomic commit, no
+    filesystem publish protocol, concurrent writers serialized by the
+    Delta log instead of a lock file).
+
+    GATED: requires the ``delta-spark`` package and a session configured
+    with the Delta catalog extensions; this container ships neither, so
+    the import guard raises with instructions rather than half-working.
+    The call-site contract matches the other variants (returns rows
+    appended, batch deduped on keys first).
+    """
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:
+        raise NotImplementedError(
+            "merge_insert_if_absent_delta needs the delta-spark package "
+            "(pip install delta-spark; session must enable "
+            "io.delta.sql.DeltaSparkSessionExtension and the Delta "
+            "catalog). Use merge_insert_if_absent[_bucketed] on plain "
+            "parquet."
+        ) from e
+    if not keys:
+        raise ValueError("merge requires unique key columns")
+    batch = dedup_keep_first(incoming, keys)
+    if not spark.catalog.tableExists(table):
+        batch.write.format("delta").saveAsTable(table)
+        return batch.count()
+    target = DeltaTable.forName(spark, table)
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    target.alias("t").merge(batch.alias("s"), cond).whenNotMatchedInsertAll().execute()
+    hist = target.history(1).select("operationMetrics").collect()
+    metrics = hist[0][0] if hist else {}
+    return int(metrics.get("numTargetRowsInserted", -1))

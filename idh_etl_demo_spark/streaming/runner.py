@@ -49,6 +49,17 @@ class ViewVerificationError(RuntimeError):
     """A cleansed input view failed its smoke read."""
 
 
+def bucketed_table_name(warehouse_root: str, table: str) -> str:
+    """Catalog-table name for a bucketed star table, scoped to the
+    warehouse root: ``wh_<md5(abspath(root))[:8]>_<table>``. Catalog
+    names are session-global, so the root hash is what keeps two
+    pipelines with different warehouse roots from sharing state."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(warehouse_root).encode()).hexdigest()[:8]
+    return f"wh_{digest}_{table}"
+
+
 def _with_retries(fn, what: str):
     """Reference parity: 3 attempts, fixed 30 s delay
     (dags/idh_etl.py:41-44). Transient executor/IO failures recover;
@@ -109,9 +120,15 @@ def run_hour(
 
     ``bucketed_tables`` maps a star-table name to a bucket count: those
     tables are loaded through the bucketed catalog merge (table
-    ``wh_<name>``, clustered on the merge keys) instead of the path sink,
-    so the hourly anti-join probe never re-shuffles the growing target —
-    the load shape that holds at 100 TB (see operators/merge.py)."""
+    ``wh_<root-hash>_<name>``, clustered on the merge keys) instead of the
+    path sink, so the hourly anti-join probe never re-shuffles the growing
+    target — the load shape that holds at 100 TB (see operators/merge.py).
+    The table name embeds a hash of ``warehouse_root`` so two pipelines
+    running against different roots in one Spark session get DISTINCT
+    catalog tables — without it they would silently share one global
+    table and leak appends/idempotency state across environments
+    (path-sink tables were always isolated per root; this makes the
+    bucketed ones match). ``bucketed_table_name`` computes the mapping."""
     views = build_views(spark, data_root, logical_hour)
     verify_views(views)
     bucketed_tables = bucketed_tables or {}
@@ -126,7 +143,7 @@ def run_hour(
                 return merge_insert_if_absent_bucketed(
                     spark,
                     df,
-                    f"wh_{spec.name}",
+                    bucketed_table_name(warehouse_root, spec.name),
                     list(spec.keys),
                     n_buckets=bucketed_tables[spec.name],
                 )

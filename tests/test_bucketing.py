@@ -89,3 +89,67 @@ def test_bucketed_merge_rejects_null_keys(spark):
     with pytest.raises(Exception, match="null merge key"):
         merge_insert_if_absent_bucketed(spark, bad, "wh_nullkey_demo", ["id"], n_buckets=2)
     spark.sql("drop table if exists wh_nullkey_demo")
+
+
+def test_bucketed_merge_crash_mid_publish_no_torn_reads(spark, tmp_path, monkeypatch):
+    """The bucketed merge is write-audit-publish, not a bare append: a
+    crash halfway through publish leaves the target readable and
+    duplicate-free, and the re-run converges to the full state."""
+    import os
+
+    from idh_etl_demo_spark.operators import merge as merge_mod
+    from idh_etl_demo_spark.operators.merge import merge_insert_if_absent_bucketed
+
+    tbl = "wh_crash_demo"
+    spark.sql(f"drop table if exists {tbl}")
+    b1 = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id int, v string")
+    assert merge_insert_if_absent_bucketed(spark, b1, tbl, ["id"], n_buckets=4) == 100
+
+    real_publish = merge_mod._publish
+
+    def torn_publish(staging, target):
+        # move exactly one staged part file, then die
+        moved = 0
+        for root, dirs, files in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in sorted(files):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    os.rename(os.path.join(root, f), os.path.join(target, f))
+                    moved += 1
+                    raise RuntimeError("simulated crash mid-publish")
+        raise AssertionError(f"no files to move (moved={moved})")
+
+    monkeypatch.setattr(merge_mod, "_publish", torn_publish)
+    b2 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(90, 120)], "id int, v string"
+    )
+    try:
+        merge_insert_if_absent_bucketed(spark, b2, tbl, ["id"], n_buckets=4)
+        assert False, "expected simulated crash"
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+
+    # torn state: target still reads consistently — no dupes, nothing lost
+    spark.catalog.refreshTable(tbl)
+    rows = spark.table(tbl).collect()
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate keys after torn publish"
+    assert set(range(100)) <= set(ids), "published rows lost"
+    partial = len(ids) - 100  # 0..20 new rows may have landed
+
+    # recovery = re-run: anti-join skips what was published, fills the rest
+    monkeypatch.setattr(merge_mod, "_publish", real_publish)
+    appended = merge_insert_if_absent_bucketed(spark, b2, tbl, ["id"], n_buckets=4)
+    assert appended == 20 - partial
+    assert spark.table(tbl).count() == 120
+    # crashed staging table was dropped by the re-run's orphan sweep
+    leftovers = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith(f"{tbl}__staging_")
+    ]
+    assert leftovers == []
+    # and the lock was released despite the crash path
+    from idh_etl_demo_spark.operators.merge import _table_location
+
+    assert not os.path.exists(os.path.join(_table_location(spark, tbl), "_merge.lock"))
+    spark.sql(f"drop table if exists {tbl}")

@@ -120,3 +120,91 @@ def test_concurrent_merge_locked(spark, tmp_path):
     # lock released by the holder → merge proceeds
     os.unlink(os.path.join(target, "_merge.lock"))
     assert merge_insert_if_absent(spark, batch, target, ["id"]) == 1
+
+
+def test_stale_lock_dead_owner_reclaimed(spark, tmp_path):
+    """A crash after lock-create must not wedge the target forever: a
+    lock whose recorded pid is dead is reclaimed by the next merge."""
+    import os
+    import subprocess
+    import time
+
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    p = subprocess.Popen(["true"])
+    p.wait()  # reaped → pid is dead
+    with open(os.path.join(target, "_merge.lock"), "w") as f:
+        f.write(f"{p.pid} {time.time()}\n")
+    batch = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert merge_insert_if_absent(spark, batch, target, ["id"]) == 1
+    assert not os.path.exists(os.path.join(target, "_merge.lock"))
+
+
+def test_stale_lock_ttl_reclaimed(spark, tmp_path):
+    """Even with an 'alive' pid (unreachable host scenario), a lock past
+    the TTL is reclaimed."""
+    import os
+    import time
+
+    from idh_etl_demo_spark.operators import merge as merge_mod
+
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    with open(os.path.join(target, "_merge.lock"), "w") as f:
+        f.write(f"{os.getpid()} {time.time() - merge_mod.LOCK_TTL_SEC - 10}\n")
+    batch = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert merge_insert_if_absent(spark, batch, target, ["id"]) == 1
+
+
+def test_fresh_live_lock_blocks(spark, tmp_path):
+    import os
+    import time
+
+    from idh_etl_demo_spark.operators.merge import ConcurrentMergeError
+
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    with open(os.path.join(target, "_merge.lock"), "w") as f:
+        f.write(f"{os.getpid()} {time.time()}\n")
+    batch = spark.createDataFrame([(1, "a")], "id int, v string")
+    try:
+        merge_insert_if_absent(spark, batch, target, ["id"])
+        assert False, "expected ConcurrentMergeError"
+    except ConcurrentMergeError:
+        pass
+
+
+def test_orphan_staging_swept_under_lock(spark, tmp_path):
+    """_staging_* leftovers from a crashed run are removed by the next
+    merge (which holds the lock, so anything staged is garbage)."""
+    import os
+
+    target = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    assert merge_insert_if_absent(spark, b1, target, ["id"]) == 1
+    orphan = os.path.join(target, "_staging_deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    b2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    assert merge_insert_if_absent(spark, b2, target, ["id"]) == 1
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(target).count() == 2
+
+
+def test_delta_merge_gated_without_delta(spark):
+    """The Delta variant must fail loudly (with install instructions)
+    when delta-spark is absent — never half-work."""
+    import pytest
+
+    from idh_etl_demo_spark.operators.merge import merge_insert_if_absent_delta
+
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark present; gated path not applicable")
+    except ImportError:
+        pass
+    batch = spark.createDataFrame([(1, "a")], "id int, v string")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        merge_insert_if_absent_delta(spark, batch, "wh_delta_demo", ["id"])

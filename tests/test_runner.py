@@ -138,17 +138,33 @@ def test_verify_catches_broken_view_at_verify_time(spark):
 def test_run_hour_bucketed_tables(spark, ztm_root, tmp_path):
     """Opting a star table into the bucketed catalog sink keeps run-loop
     semantics (counts, idempotent replay) while the target is stored
-    clustered on its merge keys."""
-    spark.sql("drop table if exists wh_StopDim")
+    clustered on its merge keys. The catalog table name is scoped to the
+    warehouse root, so distinct roots in one session stay isolated."""
+    from idh_etl_demo_spark.streaming.runner import bucketed_table_name
+
     wh = str(tmp_path / "warehouse")
+    tbl = bucketed_table_name(wh, "StopDim")
+    spark.sql(f"drop table if exists {tbl}")
     hour = dt.datetime(2024, 12, 25, 8)
     first = run_hour(spark, ztm_root, wh, hour, bucketed_tables={"StopDim": 4})
     assert first["StopDim"] == 8
-    assert spark.table("wh_StopDim").count() == 8
+    assert spark.table(tbl).count() == 8
     # the other tables still went through the path sink
     assert spark.read.parquet(f"{wh}/VehicleDim").count() == first["VehicleDim"]
     # replay: no-op everywhere, bucketed included
     second = run_hour(spark, ztm_root, wh, hour, bucketed_tables={"StopDim": 4})
     assert all(v == 0 for v in second.values()), second
-    assert spark.table("wh_StopDim").count() == 8
-    spark.sql("drop table if exists wh_StopDim")
+    assert spark.table(tbl).count() == 8
+
+    # a pipeline against a DIFFERENT warehouse root gets its own catalog
+    # table: its appends must not leak into (or be suppressed by) ours
+    wh2 = str(tmp_path / "warehouse2")
+    tbl2 = bucketed_table_name(wh2, "StopDim")
+    assert tbl2 != tbl
+    spark.sql(f"drop table if exists {tbl2}")
+    third = run_hour(spark, ztm_root, wh2, hour, bucketed_tables={"StopDim": 4})
+    assert third["StopDim"] == 8  # NOT 0 — a shared table would dedup these away
+    assert spark.table(tbl).count() == 8
+    assert spark.table(tbl2).count() == 8
+    spark.sql(f"drop table if exists {tbl}")
+    spark.sql(f"drop table if exists {tbl2}")
