@@ -19,6 +19,7 @@ import time
 from idh_etl_demo_spark.session import get_spark
 from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
+import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -42,6 +43,11 @@ HEADLINE = [
     "doc_dup_clusters",
     "event_session_windows",
     "embedding_kmeans_2iter",
+    # appended round 3
+    "doc_gopher_quality",
+    "doc_decontamination",
+    "promo_period_orders_salted",
+    "embedding_kcenter_seeds",
 ]
 
 

@@ -1,0 +1,615 @@
+"""Catalog part 4 — round-3 additions: map-typed columns, corpus-hygiene
+operators for a training-data pipeline (Gopher-style repetition signals,
+deterministic stratified sampling, benchmark decontamination), higher-arity
+motifs over the dup graph, a salted interval join, and deterministic
+k-center seeding for Lloyd iterations.
+
+Same oracle-parity rules as catalog.py / catalog_llm.py: md5-derived
+hashes, integer-quantized embedding math, explicit tie-breaks, identical
+normalize→split token pipelines on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from idh_etl_demo_spark.catalog import _t, query
+from idh_etl_demo_spark.catalog_llm import _NORM, _WORDS
+
+# ===========================================================================
+# Map-typed columns (events.props is a JSON object per row)
+# ===========================================================================
+
+
+@query(
+    "event_props_map",
+    """
+    with kv as (
+      select event_type, unnest(json_keys(props)) as prop_key, props
+      from events
+    )
+    select event_type, prop_key,
+           count(*) as n,
+           cast(sum(cast(json_extract(props, '$.' || prop_key) as bigint)) as bigint) as sum_val,
+           cast(min(cast(json_extract(props, '$.' || prop_key) as bigint)) as bigint) as min_val,
+           cast(max(cast(json_extract(props, '$.' || prop_key) as bigint)) as bigint) as max_val
+    from kv
+    group by event_type, prop_key
+    order by event_type, prop_key
+    """,
+)
+def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion as a MAP column: ``props`` (a JSON object
+    per event) parses straight to ``map<string,long>`` with ``from_json``
+    — no schema registry, no per-key column explosion — then
+    ``explode`` unnests to (key, value) rows for a per-(event_type, key)
+    profile. The parse + explode is one generate projection; the profile
+    is one hash aggregate with map-side combine. At 100 TB this is the
+    standard first look at an unknown telemetry payload: the map type
+    keeps the scan schema stable while keys churn."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json(F.col("props"), "map<string,long>")).alias(
+            "prop_key", "prop_val"
+        ),
+    )
+    return (
+        kv.groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prop_val").alias("sum_val"),
+            F.min("prop_val").alias("min_val"),
+            F.max("prop_val").alias("max_val"),
+        )
+        .orderBy("event_type", "prop_key")
+    )
+
+
+@query(
+    "user_event_type_map",
+    """
+    with c as (
+      select user_id, event_type, count(*) as cnt
+      from events group by user_id, event_type
+    )
+    select user_id,
+           count(*) as n_types,
+           cast(coalesce(max(case when event_type = 'purchase' then cnt end), 0) as bigint)
+             as purchase_events,
+           string_agg(event_type || '=' || cnt, ',' order by event_type) as summary
+    from c
+    group by user_id
+    order by user_id
+    """,
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map CONSTRUCTION and manipulation: per user, build
+    ``map<event_type, count>`` with ``map_from_entries`` over a sorted
+    entry array (deterministic iteration order), then consume it three
+    ways — ``size`` (cardinality), ``element_at`` (point lookup with a
+    null default), and a serialized ``map_entries`` walk. The map is the
+    natural carrier for per-entity feature bags at scale: one row per
+    user regardless of how many event types exist, no pivot schema to
+    maintain. Aggregation is two map-side-combining shuffles (type
+    counts, then per-user assembly) on the same key prefix."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    entries = F.map_entries(F.col("type_counts"))
+    return m.select(
+        "user_id",
+        F.size("type_counts").cast("long").alias("n_types"),
+        F.coalesce(
+            F.element_at(F.col("type_counts"), F.lit("purchase")), F.lit(0)
+        ).alias("purchase_events"),
+        F.array_join(
+            F.transform(
+                entries, lambda e: F.concat_ws("=", e.key, e.value.cast("string"))
+            ),
+            ",",
+        ).alias("summary"),
+    ).orderBy("user_id")
+
+
+# ===========================================================================
+# Corpus hygiene: repetition signals, stratified sampling, decontamination
+# ===========================================================================
+
+
+@query(
+    "doc_gopher_quality",
+    f"""
+    with base as (
+      select doc_id, list_filter({_WORDS}, w -> w != '') as toks from documents
+    ),
+    w as (select doc_id, unnest(toks) as word from base),
+    freq as (select doc_id, word, count(*) as cnt from w group by doc_id, word),
+    top as (select doc_id, max(cnt) as top_cnt from freq group by doc_id),
+    grams as (
+      select doc_id, len(toks) as n_tokens,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] || ' ' || toks[i + 1]) as g2
+      from base
+    )
+    select g.doc_id,
+           cast(g.n_tokens as bigint) as n_tokens,
+           cast(coalesce(t.top_cnt, 0) as bigint) as top_word_count,
+           case when g.n_tokens > 0
+                then cast(coalesce(t.top_cnt, 0) as double) / g.n_tokens
+                else 0.0 end as top_word_ratio,
+           case when len(g.g2) > 0
+                then 1.0 - cast(len(list_distinct(g.g2)) as double) / len(g.g2)
+                else 0.0 end as dup_2gram_frac,
+           (g.n_tokens >= 20
+            and (case when g.n_tokens > 0
+                      then cast(coalesce(t.top_cnt, 0) as double) / g.n_tokens
+                      else 0.0 end) <= 0.2
+            and (case when len(g.g2) > 0
+                      then 1.0 - cast(len(list_distinct(g.g2)) as double) / len(g.g2)
+                      else 0.0 end) <= 0.4) as passes_quality
+    from grams g left join top t on g.doc_id = t.doc_id
+    order by g.doc_id
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher /
+    MassiveText filters (Rae et al. 2021, §A1.1): most-frequent-word
+    share and duplicate-bigram fraction, plus a composite keep/drop
+    flag. Complements ``doc_quality`` (lengths/ratios) with the signals
+    that catch looped or templated spam text.
+
+    Shape: bigram stats are pure array expressions in the scan
+    projection (no shuffle); only the top-word count needs an
+    explode→(doc, word) aggregate, and both aggregates hash-partition on
+    doc_id so the final join is co-partitioned. Nothing is quadratic in
+    document length."""
+    docs = _t(spark, sf_dir, "documents")
+    from idh_etl_demo_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
+    )
+    base = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    g2 = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("toks"), i - 1), F.get(F.col("toks"), i)
+            ),
+        )
+    )
+    grams = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(g2).alias("n_g2"),
+        F.size(F.array_distinct(g2)).alias("n_g2_distinct"),
+    )
+    freq = (
+        base.select("doc_id", F.explode_outer("toks").alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = freq.groupBy("doc_id").agg(F.max("cnt").alias("top_cnt"))
+    joined = grams.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("top_cnt"), F.lit(0)).alias("top_word_count"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_word_ratio"),
+        F.when(
+            F.col("n_g2") > 0,
+            F.lit(1.0)
+            - F.col("n_g2_distinct").cast("double") / F.col("n_g2"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "top_word_count",
+        "top_word_ratio",
+        "dup_2gram_frac",
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("top_word_ratio") <= 0.2)
+            & (F.col("dup_2gram_frac") <= 0.4)
+        ).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+# floor(0.2 · 2^60): the 20%-rate threshold over the md5-derived 60-bit
+# hash space, inlined identically on both engines
+_SAMPLE_THRESHOLD = (1 << 60) // 5
+
+
+@query(
+    "doc_hash_sample",
+    f"""
+    with h as (
+      select doc_id, lang,
+             ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::bigint as hv
+      from documents
+    )
+    select lang,
+           count(*) as stratum_n,
+           cast(sum(case when hv < {_SAMPLE_THRESHOLD} then 1 else 0 end) as bigint)
+             as sampled_n,
+           min(case when hv < {_SAMPLE_THRESHOLD} then doc_id end) as first_sampled_id,
+           max(case when hv < {_SAMPLE_THRESHOLD} then doc_id end) as last_sampled_id
+    from h
+    group by lang
+    order by lang
+    """,
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible train/val
+    split primitive: a doc is sampled iff md5(doc_id)'s 60-bit prefix
+    falls under floor(rate·2^60). Unlike ``df.sample`` the decision is a
+    pure function of the key — stable across runs, engines, partitionings
+    and cluster sizes, and the complement (1-rate) is exactly the other
+    split. Per-stratum (lang) counts audit the realized rate. One
+    map-side-combined aggregate; no shuffle of document bodies."""
+    docs = _t(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    sampled = F.col("hv") < F.lit(_SAMPLE_THRESHOLD)
+    return (
+        docs.select("doc_id", "lang", hv.alias("hv"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("stratum_n"),
+            F.sum(F.when(sampled, 1).otherwise(0)).alias("sampled_n"),
+            F.min(F.when(sampled, F.col("doc_id"))).alias("first_sampled_id"),
+            F.max(F.when(sampled, F.col("doc_id"))).alias("last_sampled_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+# 5-gram variant of catalog_llm's shingle fragment (same normalize/guard)
+_SHINGLES5 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(words) - 4, 0)), "
+    "i -> array_to_string(list_slice(words, i, i + 4), ' ')))"
+)
+
+
+@query(
+    "doc_decontamination",
+    f"""
+    with docs as (select doc_id, {_WORDS} as words from documents),
+    sets as (select doc_id, {_SHINGLES5} as sh from docs),
+    bench as (
+      select distinct md5(s) as gh
+      from (select unnest(sh) as s from sets where doc_id % 97 = 0)
+    ),
+    corpus as (
+      select doc_id, md5(s) as gh
+      from (select doc_id, unnest(sh) as s from sets where doc_id % 97 != 0)
+    ),
+    hits as (
+      select c.doc_id, count(distinct c.gh) as n_contaminated_grams
+      from corpus c join bench b on c.gh = b.gh
+      group by c.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(h.n_contaminated_grams, 0) as bigint) as n_contaminated_grams,
+           coalesce(h.n_contaminated_grams, 0) > 0 as contaminated
+    from (select doc_id from docs where doc_id % 97 != 0) d
+    left join hits h on d.doc_id = h.doc_id
+    order by d.doc_id
+    """,
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage guard every training
+    corpus needs: flag corpus documents sharing any word 5-gram with the
+    held-out benchmark set (here: doc_id % 97 == 0 stands in for the
+    benchmark suite). The benchmark's distinct gram hashes are a SMALL
+    relation broadcast to the corpus-gram stream, so the corpus side —
+    the 100 TB side — never shuffles its grams for the join; per-doc hit
+    counts then aggregate on doc_id. 16-byte digests flow, never gram
+    text. The n-gram length (5 here; 8-13 in Brown/GPT-3-style decontam)
+    trades recall vs false positives on common phrases."""
+    from idh_etl_demo_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", word_shingles(F.col("text"), 5).alias("sh")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    grams = (
+        sets.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", F.md5("s").alias("gh"))
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_contaminated_grams"))
+    )
+    all_corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    return (
+        all_corpus.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Higher-arity motifs over the near-dup graph
+# ===========================================================================
+
+
+def _quad_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _minhash_cte
+
+    return f"""
+    with {_minhash_cte()}
+    select t.x, t.y, t.z, d.id_b as w
+    from (
+      select a.id_a as x, a.id_b as y, b.id_b as z
+      from cand a
+      join cand b on b.id_a = a.id_b
+      join cand c on c.id_a = a.id_a and c.id_b = b.id_b
+    ) t
+    join cand d on d.id_a = t.z
+    join cand e on e.id_a = t.x and e.id_b = d.id_b
+    join cand f on f.id_a = t.y and f.id_b = d.id_b
+    order by x, y, z, w
+    """
+
+
+@query("doc_dup_4cliques", _quad_sql())
+def doc_dup_4cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-clique enumeration over the near-dup candidate graph — the
+    higher-arity motif beyond ``doc_dup_triangles``: a 4-clique is a
+    fully-templated group (every pair collides), the strongest
+    boilerplate evidence the pair graph can give. Edges follow id_a <
+    id_b, so each clique x<y<z<w is emitted exactly once: a triangle on
+    (x,y,z) extended by a vertex w adjacent to all three. The edge list
+    is localCheckpoint-ed once and joined against itself five times —
+    materialize-then-join, since each join would otherwise re-run the
+    whole MinHash pipeline. Work is bounded by the LSH hot-bucket cap:
+    candidate edges per bucket are ≤ C(64, 2), so clique expansion can't
+    go quadratic on a templated corpus."""
+    from idh_etl_demo_spark.operators.dedup import minhash_lsh_candidates
+
+    cand = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
+    ).localCheckpoint(eager=True)
+    a = cand.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    b = cand.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
+    c = cand.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))
+    tri = a.join(b, "y").join(c, ["x", "z"])
+    d = cand.select(F.col("id_a").alias("z"), F.col("id_b").alias("w"))
+    e = cand.select(F.col("id_a").alias("x"), F.col("id_b").alias("w"))
+    f = cand.select(F.col("id_a").alias("y"), F.col("id_b").alias("w"))
+    return (
+        tri.join(d, "z")
+        .join(e, ["x", "w"])
+        .join(f, ["y", "w"])
+        .select("x", "y", "z", "w")
+        .orderBy("x", "y", "z", "w")
+    )
+
+
+# ===========================================================================
+# Salted interval join (shuffle-join form of promo_period_orders)
+# ===========================================================================
+
+
+@query(
+    "promo_period_orders_salted",
+    """
+    with promos as (
+      select i as promo_id,
+             date '1995-01-01' + (i * 60)::int as p_start,
+             date '1995-01-01' + (i * 60 + 75)::int as p_end
+      from range(0, 40) t(i)
+    )
+    select p.promo_id,
+           count(*) as n_orders,
+           cast(sum(cast(o.o_totalprice as decimal(18,4))) as double) as total_price
+    from promos p
+    join orders o on o.o_orderdate >= p.p_start and o.o_orderdate < p.p_end
+    group by p.promo_id
+    order by promo_id
+    """,
+)
+def promo_period_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED shuffle-join form of ``promo_period_orders`` — the physical
+    rewrite for when the interval side is too large to broadcast and the
+    month buckets are hot (every order in a month lands in ONE reducer
+    for that month's windows). Facts add salt = hash(key) % S to the
+    month bucket; each (window, month) replica explodes across all S
+    salts, so the join key becomes (month, salt) and a hot month spreads
+    over S reducers. The oracle is the plain inequality join — identical
+    results prove the rewrite (bucketing AND salting) is purely
+    physical. Same aggregate as the broadcast variant; the salt never
+    reaches the group-by."""
+    salts = 8
+    promos = spark.range(40).select(
+        F.col("id").alias("promo_id"),
+        F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") * 60).cast("int")).alias("p_start"),
+        F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") * 60 + 75).cast("int")).alias("p_end"),
+    )
+    promo_months = promos.select(
+        "promo_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.trunc("p_start", "MM"),
+                F.trunc(F.date_sub("p_end", 1), "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month"),
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("salt")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        "o_totalprice",
+        F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("month"),
+        F.pmod(F.hash("o_orderkey"), F.lit(salts)).alias("salt"),
+    )
+    joined = (
+        orders.hint("shuffle_hash")
+        .join(promo_months, ["month", "salt"])
+        .filter(
+            (F.col("o_orderdate") >= F.col("p_start"))
+            & (F.col("o_orderdate") < F.col("p_end"))
+        )
+    )
+    from idh_etl_demo_spark.catalog import _dec
+
+    return (
+        joined.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .orderBy("promo_id")
+    )
+
+
+# ===========================================================================
+# Deterministic k-center (farthest-first) seeding for Lloyd iterations
+# ===========================================================================
+
+
+def _kcenter_sql(k: int = 4) -> str:
+    from idh_etl_demo_spark.catalog_llm import _QUANT
+
+    d = (
+        "list_sum(list_transform(generate_series(1, len({a}.v)), "
+        "i -> ({a}.v[i] - {s}.v[i]) * ({a}.v[i] - {s}.v[i])))"
+    )
+    ctes = [
+        f"v as (select vec_id, {_QUANT} as v from embeddings)",
+        "h as (select vec_id, v, ('0x' || substring(md5(cast(vec_id as varchar)), 1, 15))::bigint as hv from v)",
+        "s1 as (select vec_id, v from h order by hv, vec_id limit 1)",
+        f"b1 as (select h.vec_id, h.v, {d.format(a='h', s='s1')} as d from h, s1)",
+    ]
+    selects = [
+        "select cast(1 as int) as seed_rank, vec_id, cast(0 as bigint) as min_dist2 from s1"
+    ]
+    for r in range(2, k + 1):
+        prev_b = f"b{r - 1}"
+        ctes.append(
+            f"s{r} as (select vec_id, v, d from {prev_b} order by d desc, vec_id limit 1)"
+        )
+        if r < k:
+            ctes.append(
+                f"b{r} as (select {prev_b}.vec_id, {prev_b}.v, "
+                f"least({prev_b}.d, {d.format(a=prev_b, s=f's{r}')}) as d "
+                f"from {prev_b}, s{r})"
+            )
+        selects.append(
+            f"select cast({r} as int), vec_id, cast(d as bigint) from s{r}"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n" + "\nunion all ".join(selects)
+        + "\norder by seed_rank"
+    )
+
+
+@query("embedding_kcenter_seeds", _kcenter_sql(4))
+def embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-center (farthest-first / Gonzalez) seeding — the
+    cross-engine-exact stand-in for k-means++/k-means|| initialization
+    feeding ``embedding_kmeans_2iter``: seed 1 is the min-md5 vector (a
+    uniform but reproducible draw), each later seed is the point
+    MAXIMIZING distance to the chosen set (2-approximation for the
+    k-center objective; Gonzalez 1985). Probabilistic D² sampling can't
+    be oracle-gated exactly, so determinism is the honest trade here.
+
+    All integer math on quantized vectors (dist² < 2^53 — exact in both
+    engines), ties broken by vec_id. Shape: each round is one corpus
+    scan + a TakeOrdered top-1 against the broadcast seed set — the same
+    O(k·N) scan/shuffle profile as one k-means|| round. Expressed here
+    as one lazy plan (round r re-derives rounds 1..r-1: fine at k=4); at
+    large k, localCheckpoint each 1-row seed so the chain stays linear
+    in k, exactly like the Lloyd operator's per-iteration truncation."""
+    from idh_etl_demo_spark.catalog_llm import _spark_quant
+
+    def dist2(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _spark_quant(F.col("embedding")).alias("v")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    s1 = (
+        emb.withColumn("hv", hv)
+        .orderBy("hv", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("s_id"), F.col("v").alias("sv"))
+    )
+    base = emb.join(F.broadcast(s1)).select(
+        "vec_id", "v", dist2(F.col("v"), F.col("sv")).alias("d")
+    )
+    out = [
+        s1.select(
+            F.lit(1).alias("seed_rank"),
+            F.col("s_id").alias("vec_id"),
+            F.lit(0).cast("long").alias("min_dist2"),
+        )
+    ]
+    k = 4
+    for r in range(2, k + 1):
+        seed = base.orderBy(F.desc("d"), "vec_id").limit(1)
+        out.append(
+            seed.select(
+                F.lit(r).alias("seed_rank"),
+                "vec_id",
+                F.col("d").alias("min_dist2"),
+            )
+        )
+        if r < k:
+            sv = seed.select(F.col("v").alias(f"sv{r}"))
+            base = base.join(F.broadcast(sv)).select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("d"), dist2(F.col("v"), F.col(f"sv{r}"))
+                ).alias("d"),
+            )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("seed_rank")
