@@ -175,7 +175,12 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
     )
-    base = docs.select("doc_id", toks.alias("toks"))
+    # repartition before tokenizing: projections run in the stage that
+    # produces them, and the documents table may be a single file — see
+    # doc_decontamination's grams_of note
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", toks.alias("toks")
+    )
     n = F.size("toks")
     g2 = F.when(n < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -328,20 +333,33 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from idh_etl_demo_spark.operators.dedup import word_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sets = docs.select(
-        "doc_id", word_shingles(F.col("text"), 5).alias("sh")
-    ).repartition(spark.sparkContext.defaultParallelism)
-    grams = (
-        sets.select("doc_id", F.explode_outer("sh").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .select("doc_id", F.md5("s").alias("gh"))
-    )
-    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
-    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+
+    def grams_of(side):
+        # filter BEFORE shingling: each doc is shingled exactly once, on
+        # exactly one side — a shared post-shingle filter would run the
+        # expensive shingle+explode subtree once per consumer.
+        # Repartition BEFORE the shingle projection: a projection below
+        # the exchange executes in the scan stage (here: one task per
+        # input file), so `select(shingles).repartition(n)` would compute
+        # every shingle single-threaded and only redistribute the arrays
+        # (measured 8x slower at sf0.1's single-file documents table).
+        sets = side.repartition(spark.sparkContext.defaultParallelism).select(
+            "doc_id", word_shingles(F.col("text"), 5).alias("sh")
+        )
+        return (
+            sets.select("doc_id", F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .select("doc_id", F.md5("s").alias("gh"))
+        )
+
+    bench = grams_of(docs.filter(F.col("doc_id") % 97 == 0)).select("gh").distinct()
+    corpus = grams_of(docs.filter(F.col("doc_id") % 97 != 0))
     hits = (
+        # word_shingles is array_distinct per doc, so (doc_id, gh) is
+        # already unique — plain count, no count_distinct expand
         corpus.join(F.broadcast(bench), "gh")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gh").alias("n_contaminated_grams"))
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
     all_corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
     return (

@@ -29,6 +29,23 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort eager release of a localCheckpoint's storage blocks.
+
+    ``DataFrame.unpersist`` goes through the CacheManager and does NOT
+    free checkpoint blocks (verified empirically); the blocks otherwise
+    linger until the driver GCs the RDD reference and the ContextCleaner
+    notices. A fixpoint loop creates one checkpoint per round, so on a
+    real cluster the superseded rounds would pin executor storage memory
+    for an unbounded while. Reaches through the LogicalRDD (internal
+    API) — failure is harmless, the ContextCleaner remains the backstop.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -80,8 +97,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the superseded round's checkpoint blocks pin executor storage
+        # memory until driver GC — release them eagerly (the convergence
+        # count above was the last reader of the old labels)
+        _release_checkpoint(labels)
         labels = proposed
         if changed == 0:
+            _release_checkpoint(bi)
             return labels.select(
                 F.col("node").alias("id"), F.col("label").alias("component")
             )

@@ -38,3 +38,23 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, "src", "dst", max_iterations=1)
+
+
+def test_checkpoints_released(spark):
+    """The fixpoint must not leak its per-round localCheckpoint blocks:
+    only the final labels checkpoint (which the returned DataFrame reads
+    from) may remain in block-manager storage after the result is
+    consumed. DataFrame.unpersist does NOT free checkpoint blocks, so
+    this asserts the internal-RDD release path actually works."""
+    sc = spark.sparkContext
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    # diameter-12 chain → multiple rounds, multiple superseded checkpoints
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    out = connected_components(df, "src", "dst")
+    out.count()
+    after = [r for r in sc._jsc.sc().getRDDStorageInfo() if r.id() not in before]
+    # final labels checkpoint only; every superseded round and the edge
+    # list must have been released eagerly
+    assert len(after) <= 1, [r.name() for r in after]
