@@ -631,3 +631,154 @@ def embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("seed_rank")
+
+
+# ===========================================================================
+# Time-series resampling: spine generation + forward fill (gap-fill)
+# ===========================================================================
+
+
+@query(
+    "events_gap_fill",
+    """
+    with hourly as (
+      select event_type, date_trunc('hour', ts) as h,
+             sum(value) as hourly_value, count(*) as n
+      from events group by event_type, date_trunc('hour', ts)
+    ),
+    bounds as (
+      select event_type, min(h) as h0, max(h) as h1 from hourly group by event_type
+    ),
+    spine as (
+      select event_type, unnest(generate_series(h0, h1, interval '1 hour')) as h
+      from bounds
+    ),
+    joined as (
+      select s.event_type, s.h, hh.hourly_value, hh.n
+      from spine s left join hourly hh using (event_type, h)
+    )
+    select event_type, h as hour_start,
+           last_value(hourly_value ignore nulls) over (
+             partition by event_type order by h
+             rows between unbounded preceding and current row) as filled_value,
+           cast(coalesce(n, 0) as bigint) as n_events,
+           n is null as is_filled
+    from joined
+    order by event_type, hour_start
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (resample + forward fill) — the regularizer
+    every downstream window/forecast step assumes: hours with no events
+    must exist as rows, carrying the last observed value. Three moves:
+    (1) hourly aggregate; (2) a per-key spine of ALL hours between that
+    key's min and max via ``sequence`` + ``explode`` — generated from
+    the per-key bounds row, so spine size is data-independent of the
+    event count; (3) left-join the observations onto the spine and
+    forward-fill with ``last(ignorenulls)`` over an unbounded-preceding
+    frame. One shuffle for the aggregate, one for the spine join, one
+    sort per key for the fill window — the fill never sees raw events,
+    only the (keys x hours) grid, so a 100 TB event table fills through
+    a grid that is only |keys| x |hours| rows."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum("value").alias("hourly_value"), F.count(F.lit(1)).alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    fill_w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        F.last("hourly_value", ignorenulls=True).over(fill_w).alias("filled_value"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_filled"),
+    ).orderBy("event_type", "hour_start")
+
+
+@query(
+    "event_type_transitions",
+    """
+    select prev_type, event_type as next_type, count(*) as n
+    from (
+      select event_type,
+             lag(event_type) over (partition by user_id order by ts, event_id)
+               as prev_type
+      from events
+    )
+    where prev_type is not null
+    group by prev_type, event_type
+    order by prev_type, next_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams —
+    the behavioral-model / anomaly-detection primitive: how often does
+    event type A directly precede B for the same user? ``lag`` over
+    (user, time) pairs each event with its predecessor without
+    self-joining the stream (the naive formulation is an
+    events-to-events join on adjacent ranks); the (ts, event_id) sort
+    key makes simultaneous events deterministic. One shuffle to
+    partition by user, one map-side-combined aggregate over a domain
+    bounded by |event_type|^2 — at 100 TB the output is still tiny."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "orders_rolling_30d",
+    """
+    select o_custkey, o_orderkey, o_orderdate,
+           sum(o_totalprice) over w as revenue_30d,
+           cast(count(*) over w as bigint) as orders_30d
+    from orders
+    where o_custkey % 50 = 0
+    window w as (partition by o_custkey order by o_orderdate
+                 range between interval '30 days' preceding and current row)
+    order by o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def orders_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day revenue per customer — a RANGE frame keyed by time,
+    not row position: the frame holds every order whose date falls in
+    (current - 30 days, current], however many rows that is, which a
+    ROWS frame cannot express when order density varies. One shuffle to
+    partition by customer, one sort serving both window aggregates. The
+    filter keeps the demo output small; the plan is identical without
+    it. At scale the sort is per-customer (no global order), so the
+    window parallelizes across the key space."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    return o.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        """sum(o_totalprice) over (
+             partition by o_custkey order by o_orderdate
+             range between interval 30 days preceding and current row
+           ) as revenue_30d""",
+        """cast(count(*) over (
+             partition by o_custkey order by o_orderdate
+             range between interval 30 days preceding and current row
+           ) as bigint) as orders_30d""",
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
