@@ -69,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_decontamination",
     "doc_dup_4cliques",
     "embedding_kcenter_seeds",
+    "doc_dup_kcore",
     "multimodal_metadata",
     "multimodal_chunks",
     # --- TPC-H / core operator diversity (15 slots; families dropped to

@@ -782,3 +782,64 @@ def orders_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
              range between interval 30 days preceding and current row
            ) as bigint) as orders_30d""",
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# ===========================================================================
+# k-core decomposition over the near-dup candidate graph
+# ===========================================================================
+
+
+def _kcore_sql(k: int = 2, rounds: int = 12) -> str:
+    """Fixed-round peeling oracle: each round recomputes degrees over the
+    surviving edge set and keeps edges whose BOTH endpoints have degree
+    >= k. Peeling is a monotone-shrinking fixpoint, so extra rounds past
+    convergence are no-ops — ``rounds`` here equals the Spark operator's
+    ``max_iterations`` (which raises if the fixpoint needs more), keeping
+    the two engines' semantics aligned rather than hoping they agree."""
+    from idh_etl_demo_spark.catalog_llm import _minhash_cte
+
+    # every e{r} is referenced three times by round r+1 — MATERIALIZED
+    # stops DuckDB's CTE inlining from expanding the chain 3^rounds-fold
+    ctes = ["e0 as materialized (select id_a as a, id_b as b from cand)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} as (select node, count(*) as deg from ("
+            f"select a as node from e{r-1} union all select b as node from e{r-1}"
+            f") group by node)"
+        )
+        ctes.append(f"k{r} as materialized (select node from d{r} where deg >= {k})")
+        ctes.append(
+            f"e{r} as materialized (select e.a, e.b from e{r-1} e "
+            f"join k{r} x on x.node = e.a join k{r} y on y.node = e.b)"
+        )
+    return (
+        f"with {_minhash_cte()}, {', '.join(ctes)}\n"
+        f"select node as id, cast(count(*) as bigint) as degree from ("
+        f"select a as node from e{rounds} union all select b as node from e{rounds}"
+        f") group by node order by id"
+    )
+
+
+@query("doc_dup_kcore", _kcore_sql())
+def doc_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup candidate graph — the triage step between
+    LSH candidate pairs and bulk dedup: nodes surviving the 2-core sit
+    in genuinely interconnected duplicate groups, while nodes peeled
+    away were held in the graph by a single (often spurious) LSH
+    collision. Composes the operator suite: the same edge list feeds
+    ``doc_dup_clusters`` (components), ``doc_dup_triangles`` /
+    ``doc_dup_4cliques`` (motifs), and this peeling fixpoint. See
+    ``operators/graph.py:k_core`` for the per-round scale shape."""
+    from idh_etl_demo_spark.operators.dedup import minhash_lsh_candidates
+    from idh_etl_demo_spark.operators.graph import k_core
+
+    cand = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
+    )
+    return k_core(cand, k=2, src="id_a", dst="id_b", max_iterations=12).orderBy(
+        "id"
+    )

@@ -110,3 +110,72 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 12,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree >= k. Returns ``(id, degree)`` — one row per
+    surviving node with its degree *within the core*.
+
+    Computed by iterative peeling: drop every node with degree < k,
+    recount (removals cascade), repeat to fixpoint. On a near-dup graph
+    the 2-core separates genuine duplicate clusters from incidental
+    single-pair LSH collisions, and higher k isolates boilerplate
+    cliques — the triage step between candidate pairs and bulk removal.
+
+    Scale shape per round: one map-side-combined degree aggregate plus
+    two semi-joins of the edge list against the surviving-node set, all
+    hash-partitioned on node id; one count rides each round for the
+    convergence check (inherent to fixpoints, same as
+    ``connected_components``). localCheckpoint truncates lineage per
+    round and superseded checkpoints are released eagerly.
+
+    Multi-edges and self-loops are normalized away first (least/greatest
+    + distinct), so "degree" means distinct neighbors.
+
+    Raises ``RuntimeError`` if the peeling does not reach a fixpoint in
+    ``max_iterations`` rounds — callers pairing this with a fixed-round
+    oracle need the loud failure, not a silently deeper core.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iterations):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        e2 = e2.localCheckpoint(eager=True)
+        n2 = e2.count()
+        _release_checkpoint(e)
+        e, n_edges, converged = e2, n2, n2 == n_edges
+        if converged:
+            return (
+                e.select(F.col("a").alias("node"))
+                .unionByName(e.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .select(F.col("node").alias("id"), "degree")
+            )
+    raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")

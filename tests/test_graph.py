@@ -58,3 +58,44 @@ def test_checkpoints_released(spark):
     # final labels checkpoint only; every superseded round and the edge
     # list must have been released eagerly
     assert len(after) <= 1, [r.name() for r in after]
+
+
+def test_k_core_peeling_cascade(spark):
+    """Chain 1-2-3-4 hangs off a triangle 4-5-6: the 2-core is exactly the
+    triangle — peeling must cascade (removing 1 drops 2's degree, etc.)."""
+    from idh_etl_demo_spark.operators.graph import k_core
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.degree for r in k_core(df, k=2).collect()}
+    assert got == {4: 2, 5: 2, 6: 2}
+
+
+def test_k_core_whole_graph_survives(spark):
+    from idh_etl_demo_spark.operators.graph import k_core
+
+    # 4-cycle: every node has degree 2 — nothing peels at k=2
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {r.id: r.degree for r in k_core(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_k_core_empty_result(spark):
+    from idh_etl_demo_spark.operators.graph import k_core
+
+    # a tree has no 2-core
+    df = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    assert k_core(df, k=2).count() == 0
+
+
+def test_k_core_normalizes_multi_edges_and_loops(spark):
+    from idh_etl_demo_spark.operators.graph import k_core
+
+    # duplicate edge (both directions) and a self-loop must not inflate
+    # degrees: 1-2 alone is NOT a 2-core even written four ways
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1)], "src long, dst long"
+    )
+    assert k_core(df, k=2).count() == 0
