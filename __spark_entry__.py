@@ -69,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_decontamination",
     "doc_dup_4cliques",
     "embedding_kcenter_seeds",
+    "embedding_kmeans_seeded",
     "doc_dup_kcore",
     "multimodal_metadata",
     "multimodal_chunks",
@@ -88,7 +89,6 @@ DRIVER_PRIORITY: list[str] = [
     "salted_flag_join",
     "two_stage_flag_agg",
     "part_name_fuzzy_pairs",
-    "orderkey_distinct_kmv",
     "customer_dense_ids",
     "promo_period_orders",
 ]

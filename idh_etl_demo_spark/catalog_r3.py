@@ -524,7 +524,10 @@ def promo_period_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _kcenter_sql(k: int = 4) -> str:
+def _kcenter_ctes(k: int = 4) -> list[str]:
+    """CTE chain ending in seed rows ``s1..s{k}`` (each 1 row with
+    columns vec_id, v[, d]) — shared by the kcenter-seeds oracle and the
+    seeded-KMeans oracle."""
     from idh_etl_demo_spark.catalog_llm import _QUANT
 
     d = (
@@ -537,9 +540,6 @@ def _kcenter_sql(k: int = 4) -> str:
         "s1 as (select vec_id, v from h order by hv, vec_id limit 1)",
         f"b1 as (select h.vec_id, h.v, {d.format(a='h', s='s1')} as d from h, s1)",
     ]
-    selects = [
-        "select cast(1 as int) as seed_rank, vec_id, cast(0 as bigint) as min_dist2 from s1"
-    ]
     for r in range(2, k + 1):
         prev_b = f"b{r - 1}"
         ctes.append(
@@ -551,13 +551,80 @@ def _kcenter_sql(k: int = 4) -> str:
                 f"least({prev_b}.d, {d.format(a=prev_b, s=f's{r}')}) as d "
                 f"from {prev_b}, s{r})"
             )
+    return ctes
+
+
+def _kcenter_sql(k: int = 4) -> str:
+    selects = [
+        "select cast(1 as int) as seed_rank, vec_id, cast(0 as bigint) as min_dist2 from s1"
+    ]
+    for r in range(2, k + 1):
         selects.append(
             f"select cast({r} as int), vec_id, cast(d as bigint) from s{r}"
         )
     return (
-        "with " + ",\n".join(ctes) + "\n" + "\nunion all ".join(selects)
+        "with " + ",\n".join(_kcenter_ctes(k)) + "\n"
+        + "\nunion all ".join(selects)
         + "\norder by seed_rank"
     )
+
+
+def _kcenter_seed_frame(vv: DataFrame, k: int = 4) -> DataFrame:
+    """Farthest-first (Gonzalez) chain over ``vv`` (vec_id, v) — returns
+    ``(seed_rank, vec_id, v, min_dist2)``, one row per seed. Shared by
+    the kcenter-seeds entry (which drops v) and seeded KMeans (which
+    uses v as the initial centroids)."""
+
+    def dist2(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    s1 = (
+        vv.withColumn("hv", hv)
+        .orderBy("hv", "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("s_id"), F.col("v").alias("sv"))
+    )
+    base = vv.join(F.broadcast(s1)).select(
+        "vec_id", "v", dist2(F.col("v"), F.col("sv")).alias("d")
+    )
+    out = [
+        s1.select(
+            F.lit(1).alias("seed_rank"),
+            F.col("s_id").alias("vec_id"),
+            F.col("sv").alias("v"),
+            F.lit(0).cast("long").alias("min_dist2"),
+        )
+    ]
+    for r in range(2, k + 1):
+        seed = base.orderBy(F.desc("d"), "vec_id").limit(1)
+        out.append(
+            seed.select(
+                F.lit(r).alias("seed_rank"),
+                "vec_id",
+                "v",
+                F.col("d").alias("min_dist2"),
+            )
+        )
+        if r < k:
+            sv = seed.select(F.col("v").alias(f"sv{r}"))
+            base = base.join(F.broadcast(sv)).select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("d"), dist2(F.col("v"), F.col(f"sv{r}"))
+                ).alias("d"),
+            )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
 
 
 @query("embedding_kcenter_seeds", _kcenter_sql(4))
@@ -579,58 +646,14 @@ def embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     in k, exactly like the Lloyd operator's per-iteration truncation."""
     from idh_etl_demo_spark.catalog_llm import _spark_quant
 
-    def dist2(a: F.Column, b: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    emb = _t(spark, sf_dir, "embeddings").select(
+    vv = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _spark_quant(F.col("embedding")).alias("v")
     )
-    hv = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    s1 = (
-        emb.withColumn("hv", hv)
-        .orderBy("hv", "vec_id")
-        .limit(1)
-        .select(F.col("vec_id").alias("s_id"), F.col("v").alias("sv"))
+    return (
+        _kcenter_seed_frame(vv, 4)
+        .select("seed_rank", "vec_id", "min_dist2")
+        .orderBy("seed_rank")
     )
-    base = emb.join(F.broadcast(s1)).select(
-        "vec_id", "v", dist2(F.col("v"), F.col("sv")).alias("d")
-    )
-    out = [
-        s1.select(
-            F.lit(1).alias("seed_rank"),
-            F.col("s_id").alias("vec_id"),
-            F.lit(0).cast("long").alias("min_dist2"),
-        )
-    ]
-    k = 4
-    for r in range(2, k + 1):
-        seed = base.orderBy(F.desc("d"), "vec_id").limit(1)
-        out.append(
-            seed.select(
-                F.lit(r).alias("seed_rank"),
-                "vec_id",
-                F.col("d").alias("min_dist2"),
-            )
-        )
-        if r < k:
-            sv = seed.select(F.col("v").alias(f"sv{r}"))
-            base = base.join(F.broadcast(sv)).select(
-                "vec_id",
-                "v",
-                F.least(
-                    F.col("d"), dist2(F.col("v"), F.col(f"sv{r}"))
-                ).alias("d"),
-            )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.orderBy("seed_rank")
 
 
 # ===========================================================================
@@ -842,4 +865,99 @@ def doc_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return k_core(cand, k=2, src="id_a", dst="id_b", max_iterations=12).orderBy(
         "id"
+    )
+
+
+# ===========================================================================
+# Composed pipeline: k-center seeding -> fixed-point Lloyd iterations
+# ===========================================================================
+
+
+def _km_seeded_sql(k: int = 4) -> str:
+    """Seeded-KMeans oracle: the kcenter CTE chain supplies the initial
+    centroids, then the same two unrolled fixed-point Lloyd rounds as
+    ``catalog_llm._km_sql`` (integer distances, floor-requantized
+    centroid update — bit-identical across engines)."""
+
+    def dist(vexpr: str, cexpr: str) -> str:
+        return (
+            "list_sum(list_transform(generate_series(1, 64), "
+            f"i -> ({vexpr} - {cexpr}) * ({vexpr} - {cexpr})))"
+        )
+
+    assign = """
+    select vec_id, v, cid as cluster from (
+      select d.vec_id, d.v, d.cid,
+             row_number() over (partition by d.vec_id order by d.dist asc, d.cid asc) as rn
+      from ({d}) d
+    ) where rn = 1
+    """
+    d1 = f"""
+      select vv.vec_id, vv.v, c0.cid, {dist('vv.v[i]', 'c0.cv[i]')} as dist
+      from vv cross join c0
+    """
+    d2 = f"""
+      select a1.vec_id, a1.v, c1.cid, {dist('a1.v[i] * 100', 'c1.cv[i]')} as dist
+      from a1 cross join c1
+    """
+    seeds_union = " union all ".join(
+        f"select vec_id, v from s{r}" for r in range(1, k + 1)
+    )
+    return f"""
+    with {','.join(_kcenter_ctes(k))},
+    vv as (select vec_id, v from v),
+    c0 as (select vec_id as cid, v as cv from ({seeds_union})),
+    a1 as ({assign.format(d=d1)}),
+    upd as (
+      select cluster, p, sum(v[p]) as s, count(*) as n
+      from a1 cross join range(1, 65) t(p)
+      group by cluster, p
+    ),
+    c1 as (
+      select cluster as cid,
+             list(cast(floor(s * 100.0 / n) as bigint) order by p) as cv
+      from upd group by cluster
+    ),
+    a2 as ({assign.format(d=d2)})
+    select a2.vec_id, a2.cluster,
+           count(*) over (partition by a2.cluster) as cluster_size
+    from a2
+    order by vec_id
+    """
+
+
+@query("embedding_kmeans_seeded", _km_seeded_sql())
+def embedding_kmeans_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end clustering pipeline COMPOSITION: deterministic k-center
+    seeding (``embedding_kcenter_seeds``) feeding two fixed-point Lloyd
+    iterations (``operators/kmeans.py``) — seeds that spread across the
+    data beat ``embedding_kmeans_2iter``'s first-k-vectors baseline
+    whenever the first rows happen to sit in one region. The composition
+    stays oracle-exact because both stages are integer-deterministic:
+    the seed chain's argmax ties break on vec_id, the Lloyd argmin ties
+    on centroid id, and the centroid update floors one double division.
+
+    Scale shape: k broadcast-joined corpus scans for seeding (k-means||
+    profile), then per-iteration broadcast-assign + posexplode-update —
+    the corpus never re-partitions by cluster; shuffle volume per
+    iteration is |k|*dim rows per task."""
+    from idh_etl_demo_spark.catalog_llm import _spark_quant
+    from idh_etl_demo_spark.operators.kmeans import CENTROID_GRID, lloyd_iterations
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", _spark_quant(F.col("embedding")).alias("v")
+    )
+    # seeds on the x100 centroid grid; iteration-1 distances scale by
+    # 100^2 uniformly so every argmin matches the raw-seed oracle
+    seeds = _kcenter_seed_frame(vv, 4).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("v"), lambda x: x * CENTROID_GRID).alias("cv"),
+    )
+    a2 = lloyd_iterations(vv, seeds, iterations=2)
+    w = Window.partitionBy("cluster")
+    return (
+        a2.select("vec_id", "cluster")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("vec_id")
     )

@@ -117,6 +117,9 @@ SHUFFLE_BUDGETS = {
     # round's shuffles carry |clusters|·dim-bounded or argmin-combined
     # rows, so the count is linear in iterations, not data.
     "embedding_kmeans_2iter": 6,
+    # same two Lloyd rounds; the kcenter seed chain adds ZERO shuffles
+    # (TakeOrderedAndProject top-1s + broadcast joins only)
+    "embedding_kmeans_seeded": 6,
 }
 
 
