@@ -48,6 +48,9 @@ HEADLINE = [
     "doc_decontamination",
     "promo_period_orders_salted",
     "embedding_kcenter_seeds",
+    "doc_dup_kcore",
+    "embedding_kmeans_seeded",
+    "events_gap_fill",
 ]
 
 
