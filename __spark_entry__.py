@@ -68,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_hash_sample",
     "doc_decontamination",
     "doc_dup_4cliques",
+    "doc_ngram_novelty",
     "embedding_kcenter_seeds",
     "embedding_kmeans_seeded",
     "doc_dup_kcore",
@@ -87,7 +88,6 @@ DRIVER_PRIORITY: list[str] = [
     "event_session_windows",
     "revenue_by_nation_scale",
     "salted_flag_join",
-    "two_stage_flag_agg",
     "part_name_fuzzy_pairs",
     "customer_dense_ids",
     "promo_period_orders",

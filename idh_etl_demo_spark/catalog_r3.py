@@ -961,3 +961,132 @@ def embedding_kmeans_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .orderBy("vec_id")
     )
+
+
+# ===========================================================================
+# Corpus n-gram novelty + cumulative-distinct window re-expression
+# ===========================================================================
+
+
+def _novelty_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _SHINGLES3
+
+    return f"""
+    with docs as (select doc_id, {_WORDS} as words from documents),
+    sets as (select doc_id, {_SHINGLES3} as sh from docs),
+    grams as (
+      select doc_id, md5(s) as gh
+      from (select doc_id, unnest(sh) as s from sets)
+    ),
+    firsts as (select gh, min(doc_id) as first_doc from grams group by gh),
+    per_doc as (
+      select g.doc_id, count(*) as n_grams,
+             sum(case when f.first_doc = g.doc_id then 1 else 0 end) as n_novel
+      from grams g join firsts f on g.gh = f.gh
+      group by g.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(p.n_grams, 0) as bigint) as n_grams,
+           cast(coalesce(p.n_novel, 0) as bigint) as n_novel,
+           case when coalesce(p.n_grams, 0) > 0
+                then cast(p.n_novel as double) / p.n_grams else 0.0
+           end as novelty_frac
+    from (select doc_id from documents) d
+    left join per_doc p on d.doc_id = p.doc_id
+    order by d.doc_id
+    """
+
+
+@query("doc_ngram_novelty", _novelty_sql())
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty — the incremental-crawl signal: what
+    fraction of a document's 3-grams appear for the FIRST time in this
+    document (first = lowest doc_id over the whole corpus)? Re-crawled
+    boilerplate scores near 0, fresh text near 1 — the cheap
+    order-aware complement to pairwise near-dup detection.
+
+    Shape: distinct per-doc shingles explode to (doc, gram-hash) rows;
+    one aggregate finds each gram's first doc; the join back is
+    co-partitioned on the gram hash (the aggregate already shuffled on
+    it), then per-doc counts aggregate on doc_id. Only 16-byte digests
+    shuffle — document text never leaves the scan stage."""
+    from idh_etl_demo_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    )
+    grams = (
+        sets.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select("doc_id", F.md5("s").alias("gh"))
+    )
+    firsts = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.col("n_novel").cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "orders_cumulative_distinct",
+    """
+    select o_custkey, o_orderdate, o_orderkey,
+           count(distinct o_orderpriority) over (
+             partition by o_custkey order by o_orderdate, o_orderkey
+             rows between unbounded preceding and current row
+           ) as distinct_priorities
+    from orders
+    where o_custkey % 50 = 0
+    order by o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def orders_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over an ordered window — an operation
+    Spark's window functions do not support directly (``count(distinct)
+    over`` raises); re-expressed as ``size(collect_set(...))`` over the
+    same running frame, which is semantically identical (a set, sized per
+    row) and keeps the single per-key sort. The state per row is the
+    distinct-value set — bounded by the attribute's cardinality (5
+    priorities here), NOT the row count, so the rewrite carries to any
+    low-cardinality attribute at 100 TB. The oracle runs the native
+    ``count(distinct) over`` DuckDB supports, proving the rewrite."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.size(F.collect_set("o_orderpriority").over(w))
+            .cast("long")
+            .alias("distinct_priorities"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
