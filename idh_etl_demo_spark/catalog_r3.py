@@ -1090,3 +1090,48 @@ def orders_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+# ===========================================================================
+# Mergeable quantile sketch — the scale path for percentiles
+# ===========================================================================
+
+
+@query(
+    "price_percentiles_sketch",
+    """
+    select o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) as q25,
+           quantile_disc(o_totalprice, 0.50) as q50,
+           quantile_disc(o_totalprice, 0.75) as q75,
+           quantile_disc(o_totalprice, 0.95) as q95
+    from orders
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def price_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles via ``percentile_approx`` — the MERGEABLE
+    Greenwald-Khanna sketch that is the 100 TB path for percentiles:
+    partial sketches combine map-side and merge associatively, so the
+    shuffle carries one bounded sketch per (group, task) instead of
+    sorting every row (the exact ``percentile`` used by
+    ``price_percentiles`` needs the full value multiset per group).
+    At production accuracy (10^4) the rank error is n/10^4 with a
+    sketch of ~10^4 entries; here accuracy is INT_MAX, which makes GK
+    degenerate to exact rank selection — discrete (an actual data
+    element, = DuckDB's quantile_disc), which is what lets this entry
+    carry a value-exact oracle while still exercising the sketch
+    aggregation path end to end."""
+    o = _t(spark, sf_dir, "orders")
+    EXACT = 2147483647
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.25, EXACT).alias("q25"),
+            F.percentile_approx("o_totalprice", 0.50, EXACT).alias("q50"),
+            F.percentile_approx("o_totalprice", 0.75, EXACT).alias("q75"),
+            F.percentile_approx("o_totalprice", 0.95, EXACT).alias("q95"),
+        )
+        .orderBy("o_orderpriority")
+    )

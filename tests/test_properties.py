@@ -124,3 +124,18 @@ def test_mode_tiebreak_highest_value(spark, values):
     top = max(freq.values())
     want = max(v for v, c in freq.items() if c == top)  # ties → highest value
     assert got == want
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """At production accuracy A, percentile_approx guarantees rank error
+    <= n/A (Greenwald-Khanna). The sketch path must stay within that
+    bound where the exact path would have sorted everything."""
+    import pyspark.sql.functions as F
+
+    n, acc = 5000, 100
+    vals = [((i * 2654435761) % n) * 1.0 for i in range(n)]  # a permutation
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    for p in (0.25, 0.5, 0.9):
+        got = df.select(F.percentile_approx("x", p, acc)).first()[0]
+        rank = sorted(vals).index(got)
+        assert abs(rank - p * n) <= n / acc + 1, (p, got, rank)

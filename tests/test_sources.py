@@ -85,3 +85,33 @@ def test_date_partition_pruning(spark, tmp_path):
     got = q.count()
     want = ev.filter(F.to_date("ts") == F.lit(one_day)).count()
     assert got == want > 0
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Batches written months apart gain columns; mergeSchema reconciles
+    them into one typed view with nulls for the missing fields — the
+    ingestion reality of any long-lived 100 TB table. (Schema merging is
+    a read option, not a default, because reconciling footers across
+    every file costs planning time at scale — enable it per-read or
+    declare the superset schema explicitly.)"""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).write.parquet(path + "/batch=1")
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, payload string, score double"
+    ).write.parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "payload", "score", "batch"}
+    assert dict(merged.dtypes)["score"] == "double"
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    # the declared-superset alternative: no footer reconciliation pass
+    declared = spark.read.schema(
+        "id long, payload string, score double, batch int"
+    ).parquet(path)
+    assert declared.filter(F.col("score").isNotNull()).count() == 1
