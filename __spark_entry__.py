@@ -69,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_decontamination",
     "doc_dup_4cliques",
     "doc_ngram_novelty",
+    "doc_corpus_curation",
     "embedding_kcenter_seeds",
     "embedding_kmeans_seeded",
     "doc_dup_kcore",
@@ -89,7 +90,6 @@ DRIVER_PRIORITY: list[str] = [
     "revenue_by_nation_scale",
     "salted_flag_join",
     "part_name_fuzzy_pairs",
-    "customer_dense_ids",
     "promo_period_orders",
 ]
 

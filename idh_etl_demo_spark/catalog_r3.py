@@ -170,6 +170,13 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id so the final join is co-partitioned. Nothing is quadratic in
     document length."""
     docs = _t(spark, sf_dir, "documents")
+    return _gopher_frame(spark, docs).orderBy("doc_id")
+
+
+def _gopher_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per doc — shared by the
+    ``doc_gopher_quality`` entry and the curation pipeline's quality
+    stage."""
     from idh_etl_demo_spark.operators.dedup import normalize_text
 
     toks = F.filter(
@@ -233,7 +240,7 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("top_word_ratio") <= 0.2)
             & (F.col("dup_2gram_frac") <= 0.4)
         ).alias("passes_quality"),
-    ).orderBy("doc_id")
+    )
 
 
 # floor(0.2 · 2^60): the 20%-rate threshold over the md5-derived 60-bit
@@ -1134,4 +1141,164 @@ def price_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("o_totalprice", 0.95, EXACT).alias("q95"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ===========================================================================
+# Flagship composition: end-to-end corpus curation
+# ===========================================================================
+
+# keep 90% of surviving docs: floor(0.9 * 2^60) over the 60-bit md5 space
+_CURATION_KEEP_THRESHOLD = (1 << 60) * 9 // 10
+
+
+def _curation_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _NORM, _minhash_cte
+
+    return f"""
+    with recursive {_minhash_cte()},
+    q0 as (select doc_id, list_filter(words, w -> w != '') as toks from docs),
+    qw as (select doc_id, unnest(toks) as word from q0),
+    qf as (select doc_id, word, count(*) as cnt from qw group by doc_id, word),
+    qt as (select doc_id, max(cnt) as top_cnt from qf group by doc_id),
+    qg as (
+      select doc_id, len(toks) as n_tokens,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] || ' ' || toks[i + 1]) as g2
+      from q0
+    ),
+    qual as materialized (
+      select g.doc_id,
+             (g.n_tokens >= 20
+              and (case when g.n_tokens > 0
+                        then cast(coalesce(t.top_cnt, 0) as double) / g.n_tokens
+                        else 0.0 end) <= 0.2
+              and (case when len(g.g2) > 0
+                        then 1.0 - cast(len(list_distinct(g.g2)) as double) / len(g.g2)
+                        else 0.0 end) <= 0.4) as passes
+      from qg g left join qt t on g.doc_id = t.doc_id
+    ),
+    chq as materialized (
+      select d.doc_id, md5({_NORM}) as content_hash
+      from documents d join qual q on q.doc_id = d.doc_id and q.passes
+    ),
+    exact_min as (
+      select content_hash, min(doc_id) as keeper from chq group by content_hash
+    ),
+    exact_surv as materialized (
+      select chq.doc_id from chq
+      join exact_min m on m.content_hash = chq.content_hash
+                      and chq.doc_id = m.keeper
+    ),
+    bi0 as (
+      select id_a as a, id_b as b from cand
+      union
+      select id_b as a, id_a as b from cand
+    ),
+    bi as materialized (
+      select bi0.a, bi0.b from bi0
+      join exact_surv s1 on s1.doc_id = bi0.a
+      join exact_surv s2 on s2.doc_id = bi0.b
+    ),
+    nodes as (select distinct a as id from bi),
+    reach as (
+      select id, id as r from nodes
+      union
+      select bi.a as id, reach.r from bi join reach on reach.id = bi.b
+    ),
+    comp as (select id, min(r) as component from reach group by id),
+    near_dropped as (select id as doc_id from comp where id != component),
+    hv as (
+      select doc_id,
+             ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::bigint as h
+      from documents
+    )
+    select d.doc_id,
+           case when not coalesce(q.passes, false) then 'quality_fail'
+                when e.doc_id is null then 'exact_dup'
+                when nd.doc_id is not null then 'near_dup'
+                when h.h >= {_CURATION_KEEP_THRESHOLD} then 'sampled_out'
+                else 'kept' end as status
+    from (select doc_id from documents) d
+    left join qual q on q.doc_id = d.doc_id
+    left join exact_surv e on e.doc_id = d.doc_id
+    left join near_dropped nd on nd.doc_id = d.doc_id
+    left join hv h on h.doc_id = d.doc_id
+    order by d.doc_id
+    """
+
+
+@query("doc_corpus_curation", _curation_sql())
+def doc_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a training corpus actually runs,
+    as ONE composed plan with per-document drop provenance: (1) Gopher
+    repetition-quality gate; (2) exact dedup among quality passers
+    (md5 of normalized text, keep min doc_id); (3) near-dup removal
+    among exact survivors (MinHash LSH candidates -> connected
+    components -> keep cluster min); (4) deterministic 90% hash
+    sampling of what remains. Every document gets a status —
+    quality_fail / exact_dup / near_dup / sampled_out / kept — so drop
+    decisions are auditable stage by stage (the Observation counters on
+    the LSH caps report what the candidate stage may have missed).
+
+    Composition reuses the exact operators of the standalone entries
+    (``_gopher_frame``, ``exact-dedup`` grouping, LSH + CC), so each
+    stage's scale shape is the one already plan-audited there; the only
+    new work is three semi/left joins on doc_id. The oracle replays all
+    four stages in SQL, components via recursive transitive closure."""
+    from idh_etl_demo_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        normalize_text,
+    )
+    from idh_etl_demo_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+
+    passes = _gopher_frame(spark, docs).select("doc_id", "passes_quality")
+    chq = (
+        docs.repartition(par)
+        .select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash"))
+        .join(passes.filter(F.col("passes_quality")).select("doc_id"), "doc_id")
+    )
+    exact_min = chq.groupBy("content_hash").agg(F.min("doc_id").alias("keeper"))
+    exact_surv = (
+        chq.join(exact_min, "content_hash")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id")
+    )
+
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=12, bands=4, num_partitions=par, max_bucket=64
+    )
+    edges = cand.join(
+        exact_surv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(exact_surv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    cc = connected_components(edges, "id_a", "id_b")
+    near_dropped = (
+        cc.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("near_dropped", F.lit(True))
+    )
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.select("doc_id", hv.alias("h"))
+        .join(passes, "doc_id", "left")
+        .join(exact_surv.withColumn("in_exact", F.lit(True)), "doc_id", "left")
+        .join(near_dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                ~F.coalesce(F.col("passes_quality"), F.lit(False)), "quality_fail"
+            )
+            .when(F.col("in_exact").isNull(), "exact_dup")
+            .when(F.col("near_dropped").isNotNull(), "near_dup")
+            .when(F.col("h") >= _CURATION_KEEP_THRESHOLD, "sampled_out")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
     )

@@ -120,6 +120,12 @@ SHUFFLE_BUDGETS = {
     # same two Lloyd rounds; the kcenter seed chain adds ZERO shuffles
     # (TakeOrderedAndProject top-1s + broadcast joins only)
     "embedding_kmeans_seeded": 6,
+    # four composed stages, each already individually plan-audited:
+    # gopher quality (word-freq agg + bigram agg join), exact-dedup
+    # grouping, LSH banding chain, and the status assembly joins on
+    # doc_id. The CC fixpoint's per-round shuffles happen inside the
+    # operator's checkpointed loop and are not part of this static plan.
+    "doc_corpus_curation": 14,
 }
 
 
