@@ -1302,3 +1302,139 @@ def doc_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Modern Spark 4 SQL surface: VARIANT, LATERAL, recursive CTEs
+# ===========================================================================
+
+
+@query(
+    "event_props_variant",
+    """
+    select event_type,
+           count(*) as n,
+           cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) as sum_k,
+           cast(max(cast(json_extract(props, '$.k') as bigint)) as bigint) as max_k
+    from events
+    group by event_type
+    order by event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via the VARIANT type (Spark 4 / open
+    lakehouse spec): ``parse_json`` once into a binary-encoded variant,
+    ``variant_get`` with typed paths after — unlike the string-typed
+    ``get_json_object`` path this parses each payload ONCE however many
+    fields are read, and unlike ``from_json`` it needs no schema
+    up front. At 100 TB variant columns additionally shred into parquet
+    sub-columns for pruning. Companion to ``event_props_map`` (map type:
+    uniform value types) — variant is the answer when value types vary
+    by key. The aggregate itself is one map-side-combined shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "top2_orders_lateral",
+    """
+    select c.o_custkey, l.o_orderkey, l.o_totalprice
+    from (select distinct o_custkey from orders where o_custkey % 100 = 0) c,
+    lateral (
+      select o_orderkey, o_totalprice from orders o
+      where o.o_custkey = c.o_custkey
+      order by o_totalprice desc, o_orderkey
+      limit 2
+    ) l
+    order by c.o_custkey, l.o_totalprice desc, l.o_orderkey
+    """,
+)
+def top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.4+ SQL): per-customer top-2
+    orders expressed as the per-row subquery a SQL user writes, with
+    Catalyst DECORRELATING it into the same ranked-window/join plan the
+    DataFrame formulation produces — per-row re-execution (the naive
+    reading of lateral) never happens. The point of the entry is exactly
+    that equivalence: lateral is surface syntax, not an execution
+    strategy, so it scales like the window it decorrelates to."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        select c.o_custkey, l.o_orderkey, l.o_totalprice
+        from (select distinct o_custkey from orders_lat where o_custkey % 100 = 0) c,
+        lateral (
+          select o_orderkey, o_totalprice from orders_lat o
+          where o.o_custkey = c.o_custkey
+          order by o_totalprice desc, o_orderkey
+          limit 2
+        ) l
+        order by c.o_custkey, l.o_totalprice desc, l.o_orderkey
+        """
+    )
+
+
+@query(
+    "daily_order_spine_recursive",
+    """
+    with recursive days(d) as (
+      select date '1995-01-01'
+      union all
+      select d + interval 1 day from days where d < date '1995-03-31'
+    ),
+    daily as (
+      select cast(o_orderdate as date) as d, count(*) as n_orders
+      from orders
+      where o_orderdate >= timestamp '1995-01-01'
+        and o_orderdate < timestamp '1995-04-01'
+      group by cast(o_orderdate as date)
+    )
+    select cast(days.d as timestamp) as day,
+           cast(coalesce(daily.n_orders, 0) as bigint) as n_orders,
+           daily.d is null as is_empty
+    from days left join daily on daily.d = days.d
+    order by day
+    """,
+)
+def daily_order_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation with a RECURSIVE CTE (Spark 4 SQL) —
+    the other spine idiom next to ``events_gap_fill``'s
+    sequence+explode: recursion expresses open-ended generation (walk
+    until a condition) where sequence needs the bounds up front. Both
+    engines run the same recursive SQL; the spine left-joins daily
+    order counts so days with zero orders surface as real rows — the
+    property every daily-reporting join needs and a bare GROUP BY
+    cannot provide."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        with recursive days(d) as (
+          select date '1995-01-01'
+          union all
+          select d + interval 1 day from days where d < date '1995-03-31'
+        ),
+        daily as (
+          select cast(o_orderdate as date) as d, count(*) as n_orders
+          from orders_rec
+          where o_orderdate >= timestamp '1995-01-01'
+            and o_orderdate < timestamp '1995-04-01'
+          group by cast(o_orderdate as date)
+        )
+        select cast(days.d as timestamp) as day,
+               coalesce(daily.n_orders, 0) as n_orders,
+               daily.d is null as is_empty
+        from days left join daily on daily.d = days.d
+        order by day
+        """
+    )
