@@ -51,6 +51,8 @@ HEADLINE = [
     "doc_dup_kcore",
     "embedding_kmeans_seeded",
     "events_gap_fill",
+    "doc_ngram_novelty",
+    "doc_corpus_curation",
 ]
 
 

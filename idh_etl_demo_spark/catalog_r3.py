@@ -1255,17 +1255,32 @@ def doc_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
 
-    passes = _gopher_frame(spark, docs).select("doc_id", "passes_quality")
+    # persist (lazily) for two reasons, both load-bearing:
+    # 1. the verdict table is consumed twice (exact-dedup gate + final
+    #    status join) — without a materialization point each consumer
+    #    re-runs the whole gopher subtree;
+    # 2. a filter on the derived boolean must NOT push below the bigram
+    #    projection: Catalyst inlines the tokenization expression into
+    #    the pushed predicate's array lambdas, re-tokenizing the text
+    #    PER ARRAY ELEMENT — measured 20x slower at sf0.1. The cache
+    #    boundary stops that rewrite; at 100 TB this per-doc-bit table
+    #    is the cheapest thing in the pipeline to materialize.
+    passes = (
+        _gopher_frame(spark, docs).select("doc_id", "passes_quality").persist()
+    )
     chq = (
         docs.repartition(par)
         .select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash"))
         .join(passes.filter(F.col("passes_quality")).select("doc_id"), "doc_id")
     )
     exact_min = chq.groupBy("content_hash").agg(F.min("doc_id").alias("keeper"))
+    # consumed three times (two semi-joins on the edge list + the final
+    # status join) — same materialize-the-small-verdict-table reasoning
     exact_surv = (
         chq.join(exact_min, "content_hash")
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id")
+        .persist()
     )
 
     cand = minhash_lsh_candidates(
