@@ -1453,3 +1453,53 @@ def daily_order_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by day
         """
     )
+
+
+@query(
+    "order_window_bounds",
+    """
+    select o_custkey, o_orderkey,
+           first_value(o_orderkey) over w as cheapest_orderkey,
+           last_value(o_orderkey) over (
+             partition by o_custkey order by o_totalprice asc, o_orderkey asc
+             rows between unbounded preceding and unbounded following
+           ) as priciest_orderkey,
+           nth_value(o_orderkey, 2) over (
+             partition by o_custkey order by o_totalprice asc, o_orderkey asc
+             rows between unbounded preceding and unbounded following
+           ) as second_cheapest_orderkey
+    from orders
+    where o_custkey % 50 = 0
+    window w as (partition by o_custkey order by o_totalprice asc, o_orderkey asc)
+    order by o_custkey, o_totalprice asc, o_orderkey
+    """,
+)
+def order_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-boundary window functions — first_value / last_value /
+    nth_value — completing the analytic surface next to
+    ``order_window_suite``'s rank family. The classic correctness trap
+    is exercised deliberately: ``last_value`` (and ``nth_value`` for a
+    row before the nth) over the DEFAULT frame (unbounded preceding →
+    CURRENT ROW) sees only the frame so far, so both need an explicit
+    unbounded-following frame to mean "per-partition extreme". All
+    three functions share one partition sort; one shuffle total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    asc = (F.asc("o_totalprice"), F.asc("o_orderkey"))
+    w_default = Window.partitionBy("o_custkey").orderBy(*asc)
+    w_full = w_default.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w_default).alias("cheapest_orderkey"),
+            F.last("o_orderkey").over(w_full).alias("priciest_orderkey"),
+            F.nth_value("o_orderkey", 2)
+            .over(w_full)
+            .alias("second_cheapest_orderkey"),
+            "o_totalprice",
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+        .drop("o_totalprice")
+    )
