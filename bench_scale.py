@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from idh_etl_demo_spark.session import get_spark
 from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
+import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -40,6 +41,9 @@ PROBES = [
     "doc_exact_dedup",
     "doc_minhash_candidates",
     "user_sessions",
+    # the 4-stage curation composition: quality agg + exact dedup +
+    # LSH + CC fixpoint — the flagship's scaling is the suite's scaling
+    "doc_corpus_curation",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities
