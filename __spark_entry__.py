@@ -45,6 +45,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_ngram_jaccard",
     "doc_simhash",
     "doc_simhash_neardup",
+    "doc_simhash60_neardup",
     "doc_dup_clusters",
     "doc_dup_triangles",
     # --- LLM pipeline: similarity / embeddings ---
@@ -90,7 +91,6 @@ DRIVER_PRIORITY: list[str] = [
     "revenue_by_nation_scale",
     "salted_flag_join",
     "part_name_fuzzy_pairs",
-    "promo_period_orders",
 ]
 
 

@@ -1503,3 +1503,40 @@ def order_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "o_totalprice", "o_orderkey")
         .drop("o_totalprice")
     )
+
+
+def _simhash60_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _simhash_cte
+
+    return f"""
+    with {_simhash_cte(bits=60)}
+    select a.doc_id as id_a, b.doc_id as id_b,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from sims a join sims b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 5
+    order by id_a, id_b
+    """
+
+
+@query("doc_simhash60_neardup", _simhash60_sql())
+def doc_simhash60_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Manku-style CORPUS-SCALE SimHash configuration made real —
+    60 bits (the md5-token-hash width) / 6 blocks, complete for Hamming
+    distance <= 5, versus ``doc_simhash_neardup``'s 32/4 demo config:
+    10-bit blocks give 1024 bucket values, so bucket occupancy (the
+    Σ B²/2 pair-expansion cost AND the hot-bucket tail) shrinks ~4x
+    while the detection radius more than doubles. Same pigeonhole
+    banding operator, same independent brute-force oracle proving the
+    banding at this width loses nothing. The fingerprint projection
+    costs 60 bit-majority lambdas per doc — linear, codegen'd, and paid
+    once per corpus scan; bucket cardinality is what buys the scale."""
+    from idh_etl_demo_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=60,
+        blocks=6,
+        max_hamming=5,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=256,
+    ).orderBy("id_a", "id_b")
