@@ -8,6 +8,7 @@ import io
 from idh_etl_demo_spark.session import get_spark
 from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
+import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -18,6 +19,8 @@ PICKS = {
     "ztm_delay_fact": "the five-way star join of the DelayFact builder: five broadcasts incl. the computed weather key",
     "doc_minhash_candidates": "signature projection → single shuffle on band keys → in-bucket pair expansion",
     "revenue_by_nation_scale": "100 TB shape: lineitem pre-aggregated by orderkey BEFORE the joins; agg partitioning reused by the join (only orders/customer shuffle); nation/region broadcast",
+    "doc_corpus_curation": "the 4-stage curation composition: quality + exact-dedup verdict tables cached (InMemoryRelation), LSH banding once, status assembly as doc_id joins",
+    "doc_simhash60_neardup": "corpus-scale simhash config: one fingerprint projection, one shuffle on (block, value), in-bucket pair expansion",
 }
 
 
