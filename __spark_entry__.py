@@ -89,7 +89,6 @@ DRIVER_PRIORITY: list[str] = [
     "event_funnel",
     "event_session_windows",
     "revenue_by_nation_scale",
-    "salted_flag_join",
     "part_name_fuzzy_pairs",
 ]
 
