@@ -1540,3 +1540,86 @@ def doc_simhash60_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=spark.sparkContext.defaultParallelism,
         max_bucket=256,
     ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# Cohort retention — the canonical product-analytics matrix
+# ===========================================================================
+
+
+@query(
+    "user_weekly_retention",
+    """
+    with firsts as (
+      select user_id, min(date_trunc('week', ts)) as cohort_week
+      from events group by user_id
+    ),
+    activity as (
+      select distinct user_id, date_trunc('week', ts) as active_week
+      from events
+    ),
+    cohort_sizes as (
+      select cohort_week, count(*) as cohort_n from firsts group by cohort_week
+    ),
+    cells as (
+      select f.cohort_week,
+             cast(datediff('week', f.cohort_week, a.active_week) as bigint) as week_offset,
+             count(*) as active_n
+      from firsts f join activity a on a.user_id = f.user_id
+      group by f.cohort_week, datediff('week', f.cohort_week, a.active_week)
+    )
+    select cast(c.cohort_week as timestamp) as cohort_week,
+           c.week_offset,
+           cast(s.cohort_n as bigint) as cohort_n,
+           cast(c.active_n as bigint) as active_n,
+           cast(c.active_n as double) / s.cohort_n as retention
+    from cells c join cohort_sizes s on s.cohort_week = c.cohort_week
+    order by cohort_week, week_offset
+    """,
+)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics matrix:
+    users grouped by first-active week, each cell = the fraction still
+    active k weeks later. Three aggregates (first week per user,
+    distinct active weeks, cohort sizes) and one join, all
+    hash-partitioned on user_id or cohort_week with map-side combine —
+    at 100 TB the matrix is |weeks|² cells however many events flow in.
+    Week arithmetic sticks to date_trunc + floor-datediff so both
+    engines bucket identically (Monday-start ISO weeks)."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("active_week")).distinct()
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    cells = (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_n"))
+    )
+    return (
+        cells.join(cohort_sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_n",
+            "active_n",
+            (F.col("active_n").cast("double") / F.col("cohort_n")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
