@@ -130,6 +130,10 @@ SHUFFLE_BUDGETS = {
     # CONSUMER in explain output, but at runtime each is computed once
     # and served from cache — the real shuffle count is ~14.
     "doc_corpus_curation": 30,
+    # three user-keyed aggregates (first week, distinct weeks, cohort
+    # sizes) + the cells aggregate + two joins + ordering; every shuffle
+    # carries aggregated rows, volume bounded by |users| then |weeks|^2
+    "user_weekly_retention": 6,
 }
 
 
