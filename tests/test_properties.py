@@ -139,3 +139,98 @@ def test_percentile_approx_rank_error_bound(spark):
         got = df.select(F.percentile_approx("x", p, acc)).first()[0]
         rank = sorted(vals).index(got)
         assert abs(rank - p * n) <= n / acc + 1, (p, got, rank)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 3),
+)
+def test_k_core_matches_python_peeling(spark, edges, k):
+    from idh_etl_demo_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.degree for r in k_core(df, k=k, max_iterations=40).collect()}
+
+    # pure-python reference: normalize, then peel to fixpoint
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es2 = {(a, b) for a, b in es if a in keep and b in keep}
+        if es2 == es:
+            break
+        es = es2
+    want: dict[int, int] = {}
+    for a, b in es:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400_000)),  # (key, minutes)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_gap_fill_spine_is_dense_and_filled(spark, rows):
+    """Structural properties of the gap-fill shape: per key the hour
+    spine is contiguous min..max, observed hours keep their value, and
+    every filled row carries the most recent earlier observation."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), 1.0) for k, m in rows],
+        "k int, ts timestamp, value double",
+    )
+    hourly = df.groupBy(
+        "k", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    bounds = hourly.groupBy("k").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        "k",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w = Window.partitionBy("k").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        spine.join(hourly, ["k", "h"], "left")
+        .select(
+            "k",
+            "h",
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+            F.col("n").isNull().alias("is_filled"),
+        )
+        .orderBy("k", "h")
+        .collect()
+    )
+    per_key: dict[int, list] = {}
+    for r in out:
+        per_key.setdefault(r.k, []).append(r)
+    for k, rs in per_key.items():
+        hours = [r.h for r in rs]
+        assert hours == sorted(hours)
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600  # dense spine
+        assert rs[0].is_filled is False  # spine starts at an observation
+        last_seen = None
+        for r in rs:
+            if not r.is_filled:
+                last_seen = r.filled
+            else:
+                assert r.filled == last_seen  # forward fill carries last
