@@ -54,6 +54,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ann_hyperplane",
     "embedding_ann_ivf",
     "embedding_near_dup",
+    "embedding_dup_clusters",
     "embedding_centroid_by_label",
     "embedding_kmeans_2iter",
     # --- LLM pipeline: text analysis / sketches / multimodal ---
@@ -83,7 +84,6 @@ DRIVER_PRIORITY: list[str] = [
     # sketches by doc_bottomk_sketch) ---
     "pricing_summary",
     "merge_new_customers",
-    "expression_key_join",
     "weather_classify_events",
     "time_dim_from_events",
     "event_funnel",

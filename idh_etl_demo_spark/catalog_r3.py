@@ -1623,3 +1623,126 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ===========================================================================
+# Embedding near-dup clusters — the graph suite on the vector modality
+# ===========================================================================
+
+
+def _emb_clusters_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _QUANT, _sql_neardup_tables
+
+    cos = (
+        "list_dot_product(a.v, c.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    # 0.30 (vs embedding_near_dup's 0.45): the synthetic corpus has no
+    # >=0.45 LSH-surviving pair below sf0.1, and a 0-row driver gate
+    # would prove nothing about the clustering; at 0.30 the 4x12-bit
+    # tables surface pairs at every test SF
+    return f"""
+    with recursive vv as (select vec_id, {_QUANT} as v from embeddings),
+    keys as ({_sql_neardup_tables()}),
+    pairs as (
+      select distinct a.vec_id as id_a, c.vec_id as id_b
+      from keys a join keys c on a.tbl = c.tbl and a.bucket = c.bucket
+      where a.vec_id < c.vec_id
+    ),
+    sim as materialized (
+      select id_a, id_b
+      from pairs join vv a on id_a = a.vec_id join vv c on id_b = c.vec_id
+      where {cos} >= 0.30
+    ),
+    bi as (
+      select id_a as x, id_b as y from sim
+      union
+      select id_b as x, id_a as y from sim
+    ),
+    nodes as (select distinct x as id from bi),
+    reach as (
+      select id, id as r from nodes
+      union
+      select bi.x as id, reach.r from bi join reach on reach.id = bi.y
+    ),
+    comp as (select id, min(r) as component from reach group by id)
+    select id as vec_id, component as cluster_id,
+           count(*) over (partition by component) as cluster_size,
+           (id = component) as keep
+    from comp
+    order by cluster_id, vec_id
+    """
+
+
+@query("embedding_dup_clusters", _emb_clusters_sql())
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS on the EMBEDDING modality — the same
+    candidates → transitive-closure → canonical-select pipeline as
+    ``doc_dup_clusters``, but the candidate stage is multi-table
+    hyperplane LSH + exact cosine (``embedding_near_dup``) instead of
+    MinHash: semantic near-dups that exact text hashing can't see. The
+    connected-components operator is modality-agnostic (any edge list),
+    which is exactly the argument for keeping clustering a separate
+    composable operator rather than baking it into either candidate
+    generator."""
+    from idh_etl_demo_spark.catalog_llm import (
+        _NEARDUP_PLANES,
+        _NEARDUP_TABLES,
+        _spark_quant,
+    )
+    from idh_etl_demo_spark.operators.graph import connected_components
+    from idh_etl_demo_spark.operators.similarity import hyperplane_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v")
+    )
+    keys = vv.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col("v"), _NEARDUP_PLANES[t]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(_NEARDUP_TABLES)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", F.col("k.tbl").alias("tbl"), F.col("k.bucket").alias("bucket"))
+    pairs = (
+        keys.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+        .join(keys.select(F.col("vec_id").alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vc = vv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vc"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, d: acc + d.cast("double"),
+    )
+    cosine = dot(F.col("va"), F.col("vc")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vc"), F.col("vc")))
+    )
+    cand = (
+        pairs.join(va, "id_a")
+        .join(vc, "id_b")
+        .filter(cosine >= 0.30)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(cand, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("id").alias("vec_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("cluster_id", "vec_id")
+    )
