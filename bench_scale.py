@@ -44,6 +44,9 @@ PROBES = [
     # the 4-stage curation composition: quality agg + exact dedup +
     # LSH + CC fixpoint — the flagship's scaling is the suite's scaling
     "doc_corpus_curation",
+    # pigeonhole banding: bucket-occupancy is the scale lever; a hot
+    # bucket shows up here as a super-linear ratio before it hurts prod
+    "doc_simhash_neardup",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities
