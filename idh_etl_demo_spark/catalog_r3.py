@@ -1746,3 +1746,68 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
         .orderBy("cluster_id", "vec_id")
     )
+
+
+# ===========================================================================
+# Relational division ("for all") + year-over-year growth
+# ===========================================================================
+
+
+@query(
+    "suppliers_full_type_coverage",
+    """
+    with target_types as (
+      select distinct p.p_type from part p where p.p_size = 1
+    ),
+    supplier_types as (
+      select distinct s.s_suppkey, p.p_type
+      from supplier s
+      join part p on p.p_partkey % 100 = s.s_suppkey % 100
+      join target_types t on t.p_type = p.p_type
+    ),
+    n_target as (select count(*) as n from target_types)
+    select st.s_suppkey,
+           cast(count(*) as bigint) as types_covered
+    from supplier_types st
+    group by st.s_suppkey
+    having count(*) = (select n from n_target)
+    order by st.s_suppkey
+    """,
+)
+def suppliers_full_type_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION — the "for all" query class (suppliers whose
+    assortment covers EVERY size-1 part type): no direct operator in
+    either engine, re-expressed as the standard count-match rewrite —
+    distinct (supplier, type) pairs restricted to the divisor set, then
+    ``having count = |divisor|``. The naive formulation is a NOT EXISTS
+    of a NOT EXISTS (doubly-correlated); the count rewrite is one
+    aggregate over a semi-joined pair set and scales as a hash-agg on
+    the dividend. The divisor cardinality rides along as a broadcast
+    scalar subquery. (The supplier↔part link uses the synthetic
+    key-mod relation, as other TPC-H-ish entries here do.)"""
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    target = part.filter(F.col("p_size") == 1).select("p_type").distinct()
+    pairs = (
+        supplier.select("s_suppkey", (F.col("s_suppkey") % 100).alias("m"))
+        .join(
+            part.select("p_type", (F.col("p_partkey") % 100).alias("m")).join(
+                F.broadcast(target), "p_type"
+            ),
+            "m",
+        )
+        .select("s_suppkey", "p_type")
+        .distinct()
+    )
+    # divisor cardinality as a LAZY broadcast 1-row join (a .count()
+    # here would run a job at plan-build, breaking the repo's
+    # action-free-builders rule) — mirrors the oracle's scalar subquery
+    n_target = target.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pairs.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("types_covered"))
+        .join(F.broadcast(n_target))
+        .filter(F.col("types_covered") == F.col("__n"))
+        .select("s_suppkey", "types_covered")
+        .orderBy("s_suppkey")
+    )

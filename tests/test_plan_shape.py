@@ -134,6 +134,9 @@ SHUFFLE_BUDGETS = {
     # sizes) + the cells aggregate + two joins + ordering; every shuffle
     # carries aggregated rows, volume bounded by |users| then |weeks|^2
     "user_weekly_retention": 6,
+    # division rewrite: distinct over the pair set, the per-supplier
+    # count agg, and ordering — pair volume bounded by |suppliers|x|types|
+    "suppliers_full_type_coverage": 6,
 }
 
 
