@@ -1811,3 +1811,58 @@ def suppliers_full_type_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "types_covered")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "priority_yearly_growth",
+    """
+    with yearly as (
+      select o_orderpriority,
+             cast(year(o_orderdate) as bigint) as yr,
+             cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue
+      from orders
+      group by o_orderpriority, year(o_orderdate)
+    )
+    select o_orderpriority, yr, revenue,
+           lag(revenue) over w as prev_revenue,
+           case when lag(revenue) over w is not null and lag(revenue) over w != 0
+                then (revenue - lag(revenue) over w) / lag(revenue) over w
+           end as yoy_growth
+    from yearly
+    window w as (partition by o_orderpriority order by yr)
+    order by o_orderpriority, yr
+    """,
+)
+def priority_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth — the reporting staple: yearly revenue per
+    priority band, each row carrying last year's figure (lag) and the
+    relative delta. Sums are decimal-exact before the double division so
+    both engines produce identical ratios (float SUM order would differ;
+    decimal addition is associative). First year's growth is NULL, not
+    zero — absence of a baseline is not 0% growth. One aggregate + one
+    per-key window sort; the yearly table is |priorities|x|years| rows,
+    so the window stage is trivial at any corpus size."""
+    from idh_etl_demo_spark.catalog import _dec
+
+    o = _t(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy(
+            "o_orderpriority", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .agg(F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.select(
+            "o_orderpriority",
+            "yr",
+            "revenue",
+            prev.alias("prev_revenue"),
+            F.when(
+                prev.isNotNull() & (prev != 0),
+                (F.col("revenue") - prev) / prev,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("o_orderpriority", "yr")
+    )
