@@ -1866,3 +1866,77 @@ def priority_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "yr")
     )
+
+
+# ===========================================================================
+# Hourly volume anomaly detection (exact z-scores from integer sums)
+# ===========================================================================
+
+
+@query(
+    "events_hourly_anomalies",
+    """
+    with hourly as (
+      select event_type, date_trunc('hour', ts) as h,
+             count(*) as n
+      from events group by event_type, date_trunc('hour', ts)
+    ),
+    stats as (
+      select event_type,
+             count(*) as n_hours,
+             sum(n) as s,
+             sum(n * n) as ss
+      from hourly group by event_type
+    )
+    select h.event_type, h.h as hour_start, cast(h.n as bigint) as n_events,
+           cast(s.s as double) / s.n_hours as mean_n,
+           (cast(s.ss as double) - cast(s.s as double) * s.s / s.n_hours)
+             / (s.n_hours - 1) as var_n,
+           (h.n - cast(s.s as double) / s.n_hours)
+             / sqrt((cast(s.ss as double) - cast(s.s as double) * s.s / s.n_hours)
+                    / (s.n_hours - 1)) as zscore,
+           abs(h.n - cast(s.s as double) / s.n_hours)
+             > 3 * sqrt((cast(s.ss as double) - cast(s.s as double) * s.s / s.n_hours)
+                        / (s.n_hours - 1)) as is_anomaly
+    from hourly h join stats s on s.event_type = h.event_type
+    where s.n_hours > 1
+    order by h.event_type, hour_start
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection — flag hours whose event count sits more
+    than 3σ from that type's mean. The determinism trick: mean and
+    variance come from INTEGER sums (Σn, Σn²) via the explicit
+    shortcut formula, not the engine's ``stddev`` (whose streaming
+    update order varies) — integer sums are exact in both engines, so
+    every double that follows is bit-identical. Two aggregates sharing
+    the (event_type, hour) then (event_type) keys; the stats table is
+    |types| rows, broadcast back onto the hourly grid."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_hours")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats.filter(F.col("n_hours") > 1)), "event_type")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.col("n").alias("n_events"),
+            mean.alias("mean_n"),
+            var.alias("var_n"),
+            z.alias("zscore"),
+            (F.abs(F.col("n") - mean) > 3 * F.sqrt(var)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
