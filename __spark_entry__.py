@@ -75,6 +75,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_kcenter_seeds",
     "embedding_kmeans_seeded",
     "doc_dup_kcore",
+    "doc_lsh_audit",
     "multimodal_metadata",
     "multimodal_chunks",
     # --- TPC-H / core operator diversity (15 slots; families dropped to
@@ -84,7 +85,6 @@ DRIVER_PRIORITY: list[str] = [
     # sketches by doc_bottomk_sketch) ---
     "pricing_summary",
     "merge_new_customers",
-    "weather_classify_events",
     "time_dim_from_events",
     "event_funnel",
     "event_session_windows",

@@ -1940,3 +1940,112 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+# ===========================================================================
+# Candidate-generator quality audit: LSH precision/recall vs exact truth
+# ===========================================================================
+
+
+def _lsh_audit_sql(threshold: float = 0.5) -> str:
+    from idh_etl_demo_spark.catalog_llm import _SHINGLES3, _minhash_cte
+
+    return f"""
+    with {_minhash_cte()},
+    sh as (select doc_id, sh as shset from (select doc_id, {_SHINGLES3} as sh from docs) t),
+    sizes as (select doc_id, len(shset) as sz from sh),
+    pairs as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
+      from (select doc_id, unnest(shset) as s from sh) a
+      join (select doc_id, unnest(shset) as s from sh) b
+        on a.s = b.s and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    ),
+    truth as materialized (
+      select p.id_a, p.id_b
+      from pairs p
+      join sizes x on x.doc_id = p.id_a
+      join sizes y on y.doc_id = p.id_b
+      where cast(p.inter as double) / (x.sz + y.sz - p.inter) >= {threshold}
+    ),
+    cands as materialized (select id_a, id_b from cand),
+    hits as (select * from cands intersect select * from truth)
+    select cast((select count(*) from truth) as bigint) as n_truth,
+           cast((select count(*) from cands) as bigint) as n_candidates,
+           cast((select count(*) from hits) as bigint) as n_hits,
+           case when (select count(*) from cands) > 0
+                then cast((select count(*) from hits) as double)
+                     / (select count(*) from cands) end as precision,
+           case when (select count(*) from truth) > 0
+                then cast((select count(*) from hits) as double)
+                     / (select count(*) from truth) end as recall
+    """
+
+
+@query("doc_lsh_audit", _lsh_audit_sql())
+def doc_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator QUALITY AUDIT — the evaluation loop every
+    production dedup pipeline needs: MinHash-LSH candidate pairs scored
+    against exact 3-gram-Jaccard ground truth (threshold 0.5) as one
+    (n_truth, n_candidates, n_hits, precision, recall) row. Ground
+    truth needs no N² scan: only pairs sharing at least one shingle can
+    have Jaccard > 0, so the truth set comes from a shingle equi-join +
+    per-pair intersection counts against per-doc set sizes — the same
+    group-by-join shape as the candidate generator itself. At 100 TB
+    you run this audit on a sampled slice (the doc_hash_sample
+    primitive) and tune bands/rows until recall clears your bar; the
+    ratios are exact-integer divisions, deterministic in both engines."""
+    from idh_etl_demo_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shset")
+    )
+    sizes = sh.select("doc_id", F.size("shset").alias("sz"))
+    expl = sh.select("doc_id", F.explode("shset").alias("s"))
+    pairs = (
+        expl.select(F.col("doc_id").alias("id_a"), "s")
+        .join(expl.select(F.col("doc_id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("sz", "sza")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("sz", "szb")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=12, bands=4, num_partitions=par, max_bucket=64
+    )
+    hits = cands.intersect(truth)
+    agg = lambda df, name: df.agg(F.count(F.lit(1)).alias(name))  # noqa: E731
+    return (
+        agg(truth, "n_truth")
+        .join(agg(cands, "n_candidates"))
+        .join(agg(hits, "n_hits"))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double") / F.col("n_candidates"),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hits").cast("double") / F.col("n_truth"),
+            ).alias("recall"),
+        )
+    )

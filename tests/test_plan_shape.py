@@ -137,6 +137,10 @@ SHUFFLE_BUDGETS = {
     # division rewrite: distinct over the pair set, the per-supplier
     # count agg, and ordering — pair volume bounded by |suppliers|x|types|
     "suppliers_full_type_coverage": 6,
+    # audit runs BOTH the candidate generator and the shingle-join truth
+    # side, then intersect + three count aggregates; every stage is the
+    # already-audited LSH/jaccard shape, and the final counts are scalars
+    "doc_lsh_audit": 12,
 }
 
 
