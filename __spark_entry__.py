@@ -73,6 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_ngram_novelty",
     "doc_corpus_curation",
     "embedding_kcenter_seeds",
+    "embedding_ann_audit",
     "embedding_kmeans_seeded",
     "doc_dup_kcore",
     "doc_lsh_audit",
@@ -85,7 +86,6 @@ DRIVER_PRIORITY: list[str] = [
     # sketches by doc_bottomk_sketch) ---
     "pricing_summary",
     "merge_new_customers",
-    "time_dim_from_events",
     "event_funnel",
     "event_session_windows",
     "revenue_by_nation_scale",

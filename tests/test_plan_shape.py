@@ -141,6 +141,9 @@ SHUFFLE_BUDGETS = {
     # side, then intersect + three count aggregates; every stage is the
     # already-audited LSH/jaccard shape, and the final counts are scalars
     "doc_lsh_audit": 12,
+    # same audit shape on the embeddings side: brute topk + ANN topk
+    # (both already budget-audited as standalone entries) + intersect
+    "embedding_ann_audit": 10,
 }
 
 
