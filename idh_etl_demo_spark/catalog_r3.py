@@ -2115,3 +2115,72 @@ def embedding_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "customer_revenue_pareto",
+    """
+    with cust as (
+      select o_custkey,
+             cast(sum(cast(o_totalprice as decimal(18,4))) as decimal(22,4)) as revenue
+      from orders group by o_custkey
+    ),
+    ranked as (
+      select o_custkey, revenue,
+             row_number() over (order by revenue desc, o_custkey) as rnk,
+             cast(sum(revenue) over (order by revenue desc, o_custkey
+                  rows between unbounded preceding and current row) as decimal(22,4)) as cum_rev,
+             cast(sum(revenue) over () as decimal(22,4)) as total_rev,
+             count(*) over () as n_cust
+      from cust
+    )
+    select cast(rnk as bigint) as rnk, o_custkey,
+           cast(revenue as double) as revenue,
+           cast(cum_rev as double) / cast(total_rev as double) as cum_share,
+           cast(rnk as double) / n_cust as cust_share
+    from ranked
+    where rnk % 100 = 0 or rnk = 1
+    order by rnk
+    """,
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/Lorenz curve): customers ranked by
+    revenue, cumulative share at every 100th rank — the "do 20% of
+    customers drive 80% of revenue" question. Determinism contract: the
+    running sum is over DECIMALS in a total order (revenue desc, key),
+    so the cumulative values are exact in both engines before the one
+    double division at the end; a float running sum would drift with
+    partitioning. One aggregate + one global-order window — the window
+    is single-partition by construction (a global ranking IS a global
+    sort), which is fine because its input is the per-customer
+    aggregate, already |customers| rows, not the fact table."""
+    from idh_etl_demo_spark.catalog import _dec
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec(F.col("o_totalprice"))).cast("decimal(22,4)").alias("revenue")
+    )
+    w_ord = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey",
+        "revenue",
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("revenue").over(w_cum).cast("decimal(22,4)").alias("cum_rev"),
+        F.sum("revenue").over(w_all).cast("decimal(22,4)").alias("total_rev"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    return (
+        ranked.filter((F.col("rnk") % 100 == 0) | (F.col("rnk") == 1))
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_custkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            (
+                F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+            ).alias("cum_share"),
+            (F.col("rnk").cast("double") / F.col("n_cust")).alias("cust_share"),
+        )
+        .orderBy("rnk")
+    )
