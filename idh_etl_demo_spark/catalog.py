@@ -665,7 +665,12 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applyInPandasWithState), pytest-covered."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # events.ts may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    # writer; unix_micros accepts only TIMESTAMP. The session timezone is
+    # pinned UTC (session.py), so the NTZ->TIMESTAMP cast is a bijection and
+    # matches DuckDB's epoch_us over naive timestamps exactly.
+    ts_utc = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_utc) - F.unix_micros(F.lag(ts_utc).over(w))
     new_session = F.when(
         gap_us.isNull() | (gap_us > 1_800_000_000), 1
     ).otherwise(0)
