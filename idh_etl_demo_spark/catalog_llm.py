@@ -1038,7 +1038,7 @@ def doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with q as (select label, {_QUANT} as v from embeddings)
     select label, p - 1 as pos,
            count(*) as n_vectors,
-           sum(v[p]) as sum_q,
+           cast(sum(v[p]) as bigint) as sum_q,
            cast(sum(v[p]) as double) / count(*) as mean_q
     from q cross join range(1, 65) t(p)
     group by label, p

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
-from idh_etl_demo_spark.catalog import _t, query
+from idh_etl_demo_spark.catalog import _dec, _t, query
 from idh_etl_demo_spark.catalog_llm import _NORM, _WORDS
 
 # ===========================================================================
@@ -673,7 +673,8 @@ def embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     with hourly as (
       select event_type, date_trunc('hour', ts) as h,
-             sum(value) as hourly_value, count(*) as n
+             cast(sum(cast(value as decimal(18,4))) as double) as hourly_value,
+             count(*) as n
       from events group by event_type, date_trunc('hour', ts)
     ),
     bounds as (
@@ -713,7 +714,13 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.sum("value").alias("hourly_value"), F.count(F.lit(1)).alias("n"))
+    ).agg(
+        # decimal-exact sum then one cast to double: float addition is
+        # order-dependent, so a raw sum(double) can differ from the oracle
+        # in the last ulp under the driver's typed value-hash
+        F.sum(_dec(F.col("value"))).cast("double").alias("hourly_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
@@ -780,7 +787,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_rolling_30d",
     """
     select o_custkey, o_orderkey, o_orderdate,
-           sum(o_totalprice) over w as revenue_30d,
+           cast(sum(cast(o_totalprice as decimal(18,4))) over w as double) as revenue_30d,
            cast(count(*) over w as bigint) as orders_30d
     from orders
     where o_custkey % 50 = 0
@@ -803,10 +810,10 @@ def orders_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        """sum(o_totalprice) over (
+        """cast(sum(cast(o_totalprice as decimal(18,4))) over (
              partition by o_custkey order by o_orderdate
              range between interval 30 days preceding and current row
-           ) as revenue_30d""",
+           ) as double) as revenue_30d""",
         """cast(count(*) over (
              partition by o_custkey order by o_orderdate
              range between interval 30 days preceding and current row

@@ -14,9 +14,10 @@ integral:
   broken by centroid id.
 
 Per-iteration plan shape (the part that must hold at 100 TB):
-- assignment: broadcast |k| centroids, per-vector min(struct(dist, cid))
-  with map-side combine — the corpus shuffles its (vec_id, argmin)
-  pairs only, never re-partitioned by cluster;
+- assignment: the |k| centroids collapse to ONE broadcast row of
+  array<struct(cid, cv)>; per-vector argmin is array_min over a
+  transform — a pure projection, so the corpus never shuffles for
+  assignment (zero exchanges on the big side per iteration);
 - update: posexplode to (cluster, dim, q) with map-side partial sums —
   the shuffle carries ≤ |k|·dim rows per task regardless of corpus size.
 
@@ -47,24 +48,40 @@ def lloyd_iterations(
         raise ValueError("iterations must be >= 1")
 
     def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.col("cv"),
-                lambda x, y: (x * CENTROID_GRID - y) * (x * CENTROID_GRID - y),
-            ),
-            F.lit(0.0),
-            lambda acc, d: acc + d.cast("double"),
+        # Pack the |k| centroids into ONE broadcast row of
+        # array<struct(cid, cv)>: the argmin then evaluates entirely
+        # inside a projection (array_min over per-centroid distances), so
+        # the corpus is NEVER shuffled for assignment — the earlier
+        # explode-by-k + groupBy(vec_id) form re-shuffled every vector
+        # (with its 64-long array) once per iteration, which is the cost
+        # that would dominate at 100 TB. Ties break on centroid id via
+        # lexicographic struct(dist, cid) ordering — identical to the
+        # min(struct(dist, cid)) aggregate it replaces.
+        packed = cents.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cs")
         )
-        return (
-            df.join(F.broadcast(cents))
-            .select("vec_id", "v", "cid", dist.alias("dist"))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
-                F.first("v").alias("v"),
+
+        def dist_to(cv: F.Column) -> F.Column:
+            return F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    cv,
+                    lambda x, y: (x * CENTROID_GRID - y) * (x * CENTROID_GRID - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d.cast("double"),
             )
-            .select("vec_id", "v", F.col("m.cid").alias("cluster"))
+
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    dist_to(c["cv"]).alias("dist"), c["cid"].alias("cid")
+                ),
+            )
+        )
+        return df.join(F.broadcast(packed)).select(
+            "vec_id", "v", best["cid"].alias("cluster")
         )
 
     def update(assigned: DataFrame) -> DataFrame:

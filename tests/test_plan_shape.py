@@ -112,11 +112,15 @@ SHUFFLE_BUDGETS = {
     "small_quantity_revenue": 3,
     "supplier_distinct_parts": 3,
     "orders_status_pivot": 3,
-    # two unrolled Lloyd iterations: argmin agg ×2, (cluster,dim) update
-    # agg, centroid array rebuild, cluster-size window, final sort — each
-    # round's shuffles carry |clusters|·dim-bounded or argmin-combined
-    # rows, so the count is linear in iterations, not data.
-    "embedding_kmeans_2iter": 6,
+    # two unrolled Lloyd iterations. Assignment is now a PURE PROJECTION
+    # (centroids packed into one broadcast row, argmin via array_min) —
+    # zero corpus-side exchanges per iteration; the counted shuffles are
+    # the tiny SinglePartition centroid-pack aggs (printed once per
+    # consumer in the static plan), the (cluster,dim) update agg, the
+    # centroid array rebuild, the cluster-size window, and the final
+    # sort. Every one of them carries |clusters|·dim-bounded rows; the
+    # corpus never shuffles.
+    "embedding_kmeans_2iter": 7,
     # same two Lloyd rounds; the kcenter seed chain adds ZERO shuffles
     # (TakeOrderedAndProject top-1s + broadcast joins only)
     "embedding_kmeans_seeded": 6,
