@@ -39,9 +39,16 @@ def _release_checkpoint(df: DataFrame) -> None:
     real cluster the superseded rounds would pin executor storage memory
     for an unbounded while. Reaches through the LogicalRDD (internal
     API) — failure is harmless, the ContextCleaner remains the backstop.
+    Walks to the plan's LogicalRDD LEAVES, so it also works for frames
+    that project/filter over a checkpoint (a root-only reach silently
+    no-ops on anything but a bare ``.localCheckpoint()`` result).
     """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
     except Exception:
         pass
 
