@@ -666,10 +666,13 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     # events.ts may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on the
-    # writer; unix_micros accepts only TIMESTAMP. The session timezone is
-    # pinned UTC (session.py), so the NTZ->TIMESTAMP cast is a bijection and
-    # matches DuckDB's epoch_us over naive timestamps exactly.
-    ts_utc = F.col("ts").cast("timestamp")
+    # writer; unix_micros accepts only TIMESTAMP_LTZ. Pin the LTZ type by
+    # name: a bare cast("timestamp") resolves through
+    # spark.sql.timestampType, so a session configured for TIMESTAMP_NTZ
+    # would make it a no-op and unix_micros would still fail. The session
+    # timezone is pinned UTC (session.py), so the NTZ->LTZ cast is a
+    # bijection and matches DuckDB's epoch_us over naive timestamps.
+    ts_utc = F.col("ts").cast("timestamp_ltz")
     gap_us = F.unix_micros(ts_utc) - F.unix_micros(F.lag(ts_utc).over(w))
     new_session = F.when(
         gap_us.isNull() | (gap_us > 1_800_000_000), 1
