@@ -20,6 +20,7 @@ from idh_etl_demo_spark.session import get_spark
 from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
 import idh_etl_demo_spark.catalog_r3  # noqa: F401
+import idh_etl_demo_spark.catalog_r4  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [

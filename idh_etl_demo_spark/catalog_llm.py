@@ -208,9 +208,16 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_cte(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> str:
+def _minhash_cte(
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int = 64,
+    source: str = "documents",
+) -> str:
     """CTE blocks computing the LSH candidate pairs as ``cand(id_a, id_b)``
-    — shared by the candidates oracle and the dup-clusters oracle."""
+    — shared by the candidates oracle and the dup-clusters oracle.
+    ``source`` lets a caller band a DERIVED corpus CTE (incremental
+    curation) instead of the raw documents table."""
     rows = num_hashes // bands
     h = _MD5_LONG.format(x="s")
     sig_cols = []
@@ -225,7 +232,7 @@ def _minhash_cte(num_hashes: int = 12, bands: int = 4, max_bucket: int = 64) -> 
         band_keys.append(f"'{bidx}' || '_' || {parts}")
     # hot-bucket cap mirrored from minhash_lsh_candidates: each bucket keeps
     # its first max_bucket members by sorted id before pair expansion
-    return f"""docs as (select doc_id, {_WORDS} as words from documents),
+    return f"""docs as (select doc_id, {_WORDS} as words from {source}),
     sets as (select doc_id, {_SHINGLES3} as sh from docs),
     sigs as (select doc_id, {', '.join(sig_cols)} from sets),
     bands as (

@@ -567,3 +567,52 @@ def blocked_pairs(
         .select("p.value_a", "p.value_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot dedup
+# ---------------------------------------------------------------------------
+
+
+def snapshot_dedup_status(batch: DataFrame, snapshot: DataFrame) -> DataFrame:
+    """Classify an incoming batch against an EXISTING keeper snapshot —
+    the production shape of dedup once a corpus is published: the
+    snapshot is immutable; only the new batch gets verdicts.
+
+    ``batch``: (doc_id, content_hash). ``snapshot``: (content_hash,
+    snap_keeper). Returns (doc_id, status, keeper_id):
+
+    - ``dup_of_snapshot`` — hash already published; keeper_id = the
+      snapshot keeper (stable across batches, never reassigned);
+    - ``dup_in_batch``  — hash new to the snapshot but an earlier
+      (min-doc_id) row of THIS batch owns it;
+    - ``new``           — first sighting anywhere; keeper_id null.
+
+    Scale shape: everything joins on content_hash, so only 16-byte
+    digests flow — never document bodies. At 100 TB the snapshot is the
+    big side and lives as a table BUCKETED by content_hash
+    (operators/merge.py's bucketed-sink layout): the probe then
+    shuffles ONLY the incoming batch into the snapshot's bucketing
+    while the snapshot itself is read pre-clustered, no re-shuffle —
+    plan-asserted in tests/test_bucketing.py. The batch-internal min is
+    a map-side-combined aggregate over the (small) batch.
+    """
+    batch_min = batch.groupBy("content_hash").agg(
+        F.min("doc_id").alias("batch_keeper")
+    )
+    return (
+        batch.join(snapshot, "content_hash", "left")
+        .join(batch_min, "content_hash", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("snap_keeper").isNotNull(), "dup_of_snapshot")
+            .when(F.col("doc_id") != F.col("batch_keeper"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+            F.when(F.col("snap_keeper").isNotNull(), F.col("snap_keeper"))
+            .when(
+                F.col("doc_id") != F.col("batch_keeper"), F.col("batch_keeper")
+            )
+            .alias("keeper_id"),
+        )
+    )

@@ -75,6 +75,40 @@ def test_curation_cache_bounded(spark):
     )
 
 
+def test_incremental_base_statuses_stable(spark):
+    """The incremental-curation stability contract: published base
+    statuses must be IDENTICAL whether or not a delta batch is present
+    (a from-scratch re-run would violate this — a delta doc with a
+    smaller hash would steal keepership, flipping a base doc to dup).
+    Guards against a future 'optimization' that runs one global CC or a
+    shared exact stage across both sides."""
+    from idh_etl_demo_spark.catalog_r4 import (
+        _INC_BASE,
+        _inc_corpus_frame,
+        _incremental_status_frame,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    full = (
+        _incremental_status_frame(spark, _inc_corpus_frame(docs))
+        .filter(F.col("origin") == "base")
+        .select("doc_id", "status")
+        .toPandas()
+    )
+    batchless = (
+        _incremental_status_frame(
+            spark, docs.select("doc_id", "text").filter(F.expr(_INC_BASE))
+        )
+        .filter(F.col("origin") == "base")
+        .select("doc_id", "status")
+        .toPandas()
+    )
+    from tests.compare import assert_frames_equal
+
+    assert_frames_equal(full, batchless)
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_catalog_matches_oracle(name, spark, oracle_con):
     from tests.compare import assert_frames_equal
