@@ -20,6 +20,7 @@ from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r3  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r4  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r5  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -75,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_corpus_curation",
     "doc_incremental_curation",
     "doc_snapshot_dedup",
+    "doc_streaming_snapshot_curation",
     "embedding_kcenter_seeds",
     "embedding_ann_audit",
     "embedding_kmeans_seeded",
@@ -88,10 +90,14 @@ DRIVER_PRIORITY: list[str] = [
     # event_session_windows, hourly buckets by ztm_delay_fact's time dim,
     # sketches by doc_bottomk_sketch; event_funnel and
     # part_name_fuzzy_pairs rotated to the tail in round 4 — both were
-    # driver-green in r2/r3 and stay covered by the pytest sweep — to
-    # make room for the two incremental-curation entries) ---
+    # driver-green in r2/r3 and stay covered by the pytest sweep.
+    # Round 5: merge_new_customers rotated to the tail (driver-green
+    # r1-r4) to admit doc_streaming_snapshot_curation — the S11 merge
+    # operator stays driver-exercised THROUGH that entry, whose verdict
+    # log and snapshot are both produced by merge_insert_if_absent, and
+    # keeps its idempotency/crash/lock pytest coverage. Full entry →
+    # verification-surface mapping: COVERAGE.md) ---
     "pricing_summary",
-    "merge_new_customers",
     "event_session_windows",
     "revenue_by_nation_scale",
 ]

@@ -14,6 +14,7 @@ from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
 import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_r4  # noqa: F401
+import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -242,6 +243,9 @@ def test_shuffle_budgets(spark):
 # the catalog must stay action-free at build. A new entry that runs eager
 # work lands in the assertion below unless it is added here DELIBERATELY.
 EAGER_EXEMPT = {
+    # streaming: the builder drains an availableNow stream to expose its
+    # final verdict state (result cached per session+sf)
+    "doc_streaming_snapshot_curation",
     "doc_dup_clusters",
     "doc_dup_triangles",
     "doc_dup_4cliques",
