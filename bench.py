@@ -21,6 +21,7 @@ from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
 import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_r4  # noqa: F401
+import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -54,6 +55,11 @@ HEADLINE = [
     "events_gap_fill",
     "doc_ngram_novelty",
     "doc_corpus_curation",
+    # appended round 5 (the r4 entries, now tracked per-round; the
+    # STREAMING entry is deliberately absent — its wall time is stream
+    # startup + 3 micro-batch drains, a latency surface, not a query)
+    "doc_snapshot_dedup",
+    "doc_incremental_curation",
 ]
 
 

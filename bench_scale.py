@@ -30,6 +30,7 @@ from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
 import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_r4  # noqa: F401
+import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -48,6 +49,12 @@ PROBES = [
     # pigeonhole banding: bucket-occupancy is the scale lever; a hot
     # bucket shows up here as a super-linear ratio before it hurts prod
     "doc_simhash_neardup",
+    # round-5 additions (r4 verdict ask): the incremental flagship's
+    # triple-consumption of the checkpointed LSH edge list is the thing
+    # to watch at scale — a super-linear ratio here means the checkpoint
+    # stopped amortizing; snapshot dedup probes the hash-join shape
+    "doc_snapshot_dedup",
+    "doc_incremental_curation",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

@@ -10,6 +10,7 @@ from idh_etl_demo_spark.catalog import ENTRIES
 import idh_etl_demo_spark.catalog_llm  # noqa: F401
 import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_r4  # noqa: F401
+import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -22,6 +23,8 @@ PICKS = {
     "revenue_by_nation_scale": "100 TB shape: lineitem pre-aggregated by orderkey BEFORE the joins; agg partitioning reused by the join (only orders/customer shuffle); nation/region broadcast",
     "doc_corpus_curation": "the 4-stage curation composition: quality + exact-dedup verdict tables cached (InMemoryRelation), LSH banding once, status assembly as doc_id joins",
     "doc_simhash60_neardup": "corpus-scale simhash config: one fingerprint projection, one shuffle on (block, value), in-bucket pair expansion",
+    "doc_snapshot_dedup": "cross-snapshot dedup: every join keyed on the 16-byte content_hash — bodies never flow past the hash projection; batch-internal min is a map-side-combined agg",
+    "doc_incremental_curation": "incremental flagship: base/delta verdict tables cached (InMemoryRelation), ONE checkpointed LSH edge list consumed by three chains (RDD-scan leaves), status assembly as doc_id joins",
 }
 
 
@@ -42,9 +45,20 @@ def main() -> None:
         "tests/test_plan_shape.py; this file is the human-readable snapshot.",
         "",
     ]
+    max_lines = 250
     for name, why in PICKS.items():
         plan = formatted(ENTRIES[name].spark(spark, SF))
         phys = plan.split("\n\n")[0]
+        lines = phys.splitlines()
+        if len(lines) > max_lines:
+            # the static print re-expands each cached subtree once per
+            # consumer; the full dump is noise, the prefix is the shape
+            phys = "\n".join(lines[:max_lines]) + (
+                f"\n... [truncated: {len(lines)} printed lines; cached"
+                " subtrees re-expand per consumer in static explain —"
+                " the DEDUPED exchange count is what"
+                " tests/test_plan_shape.py budgets]"
+            )
         out.append(f"## {name}\n\n*{why}*\n\n```\n{phys}\n```\n")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
