@@ -45,14 +45,11 @@ DRIVER_PRIORITY: list[str] = [
     "doc_exact_dedup",
     "doc_minhash_candidates",
     "doc_ngram_jaccard",
-    "doc_simhash",
     "doc_simhash_neardup",
-    "doc_simhash60_neardup",
     "doc_dup_clusters",
     "doc_dup_triangles",
     # --- LLM pipeline: similarity / embeddings ---
     "embedding_cosine_topk",
-    "embedding_ann_signbit",
     "embedding_ann_hyperplane",
     "embedding_ann_ivf",
     "embedding_near_dup",
@@ -67,8 +64,12 @@ DRIVER_PRIORITY: list[str] = [
     "doc_tfidf_topk",
     "doc_vocab_topk",
     "doc_length_histogram",
-    "doc_word_histogram",
     "doc_bottomk_sketch",
+    # --- LLM pipeline: round-5 training-data ops ---
+    "doc_sequence_packing",
+    "doc_pii_scrub",
+    "doc_lang_mix_weights",
+    "doc_chunk_overlap",
     "doc_hash_sample",
     "doc_decontamination",
     "doc_dup_4cliques",
@@ -91,12 +92,18 @@ DRIVER_PRIORITY: list[str] = [
     # sketches by doc_bottomk_sketch; event_funnel and
     # part_name_fuzzy_pairs rotated to the tail in round 4 — both were
     # driver-green in r2/r3 and stay covered by the pytest sweep.
-    # Round 5: merge_new_customers rotated to the tail (driver-green
-    # r1-r4) to admit doc_streaming_snapshot_curation — the S11 merge
-    # operator stays driver-exercised THROUGH that entry, whose verdict
-    # log and snapshot are both produced by merge_insert_if_absent, and
-    # keeps its idempotency/crash/lock pytest coverage. Full entry →
-    # verification-surface mapping: COVERAGE.md) ---
+    # Round 5 rotations (all rotated-out entries were driver-green for
+    # 2+ rounds and remain sweep-gated; full mapping in COVERAGE.md):
+    #  - merge_new_customers → tail, admits doc_streaming_snapshot_
+    #    curation (S11 merge stays driver-exercised through that entry,
+    #    whose verdict log + snapshot are built by merge_insert_if_absent)
+    #  - doc_simhash, doc_simhash60_neardup → tail (family keeps
+    #    doc_simhash_neardup in-window), admit doc_sequence_packing +
+    #    doc_pii_scrub
+    #  - doc_word_histogram → tail (family keeps doc_length_histogram),
+    #    admits doc_lang_mix_weights
+    #  - embedding_ann_signbit → tail (ANN family keeps hyperplane, IVF
+    #    and the audit in-window), admits doc_chunk_overlap ---
     "pricing_summary",
     "event_session_windows",
     "revenue_by_nation_scale",

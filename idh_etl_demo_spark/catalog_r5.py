@@ -35,8 +35,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from pyspark.sql import Window
+
 from idh_etl_demo_spark.catalog import _t, query
-from idh_etl_demo_spark.catalog_llm import _NORM
+from idh_etl_demo_spark.catalog_llm import _NORM, _WORDS
 
 _STREAM_SQL = f"""
     with corpus as (
@@ -189,3 +191,316 @@ def doc_streaming_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Sequence packing: concat-and-split context assembly (distributed prefix
+# sum — the op every pretraining pipeline runs between curation and the
+# data loader)
+# ===========================================================================
+
+_PACK_CTX = 512  # tokens per training sequence
+_PACK_SHARD = 32  # doc_ids per prefix-sum shard (order-preserving ranges)
+
+
+@query(
+    "doc_sequence_packing",
+    f"""
+    with toks as (
+      select doc_id, len(list_filter({_WORDS}, w -> w != '')) as n_tokens
+      from documents
+    ),
+    cum as (
+      select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (
+               order by doc_id rows between unbounded preceding and 1 preceding
+             ), 0) as bigint) as tokens_before
+      from toks
+    )
+    select doc_id, n_tokens, tokens_before,
+           tokens_before // {_PACK_CTX} as first_seq,
+           (tokens_before + greatest(n_tokens, 1) - 1) // {_PACK_CTX} as last_seq,
+           (tokens_before + greatest(n_tokens, 1) - 1) // {_PACK_CTX}
+             - tokens_before // {_PACK_CTX} + 1 as n_seqs
+    from cum
+    order by doc_id
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid end to end
+    in doc_id order as one token stream and cut into fixed
+    {ctx}-token training sequences; each doc reports the sequence
+    range it lands in (a doc may span sequences — the standard
+    pretraining packing, not bin-packing).
+
+    The global prefix sum is the scale problem: a single
+    `Window.orderBy` serializes 100 TB through one partition. This
+    builder runs the classic DISTRIBUTED prefix sum instead — (1)
+    per-shard cumulative sums (shards are order-preserving doc_id
+    ranges, so intra-shard windows parallelize), (2) one tiny
+    single-partition pass over |shards| SUBTOTALS (scalars, not rows),
+    (3) broadcast the shard offsets back. The only serialized data is
+    one row per shard; the corpus itself never leaves its partitions
+    except for the final presentation sort. The oracle states the same
+    semantics as the naive global window — equality IS the proof the
+    decomposition is exact.
+    """
+    from idh_etl_demo_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_SHARD).alias("shard"),
+    )
+    w_intra = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = toks.withColumn(
+        "intra_before", F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0))
+    )
+    w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .withColumn(
+            "shard_before", F.coalesce(F.sum("shard_total").over(w_shard), F.lit(0))
+        )
+        .select("shard", "shard_before")
+    )
+    return (
+        intra.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "tokens_before",
+            (F.col("shard_before") + F.col("intra_before")).cast("long"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            f"tokens_before div {_PACK_CTX} as first_seq",
+            f"(tokens_before + greatest(n_tokens, 1) - 1) div {_PACK_CTX} as last_seq",
+            f"(tokens_before + greatest(n_tokens, 1) - 1) div {_PACK_CTX}"
+            f" - tokens_before div {_PACK_CTX} + 1 as n_seqs",
+        )
+        .orderBy("doc_id")
+    )
+
+
+doc_sequence_packing.__doc__ = doc_sequence_packing.__doc__.format(ctx=_PACK_CTX)
+
+
+# ===========================================================================
+# PII scrubbing: regex redaction + audit counts (training-data hygiene)
+# ===========================================================================
+
+# Conservative patterns that behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\+?[0-9]{2,3}([- ][0-9]{3,4}){2,3}"
+
+
+@query(
+    "doc_pii_scrub",
+    f"""
+    with injected as (
+      select doc_id,
+             case when doc_id % 7 = 0
+                    then text || ' Contact user' || doc_id
+                         || '@example.com or +48 123 456 789.'
+                  when doc_id % 11 = 3
+                    then text || ' Tel: 555-123-4567 now.'
+                  else text end as text
+      from documents
+    )
+    select doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) as n_emails,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) as n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) as scrubbed_hash
+    from injected
+    order by doc_id
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: count and replace email addresses
+    and phone numbers (\"<EMAIL>\"/\"<PHONE>\" placeholders), gating both
+    the audit counts and the md5 of the scrubbed text. The synthetic
+    corpus carries no organic PII, so deterministic PII is INJECTED
+    into two doc_id slices first (the catalog_r4 derived-input
+    technique) — the email branch (with an embedded phone) fires on
+    doc_id % 7, the phone-only branch on doc_id % 11 = 3, everything
+    else must scrub to identity.
+
+    Patterns are the RE2∩Java-regex dialect (no lookaround /
+    backreferences) so both engines match identically — the same
+    constraint a real pipeline faces keeping its Spark pass consistent
+    with, e.g., a Go or C++ serving-side scrubber. Pure projection:
+    whole-stage codegen, zero shuffles except the presentation sort;
+    at 100 TB this is a map-only pass."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +48 123 456 789."),
+        ),
+    ).when(
+        F.col("doc_id") % 11 == 3,
+        F.concat(F.col("text"), F.lit(" Tel: 555-123-4567 now.")),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(injected, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Language-mix temperature sampling weights (multilingual corpus balance)
+# ===========================================================================
+
+_MIX_ALPHA_SQRT = True  # alpha = 0.5 → sqrt; exact-ish cross-engine
+
+
+@query(
+    "doc_lang_mix_weights",
+    """
+    with c as (
+      select lang, count(*) as n_docs from documents group by lang
+    ),
+    t as (
+      select cast(sum(n_docs) as bigint) as total, sum(sqrt(n_docs)) as z
+      from c
+    )
+    select lang, n_docs,
+           round(sqrt(n_docs) / z, 6) as weight,
+           cast(round(sqrt(n_docs) / z * total, 0) as bigint) as expected_docs
+    from c cross join t
+    order by lang
+    """,
+)
+def doc_lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights per language (alpha = 0.5, the
+    multilingual-mixing rebalance): w_l ∝ p_l^α, reported with the
+    expected per-language document budget at the current corpus size.
+    Up-weights tail languages against the head — the standard knob for
+    multilingual pretraining mixes.
+
+    Scale shape: one map-side-combined count per language, then all
+    arithmetic happens against a ONE-ROW broadcast of the two corpus
+    scalars (total, z) — a BroadcastNestedLoopJoin over |languages|
+    rows, never a cartesian over data. At 100 TB the per-language
+    count is the only pass over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum(F.sqrt("n_docs")).alias("z"),
+    )
+    w = F.sqrt(F.col("n_docs")) / F.col("z")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(w, 6).alias("weight"),
+            F.round(w * F.col("total"), 0).cast("long").alias("expected_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Overlapping token-window chunking (retrieval / context-window prep)
+# ===========================================================================
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (overlap = W - S = 16)
+
+
+@query(
+    "doc_chunk_overlap",
+    f"""
+    with base as (
+      select doc_id, list_filter({_WORDS}, w -> w != '') as words
+      from documents
+    ),
+    k as (
+      select doc_id, words,
+             1 + greatest(0, (len(words) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S})
+               as n_chunks
+      from base
+    )
+    select doc_id, i as chunk_idx,
+           len(list_slice(words, i*{_CHUNK_S} + 1, i*{_CHUNK_S} + {_CHUNK_W}))
+             as chunk_tokens,
+           md5(array_to_string(
+                 list_slice(words, i*{_CHUNK_S} + 1, i*{_CHUNK_S} + {_CHUNK_W}), ' '))
+             as chunk_hash
+    from k cross join unnest(generate_series(0, n_chunks - 1)) as t(i)
+    order by doc_id, chunk_idx
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({w}-token windows, stride
+    {s}, {o}-token overlap) — the retrieval-indexing / long-context
+    prep that sits between curation and embedding. Emits one row per
+    (doc, chunk) with the chunk's token count and content hash.
+
+    Scale shape: pure partition-local row EXPLOSION — the words array,
+    chunk index sequence, slice, and hash are all codegen'd column
+    expressions; no shuffle anywhere except the presentation sort. The
+    ~{w}/{s}× output growth happens inside each task, which is exactly
+    where you want it at 100 TB (the downstream embedding pass
+    repartitions anyway). DuckDB's integer `//` is floor-division and
+    Spark's `div` truncates toward zero — they disagree only below
+    zero, which the greatest(0, ·) clamp makes unreachable."""
+    from idh_etl_demo_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
+    )
+    base = docs.select("doc_id", words.alias("words"))
+    k = base.selectExpr(
+        "doc_id",
+        "words",
+        f"1 + greatest(0, (size(words) - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S})"
+        " as n_chunks",
+    )
+    chunk = F.slice(
+        F.col("words"),
+        F.col("chunk_idx") * _CHUNK_S + 1,
+        F.lit(_CHUNK_W),
+    )
+    return (
+        k.select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+doc_chunk_overlap.__doc__ = doc_chunk_overlap.__doc__.format(
+    w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
+)

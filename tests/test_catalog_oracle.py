@@ -42,17 +42,37 @@ def test_driver_priority_names_exist():
 
 
 def test_priority_entries_inside_driver_window():
-    """The driver verifies only the first 50 queries() entries; the ZTM
-    star schema and the whole LLM-pipeline suite must sit inside that
-    window (round-2 verdict lead item)."""
-    first50 = set(list(entrymod.queries())[:50])
-    must_cover = [
-        n
-        for n in entrymod.queries()
-        if n.startswith(("ztm_", "doc_", "embedding_", "multimodal_"))
-    ]
-    outside = [n for n in must_cover if n not in first50]
-    assert not outside, f"priority entries outside driver window: {outside}"
+    """The driver verifies only the first 50 queries() entries. With the
+    catalog past 50 LLM-pipeline entries, blanket prefix coverage is no
+    longer satisfiable (round-2's original policy); the policy since
+    round 5: the window IS the declared DRIVER_PRIORITY list (exactly,
+    fully used), every operator FAMILY keeps in-window representation,
+    and every rotation is auditable in COVERAGE.md's generated table."""
+    names = list(entrymod.queries())
+    assert len(entrymod.DRIVER_PRIORITY) == 50, "driver window not fully used"
+    assert names[:50] == entrymod.DRIVER_PRIORITY, (
+        "window drifted from the declared priority list"
+    )
+    first50 = set(names[:50])
+    family_minimums = {
+        "ztm_": 5,        # the reference's star schema, complete
+        "doc_": 25,       # dedup / text / curation / training-data ops
+        "embedding_": 7,  # similarity / ANN / clustering
+        "multimodal_": 2,
+    }
+    for prefix, minimum in family_minimums.items():
+        n = sum(1 for name in first50 if name.startswith(prefix))
+        assert n >= minimum, f"family {prefix} under-represented: {n} < {minimum}"
+
+
+def test_rotated_entries_documented_in_coverage():
+    """Every catalog entry — in-window or rotated to the sweep tail —
+    must appear in COVERAGE.md's generated verification-surface table
+    (tools/gen_coverage.py), so window rotation stays auditable."""
+    with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")) as f:
+        text = f.read()
+    missing = [n for n in entrymod.queries() if f"| {n} |" not in text]
+    assert not missing, f"entries absent from COVERAGE.md table: {missing}"
 
 
 def test_curation_cache_bounded(spark):
