@@ -504,3 +504,139 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_chunk_overlap.__doc__ = doc_chunk_overlap.__doc__.format(
     w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
 )
+
+
+# ===========================================================================
+# Balanced (equal-allocation) stratified sampling across skewed strata
+# ===========================================================================
+
+_BAL_TARGET = 10  # docs per stratum
+_HASH56 = 72057594037927936  # 2^56 — 14 hex chars; TARGET * 2^56 fits int64
+
+
+@query(
+    "doc_balanced_sample",
+    f"""
+    with strata as (
+      select source, count(*) as stratum_n from documents group by source
+    ),
+    h as (
+      select d.doc_id, d.source, s.stratum_n,
+             ('0x' || substring(md5(cast(d.doc_id as varchar)), 1, 14))::bigint as hv
+      from documents d join strata s on s.source = d.source
+    )
+    select doc_id, source, stratum_n
+    from h
+    where hv < ({_BAL_TARGET} * {_HASH56}) // stratum_n
+    order by doc_id
+    """,
+)
+def doc_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BALANCED stratified sampling: each stratum (source) is sampled at
+    its own rate target/|stratum|, so skewed strata come out equally
+    represented — the corpus-mixing complement of ``doc_hash_sample``
+    (which audits one global rate per stratum). The decision stays a
+    pure function of (doc_id, stratum size): md5(doc_id)'s 56-bit
+    prefix under the integer threshold (target·2^56) // stratum_n —
+    integer-exact cross-engine (no float rate, no rounding-mode trap),
+    reproducible across runs, engines and partitionings.
+
+    Scale shape: stratum sizes are a map-side-combined count joined
+    back as a BROADCAST (|strata| rows); the sample predicate is then a
+    pure projection over the corpus — one aggregate pass plus a
+    map-only filter at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(F.count(F.lit(1)).alias("stratum_n"))
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(strata), "source")
+        .select("doc_id", "source", "stratum_n", hv.alias("hv"))
+        .filter(
+            F.col("hv")
+            < F.expr(f"({_BAL_TARGET} * {_HASH56}L) div stratum_n")
+        )
+        .select("doc_id", "source", "stratum_n")
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# OOV rate against the corpus top-K vocabulary (tokenizer-fit signal)
+# ===========================================================================
+
+_OOV_VOCAB_K = 20  # the synthetic corpus has only 31 word types — 20 leaves real OOV mass
+
+
+@query(
+    "doc_oov_rate",
+    f"""
+    with words as (
+      select doc_id, unnest(list_filter({_WORDS}, w -> w != '')) as word
+      from documents
+    ),
+    freq as (
+      select word, count(*) as cnt from words group by word
+    ),
+    vocab as (
+      select word from freq order by cnt desc, word limit {_OOV_VOCAB_K}
+    ),
+    per_doc as (
+      select w.doc_id,
+             count(*) as n_tokens,
+             cast(sum(case when v.word is null then 1 else 0 end) as bigint)
+               as n_oov
+      from words w left join vocab v on v.word = w.word
+      group by w.doc_id
+    )
+    select doc_id, n_tokens, n_oov,
+           round(n_oov * 1.0 / n_tokens, 6) as oov_rate
+    from per_doc
+    order by doc_id
+    """,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-{k} vocabulary (count-desc, word-asc tie-break — deterministic
+    cutoff): the cheap tokenizer-fit signal — documents with a high OOV
+    rate against the training vocabulary are the ones a subword
+    tokenizer will shred into long sequences.
+
+    Scale shape: the vocabulary is a top-K over word counts
+    (map-side-combined agg + TakeOrdered) and joins back as a
+    BROADCAST — the exploded token stream never shuffles for the
+    membership test, only for the two keyed aggregates (word counts,
+    per-doc rollup), both carrying aggregated rows."""
+    docs = _t(spark, sf_dir, "documents")
+    from idh_etl_demo_spark.operators.text import tokens
+
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        freq.orderBy(F.desc("cnt"), "word")
+        .limit(_OOV_VOCAB_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+doc_oov_rate.__doc__ = doc_oov_rate.__doc__.format(k=_OOV_VOCAB_K)
