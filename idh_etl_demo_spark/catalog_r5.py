@@ -245,13 +245,21 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics as the naive global window — equality IS the proof the
     decomposition is exact.
     """
+    return _packing_frame(spark, _t(spark, sf_dir, "documents"))
+
+
+def _packing_frame(
+    spark: SparkSession, docs: DataFrame, shard_width: int = _PACK_SHARD
+) -> DataFrame:
+    """The distributed prefix sum over an explicit corpus — factored out
+    so tests can assert the result is INVARIANT to shard_width (the
+    correctness property of the decomposition)."""
     from idh_etl_demo_spark.operators.text import token_count
 
-    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
-        F.floor(F.col("doc_id") / _PACK_SHARD).alias("shard"),
+        F.floor(F.col("doc_id") / shard_width).alias("shard"),
     )
     w_intra = (
         Window.partitionBy("shard")
