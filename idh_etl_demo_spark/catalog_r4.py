@@ -26,6 +26,7 @@ from idh_etl_demo_spark.catalog_llm import _NORM
 from idh_etl_demo_spark.catalog_r3 import (
     _CURATION_CACHE,
     _CURATION_KEEP_THRESHOLD,
+    _CURATION_RESULTS,
     _gopher_frame,
 )
 
@@ -331,9 +332,15 @@ def doc_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     — document bodies never flow past the signature stage. All
     materialized frames share doc_corpus_curation's one-generation
     lifetime registry (test_curation_cache_bounded pattern)."""
-    return _incremental_status_frame(
+    key = ("doc_incremental_curation", spark.sparkContext.applicationId, sf_dir)
+    cached = _CURATION_RESULTS.get(key)
+    if cached is not None:
+        return cached
+    result = _incremental_status_frame(
         spark, _inc_corpus_frame(_t(spark, sf_dir, "documents"))
     )
+    _CURATION_RESULTS[key] = result
+    return result
 
 
 def _incremental_status_frame(spark: SparkSession, corpus: DataFrame) -> DataFrame:
@@ -359,6 +366,7 @@ def _incremental_status_frame(spark: SparkSession, corpus: DataFrame) -> DataFra
         except Exception:
             pass
     _CURATION_CACHE.clear()
+    _CURATION_RESULTS.clear()
 
     # per-doc quality verdicts: persist is the pushdown barrier AND the
     # multi-consumer materialization point (see doc_corpus_curation)

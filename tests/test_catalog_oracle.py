@@ -93,6 +93,19 @@ def test_curation_cache_bounded(spark):
     assert n_persistent() <= after_first, (
         f"curation cache grew: {after_first} -> {n_persistent()} persistent RDDs"
     )
+    # repeated same-entry builds must also REUSE the live generation
+    # (round-5: the r4 release-every-build policy cost +17% on bench)
+    assert build(spark, SF_DIR) is build(spark, SF_DIR)
+    # ALTERNATING flagship builds share one registry generation: the
+    # persistent-RDD count must stay bounded across the alternation too
+    inc = ENTRIES["doc_incremental_curation"].spark
+    inc(spark, SF_DIR).count()
+    after_inc = n_persistent()
+    build(spark, SF_DIR).count()
+    inc(spark, SF_DIR).count()
+    assert n_persistent() <= after_inc, (
+        f"alternating curation builds leak: {after_inc} -> {n_persistent()}"
+    )
 
 
 def test_incremental_base_statuses_stable(spark):
