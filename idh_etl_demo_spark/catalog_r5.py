@@ -648,3 +648,128 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 doc_oov_rate.__doc__ = doc_oov_rate.__doc__.format(k=_OOV_VOCAB_K)
+
+
+# ===========================================================================
+# Custom stateful operator, oracle-gated: applyInPandasWithState running
+# totals replayed over a micro-batched stream must equal the batch SQL
+# aggregate (final state is batch-split INVARIANT)
+# ===========================================================================
+
+
+def _land_event_batches(spark: SparkSession, events: DataFrame, landing: str) -> None:
+    """Split the events table into 3 parquet files (event_id % 3), named
+    and mtime-stamped in batch order — the replay feed for the stateful
+    operator. The SPLIT ITSELF is arbitrary: the final state is
+    invariant to how the stream is batched, which is exactly what the
+    oracle equality proves."""
+    os.makedirs(landing, exist_ok=True)
+    for b in range(3):
+        tmp = os.path.join(landing, f"_stage_{b}")
+        (
+            events.filter(F.col("event_id") % 3 == b)
+            .select("user_id", "ts", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        dest = os.path.join(landing, f"batch-{b}.parquet")
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (1700000000 + b * 60, 1700000000 + b * 60))
+
+
+_STATEFUL_RESULTS: dict[tuple, str] = {}
+
+
+@query(
+    "events_stateful_running_totals",
+    """
+    select user_id,
+           count(*) as n_events,
+           round(sum(value), 4) as sum_value,
+           max(ts) as last_ts
+    from events
+    group by user_id
+    order by user_id
+    """,
+)
+def events_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator, oracle-gated end to end:
+    replay the events table as 3 file-landed micro-batches through
+    ``streaming/stateful.py:user_running_totals`` (applyInPandasWithState
+    — engine-managed per-key state, Arrow-batched Python, one snapshot
+    emission per key per appearing batch), capture every emission, and
+    return each user's FINAL snapshot. n_events strictly increases per
+    emission, so the final row is the max-n_events row per user.
+
+    The oracle is the plain batch aggregate: running-total state is
+    INVARIANT to how the stream is micro-batched, so stream-end state
+    == batch GROUP BY — the strongest cheap proof that the stateful
+    operator neither drops, double-counts, nor leaks rows across key
+    boundaries. (sum_value rounds to 4 dp on both sides: the stream
+    accumulates doubles in batch order, the oracle in scan order.)
+
+    EAGER by streaming nature (cached per session+sf, like the
+    streaming curation entry). At 100 TB the state store shards by
+    user_id across executors (RocksDB provider for unbounded state);
+    the Python function only ever sees one key's Arrow batches."""
+    from idh_etl_demo_spark.streaming.stateful import user_running_totals
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _STATEFUL_RESULTS.get(key)
+    if out is None:
+        import pyspark.sql.types as T
+
+        work = tempfile.mkdtemp(prefix="stateful_replay_")
+        landing = os.path.join(work, "landing")
+        out = os.path.join(work, "emissions")
+        _land_event_batches(spark, _t(spark, sf_dir, "events"), landing)
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        totals = user_running_totals(stream)
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            totals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STATEFUL_RESULTS[key] = out
+    from pyspark.sql import Window as W
+
+    emissions = spark.read.parquet(out)
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        emissions.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+            "last_ts",
+        )
+        .orderBy("user_id")
+    )

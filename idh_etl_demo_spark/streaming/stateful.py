@@ -40,6 +40,7 @@ _STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
         StructField("s", DoubleType()),
+        StructField("last_us", LongType()),  # last event ts, epoch micros
     ]
 )
 
@@ -48,14 +49,19 @@ def _update_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, s = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    n, s, last_us = state.get if state.exists else (0, 0.0, None)
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
         ts_max = pdf["ts"].max()
-        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
-    state.update((n, s))
+        if not pd.isna(ts_max):
+            us = int(ts_max.value // 1000)  # pandas ns → µs
+            last_us = us if last_us is None else max(last_us, us)
+    # last_ts is STATE, not a per-batch scalar: the final snapshot must
+    # carry the stream-global last event time, so it rides the state
+    # tuple (as epoch micros, the same trick as the funnel operator)
+    state.update((n, s, last_us))
+    last_ts = pd.Timestamp(last_us * 1000) if last_us is not None else None
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [s], "last_ts": [last_ts]}
     )
@@ -113,16 +119,18 @@ class RunningTotalsProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timer_values):
         (user_id,) = key
         if self._totals.exists():
-            n, s = self._totals.get()
+            n, s, last_us = self._totals.get()
         else:
-            n, s = 0, 0.0
-        last_ts = None
+            n, s, last_us = 0, 0.0, None
         for pdf in rows:
             n += len(pdf)
             s += float(pdf["value"].sum())
             ts_max = pdf["ts"].max()
-            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
-        self._totals.update((n, s))
+            if not pd.isna(ts_max):
+                us = int(ts_max.value // 1000)
+                last_us = us if last_us is None else max(last_us, us)
+        self._totals.update((n, s, last_us))
+        last_ts = pd.Timestamp(last_us * 1000) if last_us is not None else None
         yield pd.DataFrame(
             {
                 "user_id": [user_id],

@@ -243,9 +243,10 @@ def test_shuffle_budgets(spark):
 # the catalog must stay action-free at build. A new entry that runs eager
 # work lands in the assertion below unless it is added here DELIBERATELY.
 EAGER_EXEMPT = {
-    # streaming: the builder drains an availableNow stream to expose its
-    # final verdict state (result cached per session+sf)
+    # streaming: these builders drain an availableNow stream to expose
+    # their final state (result cached per session+sf)
     "doc_streaming_snapshot_curation",
+    "events_stateful_running_totals",
     "doc_dup_clusters",
     "doc_dup_triangles",
     "doc_dup_4cliques",
