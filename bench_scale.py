@@ -55,6 +55,12 @@ PROBES = [
     # stopped amortizing; snapshot dedup probes the hash-join shape
     "doc_snapshot_dedup",
     "doc_incremental_curation",
+    # round-5: the prefix-sum packing's single-partition shard-offset
+    # stage must stay flat as data grows (it sees |shards| scalars, not
+    # rows); chunking is pure partition-local explosion and should ride
+    # the scan cost
+    "doc_sequence_packing",
+    "doc_chunk_overlap",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities
