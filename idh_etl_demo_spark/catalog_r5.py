@@ -773,3 +773,92 @@ def events_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+# ===========================================================================
+# Multimodal kernels, oracle-gated: the Arrow mapInPandas plumbing runs
+# for real; the payload is synthesized as the ASCII md5 content key so
+# the fake decoder's byte arithmetic is SQL-expressible
+# ===========================================================================
+
+
+@query(
+    "multimodal_image_features",
+    """
+    with m as (select doc_id as media_id, md5(text) as mh from documents)
+    select media_id,
+           cast(1 + ascii(substring(mh, 1, 1)) % 64 as bigint) as width,
+           cast(1 + ascii(substring(mh, 32, 1)) % 64 as bigint) as height,
+           round(list_sum(list_transform(generate_series(1, 32),
+                                         i -> ascii(substring(mh, i, 1))))
+                 / 32.0 / 255.0, 6) as mean_intensity
+    from m
+    order by media_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image feature-extraction kernel DRIVER-GATED end to end: the
+    real Arrow ``mapInPandas`` path (operators/multimodal.py:
+    image_features — batch iteration, schema contract, binary column
+    transfer) runs with the deterministic fake decoder over payloads
+    synthesized as the utf-8 md5 content key. Because the payload is
+    pure ASCII hex, the fake's byte arithmetic (width/height from
+    first/last byte, mean over the prefix) is exactly expressible in
+    the oracle — so the gate verifies the PLUMBING with real values,
+    not just row counts. Swapping ``fake=False`` plugs a real
+    Pillow/opencv decoder into the same audited batch shape (the libs
+    are absent in this container — SURVEY §2.10 multimodal row).
+
+    Scale shape: map-only Arrow pass (one Python worker round-trip per
+    partition batch), no shuffle before the presentation sort."""
+    from idh_etl_demo_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.md5(F.col("text")), "utf-8").alias("payload"),
+    )
+    return (
+        image_features(media, fake=True)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round("mean_intensity", 6).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    with m as (select doc_id as media_id, md5(text) as mh from documents)
+    select media_id, cast(i as bigint) as frame_no,
+           md5(substring(mh, i * 8 + 1, 8)) as frame_md5
+    from m cross join unnest(generate_series(0, 3)) as t(i)
+    order by media_id, frame_no
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame-sampling kernel driver-gated: the real
+    ``mapInPandas`` fan-out path (operators/multimodal.py:sample_frames
+    — one media row in, N frame rows out, binary frame payloads) over
+    the 32-byte ASCII content-key payload at an 8-byte stride → exactly
+    4 "frames" per media, each gated by its content md5 against the
+    oracle's string-slice equivalent. The fan-out SHAPE is the part
+    that matters at 100 TB (frame explosion stays partition-local,
+    feeding the same per-frame feature/dedup pipeline as images);
+    a real pyav demuxer drops into the identical batch contract."""
+    from idh_etl_demo_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.md5(F.col("text")), "utf-8").alias("payload"),
+    )
+    return (
+        sample_frames(media, every_n_bytes=8, fake=True)
+        .select("media_id", "frame_no", F.md5("frame_bytes").alias("frame_md5"))
+        .orderBy("media_id", "frame_no")
+    )
