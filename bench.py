@@ -56,10 +56,16 @@ HEADLINE = [
     "doc_ngram_novelty",
     "doc_corpus_curation",
     # appended round 5 (the r4 entries, now tracked per-round; the
-    # STREAMING entry is deliberately absent — its wall time is stream
-    # startup + 3 micro-batch drains, a latency surface, not a query)
+    # STREAMING entries are deliberately absent — their wall time is
+    # stream startup + micro-batch drains, a latency surface, not a
+    # query)
     "doc_snapshot_dedup",
     "doc_incremental_curation",
+    "doc_sequence_packing",
+    "doc_pii_scrub",
+    "doc_chunk_overlap",
+    "doc_oov_rate",
+    "multimodal_image_features",
 ]
 
 

@@ -25,6 +25,8 @@ PICKS = {
     "doc_simhash60_neardup": "corpus-scale simhash config: one fingerprint projection, one shuffle on (block, value), in-bucket pair expansion",
     "doc_snapshot_dedup": "cross-snapshot dedup: every join keyed on the 16-byte content_hash — bodies never flow past the hash projection; batch-internal min is a map-side-combined agg",
     "doc_incremental_curation": "incremental flagship: base/delta verdict tables cached (InMemoryRelation), ONE checkpointed LSH edge list consumed by three chains (RDD-scan leaves), status assembly as doc_id joins",
+    "doc_sequence_packing": "distributed prefix sum: per-shard window + ONE single-partition pass over |shards| subtotals + broadcast offsets join — the corpus never serializes through one partition",
+    "doc_oov_rate": "top-K vocab as TakeOrdered + broadcast membership join — the exploded token stream never shuffles for the lookup",
 }
 
 
