@@ -47,7 +47,6 @@ DRIVER_PRIORITY: list[str] = [
     "doc_ngram_jaccard",
     "doc_simhash_neardup",
     "doc_dup_clusters",
-    "doc_dup_triangles",
     # --- LLM pipeline: similarity / embeddings ---
     "embedding_cosine_topk",
     "embedding_ann_hyperplane",
@@ -103,10 +102,14 @@ DRIVER_PRIORITY: list[str] = [
     #  - doc_word_histogram → tail (family keeps doc_length_histogram),
     #    admits doc_lang_mix_weights
     #  - embedding_ann_signbit → tail (ANN family keeps hyperplane, IVF
-    #    and the audit in-window), admits doc_chunk_overlap ---
+    #    and the audit in-window), admits doc_chunk_overlap
+    #  - doc_dup_triangles → tail (graph family keeps clusters, k-core
+    #    and 4-cliques in-window), admits events_stateful_running_totals
+    #    — the oracle-gated custom stateful operator (§2.8) ---
     "pricing_summary",
     "event_session_windows",
     "revenue_by_nation_scale",
+    "events_stateful_running_totals",
 ]
 
 
