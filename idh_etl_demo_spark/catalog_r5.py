@@ -168,6 +168,23 @@ def doc_streaming_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFra
     key = (spark.sparkContext.applicationId, sf_dir)
     verdict_path = _STREAM_RESULTS.get(key)
     if verdict_path is None:
+        # replica-leg alias guard: the derived legs shift doc_id by
+        # 999999/1000001; an organic doc_id at or past the smaller shift
+        # would collide with a replica id, and the stream's doc_id-keyed
+        # watermark dedup + verdict merge would then silently drop a
+        # DISTINCT document while the oracle's UNION ALL keeps both
+        # rows. Unreachable at the gated scale factors — assert so a
+        # larger corpus fails loudly instead of diverging. (This
+        # builder is already EAGER by streaming nature, so the one
+        # scalar agg violates no laziness contract.)
+        max_id = (
+            _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+        )
+        if max_id is not None and max_id >= 999999:
+            raise ValueError(
+                f"documents.doc_id max {max_id} >= 999999: replica legs "
+                "would alias organic ids; regenerate with larger shifts"
+            )
         work = tempfile.mkdtemp(prefix="stream_curate_")
         landing = os.path.join(work, "landing")
         snapshot_path = os.path.join(work, "snapshot")

@@ -78,12 +78,18 @@ def connected_components(
     # the edge list is reused every round — materialize it once
     bi = bi.localCheckpoint(eager=True)
 
-    # distinct column names (node/label vs id/nb) keep every round's join
-    # unambiguous even though labels' lineage starts from bi
+    # Label init folds the FIRST propagation round in: with labels=self,
+    # round 1's neighbor_labels join degenerates to bi itself, so
+    # min(node, min neighbor) per node — one aggregation, no join —
+    # starts the loop one round ahead. (Distinct column names node/label
+    # vs id/nb keep every later round's join unambiguous.)
     labels = (
-        bi.select(F.col("id").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        bi.groupBy("id")
+        .agg(F.min("nb").alias("_mn"))
+        .select(
+            F.col("id").alias("node"),
+            F.least("id", "_mn").alias("label"),
+        )
     )
     labels = labels.localCheckpoint(eager=True)
 
@@ -97,7 +103,11 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        proposed = proposed.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count below is the round's
+        # single action — it materializes the checkpoint blocks AND
+        # counts in one job (eager=True would spend a separate job per
+        # round just to materialize before counting).
+        proposed = proposed.localCheckpoint(eager=False)
         changed = (
             proposed.alias("n")
             .join(labels.alias("o"), "node")

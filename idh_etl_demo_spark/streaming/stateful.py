@@ -55,7 +55,12 @@ def _update_totals(
         s += float(pdf["value"].sum())
         ts_max = pdf["ts"].max()
         if not pd.isna(ts_max):
-            us = int(ts_max.value // 1000)  # pandas ns → µs
+            # pandas ns → µs: exact while sources are µs-precision
+            # (Spark SQL TimestampType / parquet TIMESTAMP_MICROS). A
+            # future ns-precision source would lose sub-µs detail here
+            # relative to a batch oracle's max(ts) — keep the state in
+            # nanos if that ever lands.
+            us = int(ts_max.value // 1000)
             last_us = us if last_us is None else max(last_us, us)
     # last_ts is STATE, not a per-batch scalar: the final snapshot must
     # carry the stream-global last event time, so it rides the state

@@ -165,9 +165,11 @@ SHUFFLE_BUDGETS = {
     "small_quantity_revenue": 3,
     "supplier_distinct_parts": 3,
     "orders_status_pivot": 3,
-    # word-freq agg + bigram agg + their doc_id joins + ordering; every
-    # shuffle past the first carries per-doc scalars
-    "doc_gopher_quality": 5,
+    # round-robin input spread + final ordering ONLY: the round-6 gopher
+    # rewrite computes the top-word count as a sorted-array run-length
+    # fold (pure projection), so the old word-freq agg + bigram agg +
+    # doc_id joins are gone from the plan entirely (5 -> 2)
+    "doc_gopher_quality": 2,
     "doc_decontamination": 5,      # two shingle pipelines + probe join
     "doc_ngram_novelty": 5,        # corpus n-gram agg + novelty join chain
     # two unrolled Lloyd iterations. Assignment is a PURE PROJECTION
@@ -186,29 +188,34 @@ SHUFFLE_BUDGETS = {
     # by exchange reuse than 2iter's (the seeded centroid subtrees are
     # semantically identical across consumers)
     "embedding_kmeans_seeded": 8,
-    # four composed stages, each already individually plan-audited:
-    # gopher quality (word-freq agg + bigram agg join), exact-dedup
-    # grouping, LSH banding chain, and the status assembly joins on
-    # doc_id. The CC fixpoint's per-round shuffles happen inside the
-    # operator's checkpointed loop and are not part of this static plan.
-    # (Was 30 under the string counter — the cache-reprint double-count
-    # this counter removes; 11 is the real executed-exchange count.)
-    "doc_corpus_curation": 11,
-    # INCREMENTAL curation — the audited breakdown of 17:
-    #   quality chain 5 (word-freq agg, bigram agg, their joins — the
-    #     doc_gopher_quality shape over the widened corpus),
-    #   chq hash registry 2 (round-robin spread + quality semi-join),
-    #   base chain 4 (bmin groupBy, bsurv keeper join on content_hash,
-    #     bstatus assembly, bkeepers filter reuse),
-    #   delta chain 5 (dmin anti-join+groupBy, dsurv join, dbase_hit
-    #     probe distinct, delta CC edge semi-joins, dneard distinct),
+    # round-6 audited breakdown of 5: quality+hash scan round-robin
+    # spread 1 (the gopher rewrite removed its two aggs and the chq
+    # join rode into the same scan via the extra= hook), exact-dedup
+    # keeper groupBy 1 + keeper join 1, status assembly join 1, final
+    # orderBy 1. The CC fixpoint's per-round shuffles happen inside the
+    # operator's checkpointed loop and are not part of this static
+    # plan. (11 in round 5; the gopher fold + one-scan fusion cut it.)
+    "doc_corpus_curation": 5,
+    # INCREMENTAL curation — the round-6 audited breakdown of 13 (was
+    # 17 in round 5; the gopher fold, the one-scan quality+hash fusion,
+    # and the fused base/delta keeper agg cut it):
+    #   quality+hash scan 1 (round-robin spread; verdicts and content
+    #     hash ride ONE pass via _gopher_frame's extra= hook),
+    #   LSH input spread 1 (the candidate pass's round-robin),
+    #   fused keeper agg 2 (one groupBy(content_hash) with two
+    #     conditional mins for BOTH chains + the survivor join),
+    #   base status assembly 3 (exact-surv join, neard join, persist
+    #     boundary exchanges around bstatus),
+    #   delta chain 5 (dbase_hit probe distinct + bkeepers semi-join,
+    #     dneard distinct, delta status assembly joins),
     #   final orderBy 1 (range).
-    # Both CC fixpoints and the one LSH candidate pass run inside
-    # checkpointed build-time loops (exempt below) and are NOT in this
-    # static plan; the checkpoint scan is an RDD leaf. Every counted
-    # exchange past the quality aggs carries doc_id/hash-width rows —
-    # document bodies never shuffle.
-    "doc_incremental_curation": 17,
+    # The single shared CC fixpoint (base+delta edges on disjoint node
+    # sets) and the one LSH candidate pass run inside checkpointed
+    # build-time loops (exempt below) and are NOT in this static plan;
+    # the checkpoint scan is an RDD leaf. Every counted exchange past
+    # the quality scan carries doc_id/hash-width rows — document bodies
+    # never shuffle.
+    "doc_incremental_curation": 13,
     # three user-keyed aggregates (first week, distinct weeks, cohort
     # sizes) + the cells aggregate + two joins + ordering; every shuffle
     # carries aggregated rows, volume bounded by |users| then |weeks|^2
