@@ -31,6 +31,7 @@ import idh_etl_demo_spark.catalog_llm  # noqa: F401
 import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_r4  # noqa: F401
 import idh_etl_demo_spark.catalog_r5  # noqa: F401
+import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -61,6 +62,16 @@ PROBES = [
     # the scan cost
     "doc_sequence_packing",
     "doc_chunk_overlap",
+    # round-6 (r5 verdict ask #6): STREAMING curation at 10× — the
+    # landing files are the union-widened corpus, same 3-batch
+    # availableNow drain. Per-micro-batch cost must track BATCH size
+    # (10× more rows per landed file), not snapshot size: each batch's
+    # probe joins 16-byte content hashes against the snapshot
+    # (bucketed-layout plan asserted in tests/test_bucketing.py). The
+    # ratio here includes fixed stream startup + checkpoint overhead,
+    # so ≲10 means batch-size-linear; snapshot-size-quadratic would
+    # blow far past it.
+    "doc_streaming_snapshot_curation",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

@@ -169,21 +169,32 @@ def doc_streaming_snapshot_curation(spark: SparkSession, sf_dir: str) -> DataFra
     verdict_path = _STREAM_RESULTS.get(key)
     if verdict_path is None:
         # replica-leg alias guard: the derived legs shift doc_id by
-        # 999999/1000001; an organic doc_id at or past the smaller shift
-        # would collide with a replica id, and the stream's doc_id-keyed
-        # watermark dedup + verdict merge would then silently drop a
-        # DISTINCT document while the oracle's UNION ALL keeps both
-        # rows. Unreachable at the gated scale factors — assert so a
-        # larger corpus fails loudly instead of diverging. (This
-        # builder is already EAGER by streaming nature, so the one
-        # scalar agg violates no laziness contract.)
-        max_id = (
-            _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+        # 999999/1000001; if any shifted id collides with an ORGANIC
+        # doc_id, the stream's doc_id-keyed watermark dedup + verdict
+        # merge would silently drop a distinct document while the
+        # oracle's UNION ALL keeps both rows. Assert the EXACT property
+        # (replica-id set ∩ organic-id set = ∅) rather than a blanket
+        # max-id bound: sparse large-id corpora — e.g. the 10× scale
+        # probe's stride-shifted copies — are alias-free and must not
+        # trip it. One id-width semi-join at build time; this builder
+        # is already EAGER by streaming nature, so no laziness
+        # violation. (Round-5 advice item.)
+        ids = _t(spark, sf_dir, "documents").select("doc_id")
+        replicas = (
+            ids.filter(F.col("doc_id") % 25 == 0)
+            .select((F.col("doc_id") + 999999).alias("doc_id"))
+            .unionByName(
+                ids.filter(F.col("doc_id") % 25 == 9).select(
+                    (F.col("doc_id") + 1000001).alias("doc_id")
+                )
+            )
         )
-        if max_id is not None and max_id >= 999999:
+        n_alias = ids.join(replicas, "doc_id", "left_semi").count()
+        if n_alias:
             raise ValueError(
-                f"documents.doc_id max {max_id} >= 999999: replica legs "
-                "would alias organic ids; regenerate with larger shifts"
+                f"{n_alias} replica-leg ids alias organic doc_ids; "
+                "the derived stream batches would silently merge "
+                "distinct documents — use larger shifts for this corpus"
             )
         work = tempfile.mkdtemp(prefix="stream_curate_")
         landing = os.path.join(work, "landing")

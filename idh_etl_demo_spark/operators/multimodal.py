@@ -2,11 +2,13 @@
 columns with typed metadata, processed by Arrow-batched Pandas functions
 via ``mapInPandas``.
 
-The decode/resize/frame-sample kernels are STUBS (the image/audio libraries
-are not in this container — each raises ``NotImplementedError`` unless the
-deterministic fake is requested), but the Spark-side contract is real and
-tested: schemas, batch iteration, partition-preserving mapInPandas, and a
-binary-safe payload path.
+The image-decode path is REAL for binary PPM (netpbm ``P6`` — a stdlib
+parser, no third-party libs needed); all other formats and the video
+demuxer remain container-blocked stubs (Pillow/pyav absent — they raise
+``NotImplementedError`` unless the deterministic fake is requested). The
+Spark-side contract is real and tested either way: schemas, batch
+iteration, partition-preserving mapInPandas, and a binary-safe payload
+path.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per task
 regardless of partition size; binary payloads never pass through Python
@@ -63,10 +65,63 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
+_PPM_WS = b" \t\r\n\x0b\x0c"
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL binary-PPM (netpbm ``P6``) decoder, stdlib only: parses the
+    header (whitespace- and ``#``-comment-separated tokens per the
+    netpbm spec), validates the raster length, and returns
+    (width, height, mean sample intensity normalized by maxval)."""
+    pos = 2  # past the b"P6" magic
+
+    def next_token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos]
+            if c == 0x23:  # '#' comment runs to end of line
+                while pos < len(payload) and payload[pos] not in b"\r\n":
+                    pos += 1
+            elif c in _PPM_WS:
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos] not in _PPM_WS + b"#":
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        return payload[start:pos]
+
+    width = int(next_token())
+    height = int(next_token())
+    maxval = int(next_token())
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
+    if not 0 < maxval < 256:
+        # maxval >= 256 switches the spec to 2-byte big-endian samples;
+        # out of scope for the feature kernel
+        raise NotImplementedError(f"PPM maxval {maxval} not supported (expect < 256)")
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"truncated PPM raster: {len(raster)} of {n} bytes")
+    return (width, height, sum(raster) / n / maxval)
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
+    """Real decode path. Binary PPM (``P6``) is decoded natively with the
+    stdlib parser above; every other format needs Pillow/opencv, which
+    are not installed in this container."""
+    if payload is None or len(payload) == 0:
+        return (0, 0, 0.0)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "image decoding requires Pillow/opencv which are not installed in "
-        "this environment; use fake=True for the deterministic test kernel"
+        "non-PPM image decoding requires Pillow/opencv which are not "
+        "installed in this environment; use fake=True for the "
+        "deterministic test kernel or supply binary-PPM payloads"
     )
 
 

@@ -54,3 +54,67 @@ def test_frame_sampling_fanout(media):
     assert len(rows) == 3  # 3000 bytes / 1024 → 3 frames
     assert [r.frame_no for r in rows] == [0, 1, 2]
     assert sum(len(r.frame_bytes) for r in rows) == 3000
+
+
+# ---------------------------------------------------------------------------
+# Real PPM decode path (stdlib netpbm P6 parser — no Pillow needed)
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, raster, maxval=255, header=None):
+    head = header if header is not None else f"P6\n{w} {h}\n{maxval}\n".encode()
+    return head + raster
+
+
+def test_ppm_decode_basic():
+    from idh_etl_demo_spark.operators.multimodal import _decode_image_real
+
+    raster = bytes(range(2 * 1 * 3))  # 0..5
+    w, h, mean = _decode_image_real(_ppm(2, 1, raster))
+    assert (w, h) == (2, 1)
+    assert mean == sum(raster) / 6 / 255
+
+
+def test_ppm_decode_comments_and_whitespace():
+    from idh_etl_demo_spark.operators.multimodal import _decode_image_real
+
+    raster = b"\xff" * 3
+    head = b"P6 # a comment\n# full-line comment\n 1\t1 \n255\n"
+    w, h, mean = _decode_image_real(head + raster)
+    assert (w, h, mean) == (1, 1, 1.0)
+
+
+def test_ppm_decode_maxval_normalization():
+    from idh_etl_demo_spark.operators.multimodal import _decode_image_real
+
+    raster = bytes([100] * 3)
+    _, _, mean = _decode_image_real(_ppm(1, 1, raster, maxval=100))
+    assert mean == 1.0
+
+
+def test_ppm_truncated_raster_raises():
+    from idh_etl_demo_spark.operators.multimodal import _decode_image_real
+
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        _decode_image_real(_ppm(2, 2, b"\x00" * 5))
+
+
+def test_ppm_wide_maxval_unsupported():
+    from idh_etl_demo_spark.operators.multimodal import _decode_image_real
+
+    with pytest.raises(NotImplementedError, match="maxval"):
+        _decode_image_real(_ppm(1, 1, b"\x00" * 6, maxval=65535))
+
+
+def test_ppm_spark_path_real_kernel(spark):
+    """fake=False end-to-end through mapInPandas on valid PPM payloads."""
+    payloads = [
+        (1, "image", _ppm(2, 2, bytes(range(12))), None, None),
+        (2, "image", _ppm(1, 3, bytes([200] * 9)), None, None),
+    ]
+    df = spark.createDataFrame(payloads, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_features(df, fake=False).collect()}
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert got[1].mean_intensity == sum(range(12)) / 12 / 255
+    assert (got[2].width, got[2].height) == (1, 3)
+    assert got[2].mean_intensity == 200 / 255

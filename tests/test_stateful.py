@@ -189,3 +189,55 @@ def test_streaming_funnel_state_across_batches(spark, tmp_path):
     got2 = {uid: r.stage for uid, r in latest.iterrows()}
     assert got2[1] == 3  # purchase in batch 2 converted the batch-1 click
     assert got2[2] == 1  # click came after the 24h window: stage unchanged
+
+
+def test_stateful_replay_under_rocksdb_provider(spark):
+    """The 100 TB claim in events_stateful_running_totals names the
+    RocksDB state store; exercise it: re-run the entry's REAL stream
+    replay (applyInPandasWithState, 3 micro-batches) with
+    ``spark.sql.streaming.stateStore.providerClass`` switched to
+    RocksDBStateStoreProvider and assert the result is identical to the
+    batch GROUP BY — the same invariant the driver's oracle gates under
+    the default HDFS-backed provider."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.catalog import ENTRIES, _t
+    from idh_etl_demo_spark.catalog_r5 import _STATEFUL_RESULTS
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _STATEFUL_RESULTS.clear()  # force a fresh replay under RocksDB
+    try:
+        got = (
+            ENTRIES["events_stateful_running_totals"]
+            .spark(spark, sf)
+            .toPandas()
+        )
+        want = (
+            _t(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .orderBy("user_id")
+            .toPandas()
+        )
+        assert len(got) == len(want) and len(got) > 0
+        assert (got["user_id"].values == want["user_id"].values).all()
+        assert (got["n_events"].values == want["n_events"].values).all()
+        assert (got["sum_value"].values == want["sum_value"].values).all()
+        assert (got["last_ts"].values == want["last_ts"].values).all()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        # drop the RocksDB-built generation so later tests re-run under
+        # the session's default provider rather than reusing this one
+        _STATEFUL_RESULTS.clear()
