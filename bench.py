@@ -67,6 +67,11 @@ HEADLINE = [
     "doc_chunk_overlap",
     "doc_oov_rate",
     "multimodal_image_features",
+    # appended round 6: the REAL decode paths (stdlib netpbm parser
+    # behind fake=False; stdlib RIFF/WAVE parser) — tracked so a
+    # decoder-cost regression shows up in the per-round record
+    "multimodal_image_ppm",
+    "multimodal_audio_wav",
 ]
 
 

@@ -91,3 +91,84 @@ def multimodal_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "multimodal_audio_wav",
+    """
+    with m as (
+      select doc_id as media_id,
+             8 + (1 + doc_id % 3) * 8 as n,
+             md5(text) as mh
+      from documents
+    )
+    select media_id,
+           cast(8000 as bigint) as sample_rate,
+           cast(1 as bigint) as n_channels,
+           cast(n as bigint) as n_samples,
+           round(sqrt(list_sum(list_transform(generate_series(1, n),
+                                              i -> ascii(substring(mh, i, 1))
+                                                   * ascii(substring(mh, i, 1))))
+                      / cast(n as double)) / 255.0, 6) as rms
+    from m
+    order by media_id
+    """,
+)
+def multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding driver-gated: each document's content key
+    becomes a VALID RIFF/WAVE payload — a 44-byte canonical PCM header
+    (mono, 8-bit, 8 kHz; the two little-endian size fields are built
+    per-row with ``char(n)`` since n < 128 keeps their upper bytes
+    zero) followed by n ∈ {16, 24, 32} unsigned 8-bit samples taken
+    from the ASCII md5 chars — and the stdlib ``wave`` module parses it
+    inside the same Arrow ``mapInPandas`` contract
+    (operators/multimodal.py:_decode_wav). sample_rate / n_channels /
+    n_samples come from the PARSED header (wave validates the
+    RIFF/WAVE/fmt structure — a malformed synthesis fails the whole
+    row, not just a value), and the RMS from the DECODED samples; the
+    oracle reproduces all four from doc_id arithmetic + the md5 string.
+    Together with ``multimodal_image_ppm`` this makes both non-text
+    modalities' decode paths real code under the driver gate, not
+    stubs.
+
+    Scale shape: synthesis and decode are map-only (one Python worker
+    round-trip per partition batch, Arrow-framed binary); no shuffle
+    before the presentation sort."""
+    from idh_etl_demo_spark.operators.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.lit(8) + (F.lit(1) + F.col("doc_id") % 3) * 8).cast("int")
+    le32 = lambda col: F.concat(  # noqa: E731  (x < 128 → 3 zero bytes)
+        F.encode(F.char(col), "utf-8"), F.lit(bytes([0, 0, 0]))
+    )
+    header = F.concat(
+        F.lit(b"RIFF"),
+        le32(F.lit(36) + n),  # RIFF chunk size = 36 + data bytes
+        F.lit(b"WAVEfmt "),
+        F.lit(bytes([16, 0, 0, 0])),  # fmt chunk size
+        F.lit(bytes([1, 0])),  # PCM
+        F.lit(bytes([1, 0])),  # mono
+        F.lit(bytes([0x40, 0x1F, 0, 0])),  # 8000 Hz
+        F.lit(bytes([0x40, 0x1F, 0, 0])),  # byte rate (mono 8-bit)
+        F.lit(bytes([1, 0])),  # block align
+        F.lit(bytes([8, 0])),  # bits per sample
+        F.lit(b"data"),
+        le32(n),  # data chunk size
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            header, F.encode(F.left(F.md5(F.col("text")), n), "utf-8")
+        ).alias("payload"),
+    )
+    return (
+        audio_features(media)
+        .select(
+            "media_id",
+            "sample_rate",
+            "n_channels",
+            "n_samples",
+            F.round("rms", 6).alias("rms"),
+        )
+        .orderBy("media_id")
+    )

@@ -136,6 +136,75 @@ def _decode_image_fake(payload: bytes) -> tuple[int, int, float]:
     return (width, height, mean)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL WAV (RIFF PCM) decoder, stdlib only: the ``wave`` module
+    validates the RIFF/WAVE/fmt chunk structure and exposes the format
+    fields; RMS is computed over the decoded samples, normalized by the
+    sample-width full scale (255 for unsigned 8-bit, 32768 for signed
+    16-bit)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        nframes = w.getnframes()
+        frames = w.readframes(nframes)
+    if width == 1:  # unsigned 8-bit PCM
+        n = len(frames)
+        rms = math.sqrt(sum(b * b for b in frames) / n) / 255.0 if n else 0.0
+    elif width == 2:  # signed 16-bit little-endian PCM
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        n = len(samples)
+        rms = (
+            math.sqrt(sum(s * s for s in samples) / n) / 32768.0 if n else 0.0
+        )
+    else:
+        raise NotImplementedError(f"WAV sample width {width} not supported")
+    return (rate, nch, n // nch if nch else 0, rms)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads to (sample_rate, n_channels, n_samples, rms)
+    via Arrow-batched mapInPandas — a REAL stdlib decode path (no
+    third-party audio lib needed for RIFF PCM; compressed formats would
+    need pyav/soundfile, absent from this container)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                _decode_wav(p) if p is not None and len(p) else (0, 0, 0, 0.0)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "n_samples": [d[2] for d in decoded],
+                    "rms": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode image payloads to (width, height, mean_intensity) via
     Arrow-batched mapInPandas."""

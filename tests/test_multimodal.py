@@ -118,3 +118,69 @@ def test_ppm_spark_path_real_kernel(spark):
     assert got[1].mean_intensity == sum(range(12)) / 12 / 255
     assert (got[2].width, got[2].height) == (1, 3)
     assert got[2].mean_intensity == 200 / 255
+
+
+# ---------------------------------------------------------------------------
+# Real WAV decode path (stdlib `wave` RIFF parser)
+# ---------------------------------------------------------------------------
+
+
+def _wav(rate, nch, width, frames):
+    import io
+    import wave as wavmod
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_wav_decode_8bit_mono():
+    import math
+
+    from idh_etl_demo_spark.operators.multimodal import _decode_wav
+
+    frames = bytes([0, 128, 255, 64])
+    rate, nch, n, rms = _decode_wav(_wav(8000, 1, 1, frames))
+    assert (rate, nch, n) == (8000, 1, 4)
+    assert rms == math.sqrt(sum(b * b for b in frames) / 4) / 255.0
+
+
+def test_wav_decode_16bit_stereo():
+    import math
+    import struct
+
+    from idh_etl_demo_spark.operators.multimodal import _decode_wav
+
+    samples = (-32768, 32767, 0, 1000)  # 2 stereo frames
+    frames = struct.pack("<4h", *samples)
+    rate, nch, n, rms = _decode_wav(_wav(44100, 2, 2, frames))
+    assert (rate, nch, n) == (44100, 2, 2)  # n_samples = frames per channel
+    assert rms == math.sqrt(sum(s * s for s in samples) / 4) / 32768.0
+
+
+def test_wav_malformed_raises():
+    import pytest as _pytest
+
+    from idh_etl_demo_spark.operators.multimodal import _decode_wav
+
+    with _pytest.raises(Exception):  # wave.Error: not a RIFF file
+        _decode_wav(b"NOT A WAVE FILE AT ALL................")
+
+
+def test_wav_spark_path(spark):
+    from idh_etl_demo_spark.operators.multimodal import audio_features
+
+    payloads = [
+        (1, "audio", _wav(8000, 1, 1, bytes([100] * 8)), None, None),
+        (2, "audio", _wav(16000, 1, 1, bytes([0] * 4)), None, None),
+    ]
+    df = spark.createDataFrame(payloads, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    assert (got[1].sample_rate, got[1].n_samples) == (8000, 8)
+    assert got[1].rms == 100 / 255
+    assert (got[2].sample_rate, got[2].n_samples) == (16000, 4)
+    assert got[2].rms == 0.0

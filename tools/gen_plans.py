@@ -28,6 +28,8 @@ PICKS = {
     "doc_incremental_curation": "incremental flagship: base/delta verdict tables cached (InMemoryRelation), ONE checkpointed LSH edge list consumed by three chains (RDD-scan leaves), status assembly as doc_id joins",
     "doc_sequence_packing": "distributed prefix sum: per-shard window + ONE single-partition pass over |shards| subtotals + broadcast offsets join — the corpus never serializes through one partition",
     "doc_oov_rate": "top-K vocab as TakeOrdered + broadcast membership join — the exploded token stream never shuffles for the lookup",
+    "doc_gopher_quality": "round-6 rewrite: top-word count as a sorted-array run-length fold — quality gate is a PURE PROJECTION (input spread + presentation sort are the only exchanges)",
+    "multimodal_image_ppm": "real PPM decode: payload synthesis and stdlib parse are one map-only ArrowEvalPython/MapInPandas pass — no shuffle before the presentation sort",
 }
 
 
