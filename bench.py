@@ -72,6 +72,7 @@ HEADLINE = [
     # decoder-cost regression shows up in the per-round record
     "multimodal_image_ppm",
     "multimodal_audio_wav",
+    "multimodal_image_resize",
 ]
 
 

@@ -172,3 +172,65 @@ def multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "multimodal_image_resize",
+    """
+    with m as (
+      select doc_id as media_id,
+             1 + doc_id % 3 as w,
+             1 + doc_id % 2 as h,
+             md5(text) as mh
+      from documents
+    )
+    select media_id,
+           md5('P6' || chr(10) || '2 1' || chr(10) || '255' || chr(10)
+               || substring(mh, 1, 3)
+               || substring(mh, (w // 2) * 3 + 1, 3)) as resized_md5
+    from m
+    order by media_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE driver-gated — the transform step of the
+    brief's decode / feature-extract / resize / frame-sample list: the
+    same synthesized PPM payloads as ``multimodal_image_ppm`` run
+    through ``operators/multimodal.py:resize_images`` (stdlib
+    nearest-neighbor resample to 2×1, emitting a NEW valid PPM payload
+    through the map-only Arrow contract), and the gate is the md5 of
+    the ENTIRE resized payload — header and raster, every byte pinned.
+    The oracle rebuilds the expected bytes independently: output pixel
+    (x, 0) takes source pixel floor(x·w/2), so the resized raster is
+    source chars [1..3] ++ [3·⌊w/2⌋+1 .. +3] of the md5 string, and the
+    payload is ASCII so DuckDB's string md5 equals Spark's binary md5.
+    A wrong NN index, header, or byte order flips the hash.
+
+    Scale shape: one map-only Python pass (payload in, payload out, no
+    shuffle) + a JVM-side md5 projection before the presentation sort;
+    composes with image_features / attach_media_metadata downstream."""
+    from idh_etl_demo_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    header = F.concat_ws(
+        "",
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    raster = F.left(F.md5(F.col("text")), (w * h * 3).cast("int"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(header, "utf-8"), F.encode(raster, "utf-8")
+        ).alias("payload"),
+    )
+    return (
+        resize_images(media, out_w=2, out_h=1)
+        .select("media_id", F.md5("payload").alias("resized_md5"))
+        .orderBy("media_id")
+    )

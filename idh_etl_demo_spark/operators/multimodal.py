@@ -68,11 +68,11 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 _PPM_WS = b" \t\r\n\x0b\x0c"
 
 
-def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
-    """REAL binary-PPM (netpbm ``P6``) decoder, stdlib only: parses the
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL binary-PPM (netpbm ``P6``) parser, stdlib only: parses the
     header (whitespace- and ``#``-comment-separated tokens per the
     netpbm spec), validates the raster length, and returns
-    (width, height, mean sample intensity normalized by maxval)."""
+    (width, height, maxval, raster bytes)."""
     pos = 2  # past the b"P6" magic
 
     def next_token() -> bytes:
@@ -107,7 +107,28 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
     raster = payload[pos : pos + n]
     if len(raster) != n:
         raise ValueError(f"truncated PPM raster: {len(raster)} of {n} bytes")
-    return (width, height, sum(raster) / n / maxval)
+    return (width, height, maxval, raster)
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean sample intensity normalized by maxval)."""
+    width, height, maxval, raster = _parse_ppm(payload)
+    return (width, height, sum(raster) / len(raster) / maxval)
+
+
+def _resize_ppm_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a binary-PPM image → a new VALID
+    binary-PPM payload. Output pixel (x, y) takes source pixel
+    (floor(x·w/out_w), floor(y·h/out_h)) — the standard NN mapping."""
+    w, h, maxval, raster = _parse_ppm(payload)
+    out = bytearray(f"P6\n{out_w} {out_h}\n{maxval}\n".encode())
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            i = (sy * w + sx) * 3
+            out += raster[i : i + 3]
+    return bytes(out)
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
@@ -226,6 +247,45 @@ def image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize image payloads to (out_w, out_h) via Arrow-batched
+    mapInPandas — a REAL transform for binary-PPM inputs (stdlib
+    nearest-neighbor resample producing a new valid PPM payload; other
+    formats would decode through Pillow into the same kernel). Returns
+    (media_id, payload) with the RESIZED image bytes, composable with
+    ``image_features`` / ``attach_media_metadata`` downstream.
+
+    Scale shape: map-only — payload in, payload out, no shuffle; batch
+    memory is bounded by the Arrow batch size regardless of partition
+    row count."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": [
+                        _resize_ppm_nn(p, out_w, out_h)
+                        if p is not None and len(p)
+                        else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
     )
 
 

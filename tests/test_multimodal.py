@@ -184,3 +184,56 @@ def test_wav_spark_path(spark):
     assert got[1].rms == 100 / 255
     assert (got[2].sample_rate, got[2].n_samples) == (16000, 4)
     assert got[2].rms == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Real PPM nearest-neighbor resize
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_resize_downsample():
+    from idh_etl_demo_spark.operators.multimodal import (
+        _decode_image_real,
+        _resize_ppm_nn,
+    )
+
+    # 2x2 image: pixels P00 P10 / P01 P11
+    raster = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+    out = _resize_ppm_nn(_ppm(2, 2, raster), 1, 1)
+    # NN to 1x1 keeps pixel (0,0)
+    assert out == b"P6\n1 1\n255\n" + bytes([10, 11, 12])
+    w, h, mean = _decode_image_real(out)  # roundtrip: output is valid PPM
+    assert (w, h) == (1, 1)
+    assert mean == (10 + 11 + 12) / 3 / 255
+
+
+def test_ppm_resize_upsample_replicates():
+    from idh_etl_demo_spark.operators.multimodal import _resize_ppm_nn
+
+    raster = bytes([1, 2, 3, 4, 5, 6])  # 2x1
+    out = _resize_ppm_nn(_ppm(2, 1, raster), 4, 1)
+    # x=0,1 -> sx=0; x=2,3 -> sx=1
+    assert out == b"P6\n4 1\n255\n" + bytes([1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6])
+
+
+def test_ppm_resize_identity():
+    from idh_etl_demo_spark.operators.multimodal import _resize_ppm_nn
+
+    raster = bytes(range(18))  # 3x2
+    assert _resize_ppm_nn(_ppm(3, 2, raster), 3, 2) == _ppm(3, 2, raster)
+
+
+def test_ppm_resize_spark_path(spark):
+    from idh_etl_demo_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", _ppm(3, 2, bytes(range(18))), None, None)], MEDIA_SCHEMA
+    )
+    resized = resize_images(df, out_w=2, out_h=1)
+    feats = {r.media_id: r for r in image_features(resized, fake=False).collect()}
+    assert (feats[1].width, feats[1].height) == (2, 1)
+    # sx for x=0,1 at w=3: 0, 1 -> src bytes [0:3] and [3:6]
+    assert feats[1].mean_intensity == sum(range(6)) / 6 / 255
