@@ -72,6 +72,12 @@ PROBES = [
     # so ≲10 means batch-size-linear; snapshot-size-quadratic would
     # blow far past it.
     "doc_streaming_snapshot_curation",
+    # round-6: the REAL multimodal decode/transform kernels are
+    # map-only Arrow passes — their ratio should ride the scan cost
+    # (≈1× wall at 10× data on 32 cores until the cores saturate)
+    "multimodal_image_ppm",
+    "multimodal_audio_wav",
+    "multimodal_image_resize",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

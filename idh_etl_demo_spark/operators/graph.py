@@ -167,7 +167,9 @@ def k_core(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY: the count below materializes the checkpoint AND counts
+        # in one job (same trick as connected_components' rounds)
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     for _ in range(max_iterations):
@@ -183,7 +185,7 @@ def k_core(
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
         )
-        e2 = e2.localCheckpoint(eager=True)
+        e2 = e2.localCheckpoint(eager=False)
         n2 = e2.count()
         _release_checkpoint(e)
         e, n_edges, converged = e2, n2, n2 == n_edges

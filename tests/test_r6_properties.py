@@ -1,0 +1,114 @@
+"""Property-based tests for the round-6 REAL multimodal kernels:
+
+- PPM synthesize → parse is the IDENTITY on (w, h, maxval, raster) for
+  arbitrary geometries and raster bytes (the stdlib parser inverts the
+  canonical writer exactly);
+- PPM parsing is insensitive to header comments/whitespace noise;
+- nearest-neighbor resize emits a VALID PPM whose raster is exactly the
+  NN index map of the source (cross-checked against an independent
+  Python reference), and identity-geometry resize is a byte-level no-op;
+- WAV synthesize → decode roundtrips (rate, channels, frame count) and
+  the RMS against a pure-Python reference over the same samples.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import wave as wavmod
+
+from hypothesis import given, settings, strategies as st
+
+from idh_etl_demo_spark.operators.multimodal import (
+    _decode_wav,
+    _parse_ppm,
+    _resize_ppm_nn,
+)
+
+
+def _ppm_bytes(w: int, h: int, raster: bytes, maxval: int = 255) -> bytes:
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + raster
+
+
+@st.composite
+def ppm_images(draw):
+    w = draw(st.integers(min_value=1, max_value=8))
+    h = draw(st.integers(min_value=1, max_value=8))
+    maxval = draw(st.integers(min_value=1, max_value=255))
+    raster = draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3).map(
+            # samples must be <= maxval per the spec; clamp preserves size
+            lambda b, m=maxval: bytes(min(x, m) for x in b)
+        )
+    )
+    return w, h, maxval, raster
+
+
+@given(ppm_images())
+@settings(max_examples=50, deadline=None)
+def test_ppm_parse_inverts_writer(img):
+    w, h, maxval, raster = img
+    assert _parse_ppm(_ppm_bytes(w, h, raster, maxval)) == (w, h, maxval, raster)
+
+
+@given(ppm_images(), st.sampled_from([b" ", b"\t", b"\n", b"# noise\n", b"  # x\n\t"]))
+@settings(max_examples=50, deadline=None)
+def test_ppm_parse_ignores_header_noise(img, noise):
+    w, h, maxval, raster = img
+    noisy = b"P6" + noise + f"{w}{' '}{h}".encode() + noise + f"\n{maxval}\n".encode() + raster
+    assert _parse_ppm(noisy) == (w, h, maxval, raster)
+
+
+@given(
+    ppm_images(),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=50, deadline=None)
+def test_ppm_resize_matches_nn_reference(img, out_w, out_h):
+    w, h, maxval, raster = img
+    out = _resize_ppm_nn(_ppm_bytes(w, h, raster, maxval), out_w, out_h)
+    ow, oh, omax, oraster = _parse_ppm(out)  # output is itself valid PPM
+    assert (ow, oh, omax) == (out_w, out_h, maxval)
+    expected = b"".join(
+        raster[((y * h // out_h) * w + (x * w // out_w)) * 3 :][:3]
+        for y in range(out_h)
+        for x in range(out_w)
+    )
+    assert oraster == expected
+
+
+@given(ppm_images())
+@settings(max_examples=50, deadline=None)
+def test_ppm_resize_identity_geometry_is_noop(img):
+    w, h, maxval, raster = img
+    src = _ppm_bytes(w, h, raster, maxval)
+    assert _resize_ppm_nn(src, w, h) == src
+
+
+@st.composite
+def wav_clips(draw):
+    rate = draw(st.sampled_from([8000, 16000, 44100]))
+    nch = draw(st.integers(min_value=1, max_value=2))
+    nframes = draw(st.integers(min_value=1, max_value=64))
+    frames = draw(
+        st.binary(min_size=nframes * nch, max_size=nframes * nch)
+    )
+    return rate, nch, frames
+
+
+@given(wav_clips())
+@settings(max_examples=50, deadline=None)
+def test_wav_decode_roundtrips_writer(clip):
+    rate, nch, frames = clip
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    got_rate, got_nch, got_n, got_rms = _decode_wav(buf.getvalue())
+    assert (got_rate, got_nch) == (rate, nch)
+    assert got_n == len(frames) // nch
+    ref = math.sqrt(sum(b * b for b in frames) / len(frames)) / 255.0
+    assert got_rms == ref
