@@ -73,6 +73,7 @@ HEADLINE = [
     "multimodal_image_ppm",
     "multimodal_audio_wav",
     "multimodal_image_resize",
+    "embedding_int8_quantize",
 ]
 
 

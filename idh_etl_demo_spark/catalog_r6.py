@@ -234,3 +234,71 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", F.md5("payload").alias("resized_md5"))
         .orderBy("media_id")
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    with s as (
+      select vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(cast(x as double)))) / 127.0
+               as scale
+      from embeddings
+    ),
+    q as (
+      select vec_id, embedding, scale,
+             case when scale = 0
+                  then list_transform(embedding, x -> cast(0 as bigint))
+                  else list_transform(embedding,
+                                      x -> cast(round(cast(x as double) / scale)
+                                                as bigint))
+             end as codes
+      from s
+    )
+    select vec_id,
+           round(scale, 6) as scale,
+           cast(list_sum(codes) as bigint) as checksum,
+           list_max(list_transform(generate_series(1, len(embedding)),
+                                   i -> abs(cast(embedding[i] as double)
+                                            - codes[i] * scale)))
+             <= scale * 0.5000001 as within_bound
+    from q
+    order by vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization, oracle-gated: per vector,
+    scale = max|x|/127 and codes = round(x/scale) — the 4×-compression
+    storage form of a 100 TB embedding table
+    (operators/similarity.py:quantize_int8, pure JVM array expressions,
+    map-only). The gate is exact where it can be (the integer code
+    CHECKSUM — both engines read the same float32 parquet, widen to
+    double, and round identically half-away-from-zero, so every code
+    matches bit-for-bit) and bound-gated where floats forbid exactness
+    (``within_bound`` pins the reconstruction-error invariant
+    max|x − q·scale| ≤ scale/2, the property a broken quantizer or
+    dequantizer violates). scale is hash-gated at 6 dp like the other
+    double-valued entries.
+
+    Scale shape: map-only projection — no shuffle before the
+    presentation sort; downstream ANN (hyperplane/IVF entries) can read
+    codes + scale instead of raw floats, shrinking the shuffled probe
+    payload 4×."""
+    from idh_etl_demo_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb, "embedding")
+    return (
+        qd.select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            F.aggregate(
+                "q_int8", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("checksum"),
+            (
+                F.col("max_abs_err") <= F.col("scale") * 0.5000001
+            ).alias("within_bound"),
+        )
+        .orderBy("vec_id")
+    )

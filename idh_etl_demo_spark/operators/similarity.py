@@ -308,3 +308,38 @@ def signbit_bucket_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/serving form
+    of a 100 TB embedding table (4× smaller than float32, dequantizes as
+    q·scale). scale = max|x|/127; q_i = round(x_i/scale) ∈ [-127, 127];
+    all-zero vectors quantize to scale 0 / all-zero codes.
+
+    Pure JVM array expressions (transform / zip_with / aggregate) — a
+    map-only projection, no UDF, no shuffle. Emits alongside each code
+    vector the exact reconstruction-error audit the caller can gate:
+    ``max_abs_err`` = max_i |x_i − q_i·scale|, mathematically ≤ scale/2
+    for symmetric rounding — a violated bound means the quantizer (or a
+    reader's dequantization) is broken.
+    """
+    emb = F.col(vec_col)
+    absmax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    zeros = F.transform(emb, lambda x: F.lit(0).cast("long"))
+    codes = F.when(scale == 0, zeros).otherwise(
+        F.transform(
+            emb, lambda x: F.round(x.cast("double") / scale).cast("long")
+        )
+    )
+    q = F.col("q_int8")
+    max_err = F.array_max(
+        F.zip_with(
+            emb, q, lambda x, qi: F.abs(x.cast("double") - qi * scale)
+        )
+    )
+    return (
+        df.withColumn("q_int8", codes)
+        .withColumn("scale", scale)
+        .withColumn("max_abs_err", max_err)
+    )

@@ -112,3 +112,50 @@ def test_wav_decode_roundtrips_writer(clip):
     assert got_n == len(frames) // nch
     ref = math.sqrt(sum(b * b for b in frames) / len(frames)) / 255.0
     assert got_rms == ref
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization: Spark expression pipeline vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _quantize_ref(vec):
+    absmax = max((abs(float(x)) for x in vec), default=0.0)
+    scale = absmax / 127.0
+    if scale == 0:
+        return [0] * len(vec), 0.0, 0.0
+    # round half away from zero, matching Spark/DuckDB ROUND
+    codes = [
+        int(math.floor(abs(x) / scale + 0.5)) * (1 if x >= 0 else -1)
+        for x in (float(v) for v in vec)
+    ]
+    max_err = max(abs(float(x) - q * scale) for x, q in zip(vec, codes))
+    return codes, scale, max_err
+
+
+def test_quantize_int8_matches_reference(spark):
+    import struct as _struct
+
+    from idh_etl_demo_spark.operators.similarity import quantize_int8
+
+    # deterministic pseudo-random float32 vectors incl. edge shapes
+    vecs = [
+        [0.0] * 8,                                  # all-zero → scale 0
+        [1.0, -1.0, 0.5, -0.5, 127.0, -127.0, 0.25, 63.5],
+        [_struct.unpack("f", _struct.pack("f", (i * 37 % 19) - 9.5))[0]
+         for i in range(16)],
+        [1e-6, -1e-6, 3.3e-5, -4.4e-5],
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r for r in quantize_int8(df, "embedding").collect()
+    }
+    for i, v in enumerate(vecs):
+        # reference sees the same float32-rounded values Spark reads
+        v32 = [_struct.unpack("f", _struct.pack("f", x))[0] for x in v]
+        codes, scale, max_err = _quantize_ref(v32)
+        assert list(got[i].q_int8) == codes, f"vec {i} codes"
+        assert got[i].scale == scale, f"vec {i} scale"
+        assert got[i].max_abs_err <= scale / 2 + 1e-12, f"vec {i} bound"
+        assert all(abs(q) <= 127 for q in codes)
