@@ -74,6 +74,7 @@ HEADLINE = [
     "multimodal_audio_wav",
     "multimodal_image_resize",
     "embedding_int8_quantize",
+    "embedding_int8_ann_recall",
 ]
 
 

@@ -159,3 +159,20 @@ def test_quantize_int8_matches_reference(spark):
         assert got[i].scale == scale, f"vec {i} scale"
         assert got[i].max_abs_err <= scale / 2 + 1e-12, f"vec {i} bound"
         assert all(abs(q) <= 127 for q in codes)
+
+
+def test_int8_ann_recall_non_vacuous(spark):
+    """The quantized-serving audit must measure something: every query
+    carries a full 5-row truth set, recall is a valid ratio, and at
+    least one truth neighbor survives quantization (an all-zero recall
+    column would mean the approx side is broken, not 'low recall')."""
+    from idh_etl_demo_spark.catalog_r6 import embedding_int8_ann_recall
+
+    rows = embedding_int8_ann_recall(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no query rows"
+    assert all(r.n_truth == 5 for r in rows)
+    assert all(0 <= r.n_hits <= 5 for r in rows)
+    assert all(abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-12 for r in rows)
+    assert any(r.n_hits > 0 for r in rows)
