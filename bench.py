@@ -75,6 +75,7 @@ HEADLINE = [
     "multimodal_image_resize",
     "embedding_int8_quantize",
     "embedding_int8_ann_recall",
+    "doc_importance_weights",
 ]
 
 

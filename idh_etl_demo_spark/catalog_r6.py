@@ -450,3 +450,122 @@ def embedding_int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ===========================================================================
+# DSIR-style importance weights: hashed-unigram target-vs-corpus affinity
+# ===========================================================================
+
+_DSIR_BUCKETS = 256
+
+
+def _dsir_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _WORDS
+
+    return f"""
+    with words as (
+      select d.doc_id, d.lang,
+             unnest(list_filter({_WORDS}, w -> w != '')) as word
+      from documents d
+    ),
+    b as (
+      select doc_id, lang,
+             ('0x' || substring(md5(word), 1, 14))::bigint % {_DSIR_BUCKETS}
+               as bucket
+      from words
+    ),
+    bw as (
+      select bucket,
+             count(*) as cc,
+             sum(case when lang = 'en' then 1 else 0 end) as ct
+      from b group by bucket
+    ),
+    per_doc as (
+      select b.doc_id,
+             count(*) as n_tokens,
+             cast(sum(bw.ct + 1) as bigint) as affinity_num,
+             cast(sum(bw.cc + 1) as bigint) as affinity_den
+      from b join bw using (bucket)
+      group by b.doc_id
+    )
+    select doc_id,
+           cast(n_tokens as bigint) as n_tokens,
+           affinity_num,
+           affinity_den,
+           affinity_num * 1.0 / affinity_den as affinity
+    from per_doc
+    order by doc_id
+    """
+
+
+@query("doc_importance_weights", _dsir_sql())
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights in the style of DSIR (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): tokens hash into 256 buckets, each bucket carries its
+    occurrence count in the TARGET distribution (here lang='en') and in
+    the full corpus, and each document scores the affinity of its token
+    stream to the target — rank by it, keep the top mass, and you have
+    importance-resampled pretraining data.
+
+    Engine-exactness: instead of the paper's log-likelihood-ratio sum
+    (whose float accumulation order differs across engines), the score
+    is the RATIO OF INTEGER SUMS along the token stream — Laplace
+    (+1)-smoothed target hits over corpus hits, both exact int64 in any
+    aggregation order — so the driver hash gates the numerator and
+    denominator exactly and the final division is one deterministic
+    IEEE op. Rank-equivalent use is unchanged: higher affinity = closer
+    to the target distribution. Buckets use the repo's standard 56-bit
+    md5-prefix hash (portable across Spark/DuckDB, no JVM hashCode).
+
+    On THIS synthetic corpus the five languages share most of the
+    31-type vocabulary, so the separation is small but directionally
+    correct (en mean affinity is the highest of the five at sf0.01);
+    the gate is about the computation — integer-exact numerators and
+    denominators — not the corpus's separability.
+
+    Scale shape: one explode pass builds the ≤256-row bucket table
+    (map-side-combined conditional counts), which BROADCASTS back onto
+    the token stream — per-doc scoring is then a single doc_id-keyed
+    aggregate; no token-level shuffle beyond the two aggregates, no
+    driver-side vocabulary. At 100 TB the bucket table is still 256
+    rows."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    b = w.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 14), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    bw = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    per_doc = (
+        b.join(F.broadcast(bw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("ct") + 1).alias("affinity_num"),
+            F.sum(F.col("cc") + 1).alias("affinity_den"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "affinity_num",
+        "affinity_den",
+        (
+            F.col("affinity_num").cast("double") / F.col("affinity_den")
+        ).alias("affinity"),
+    ).orderBy("doc_id")

@@ -176,3 +176,22 @@ def test_int8_ann_recall_non_vacuous(spark):
     assert all(0 <= r.n_hits <= 5 for r in rows)
     assert all(abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-12 for r in rows)
     assert any(r.n_hits > 0 for r in rows)
+
+
+def test_importance_weights_bounds_and_direction(spark):
+    """DSIR affinity invariants: target ⊆ corpus forces every per-doc
+    score into (0, 1], and the target language must score at least as
+    high on average as the rest (directional sanity on the fixed
+    sf0.001 corpus)."""
+    from idh_etl_demo_spark.catalog_r6 import doc_importance_weights
+
+    rows = doc_importance_weights(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(0 < r.affinity <= 1 for r in rows)
+    assert all(r.affinity_num <= r.affinity_den for r in rows)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    en = [r.affinity for r in rows if lang[r.doc_id] == "en"]
+    rest = [r.affinity for r in rows if lang[r.doc_id] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
