@@ -78,6 +78,15 @@ PROBES = [
     "multimodal_image_ppm",
     "multimodal_audio_wav",
     "multimodal_image_resize",
+    # round-6: int8 quantization is map-only and must ride the scan;
+    # DSIR weights shuffle the token stream into two aggregates (bucket
+    # table then per-doc) — both should scale ~linearly. The
+    # quantized-serving recall audit is NOT probed, same policy as
+    # cosine_topk / ann_audit: its query set is a fixed fraction of the
+    # corpus, so the brute-force truth side is deliberately quadratic
+    # at 10× (at prod scale the audit runs on a sampled query set).
+    "embedding_int8_quantize",
+    "doc_importance_weights",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

@@ -233,6 +233,21 @@ SHUFFLE_BUDGETS = {
     # IVF: coarse-quantizer build (SinglePartition pack) + per-list
     # assignment agg + probe join + topk window + ordering
     "embedding_ann_ivf": 7,
+    # round-6: quantization is a MAP-ONLY projection — the single
+    # exchange is the presentation range sort; a second exchange
+    # appearing here means the quantizer grew a shuffle it must not
+    # have at 100 TB
+    "embedding_int8_quantize": 1,
+    # round-6 quantized-serving audit: truth side = cosine_topk's plan
+    # (input spread + topk window), approx side = int8 topk window,
+    # intersect + per-query truth/hit aggs + join + ordering — same
+    # audit shape as embedding_ann_audit (10), one less because the
+    # approx side has no bucket agg
+    "embedding_int8_ann_recall": 9,
+    # round-6 DSIR weights: bucket-table agg (broadcasts back), per-doc
+    # agg, presentation sort — the token stream shuffles only into the
+    # two aggregates, never as raw text
+    "doc_importance_weights": 3,
 }
 
 

@@ -30,6 +30,8 @@ PICKS = {
     "doc_oov_rate": "top-K vocab as TakeOrdered + broadcast membership join — the exploded token stream never shuffles for the lookup",
     "doc_gopher_quality": "round-6 rewrite: top-word count as a sorted-array run-length fold — quality gate is a PURE PROJECTION (input spread + presentation sort are the only exchanges)",
     "multimodal_image_ppm": "real PPM decode: payload synthesis and stdlib parse are one map-only ArrowEvalPython/MapInPandas pass — no shuffle before the presentation sort",
+    "embedding_int8_quantize": "int8 quantization is a pure JVM array-expression projection — the presentation sort is the plan's ONLY exchange",
+    "doc_importance_weights": "DSIR weights: 256-row bucket table broadcasts back onto the token stream — tokens shuffle only into the two aggregates, never as raw text",
 }
 
 
