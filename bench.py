@@ -76,6 +76,7 @@ HEADLINE = [
     "embedding_int8_quantize",
     "embedding_int8_ann_recall",
     "doc_importance_weights",
+    "doc_decontamination_bloom",
 ]
 
 

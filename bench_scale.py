@@ -87,6 +87,11 @@ PROBES = [
     # at 10× (at prod scale the audit runs on a sampled query set).
     "embedding_int8_quantize",
     "doc_importance_weights",
+    # round-6: bloom-filtered decontamination — the membership test is
+    # a one-row-broadcast projection, so the ratio must track the
+    # shingle scan like the exact entry (the 2^16-bit map stays
+    # selective at 10× bench grams: ~20k of 65536 bits set → fp < 1%)
+    "doc_decontamination_bloom",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

@@ -569,3 +569,91 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("affinity_num").cast("double") / F.col("affinity_den")
         ).alias("affinity"),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# Bloom-runtime-filtered decontamination: lossless pre-filter, exact-gated
+# ===========================================================================
+
+
+def _decontam_bloom_sql() -> str:
+    # the oracle is the EXACT entry's SQL, verbatim: a bloom pre-filter
+    # has false positives (removed by the confirm join) and no false
+    # negatives, so a correct implementation returns the identical
+    # result set — the driver hash match PROVES the pre-filter lossless
+    # (the sequence-packing proof technique).
+    import idh_etl_demo_spark.catalog_r3  # noqa: F401  (registers the exact entry)
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    return ENTRIES["doc_decontamination"].oracle
+
+
+@query("doc_decontamination_bloom", _decontam_bloom_sql())
+def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a BLOOM RUNTIME FILTER — the
+    shape for when the benchmark gram set is too large to broadcast
+    exactly (1e8+ grams across a real eval suite): the bench grams fold
+    into a 2^16-bit bloom bitmap (operators/bloom.py — ``bit_or``
+    aggregate into m/32 packed words, ONE ROW of array<long>), the
+    corpus gram stream cross-joins that one-row scalar and drops
+    non-members as a PURE PROJECTION, and only the tiny surviving
+    fraction reaches the exact confirm join. Same flag semantics as
+    ``doc_decontamination``; the oracle is that entry's exact SQL
+    verbatim, so the value-hash match proves the bloom pass lossless
+    (no false negatives — the property a broken hash slicing or bit
+    packing would violate).
+
+    Scale shape: the bitmap is m/4 bytes broadcast once per executor
+    (16 KB here; 256 MB covers ~1e8 grams at ~1% fp) — the corpus side,
+    the 100 TB side, shuffles nothing for the membership test and only
+    confirmed candidates flow into the (broadcast) exact join. The
+    selectivity property (candidates ≪ corpus grams, zero lost hits) is
+    pinned by tests/test_r6_properties.py."""
+    from idh_etl_demo_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from idh_etl_demo_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def grams_of(side):
+        # same two-sided shingle split as doc_decontamination
+        # (catalog_r3.py): filter before shingling, repartition before
+        # the shingle projection so it runs parallel, not per-file
+        sets = side.repartition(spark.sparkContext.defaultParallelism).select(
+            "doc_id", word_shingles(F.col("text"), 5).alias("sh")
+        )
+        return (
+            sets.select("doc_id", F.explode_outer("sh").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .select("doc_id", F.md5("s").alias("gh"))
+        )
+
+    bench = grams_of(docs.filter(F.col("doc_id") % 97 == 0)).select("gh").distinct()
+    bf = bloom_build(bench, "gh", m_bits=65536, k=4)
+    corpus = grams_of(docs.filter(F.col("doc_id") % 97 != 0))
+    candidates = (
+        corpus.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain(F.col("gh"), F.col("bf"), 65536, 4))
+        .drop("bf")
+    )
+    hits = (
+        candidates.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    all_corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    return (
+        all_corpus.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,105 @@
+"""Bloom-filter pre-filtering as pure relational algebra — the runtime-
+filter primitive for membership probes where the build side is too large
+to broadcast exactly (benchmark decontamination against 1e8+ eval grams,
+anti-join pushdown, dirty-key skipping).
+
+No JVM sketch objects and no driver round-trip: the filter IS a
+DataFrame. Build side → k hash positions per key (16-bit slices of the
+key's md5 hex — engine-portable, no JVM hashCode) → ``bit_or`` aggregate
+into m/32 packed words → ONE ROW holding the dense bitmap as
+``array<long>``. Probe side cross-joins that one-row scalar (the repo's
+standard one-row broadcast shape) and evaluates membership as a pure
+projection: ``element_at(bf, widx+1) & 2^bit != 0`` for all k
+positions. Words are 32-bit (stored in longs) so every per-bit mask is
+``pow(2, bit)`` with bit ≤ 31 — exact in doubles, no shift builtins
+needed (PySpark's shiftleft only takes literal shift amounts).
+
+A Bloom filter admits false positives but NEVER false negatives, so a
+probe filtered through it and then confirmed with the exact join returns
+results IDENTICAL to the exact plan — which is how callers gate it: the
+oracle states the naive exact join; a hash match proves the pre-filter
+lossless (the sequence-packing proof technique).
+
+Scale: m_bits/32 longs ≈ m_bits/4 bytes broadcast once per executor —
+2^16 bits = 16 KB (this repo's test SF), 2^30 bits = 256 MB (≈1e8 build
+keys at ~1% fp with k=4). Past broadcast budgets, keep the (widx, mask)
+TABLE un-collapsed and equi-join the probe's positions on widx instead
+— same masks; the one-row form is strictly better whenever it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions in [0, m_bits) from disjoint 16-bit slices of
+    md5(key) — identical arithmetic is expressible in any engine with
+    md5 + substring + conv."""
+    if not (1 <= k <= 8):
+        raise ValueError(f"k must be in 1..8 (32 hex chars / 4), got {k}")
+    if m_bits & (m_bits - 1) or m_bits < 32:
+        raise ValueError(f"m_bits must be a power of two >= 32, got {m_bits}")
+    h = F.md5(key)
+    return [
+        F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long")
+        % F.lit(m_bits)
+        for j in range(k)
+    ]
+
+
+def _word_and_mask(p: Column) -> tuple[Column, Column]:
+    """(word index, in-word bit mask) for position ``p`` under 32-bit
+    words; the mask is exact (2^bit, bit ≤ 31 < 2^53)."""
+    widx = (p / 32).cast("long")
+    mask = F.pow(F.lit(2.0), (p % 32).cast("int")).cast("long")
+    return widx, mask
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 65536, k: int = 4
+) -> DataFrame:
+    """ONE-ROW DataFrame with column ``bf``: the dense m_bits-wide bloom
+    bitmap over ``df[key_col]``, packed into m_bits/32 words (as longs).
+    Build shape: explode k positions → map-side-combined ``bit_or`` per
+    word (≤ m_bits/32 rows ever shuffle) → one SinglePartition pack
+    into the array."""
+    pos = _positions(F.col(key_col), m_bits, k)
+    n_words = m_bits // 32
+    bits = df.select(F.explode(F.array(*pos)).alias("p"))
+    widx, mask = _word_and_mask(F.col("p"))
+    masks = (
+        bits.select(widx.alias("widx"), mask.alias("m1"))
+        .groupBy("widx")
+        .agg(F.bit_or("m1").alias("mask"))
+    )
+    return masks.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "mask"))).alias("mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("mp"), i.cast("long")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bf")
+    )
+
+
+def bloom_might_contain(
+    key: Column, bf: Column, m_bits: int = 65536, k: int = 4
+) -> Column:
+    """Pure-projection membership test of ``key`` against a ``bf``
+    bitmap column (as produced by :func:`bloom_build`, typically
+    attached via ``crossJoin(broadcast(one_row))``). True ⇔ all k
+    positions are set — may be a false positive, never a false
+    negative."""
+    out = None
+    for p in _positions(key, m_bits, k):
+        widx, mask = _word_and_mask(p)
+        check = (
+            F.element_at(bf, (widx + 1).cast("int")).bitwiseAND(mask) != 0
+        )
+        out = check if out is None else (out & check)
+    return out

@@ -248,6 +248,13 @@ SHUFFLE_BUDGETS = {
     # agg, presentation sort — the token stream shuffles only into the
     # two aggregates, never as raw text
     "doc_importance_weights": 3,
+    # round-6 bloom decontamination: the exact entry's 5 (two shingle
+    # input spreads, bench distinct, per-doc hit agg, ordering + join)
+    # plus the THREE bloom-build exchanges — the word-mask bit_or agg
+    # and the SinglePartition bitmap pack, both bounded by m/32 = 2048
+    # rows, plus the assembly join's exchange. The corpus side gains
+    # ZERO shuffles for the membership test (one-row scalar broadcast)
+    "doc_decontamination_bloom": 8,
 }
 
 

@@ -195,3 +195,79 @@ def test_importance_weights_bounds_and_direction(spark):
     rest = [r.affinity for r in rows if lang[r.doc_id] != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+# ---------------------------------------------------------------------------
+# bloom runtime filter: no false negatives, real selectivity
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_never_drops_members(spark):
+    from idh_etl_demo_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    import pyspark.sql.functions as F
+
+    build = spark.range(500).selectExpr("concat('key-', id) s")
+    bf = bloom_build(build, "s", m_bits=4096, k=4)
+    probe = spark.range(1500).selectExpr("concat('key-', id) s")
+    hit = probe.crossJoin(F.broadcast(bf)).filter(
+        bloom_might_contain(F.col("s"), F.col("bf"), 4096, 4)
+    )
+    # every member passes (bloom guarantees no false negatives)
+    assert hit.filter("cast(substring(s, 5) as long) < 500").count() == 500
+    # the deliberately-undersized 4096-bit map (500 keys * 4 bits) must
+    # still reject most of the 1000 non-members — a vacuous all-pass
+    # filter means broken hashing/packing
+    assert hit.count() < 1100
+
+
+def test_bloom_parameter_validation():
+    import pytest as _pytest
+
+    from idh_etl_demo_spark.operators.bloom import _positions
+    import pyspark.sql.functions as F
+
+    with _pytest.raises(ValueError):
+        _positions(F.lit("x"), 1000, 4)  # not a power of two
+    with _pytest.raises(ValueError):
+        _positions(F.lit("x"), 4096, 9)  # k too large for md5 slices
+
+
+def test_decontam_bloom_prefilter_selective_and_lossless(spark):
+    """The bloom pre-filter must actually filter (candidates << corpus
+    grams) and must keep every true hit (result equals the exact
+    entry's) — the oracle gate proves the second at sf0.01; this pins
+    both locally with the internals exposed."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.catalog_r3 import doc_decontamination
+    from idh_etl_demo_spark.catalog_r6 import doc_decontamination_bloom
+    from idh_etl_demo_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from idh_etl_demo_spark.operators.dedup import word_shingles
+
+    sf = "/root/testdata/sf0.001"
+    exact = doc_decontamination(spark, sf).collect()
+    bloomed = doc_decontamination_bloom(spark, sf).collect()
+    assert exact == bloomed
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    grams = lambda side: (  # noqa: E731
+        side.select("doc_id", word_shingles(F.col("text"), 5).alias("sh"))
+        .select(F.explode("sh").alias("s"))
+        .select(F.md5("s").alias("gh"))
+    )
+    bench = grams(docs.filter(F.col("doc_id") % 97 == 0)).distinct()
+    corpus = grams(docs.filter(F.col("doc_id") % 97 != 0))
+    bf = bloom_build(bench, "gh", m_bits=65536, k=4)
+    n_corpus = corpus.count()
+    n_candidates = (
+        corpus.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain(F.col("gh"), F.col("bf"), 65536, 4))
+        .count()
+    )
+    # selectivity: the pre-filter must cut the confirm join's input
+    assert n_candidates < n_corpus / 2, (n_candidates, n_corpus)
