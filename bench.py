@@ -77,6 +77,7 @@ HEADLINE = [
     "embedding_int8_ann_recall",
     "doc_importance_weights",
     "doc_decontamination_bloom",
+    "doc_cms_word_counts",
 ]
 
 

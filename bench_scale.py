@@ -92,6 +92,9 @@ PROBES = [
     # shingle scan like the exact entry (the 2^16-bit map stays
     # selective at 10× bench grams: ~20k of 65536 bits set → fp < 1%)
     "doc_decontamination_bloom",
+    # round-6: the CMS counter groupBy must stay d·w-bounded after
+    # map-side combine — the ratio should track the token scan
+    "doc_cms_word_counts",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

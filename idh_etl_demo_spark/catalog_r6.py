@@ -657,3 +657,96 @@ def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Relational count-min sketch: exact-gated heavy-hitter estimates
+# ===========================================================================
+
+_CMS_W = 16  # deliberately undersized vs the 31-type synthetic vocab: cell
+# collisions must actually occur for the min-over-rows estimator (and the
+# one-sided error bound) to be exercised non-vacuously
+_CMS_D = 4
+
+
+def _cms_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _WORDS
+
+    col = "('0x' || substring(md5(word), 1 + 4 * j, 4))::bigint % {w}"
+    return f"""
+    with toks as (
+      select unnest(list_filter({_WORDS}, w -> w != '')) as word
+      from documents
+    ),
+    freq as (select word, count(*) as true_count from toks group by word),
+    top as (
+      select word, true_count from freq
+      order by true_count desc, word limit 20
+    ),
+    cells as (
+      select g.j, {col.format(w=_CMS_W)} as col, count(*) as cnt
+      from toks, generate_series(0, {_CMS_D - 1}) as g(j)
+      group by g.j, col
+    ),
+    probes as (
+      select word, true_count, g.j, {col.format(w=_CMS_W)} as col
+      from top, generate_series(0, {_CMS_D - 1}) as g(j)
+    ),
+    est as (
+      select word, true_count,
+             min(coalesce(c.cnt, 0)) as cms_count
+      from probes p left join cells c on c.j = p.j and c.col = p.col
+      group by word, true_count
+    )
+    select word,
+           cast(true_count as bigint) as true_count,
+           cast(cms_count as bigint) as cms_count,
+           cms_count >= true_count as no_undercount
+    from est
+    order by true_count desc, word
+    """
+
+
+@query("doc_cms_word_counts", _cms_sql())
+def doc_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter estimates, EXACT-GATED: the corpus
+    token stream folds into a 4×16 counter matrix
+    (operators/cms.py — one map-side-combined groupBy, ≤ d·w rows
+    whatever the vocabulary size), and the corpus's exact top-20 words
+    read their estimates back as min-over-rows broadcast lookups.
+    Because the hash rows are deterministic md5 slices (not a library's
+    private hash), both engines compute the IDENTICAL counter matrix —
+    the driver gates the estimates themselves, not just the
+    ``no_undercount`` bound (which pins CMS's one-sided error: cell
+    collisions over-count, never under-count). w=16 is deliberately
+    undersized against the synthetic 31-type vocabulary so collisions
+    REALLY happen — at sf0.01, 8 of the 20 estimates over-count and
+    none under-counts; a right-sized sketch would gate nothing but
+    equality (prod sizes w ≈ e/ε for error ε·stream_len).
+
+    Scale shape: the sketch is the 100 TB path for frequency tracking
+    over unbounded vocabularies — the groupBy's shuffle carries (j,
+    col) pairs bounded by d·w after map-side combine, while the exact
+    ``freq`` here exists only to supply truth for the gate (prod uses
+    the sketch precisely when exact per-key counts are too big).
+    Mergeability is structural: per-partition / per-day counter tables
+    SUM into the global sketch."""
+    from idh_etl_demo_spark.operators.cms import cms_build, cms_estimate
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    top = freq.orderBy(F.desc("true_count"), F.asc("word")).limit(20)
+    counters = cms_build(toks, "word", w=_CMS_W, d=_CMS_D)
+    est = cms_estimate(top, counters, "word", w=_CMS_W, d=_CMS_D)
+    return est.select(
+        "word",
+        "true_count",
+        F.col("cms_count").cast("long").alias("cms_count"),
+        (F.col("cms_count") >= F.col("true_count")).alias("no_undercount"),
+    ).orderBy(F.desc("true_count"), F.asc("word"))

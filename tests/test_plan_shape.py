@@ -255,6 +255,11 @@ SHUFFLE_BUDGETS = {
     # rows, plus the assembly join's exchange. The corpus side gains
     # ZERO shuffles for the membership test (one-row scalar broadcast)
     "doc_decontamination_bloom": 8,
+    # round-6 relational CMS: token input spread, the d·w-bounded
+    # counter groupBy (shared via exchange reuse by the exact-truth
+    # freq agg), and the final TakeOrdered/estimate assembly — the
+    # estimate lookups ride a ≤ d·w-row broadcast
+    "doc_cms_word_counts": 3,
 }
 
 

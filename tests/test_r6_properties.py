@@ -271,3 +271,58 @@ def test_decontam_bloom_prefilter_selective_and_lossless(spark):
     )
     # selectivity: the pre-filter must cut the confirm join's input
     assert n_candidates < n_corpus / 2, (n_candidates, n_corpus)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: one-sided error, collisions exercised, mergeability
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_error_and_collisions(spark):
+    """Estimates never under-count; the undersized width forces real
+    collisions (some estimate strictly over-counts)."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.operators.cms import cms_build, cms_estimate
+
+    # 40 keys in a 8-wide sketch → collisions guaranteed; frequencies
+    # 1..40 so over-counts are visible
+    rows = [(f"k{i}",) for i in range(40) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "word string")
+    truth = df.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    counters = cms_build(df, "word", w=8, d=4)
+    est = cms_estimate(truth, counters, "word", w=8, d=4).collect()
+    assert all(r.cms_count >= r.true_count for r in est)
+    assert any(r.cms_count > r.true_count for r in est)
+
+
+def test_cms_counter_tables_sum_mergeable(spark):
+    """Building one sketch over A∪B equals summing the sketches of A
+    and B cell-wise — the property that makes per-partition / per-day
+    sketches combinable at scale."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.operators.cms import cms_build
+
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(50)], "word string")
+    b = spark.createDataFrame([(f"b{i % 5}",) for i in range(30)], "word string")
+    merged = {
+        (r.j, r.col): r.cnt
+        for r in cms_build(a.unionAll(b), "word", w=16, d=2).collect()
+    }
+    summed: dict = {}
+    for part in (a, b):
+        for r in cms_build(part, "word", w=16, d=2).collect():
+            summed[(r.j, r.col)] = summed.get((r.j, r.col), 0) + r.cnt
+    assert merged == summed
+
+
+def test_cms_parameter_validation():
+    import pytest as _pytest
+
+    from idh_etl_demo_spark.operators.cms import _check_params
+
+    with _pytest.raises(ValueError):
+        _check_params(100, 4)  # w not a power of two
+    with _pytest.raises(ValueError):
+        _check_params(16, 9)  # d too large for md5 slices
