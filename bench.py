@@ -78,6 +78,7 @@ HEADLINE = [
     "doc_importance_weights",
     "doc_decontamination_bloom",
     "doc_cms_word_counts",
+    "doc_cdc_chunks",
 ]
 
 

@@ -95,6 +95,9 @@ PROBES = [
     # round-6: the CMS counter groupBy must stay d·w-bounded after
     # map-side combine — the ratio should track the token scan
     "doc_cms_word_counts",
+    # round-6: CDC chunking is per-row array math + a partition-local
+    # explode — must ride the scan like the other map-only entries
+    "doc_cdc_chunks",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

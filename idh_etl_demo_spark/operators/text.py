@@ -99,3 +99,83 @@ def doc_fingerprint(text: Column) -> Column:
     return F.conv(
         F.substring(F.md5(normalize_text(text)), 1, 15), 16, 10
     ).cast("long")
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple = ("doc_id",),
+    window: int = 8,
+    boundary_mod: int = 64,
+    base: int = 31,
+) -> DataFrame:
+    """Content-defined chunking — rolling-hash boundaries instead of
+    fixed offsets, the sub-document dedup primitive (storage dedup,
+    near-dup region detection inside long documents): a cut is placed
+    after position i whenever the polynomial hash of the trailing
+    ``window`` characters ≡ 0 (mod ``boundary_mod``), so boundaries are
+    a function of CONTENT — after an insertion/prefix shift, chunking
+    re-synchronizes at the next boundary and all later chunks hash
+    identically (the property fixed-width chunking lacks; pinned by
+    tests/test_r6_properties.py::test_cdc_resynchronizes_after_prefix).
+
+    Output: one row per chunk — id_cols + (chunk_idx, start_pos,
+    chunk_len, chunk_hash), contiguous and covering (Σ chunk_len =
+    length(text); empty text yields no rows). Expected chunk size ≈
+    ``boundary_mod`` chars.
+
+    Everything is exact integer arithmetic on code points (max
+    codepoint·baseʷ⁻¹·window ≪ 2⁶³) over character-indexed substrings —
+    identical in any engine, so oracles can gate the chunk hashes
+    directly. Scale shape: pure per-row array expressions + one
+    explode — map-only, no shuffle, O(n·window) work per document."""
+    text = F.col(text_col)
+    n = F.length(text)
+    powers = [base**j for j in range(window)]
+
+    def roll(i: Column) -> Column:
+        acc = None
+        for j, p in enumerate(powers):
+            term = F.ascii(F.substr(text, i - F.lit(j), F.lit(1))).cast(
+                "long"
+            ) * F.lit(p)
+            acc = term if acc is None else acc + term
+        return acc
+
+    cuts = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: roll(i) % boundary_mod == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    ends = F.when(
+        (F.size(cuts) > 0) & (F.element_at(cuts, -1) == n), cuts
+    ).otherwise(F.concat(cuts, F.array(n)))
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(F.slice(ends, 1, F.size(ends) - 1), lambda e: e + 1),
+    )
+    pairs = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    chunk_len = F.col("se.e") - F.col("se.s") + 1
+    return (
+        df.filter(n > 0)
+        .select(*id_cols, text.alias("__t"), F.posexplode(pairs))
+        .select(
+            *id_cols,
+            F.col("pos").cast("long").alias("chunk_idx"),
+            F.col("col").alias("se"),
+            F.col("__t"),
+        )
+        .select(
+            *id_cols,
+            "chunk_idx",
+            F.col("se.s").cast("long").alias("start_pos"),
+            chunk_len.cast("long").alias("chunk_len"),
+            F.md5(F.substr(F.col("__t"), F.col("se.s"), chunk_len)).alias(
+                "chunk_hash"
+            ),
+        )
+    )

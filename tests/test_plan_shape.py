@@ -260,6 +260,10 @@ SHUFFLE_BUDGETS = {
     # freq agg), and the final TakeOrdered/estimate assembly — the
     # estimate lookups ride a ≤ d·w-row broadcast
     "doc_cms_word_counts": 3,
+    # round-6 content-defined chunking: input spread + presentation
+    # sort only — boundary detection and chunk hashing are per-row
+    # array expressions, the explode is partition-local
+    "doc_cdc_chunks": 2,
 }
 
 

@@ -326,3 +326,107 @@ def test_cms_parameter_validation():
         _check_params(100, 4)  # w not a power of two
     with _pytest.raises(ValueError):
         _check_params(16, 9)  # d too large for md5 slices
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking: coverage, contiguity, resynchronization
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_cover_and_are_contiguous(spark):
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.operators.text import cdc_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = cdc_chunks(docs).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {r.doc_id: r.n for r in docs.select(
+        "doc_id", F.length("text").alias("n")).collect()}
+    assert set(by_doc) == {d for d, n in lens.items() if n > 0}
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert rows[0].start_pos == 1
+        assert sum(r.chunk_len for r in rows) == lens[d]
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.start_pos == prev.start_pos + prev.chunk_len
+    # boundaries genuinely fire: multi-chunk docs exist
+    assert any(len(rows) > 1 for rows in by_doc.values())
+
+
+def test_cdc_resynchronizes_after_prefix(spark):
+    """THE content-defined property: prepending bytes shifts every
+    fixed-width chunk, but CDC boundaries re-synchronize at the next
+    content cut — all chunks after the first shared boundary hash
+    identically to the original's."""
+    import random
+
+    from idh_etl_demo_spark.operators.text import cdc_chunks
+
+    random.seed(13)
+    text = "".join(
+        random.choice("abcdefghijklmnopqrstuvwxyz 0123456789")
+        for _ in range(2000)
+    )
+    df = spark.createDataFrame(
+        [(0, text), (1, "INSERTED-PREFIX-" + text)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    h0 = [r.chunk_hash for r in sorted(
+        (r for r in rows if r.doc_id == 0), key=lambda r: r.chunk_idx)]
+    h1 = [r.chunk_hash for r in sorted(
+        (r for r in rows if r.doc_id == 1), key=lambda r: r.chunk_idx)]
+    assert len(h0) > 5, "text too short to exercise resync"
+    # every original chunk except (at most) the first survives verbatim
+    # in the prefixed document's chunking
+    assert set(h0[1:]) <= set(h1)
+    # and the shared suffix is the overwhelming majority of the chunks
+    assert len(set(h0) & set(h1)) >= len(h0) - 1
+
+
+def test_cdc_matches_python_reference(spark):
+    """The Spark expression pipeline reproduces a transparent Python
+    reference implementation exactly (boundary positions, chunk spans,
+    hashes) on pseudo-random text."""
+    import hashlib
+    import random
+
+    from idh_etl_demo_spark.operators.text import cdc_chunks
+
+    random.seed(7)
+    texts = [
+        "".join(
+            random.choice("abcdefghijklmnopqrstuvwxyz 0123456789")
+            for _ in range(400)
+        )
+        for _ in range(3)
+    ]
+
+    def ref(text, w=8, mod=64, base=31):
+        n = len(text)
+        cuts = [
+            i
+            for i in range(w, n + 1)
+            if sum(ord(text[i - 1 - j]) * base**j for j in range(w)) % mod
+            == 0
+        ]
+        ends = cuts if (cuts and cuts[-1] == n) else cuts + [n]
+        starts = [1] + [e + 1 for e in ends[:-1]]
+        return [
+            (idx, s, e - s + 1, hashlib.md5(text[s - 1 : e].encode()).hexdigest())
+            for idx, (s, e) in enumerate(zip(starts, ends))
+        ]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = cdc_chunks(df).collect()
+    for i, t in enumerate(texts):
+        act = sorted(
+            (r.chunk_idx, r.start_pos, r.chunk_len, r.chunk_hash)
+            for r in got
+            if r.doc_id == i
+        )
+        assert act == ref(t), f"doc {i}"
