@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_decontamination_bloom",
     "doc_cms_word_counts",
     "doc_cdc_chunks",
+    "doc_shared_passages",
 ]
 
 

@@ -833,3 +833,58 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def _shared_passages_sql() -> str:
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    return f"""
+    with chunks as materialized ({ENTRIES["doc_cdc_chunks"].oracle})
+    select chunk_hash,
+           cast(min(chunk_len) as bigint) as chunk_len,
+           cast(count(distinct doc_id) as bigint) as n_docs,
+           cast(count(*) as bigint) as n_occurrences
+    from chunks
+    where chunk_len >= 16
+    group by chunk_hash
+    having count(distinct doc_id) >= 2
+    order by n_occurrences desc, chunk_hash
+    """
+
+
+@query("doc_shared_passages", _shared_passages_sql())
+def doc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-passage detection — the question CDC
+    chunking exists to answer and document-level dedup cannot: which
+    passages (≥ 16 chars, to skip trivia) appear verbatim in TWO OR
+    MORE distinct documents? One groupBy over the 16-byte chunk hashes
+    of ``doc_cdc_chunks`` (whose oracle this entry composes verbatim,
+    the audit-composition technique) with distinct-doc and occurrence
+    counts. At sf0.01 the synthetic corpus shares 107 distinct long
+    passages — the phrasal repetition the small vocabulary produces,
+    exactly what sub-document dedup would trim.
+
+    Scale shape: chunking is map-only; the only shuffle is the groupBy
+    on chunk hashes — (hash, len) pairs flow, never passage text. At
+    100 TB this is the exact-substring-dedup discovery pass: survivors
+    feed a keeper policy like ``doc_exact_dedup``'s."""
+    from idh_etl_demo_spark.operators.text import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        window=_CDC_W,
+        boundary_mod=_CDC_MOD,
+        base=_CDC_BASE,
+    )
+    return (
+        chunks.filter(F.col("chunk_len") >= 16)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
+    )

@@ -264,6 +264,10 @@ SHUFFLE_BUDGETS = {
     # sort only — boundary detection and chunk hashing are per-row
     # array expressions, the explode is partition-local
     "doc_cdc_chunks": 2,
+    # round-6 shared-passage discovery: CDC input spread + the
+    # chunk-hash groupBy (with count_distinct expand) + presentation
+    # sort — (hash, len) pairs shuffle, never passage text
+    "doc_shared_passages": 4,
 }
 
 

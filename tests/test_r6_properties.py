@@ -430,3 +430,16 @@ def test_cdc_matches_python_reference(spark):
             if r.doc_id == i
         )
         assert act == ref(t), f"doc {i}"
+
+
+def test_shared_passages_non_vacuous(spark):
+    """Cross-document shared passages must exist on the synthetic
+    corpus (it repeats phrases heavily) and every reported row must be
+    genuinely cross-document."""
+    from idh_etl_demo_spark.catalog_r6 import doc_shared_passages
+
+    rows = doc_shared_passages(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no shared passages found"
+    assert all(r.n_docs >= 2 for r in rows)
+    assert all(r.n_occurrences >= r.n_docs for r in rows)
+    assert all(r.chunk_len >= 16 for r in rows)
