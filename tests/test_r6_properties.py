@@ -443,3 +443,16 @@ def test_shared_passages_non_vacuous(spark):
     assert all(r.n_docs >= 2 for r in rows)
     assert all(r.n_occurrences >= r.n_docs for r in rows)
     assert all(r.chunk_len >= 16 for r in rows)
+
+
+def test_cdc_arrow_kernel_matches_expression_form(spark):
+    """The vectorized Arrow kernel and the pure-expression form are the
+    same operator: identical rows on the real corpus (the kernel is
+    what the catalog entries run; the expression form is the
+    transparent reference)."""
+    from idh_etl_demo_spark.operators.text import cdc_chunks, cdc_chunks_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    b = cdc_chunks_arrow(docs).orderBy("doc_id", "chunk_idx").collect()
+    assert a == b and len(a) > 0
