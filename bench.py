@@ -80,6 +80,8 @@ HEADLINE = [
     "doc_cms_word_counts",
     "doc_cdc_chunks",
     "doc_shared_passages",
+    "doc_dsir_sample",
+    "doc_bigram_familiarity",
 ]
 
 

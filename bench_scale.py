@@ -98,6 +98,14 @@ PROBES = [
     # round-6: CDC chunking is per-row array math + a partition-local
     # explode — must ride the scan like the other map-only entries
     "doc_cdc_chunks",
+    # round-6: DSIR RESAMPLING adds a projection+filter on the weights
+    # plan, so its ratio must track doc_importance_weights' (a gap
+    # between the two means the sampling step grew its own stage);
+    # bigram familiarity shuffles the gram stream into the LM agg +
+    # join — gram-table growth is bounded by distinct transitions, so
+    # the ratio should stay ~linear in the token scan
+    "doc_dsir_sample",
+    "doc_bigram_familiarity",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

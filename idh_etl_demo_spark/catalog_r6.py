@@ -893,3 +893,198 @@ def doc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
     )
+
+
+# ===========================================================================
+# DSIR importance RESAMPLING: the selection step the weights exist for
+# ===========================================================================
+
+# Acceptance probability min(1, C·w) with C = 2: the synthetic corpus's
+# affinity sits near 1/|langs| ≈ 0.2, so sampling is genuinely selective
+# (neither ~0% nor ~100%) and genuinely weight-dependent.
+_DSIR_SAMPLE_C = 2
+_DSIR_U_SPAN = 1 << 32  # u is a 32-bit md5-prefix uniform
+
+
+def _dsir_sample_sql() -> str:
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    return f"""
+    with weights as materialized ({ENTRIES["doc_importance_weights"].oracle}),
+    s as (
+      select doc_id, n_tokens, affinity_num, affinity_den,
+             ('0x' || substring(md5('dsir:' || doc_id), 1, 8))::bigint
+               as u_sample
+      from weights
+    )
+    select doc_id,
+           cast(n_tokens as bigint) as n_tokens,
+           affinity_num, affinity_den, u_sample
+    from s
+    where cast(u_sample as hugeint) * affinity_den
+          < {_DSIR_SAMPLE_C} * {_DSIR_U_SPAN}::hugeint * affinity_num
+    order by doc_id
+    """
+
+
+@query("doc_dsir_sample", _dsir_sample_sql())
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance RESAMPLING — the second half of the DSIR pipeline
+    (Xie et al. 2023): keep each document with probability proportional
+    to its importance weight, so the surviving corpus is distributed
+    like the target. Composes ``doc_importance_weights`` verbatim (its
+    oracle is this oracle's CTE) and adds the sampling decision.
+
+    Determinism + engine-exactness: the per-document uniform is a
+    32-bit md5 prefix of ``'dsir:' || doc_id`` (seeded, reproducible —
+    re-running selects the identical corpus), and the acceptance test
+    ``u/2^32 < C·w`` is evaluated by INTEGER CROSS-MULTIPLICATION
+    (``u·den < C·2^32·num``) in overflow-proof wide arithmetic
+    (decimal(38,0) in Spark, hugeint in the oracle) — no float ever
+    enters the decision, so both engines accept the exact same set and
+    the driver hash gates every surviving row. A property test
+    recomputes every accept/reject at sf0.001 in pure-Python bigints.
+
+    Scale shape: a pure projection + filter on top of the weights
+    frame — the sampling step adds ZERO shuffles to the weights plan
+    (one 256-row broadcast, two token aggregates). At 100 TB the
+    selection sweeps the corpus exactly once and never materializes a
+    sort or sample buffer; C and the target distribution are the only
+    knobs."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    w = ENTRIES["doc_importance_weights"].spark(spark, sf_dir)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    s = w.select(
+        "doc_id", "n_tokens", "affinity_num", "affinity_den",
+        u.alias("u_sample"),
+    )
+    accepted = dec(F.col("u_sample")) * dec(F.col("affinity_den")) < (
+        F.lit(_DSIR_SAMPLE_C * _DSIR_U_SPAN).cast("decimal(38,0)")
+        * dec(F.col("affinity_num"))
+    )
+    return s.filter(accepted).orderBy("doc_id")
+
+
+# ===========================================================================
+# Bigram LM familiarity: the CCNet-style LM-filter signal, integer-exact
+# ===========================================================================
+
+
+def _bigram_familiarity_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _WORDS
+
+    return f"""
+    with base as (
+      select doc_id, list_filter({_WORDS}, w -> w != '') as toks
+      from documents
+    ),
+    g as (
+      select doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i + 1])) as gram
+      from base
+    ),
+    gc as (select gram, count(*) as c from g group by gram),
+    per_doc as (
+      select g.doc_id,
+             count(*) as n_bigrams,
+             sum(gc.c) as familiarity_num
+      from g join gc using (gram)
+      group by g.doc_id
+    )
+    select b.doc_id,
+           cast(coalesce(p.n_bigrams, 0) as bigint) as n_bigrams,
+           cast(coalesce(p.familiarity_num, 0) as bigint) as familiarity_num,
+           case when coalesce(p.n_bigrams, 0) > 0
+                then coalesce(p.familiarity_num, 0) * 1.0 / p.n_bigrams
+                else 0.0 end as familiarity
+    from base b left join per_doc p on b.doc_id = p.doc_id
+    order by b.doc_id
+    """
+
+
+@query("doc_bigram_familiarity", _bigram_familiarity_sql())
+def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality signal in the style of CCNet's perplexity
+    filter (Wenzek et al. 2020): score each document by how typical its
+    word-to-word TRANSITIONS are under a language model trained on the
+    corpus itself — here the simplest such model, corpus-wide bigram
+    counts. ``familiarity`` is the mean corpus frequency of the
+    document's bigrams: low = novel/rare phrasing (CCNet's "tail"),
+    high = templated/common text (its "head"); bucket by it exactly as
+    CCNet buckets by perplexity.
+
+    Engine-exactness: a true perplexity is a float log-sum whose
+    accumulation order differs across engines, so the score is the
+    RATIO OF INTEGER SUMS — Σ count(gram) over the doc's bigram stream
+    (exact int64 in any order) over the bigram count — gated exactly on
+    numerator and denominator with one deterministic IEEE division
+    (the ``doc_importance_weights`` technique, applied to a bigram LM).
+
+    Scale shape: one explode builds the (doc_id, gram) stream; the
+    bigram-count table aggregates map-side-combined on gram and joins
+    back on the same gram key (co-partitioned — no re-shuffle of the
+    stream side beyond its aggregate exchange; at this SF Catalyst
+    broadcasts the count table outright). Per-doc scoring is then one
+    doc_id aggregate. Unlike a driver-side vocabulary, the LM lives
+    entirely in the shuffle — at 100 TB the bigram table is big but
+    BOUNDED BY DISTINCT TRANSITIONS, and nothing is quadratic."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda w: w != "").alias("toks"),
+    )
+    n = F.size("toks")
+    grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("toks"), i - 1), F.get(F.col("toks"), i)
+            ),
+        )
+    )
+    g = base.select("doc_id", F.explode(grams).alias("gram"))
+    gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        g.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("familiarity_num"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("familiarity_num", F.lit(0))
+            .cast("long")
+            .alias("familiarity_num"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("familiarity_num").cast("double")
+                / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )

@@ -268,6 +268,17 @@ SHUFFLE_BUDGETS = {
     # chunk-hash groupBy (with count_distinct expand) + presentation
     # sort — (hash, len) pairs shuffle, never passage text
     "doc_shared_passages": 4,
+    # round-6 DSIR resampling: EXACTLY the weights entry's 3 — the
+    # sampling decision is a projection + filter and must add ZERO
+    # exchanges (a 4th appearing here means the selection grew a
+    # shuffle it cannot have at 100 TB)
+    "doc_dsir_sample": 3,
+    # round-6 bigram LM familiarity: input spread, the gram-count agg,
+    # the stream-side gram exchange for the LM join, the per-doc agg,
+    # the doc_id assembly join exchange, presentation sort — the LM
+    # lives in the shuffle (bounded by distinct transitions), never on
+    # the driver
+    "doc_bigram_familiarity": 6,
 }
 
 

@@ -456,3 +456,75 @@ def test_cdc_arrow_kernel_matches_expression_form(spark):
     a = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
     b = cdc_chunks_arrow(docs).orderBy("doc_id", "chunk_idx").collect()
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling: exact integer acceptance, non-vacuous selection
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_sample_matches_python_bigint_reference(spark):
+    """Recompute every accept/reject decision in pure-Python bigints
+    (no overflow, no floats) from the weights frame and assert the
+    entry keeps EXACTLY that set — the decimal(38,0) cross-multiply in
+    the Spark plan must agree with unbounded integer arithmetic."""
+    import hashlib
+
+    from idh_etl_demo_spark.catalog_r6 import (
+        _DSIR_SAMPLE_C,
+        _DSIR_U_SPAN,
+        doc_dsir_sample,
+        doc_importance_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    weights = doc_importance_weights(spark, sf).collect()
+    expected = set()
+    for r in weights:
+        u = int(hashlib.md5(f"dsir:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        if u * r.affinity_den < _DSIR_SAMPLE_C * _DSIR_U_SPAN * r.affinity_num:
+            expected.add(r.doc_id)
+    got = {r.doc_id for r in doc_dsir_sample(spark, sf).collect()}
+    assert got == expected
+    # non-vacuous: the C=2 knob must genuinely split the corpus
+    assert 0 < len(got) < len(weights)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM familiarity: integer sums match a pure-Python bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_familiarity_matches_python_reference(spark):
+    """Train the same corpus bigram LM in pure Python (Counter over the
+    same normalization) and assert every document's integer numerator
+    and denominator — float-free, order-free — match the Spark plan's."""
+    import re
+    from collections import Counter
+
+    from idh_etl_demo_spark.catalog_r6 import doc_bigram_familiarity
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    toks = {
+        r.doc_id: [
+            w
+            for w in re.sub(r"\s+", " ", r.text.strip().lower()).split(" ")
+            if w != ""
+        ]
+        for r in docs
+    }
+    grams = {
+        d: [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+        for d, t in toks.items()
+    }
+    lm = Counter(g for gs in grams.values() for g in gs)
+    rows = doc_bigram_familiarity(spark, sf).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        gs = grams[r.doc_id]
+        assert r.n_bigrams == len(gs)
+        assert r.familiarity_num == sum(lm[g] for g in gs)
+    # non-vacuous: scores differ across documents (a constant score
+    # would mean the per-doc join degenerated)
+    assert len({r.familiarity_num for r in rows}) > 1
