@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_shared_passages",
     "doc_dsir_sample",
     "doc_bigram_familiarity",
+    "multimodal_video_avi",
 ]
 
 

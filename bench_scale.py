@@ -106,6 +106,10 @@ PROBES = [
     # the ratio should stay ~linear in the token scan
     "doc_dsir_sample",
     "doc_bigram_familiarity",
+    # round-6: the REAL AVI demux rides the scan like the other
+    # map-only multimodal kernels (fan-out happens inside the Arrow
+    # batch; only hashes/means cross the wire)
+    "multimodal_video_avi",
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

@@ -1088,3 +1088,134 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# REAL video demux: RIFF/AVI container, stdlib walker, sampled frames
+# ===========================================================================
+
+
+def _le32(col):
+    """Little-endian uint32 bytes of an integer column — hex, reorder
+    the byte pairs, unhex. Works for ANY 32-bit value (the ``char(n)``
+    trick elsewhere is limited to n < 128)."""
+    h = F.lpad(F.hex(col.cast("bigint")), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        )
+    )
+
+
+def _le32c(n: int) -> bytes:
+    return bytes([n & 0xFF, (n >> 8) & 0xFF, (n >> 16) & 0xFF, (n >> 24) & 0xFF])
+
+
+@query(
+    "multimodal_video_avi",
+    """
+    with m as (
+      select doc_id as media_id,
+             2 + doc_id % 4 as n,
+             md5(text) as mh
+      from documents
+    ),
+    f as (
+      select media_id, n, mh,
+             unnest(list_filter(generate_series(0, n - 1), i -> i % 2 = 0)) as i
+      from m
+    )
+    select media_id,
+           cast(i as bigint) as frame_idx,
+           cast(n as bigint) as n_frames,
+           md5(substring(mh, i * 4 + 1, 4)) as frame_md5,
+           round(list_sum(list_transform(generate_series(1, 4),
+                                         j -> ascii(substring(mh, i * 4 + j, 1))))
+                 / 4.0 / 255.0, 6) as frame_mean
+    from f
+    order by media_id, frame_idx
+    """,
+)
+def multimodal_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demuxing driver-gated — the frame-sample step of the
+    brief's multimodal op list with an actual container parse under it:
+    each document's content key becomes a VALID RIFF/AVI payload — full
+    header tree (``avih`` main header with per-row dwTotalFrames, a
+    ``strl`` stream list with ``strh``/``strf``) plus a ``movi`` list of
+    n ∈ {2..5} uncompressed ``00db`` frame chunks whose 4 bytes are
+    ASCII md5 chars — and ``operators/multimodal.py:_parse_avi`` (a
+    stdlib RIFF chunk-tree walker: size validation, word-alignment
+    handling, header-vs-actual frame-count cross-check) demuxes it
+    inside the Arrow ``mapInPandas`` contract, sampling every 2nd
+    frame. frame_idx/n_frames come from the PARSED container, the frame
+    md5 and mean from the EXTRACTED frame bytes; the oracle reproduces
+    everything from doc_id arithmetic + the md5 string (frames are
+    ASCII, so DuckDB's string md5 equals the kernel's byte md5). With
+    ``multimodal_image_ppm`` and ``multimodal_audio_wav`` every
+    modality now has a real stdlib decode path under the driver gate;
+    pyav for compressed codecs drops into the same audited batch shape.
+
+    Scale shape: synthesis and demux are map-only; frame BYTES never
+    leave the worker (only hashes/means cross the wire), and the
+    fan-out (1 row in → ⌈n/2⌉ rows out) happens inside the Arrow batch
+    with no shuffle before the presentation sort. The per-row
+    little-endian size fields use a hex/unhex reorder (``_le32``) that
+    is exact for any 32-bit value."""
+    from idh_etl_demo_spark.operators.multimodal import demux_sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.lit(2) + F.col("doc_id") % 4).cast("int")
+    mh = F.md5(F.col("text"))
+
+    avih = F.concat(
+        F.lit(b"avih" + _le32c(56)),
+        F.lit(_le32c(40000) + _le32c(100) + _le32c(0) + _le32c(0)),
+        _le32(n),  # dwTotalFrames
+        F.lit(_le32c(0) + _le32c(1) + _le32c(4)),  # initial, streams, sugbuf
+        F.lit(_le32c(1) + _le32c(1)),  # width, height
+        F.lit(bytes(16)),  # dwReserved[4]
+    )
+    strh = F.concat(
+        F.lit(b"strh" + _le32c(56)),
+        F.lit(b"vids" + b"DIB "),
+        F.lit(_le32c(0) * 3 + _le32c(1) + _le32c(25) + _le32c(0)),
+        _le32(n),  # dwLength (frames)
+        F.lit(_le32c(4) + _le32c(0) + _le32c(0)),
+        F.lit(bytes([0, 0, 0, 0, 1, 0, 1, 0])),  # rcFrame (0,0,1,1)
+    )
+    strf = F.concat(
+        F.lit(b"strf" + _le32c(40)),
+        F.lit(_le32c(40) + _le32c(1) + _le32c(1)),
+        F.lit(bytes([1, 0, 32, 0])),  # biPlanes=1, biBitCount=32
+        F.lit(_le32c(0) + _le32c(4) + _le32c(0) * 4),
+    )
+    strl = F.concat(F.lit(b"LIST" + _le32c(116) + b"strl"), strh, strf)
+    hdrl = F.concat(F.lit(b"LIST" + _le32c(192) + b"hdrl"), avih, strl)
+    frames = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(b"").cast("binary"),
+        lambda acc, i: F.concat(
+            acc,
+            F.lit(b"00db" + _le32c(4)),
+            F.encode(F.substring(mh, i * 4 + 1, 4), "utf-8"),
+        ),
+    )
+    movi = F.concat(F.lit(b"LIST"), _le32(F.lit(4) + n * 12), F.lit(b"movi"), frames)
+    payload = F.concat(
+        F.lit(b"RIFF"), _le32(F.lit(216) + n * 12), F.lit(b"AVI "), hdrl, movi
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return (
+        demux_sample_frames(media, every_k=2)
+        .select(
+            "media_id",
+            "frame_idx",
+            "n_frames",
+            "frame_md5",
+            F.round("frame_mean", 6).alias("frame_mean"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

@@ -2,13 +2,14 @@
 columns with typed metadata, processed by Arrow-batched Pandas functions
 via ``mapInPandas``.
 
-The image-decode path is REAL for binary PPM (netpbm ``P6`` — a stdlib
-parser, no third-party libs needed); all other formats and the video
-demuxer remain container-blocked stubs (Pillow/pyav absent — they raise
-``NotImplementedError`` unless the deterministic fake is requested). The
-Spark-side contract is real and tested either way: schemas, batch
-iteration, partition-preserving mapInPandas, and a binary-safe payload
-path.
+Decode paths are REAL, stdlib-only, for one canonical container per
+modality: binary PPM (netpbm ``P6``) for images, RIFF PCM WAV for audio,
+and RIFF AVI for video (``_parse_avi`` + ``demux_sample_frames``).
+Compressed codecs (JPEG/PNG/MP3/H.264) remain container-blocked (Pillow/
+pyav absent — they raise ``NotImplementedError`` unless the deterministic
+fake is requested). The Spark-side contract is real and tested either
+way: schemas, batch iteration, partition-preserving mapInPandas, and a
+binary-safe payload path.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per task
 regardless of partition size; binary payloads never pass through Python
@@ -286,6 +287,120 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=RESIZED_SCHEMA
+    )
+
+
+def _parse_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL AVI (RIFF) demuxer, stdlib only: walks the chunk tree with
+    size/alignment validation, parses the ``avih`` main header for
+    (width, height, dwTotalFrames), collects the ``##db``/``##dc``
+    video frame chunks from the ``movi`` list, and cross-checks the
+    header's frame count against the frames actually present. Returns
+    (width, height, n_frames, frame payloads)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if riff_size != len(payload) - 8:
+        raise ValueError(
+            f"RIFF size field {riff_size} != payload {len(payload) - 8}"
+        )
+    width = height = total_frames = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, total_frames
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body_start, body_end = pos + 8, pos + 8 + size
+            if body_end > end:
+                raise ValueError(f"chunk {fourcc!r} overruns its parent")
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                if size < 56:
+                    raise ValueError(f"avih chunk too short ({size} bytes)")
+                fields = struct.unpack(
+                    "<14I", payload[body_start : body_start + 56]
+                )
+                total_frames, width, height = fields[4], fields[8], fields[9]
+            elif fourcc[:2].isdigit() and fourcc[2:4] in (b"db", b"dc"):
+                frames.append(payload[body_start:body_end])
+            pos = body_end + (size & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(payload))
+    if total_frames is None:
+        raise ValueError("missing avih main header")
+    if len(frames) != total_frames:
+        raise ValueError(
+            f"frame count mismatch: {len(frames)} chunks vs avih {total_frames}"
+        )
+    return (width, height, total_frames, frames)
+
+
+VIDEO_FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("frame_md5", StringType(), True),
+        StructField("frame_mean", DoubleType(), True),
+    ]
+)
+
+
+def demux_sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL video frame sampling: demux AVI payloads with the stdlib
+    RIFF walker above and emit one row per k-th frame (indices 0, k,
+    2k, …) with the frame's md5 and mean byte intensity — the 1-row-in
+    → N-rows-out fan-out of a production frame sampler, with an actual
+    container parse underneath instead of the byte-stride fake
+    (``sample_frames``). A pyav decoder for compressed codecs would
+    slot into the identical batch contract.
+
+    Scale shape: map-only (Arrow-batched, partition-preserving); frame
+    bytes never leave the worker — only per-frame hashes/means cross
+    the wire."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                _w, _h, nfr, frames = _parse_avi(bytes(payload))
+                for i in range(0, nfr, every_k):
+                    fb = frames[i]
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            nfr,
+                            hashlib.md5(fb).hexdigest(),
+                            (sum(fb) / len(fb) / 255.0) if fb else 0.0,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id",
+                        "frame_idx",
+                        "n_frames",
+                        "frame_md5",
+                        "frame_mean",
+                    ],
+                )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_SAMPLE_SCHEMA
     )
 
 

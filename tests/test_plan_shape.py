@@ -273,6 +273,10 @@ SHUFFLE_BUDGETS = {
     # exchanges (a 4th appearing here means the selection grew a
     # shuffle it cannot have at 100 TB)
     "doc_dsir_sample": 3,
+    # round-6 REAL AVI demux: map-only synthesis + demux fan-out —
+    # the single exchange is the presentation range sort; frame bytes
+    # must never shuffle
+    "multimodal_video_avi": 1,
     # round-6 bigram LM familiarity: input spread, the gram-count agg,
     # the stream-side gram exchange for the LM join, the per-doc agg,
     # the doc_id assembly join exchange, presentation sort — the LM

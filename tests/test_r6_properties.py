@@ -528,3 +528,95 @@ def test_bigram_familiarity_matches_python_reference(spark):
     # non-vacuous: scores differ across documents (a constant score
     # would mean the per-doc join degenerated)
     assert len({r.familiarity_num for r in rows}) > 1
+
+
+# ---------------------------------------------------------------------------
+# AVI demuxer: writer/parser roundtrip, alignment, validation
+# ---------------------------------------------------------------------------
+
+
+def _avi_bytes(frames, width=1, height=1, declared=None):
+    """Minimal-but-structured AVI writer mirroring the catalog entry's
+    synthesis (hdrl with avih + strl, movi with 00db chunks, RIFF pad
+    bytes after odd-size chunks)."""
+    def le32c(n):
+        return bytes([n & 255, (n >> 8) & 255, (n >> 16) & 255, (n >> 24) & 255])
+
+    n = len(frames) if declared is None else declared
+    avih = (
+        b"avih" + le32c(56) + le32c(40000) + le32c(100) + le32c(0) + le32c(0)
+        + le32c(n) + le32c(0) + le32c(1) + le32c(4)
+        + le32c(width) + le32c(height) + bytes(16)
+    )
+    strh = (
+        b"strh" + le32c(56) + b"vidsDIB " + le32c(0) * 3 + le32c(1)
+        + le32c(25) + le32c(0) + le32c(n) + le32c(4) + le32c(0) + le32c(0)
+        + bytes([0, 0, 0, 0, 1, 0, 1, 0])
+    )
+    strf = (
+        b"strf" + le32c(40) + le32c(40) + le32c(width) + le32c(height)
+        + bytes([1, 0, 32, 0]) + le32c(0) + le32c(4) + le32c(0) * 4
+    )
+    strl = b"LIST" + le32c(4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + le32c(4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    fchunks = b"".join(
+        b"00db" + le32c(len(fb)) + fb + (b"\x00" if len(fb) % 2 else b"")
+        for fb in frames
+    )
+    movi = b"LIST" + le32c(4 + len(fchunks)) + b"movi" + fchunks
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + le32c(len(body)) + body
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=9), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=50, deadline=None)
+def test_avi_parse_inverts_writer(frames, width, height):
+    """Roundtrip for arbitrary frame counts/sizes — ODD frame sizes
+    exercise the RIFF word-alignment pad byte the walker must skip."""
+    from idh_etl_demo_spark.operators.multimodal import _parse_avi
+
+    assert _parse_avi(_avi_bytes(frames, width, height)) == (
+        width, height, len(frames), frames,
+    )
+
+
+def test_avi_parser_rejects_malformed():
+    import pytest as _pytest
+
+    from idh_etl_demo_spark.operators.multimodal import _parse_avi
+
+    good = _avi_bytes([b"abcd", b"efgh"])
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        _parse_avi(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError, match="RIFF size"):
+        _parse_avi(good[:-2])  # truncation breaks the declared size
+    with _pytest.raises(ValueError, match="frame count mismatch"):
+        _parse_avi(_avi_bytes([b"abcd", b"efgh"], declared=3))
+    with _pytest.raises(ValueError, match="overruns"):
+        # corrupt a frame chunk's size field to point past its parent
+        bad = bytearray(_avi_bytes([b"abcd"]))
+        idx = bad.index(b"00db") + 4
+        bad[idx:idx + 4] = bytes([255, 0, 0, 0])
+        _parse_avi(bytes(bad))
+
+
+def test_avi_demux_spark_path(spark):
+    """The mapInPandas fan-out: 1 payload row → ceil(n/k) frame rows
+    with parsed indices and exact frame hashes."""
+    import hashlib
+
+    from idh_etl_demo_spark.operators.multimodal import demux_sample_frames
+
+    frames = [b"aaaa", b"bbbb", b"cccc", b"dddd", b"eeee"]
+    df = spark.createDataFrame(
+        [(7, _avi_bytes(frames))], "media_id long, payload binary"
+    )
+    rows = demux_sample_frames(df, every_k=2).orderBy("frame_idx").collect()
+    assert [(r.frame_idx, r.n_frames) for r in rows] == [(0, 5), (2, 5), (4, 5)]
+    assert [r.frame_md5 for r in rows] == [
+        hashlib.md5(frames[i]).hexdigest() for i in (0, 2, 4)
+    ]
