@@ -32,6 +32,9 @@ PICKS = {
     "multimodal_image_ppm": "real PPM decode: payload synthesis and stdlib parse are one map-only ArrowEvalPython/MapInPandas pass — no shuffle before the presentation sort",
     "embedding_int8_quantize": "int8 quantization is a pure JVM array-expression projection — the presentation sort is the plan's ONLY exchange",
     "doc_importance_weights": "DSIR weights: 256-row bucket table broadcasts back onto the token stream — tokens shuffle only into the two aggregates, never as raw text",
+    "doc_dsir_sample": "DSIR resampling: the integer cross-multiply acceptance is a projection + filter ON TOP of the weights plan — zero added exchanges",
+    "doc_bigram_familiarity": "bigram LM familiarity: the LM lives in the shuffle (gram-count agg + gram-keyed join), never on the driver; per-doc scoring is one doc_id agg",
+    "multimodal_video_avi": "real AVI demux: synthesis + RIFF walk + frame fan-out in one map-only MapInPandas pass — frame bytes never shuffle",
 }
 
 
