@@ -83,6 +83,7 @@ HEADLINE = [
     "doc_dsir_sample",
     "doc_bigram_familiarity",
     "multimodal_video_avi",
+    "embedding_ivf_int8_search",
 ]
 
 

@@ -110,6 +110,13 @@ PROBES = [
     # map-only multimodal kernels (fan-out happens inside the Arrow
     # batch; only hashes/means cross the wire)
     "multimodal_video_avi",
+    # embedding_ivf_int8_search is NOT probed — same policy as
+    # cosine_topk / the recall audits: its query set is a fixed
+    # fraction of the corpus and its cell count is pinned (for oracle
+    # determinism), so in-cell query×candidate pairs grow
+    # quadratically BY PARAMETER CHOICE at 10× (measured 19×); at prod
+    # scale the centroid count grows with N (MLlib-trained), keeping
+    # cell size — and the probe join — constant per query
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

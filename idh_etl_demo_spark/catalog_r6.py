@@ -1219,3 +1219,151 @@ def multimodal_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+# ===========================================================================
+# IVF + int8: the full production serving pipeline as ONE declarative plan
+# ===========================================================================
+
+
+def _ivf_int8_sql() -> str:
+    import idh_etl_demo_spark.catalog_llm as _llm
+
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (fv[i] - cfv[i]) * (fv[i] - cfv[i])))"
+    )
+    return f"""
+    with {_INT8_CODES_CTE},
+    vv as (select vec_id, {_llm._QUANT} as fv from embeddings),
+    cents as (select vec_id as cid, fv as cfv from vv
+              where vec_id < {_llm._IVF_CELLS}),
+    dists as (
+      select vv.vec_id, cents.cid, {dist} as dist
+      from vv cross join cents
+    ),
+    assigned as (
+      select vec_id, cid as cluster from (
+        select vec_id, cid,
+               row_number() over (partition by vec_id
+                                  order by dist asc, cid asc) as rn
+        from dists
+      ) where rn = 1
+    ),
+    q as (
+      select a.vec_id as query_id, c.v as qv, a.cluster
+      from assigned a join codes c using (vec_id)
+      where a.vec_id % 25 = 0
+    ),
+    cand as (
+      select a.vec_id as neighbor_id, c.v as cv, a.cluster
+      from assigned a join codes c using (vec_id)
+    ),
+    scored as (
+      select query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) as sim
+      from q join cand using (cluster)
+      where neighbor_id != query_id
+    )
+    select query_id, neighbor_id,
+           round(sim, 6) as int8_cosine, rank
+    from (
+      select *, row_number() over (partition by query_id
+                                   order by sim desc, neighbor_id asc) as rank
+      from scored
+    ) where rank <= 5
+    order by query_id, rank
+    """
+
+
+@query("embedding_ivf_int8_search", _ivf_int8_sql())
+def embedding_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION vector-serving pipeline composed end to end as one
+    declarative plan: an IVF coarse quantizer restricts each query to
+    its cell's inverted list (``embedding_ann_ivf``'s deterministic
+    integer-L2 argmin over fixed-point vectors), and the in-list scan
+    scores 4×-compressed int8 codes instead of floats
+    (``embedding_int8_quantize``'s symmetric codes; under cosine the
+    per-vector scales cancel, so ranking is pure integer dot products —
+    exact in any engine, ties broken (sim desc, neighbor asc)). This is
+    the FAISS IVF-SQ8 shape: candidate generation via bucket equi-join,
+    scoring over codes, exact hash-gated output.
+
+    Every ranking decision is engine-exact: cell assignment compares
+    integer squared-L2 (deterministic (dist, cid) argmin), in-list sims
+    divide exact integer dot products by IEEE sqrt/mul/div of
+    integer-valued doubles — the driver hash gates every (query,
+    neighbor, rank) row with no float tolerance. Recall vs exact truth
+    is auditable by composition exactly as ``embedding_ann_audit`` /
+    ``embedding_int8_ann_recall`` do for each half alone.
+
+    Scale shape: assignment is a broadcast 8-row expand + map-side
+    argmin (one N-row shuffle); the probe is an equi-join on the cell
+    id — queries explode only into their own cell, never the corpus;
+    codes shuffle as int8 arrays (4× smaller payload than the float
+    path, the point of serving from codes). No all-pairs stage
+    anywhere. At 100 TB: MLlib-trained centroids, more cells, nprobe>1
+    via a top-p cell join — same plan shape."""
+    from idh_etl_demo_spark.catalog_llm import _IVF_CELLS, _spark_int_dot, _spark_quant
+    from idh_etl_demo_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    vv = emb.select("vec_id", _spark_quant(F.col("embedding")).alias("fv"))
+    cents = vv.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("fv").alias("cfv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("fv"), F.col("cfv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d.cast("double"),
+    )
+    assigned = (
+        vv.join(F.broadcast(cents))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cluster"))
+    )
+    codes = quantize_int8(emb, "embedding").select(
+        "vec_id", F.col("q_int8").alias("v")
+    )
+    base = assigned.join(codes, "vec_id")
+    q = base.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster"
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster"
+    )
+    scored = (
+        cand.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _spark_int_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_spark_int_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_spark_int_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("int8_cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

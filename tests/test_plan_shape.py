@@ -273,6 +273,13 @@ SHUFFLE_BUDGETS = {
     # exchanges (a 4th appearing here means the selection grew a
     # shuffle it cannot have at 100 TB)
     "doc_dsir_sample": 3,
+    # round-6 IVF+int8 serving composition: input spread, the N-row
+    # assignment argmin agg, the assignment↔codes vec_id join's two
+    # exchanges, the cell-id probe join exchange, the per-query topk
+    # window, presentation sort — the IVF entry's shape plus one join
+    # to swap float vectors for int8 codes; queries broadcast, corpus
+    # never re-shuffles for the probe
+    "embedding_ivf_int8_search": 7,
     # round-6 REAL AVI demux: map-only synthesis + demux fan-out —
     # the single exchange is the presentation range sort; frame bytes
     # must never shuffle

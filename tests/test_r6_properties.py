@@ -620,3 +620,40 @@ def test_avi_demux_spark_path(spark):
     assert [r.frame_md5 for r in rows] == [
         hashlib.md5(frames[i]).hexdigest() for i in (0, 2, 4)
     ]
+
+
+# ---------------------------------------------------------------------------
+# IVF+int8 serving composition: shape + consistency with its two halves
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_int8_search_composes_consistently(spark):
+    """The composed serving entry must agree with its halves: same
+    query set and same cell restriction as the float IVF entry (the
+    coarse quantizer is shared), contiguous ranks ≤ 5, sims in
+    [-1, 1]."""
+    from collections import defaultdict
+
+    from idh_etl_demo_spark.catalog_llm import embedding_ann_ivf
+    from idh_etl_demo_spark.catalog_r6 import embedding_ivf_int8_search
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_ivf_int8_search(spark, sf).collect()
+    assert got
+    by_q = defaultdict(list)
+    for r in got:
+        assert -1.0 - 1e-9 <= r.int8_cosine <= 1.0 + 1e-9
+        by_q[r.query_id].append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    ref = embedding_ann_ivf(spark, sf).collect()
+    ref_by_q = defaultdict(set)
+    for r in ref:
+        ref_by_q[r.query_id].add(r.neighbor_id)
+    # identical query universe and cell candidate pools → identical
+    # result-set SIZES per query (ranking may differ, membership pool
+    # may not)
+    assert set(by_q) == set(ref_by_q)
+    for q in by_q:
+        assert len(by_q[q]) == len(ref_by_q[q])
