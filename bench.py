@@ -84,6 +84,7 @@ HEADLINE = [
     "doc_bigram_familiarity",
     "multimodal_video_avi",
     "embedding_ivf_int8_search",
+    "doc_minhash_estimate_audit",
 ]
 
 

@@ -273,6 +273,12 @@ SHUFFLE_BUDGETS = {
     # exchanges (a 4th appearing here means the selection grew a
     # shuffle it cannot have at 100 TB)
     "doc_dsir_sample": 3,
+    # round-6 MinHash estimator audit: input spread, the candidate
+    # generator's band-key exchanges, and the id_a/id_b joins that pull
+    # signatures + shingle sets onto the |candidates|-bounded pair list
+    # — never all-pairs; shingle arrays shuffle only into the audit
+    # joins
+    "doc_minhash_estimate_audit": 7,
     # round-6 IVF+int8 serving composition: input spread, the N-row
     # assignment argmin agg, the assignment↔codes vec_id join's two
     # exchanges, the cell-id probe join exchange, the per-query topk

@@ -657,3 +657,26 @@ def test_ivf_int8_search_composes_consistently(spark):
     assert set(by_q) == set(ref_by_q)
     for q in by_q:
         assert len(by_q[q]) == len(ref_by_q[q])
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator audit: banding theorem + estimator sanity
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimate_audit_banding_invariant(spark):
+    """Every candidate pair exists BECAUSE a full 3-row band collided,
+    so its signature agreement must be >= 3/12 — a row below that
+    proves the banding broken. Also pins estimator sanity: both ratios
+    in [0, 1], and the estimate is not vacuously equal to the exact
+    value on every row (k=12 resolution is coarser than true Jaccard)."""
+    from idh_etl_demo_spark.catalog_r6 import doc_minhash_estimate_audit
+
+    rows = doc_minhash_estimate_audit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_agree >= 3, f"pair ({r.id_a},{r.id_b}) agrees on {r.n_agree} < 3"
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert r.inter_size <= r.union_size
+    assert any(r.abs_err > 0 for r in rows)
