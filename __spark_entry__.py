@@ -33,79 +33,69 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then the most operator-diverse TPC-H entries. Everything not named here
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
-# ROUND-6 ROTATION (the round-5 verdict's ask #2): every entry that had
-# NEVER had a driver-green row — 22 names, COVERAGE.md rows marked "—"
-# — is now in-window, plus the new real-decoder PPM entry. To make room,
-# 24 multi-round-green entries (each driver-green 2+ rounds) rotate to
-# the sweep-gated tail under the standing family-representation policy:
-#  - ztm_vehicle_dim / ztm_stop_dim → tail (star schema keeps line,
-#    delay fact, weather dim in-window; the vehicle regex/trim chain
-#    stays sweep-gated)
-#  - purchase_view_attribution → tail (window-join family keeps
-#    orders_rolling_30d / event_type_transitions in-window)
-#  - embedding_{ann_hyperplane, near_dup, dup_clusters,
-#    centroid_by_label, kmeans_2iter, kcenter_seeds} → tail (family
-#    keeps cosine_topk, ann_ivf, ann_audit, kmeans_seeded)
-#  - doc_{lang_id, quality, fingerprint_tokens, vocab_topk,
-#    length_histogram} → tail (text family keeps gopher_quality,
-#    tfidf_topk, bottomk_sketch + incoming oov_rate/balanced_sample)
-#  - doc_{hash_sample, decontamination, ngram_novelty} → tail
-#    (sampling family keeps incoming doc_balanced_sample; n-gram family
-#    keeps doc_ngram_jaccard)
-#  - doc_dup_4cliques / doc_lsh_audit → tail (graph family keeps
-#    dup_clusters + dup_kcore; audit family keeps embedding_ann_audit)
-#  - multimodal_metadata / multimodal_chunks → tail (family keeps the
-#    two value-gated kernels + the new REAL-decoder PPM entry)
-#  - event_session_windows / revenue_by_nation_scale → tail (events
-#    family keeps gap_fill, type_transitions, hourly_anomalies,
-#    stateful_running_totals; scale/skew family keeps
-#    promo_period_orders_salted)
-# Entries first green only in r5 (sequence_packing, pii_scrub,
-# lang_mix_weights, chunk_overlap, streaming_snapshot_curation,
-# stateful_running_totals) stay in-window for a second hard signal, as
-# do the entries whose plans changed this round (gopher, both
-# curations, the CC consumers dup_clusters/dup_kcore).
+# ROUND-7 ROTATION (the round-6 verdict's ask #1): the 14 round-6
+# entries that have never had a driver-green row rotate IN, plus this
+# round's new entries. Staying in-window: the three hardest ZTM star
+# tables + pricing_summary (the reference's core, permanent), every
+# entry whose PLAN changes this round (both curations + the CC
+# consumers dup_clusters/dup_kcore — convergence micro-batching;
+# embedding_ann_ivf — trained KMeans centroids; embedding_kmeans_seeded
+# — now feeds the IVF quantizer), one streaming representative
+# (doc_streaming_snapshot_curation — foreachBatch/watermark has no
+# other driver surface), and the round-6 first-greens for a second hard
+# signal. Rotating OUT to the sweep-gated tail, by green count:
+#  - 5-6 greens: rollup_revenue, doc_exact_dedup,
+#    doc_minhash_candidates, doc_ngram_jaccard, embedding_cosine_topk,
+#    doc_bottomk_sketch (cosine_topk stays the composed truth side of
+#    the in-window int8/multiprobe recall audits — its SQL is verified
+#    through them verbatim)
+#  - 4 greens: doc_simhash_neardup, embedding_ann_audit,
+#    doc_gopher_quality, doc_tfidf_topk
+#  - 3 greens (r4-r6): doc_snapshot_dedup
+#  - 2 greens (r5-r6): doc_sequence_packing, doc_pii_scrub,
+#    doc_lang_mix_weights, doc_chunk_overlap,
+#    events_stateful_running_totals (stateful op stays pytest-replayed
+#    incl. RocksDB; streaming family keeps snapshot curation in-window)
+#  - 1 green, superseded by an in-window REAL-decoder sibling:
+#    multimodal_frame_sample (fake byte-stride path; the real AVI demux
+#    `multimodal_video_avi` is the same op's production form)
 DRIVER_PRIORITY: list[str] = [
-    # --- ZTM star schema (reference: src/queries.py) ---
+    # --- ZTM star schema + flagship (reference: src/queries.py) ---
     "ztm_line_dim",
     "ztm_delay_fact",
     "ztm_weather_dim",
-    # --- TPC-H / core flagships ---
     "pricing_summary",
-    "rollup_revenue",
-    "promo_period_orders_salted",
-    # --- LLM pipeline: dedup + graph chain ---
-    "doc_exact_dedup",
-    "doc_minhash_candidates",
-    "doc_ngram_jaccard",
-    "doc_simhash_neardup",
-    "doc_dup_clusters",
-    "doc_dup_kcore",
-    # --- LLM pipeline: similarity / embeddings ---
-    "embedding_cosine_topk",
-    "embedding_ann_ivf",
-    "embedding_ann_audit",
-    "embedding_kmeans_seeded",
-    # --- LLM pipeline: text / sketches ---
-    "doc_gopher_quality",
-    "doc_tfidf_topk",
-    "doc_bottomk_sketch",
-    # --- LLM pipeline: curation flagships ---
+    # --- plan changes this round: CC micro-batched convergence ---
     "doc_corpus_curation",
     "doc_incremental_curation",
-    "doc_snapshot_dedup",
+    "doc_dup_clusters",
+    "doc_dup_kcore",
+    # --- plan changes this round: trained IVF coarse quantizer ---
+    "embedding_ann_ivf",
+    "embedding_kmeans_seeded",
+    # --- streaming representative ---
     "doc_streaming_snapshot_curation",
-    # --- round-5 training-data ops (first green r5 — keep for a 2nd) ---
-    "doc_sequence_packing",
-    "doc_pii_scrub",
-    "doc_lang_mix_weights",
-    "doc_chunk_overlap",
-    "events_stateful_running_totals",
-    # --- multimodal kernels (incl. the round-6 REAL PPM decoder) ---
+    # --- round-7 rotation-in: the 14 never-driver-verified r6 entries ---
+    "multimodal_audio_wav",
+    "multimodal_image_resize",
+    "multimodal_video_avi",
+    "embedding_int8_quantize",
+    "embedding_int8_ann_recall",
+    "embedding_ivf_int8_search",
+    "doc_importance_weights",
+    "doc_dsir_sample",
+    "doc_bigram_familiarity",
+    "doc_decontamination_bloom",
+    "doc_cms_word_counts",
+    "doc_cdc_chunks",
+    "doc_shared_passages",
+    "doc_minhash_estimate_audit",
+    # --- round-7 new entries (registered in catalog_r7.py) ---
+    # (names appended here as they land)
+    # --- round-6 first-greens: second hard signal ---
+    "promo_period_orders_salted",
     "multimodal_image_features",
-    "multimodal_frame_sample",
     "multimodal_image_ppm",
-    # --- round-6 rotation-in: the never-driver-verified 19 ---
     "event_props_map",
     "user_event_type_map",
     "events_gap_fill",
