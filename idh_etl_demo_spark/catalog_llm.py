@@ -842,115 +842,10 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# IVF-shaped ANN: coarse quantizer (seed centroids) + in-cell exact search
+# IVF-shaped ANN — the coarse quantizer is TRAINED since round 7, so the
+# entry moved to catalog_r7.py (it composes the seeded-KMeans chain from
+# catalog_r3, which this module cannot import without a cycle).
 # ===========================================================================
-
-_IVF_CELLS = 8
-
-
-def _ivf_sql() -> str:
-    # squared L2 on the quantized ints is exact in any engine; the argmin
-    # is made deterministic with (dist, cid) ordering
-    dist = (
-        "list_sum(list_transform(generate_series(1, 64), "
-        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
-    )
-    return f"""
-    with vv as (select vec_id, {_QUANT} as v from embeddings),
-    cents as (select vec_id as cid, v as cv from vv where vec_id < {_IVF_CELLS}),
-    dists as (
-      select vv.vec_id, vv.v, cents.cid, {dist} as dist
-      from vv cross join cents
-    ),
-    assigned as (
-      select vec_id, v, cid as cluster from (
-        select vec_id, v, cid,
-               row_number() over (partition by vec_id order by dist asc, cid asc) as rn
-        from dists
-      ) where rn = 1
-    ),
-    q as (select vec_id as query_id, v as qv, cluster from assigned where vec_id % 25 = 0),
-    c as (select vec_id as neighbor_id, v as cv, cluster from assigned),
-    scored as (
-      select query_id, neighbor_id,
-             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) as cosine_sim
-      from q join c using (cluster)
-      where neighbor_id != query_id
-    )
-    select query_id, neighbor_id, cosine_sim, rank from (
-      select *, row_number() over (partition by query_id
-                                   order by cosine_sim desc, neighbor_id asc) as rank
-      from scored
-    ) where rank <= 5
-    order by query_id, rank
-    """
-
-
-@query("embedding_ann_ivf", _ivf_sql())
-def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: a coarse quantizer assigns every vector to its
-    nearest of 8 seed centroids (exact integer squared-L2, deterministic
-    (dist, cid) argmin), then the search is an equi-join on the cell id
-    with exact cosine ranking inside the cell — the inverted-file shape
-    (coarse cells + in-list exact scan).
-
-    Seed centroids are the first-8 vectors so the whole pipeline stays a
-    deterministic, oracle-comparable plan; at scale the centroid table is
-    the output of MLlib KMeans (same assignment join, more/better cells).
-    Assignment is a broadcast 8-row expand + map-side-combined argmin —
-    one shuffle of N rows; no collect, no driver-side centroids."""
-    emb = _t(spark, sf_dir, "embeddings")
-    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id"), _spark_quant(F.col("embedding")).alias("v")
-    )
-    cents = vv.filter(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    # quantized diffs squared stay < 2^53 summed over 64 dims → the double
-    # accumulator is exact and engine-portable
-    dist = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, d: acc + d.cast("double"),
-    )
-    assigned = (
-        vv.join(F.broadcast(cents))
-        .select("vec_id", "v", "cid", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
-            F.first("v").alias("v"),
-        )
-        .select("vec_id", "v", F.col("m.cid").alias("cluster"))
-    )
-    q = assigned.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster"
-    )
-    c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cluster"
-    )
-    scored = (
-        c.join(F.broadcast(q), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _spark_int_dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_spark_int_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_spark_int_dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-        .orderBy("query_id", "rank")
-    )
 
 
 @query(

@@ -926,11 +926,16 @@ def doc_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _km_seeded_sql(k: int = 4) -> str:
-    """Seeded-KMeans oracle: the kcenter CTE chain supplies the initial
-    centroids, then the same two unrolled fixed-point Lloyd rounds as
-    ``catalog_llm._km_sql`` (integer distances, floor-requantized
-    centroid update — bit-identical across engines)."""
+def _km_trained_ctes(k: int = 4) -> list[str]:
+    """Shared CTE chain: kcenter seeding → two fixed-point Lloyd rounds.
+    Ends with ``c1`` (the TRAINED centroid table on the ×100 grid),
+    ``r2`` (vec_id, v, cid, dist, rn — every vector ranked against the
+    trained centroids) and ``a2`` (the rn=1 assignment: vec_id, v,
+    cluster). Composed verbatim by the seeded-KMeans entry AND the
+    trained-IVF serving entries (catalog_r7 / catalog_r6), so the coarse
+    quantizer those entries serve from IS the clustering the kmeans
+    entry gates — integer distances and floor-requantized updates keep
+    every CTE bit-identical across engines."""
 
     def dist(vexpr: str, cexpr: str) -> str:
         return (
@@ -938,45 +943,91 @@ def _km_seeded_sql(k: int = 4) -> str:
             f"i -> ({vexpr} - {cexpr}) * ({vexpr} - {cexpr})))"
         )
 
-    assign = """
-    select vec_id, v, cid as cluster from (
-      select d.vec_id, d.v, d.cid,
-             row_number() over (partition by d.vec_id order by d.dist asc, d.cid asc) as rn
-      from ({d}) d
-    ) where rn = 1
-    """
     d1 = f"""
       select vv.vec_id, vv.v, c0.cid, {dist('vv.v[i]', 'c0.cv[i]')} as dist
       from vv cross join c0
     """
-    d2 = f"""
-      select a1.vec_id, a1.v, c1.cid, {dist('a1.v[i] * 100', 'c1.cv[i]')} as dist
-      from a1 cross join c1
-    """
     seeds_union = " union all ".join(
         f"select vec_id, v from s{r}" for r in range(1, k + 1)
     )
+    return [
+        *_kcenter_ctes(k),
+        "vv as (select vec_id, v from v)",
+        f"c0 as (select vec_id as cid, v as cv from ({seeds_union}))",
+        f"""a1 as (
+          select vec_id, v, cid as cluster from (
+            select d.vec_id, d.v, d.cid,
+                   row_number() over (partition by d.vec_id
+                                      order by d.dist asc, d.cid asc) as rn
+            from ({d1}) d
+          ) where rn = 1
+        )""",
+        """upd as (
+          select cluster, p, sum(v[p]) as s, count(*) as n
+          from a1 cross join range(1, 65) t(p)
+          group by cluster, p
+        )""",
+        """c1 as (
+          select cluster as cid,
+                 list(cast(floor(s * 100.0 / n) as bigint) order by p) as cv
+          from upd group by cluster
+        )""",
+        f"""r2 as (
+          select vec_id, v, cid, dist,
+                 row_number() over (partition by vec_id
+                                    order by dist asc, cid asc) as rn
+          from (
+            select vv.vec_id, vv.v, c1.cid,
+                   {dist('vv.v[i] * 100', 'c1.cv[i]')} as dist
+            from vv cross join c1
+          )
+        )""",
+        "a2 as (select vec_id, v, cid as cluster from r2 where rn = 1)",
+    ]
+
+
+def _km_seeded_sql(k: int = 4) -> str:
+    """Seeded-KMeans oracle: the kcenter CTE chain supplies the initial
+    centroids, then the same two unrolled fixed-point Lloyd rounds as
+    ``catalog_llm._km_sql`` (integer distances, floor-requantized
+    centroid update — bit-identical across engines)."""
     return f"""
-    with {','.join(_kcenter_ctes(k))},
-    vv as (select vec_id, v from v),
-    c0 as (select vec_id as cid, v as cv from ({seeds_union})),
-    a1 as ({assign.format(d=d1)}),
-    upd as (
-      select cluster, p, sum(v[p]) as s, count(*) as n
-      from a1 cross join range(1, 65) t(p)
-      group by cluster, p
-    ),
-    c1 as (
-      select cluster as cid,
-             list(cast(floor(s * 100.0 / n) as bigint) order by p) as cv
-      from upd group by cluster
-    ),
-    a2 as ({assign.format(d=d2)})
+    with {','.join(_km_trained_ctes(k))}
     select a2.vec_id, a2.cluster,
            count(*) over (partition by a2.cluster) as cluster_size
     from a2
     order by vec_id
     """
+
+
+def _km_trained_frames(
+    spark: SparkSession, sf_dir: str, k: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``_km_trained_ctes``: returns ``(assigned, cents)``
+    where ``assigned`` = (vec_id, v, cluster) after kcenter seeding + two
+    Lloyd rounds (the SQL chain's ``a2``) and ``cents`` = the trained
+    centroid table (cid, cv on the ×100 grid — the chain's ``c1``).
+    Shared by the seeded-KMeans entry and the trained-IVF serving
+    entries so the quantizer they serve from is the audited clustering."""
+    from idh_etl_demo_spark.catalog_llm import _spark_quant
+    from idh_etl_demo_spark.operators.kmeans import (
+        CENTROID_GRID,
+        lloyd_assign,
+        lloyd_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", _spark_quant(F.col("embedding")).alias("v")
+    )
+    # seeds on the x100 centroid grid; iteration-1 distances scale by
+    # 100^2 uniformly so every argmin matches the raw-seed oracle
+    seeds = _kcenter_seed_frame(vv, k).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("v"), lambda x: x * CENTROID_GRID).alias("cv"),
+    )
+    cents = lloyd_centroids(vv, seeds, iterations=2)
+    return lloyd_assign(vv, cents), cents
 
 
 @query("embedding_kmeans_seeded", _km_seeded_sql())
@@ -994,20 +1045,7 @@ def embedding_kmeans_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile), then per-iteration broadcast-assign + posexplode-update —
     the corpus never re-partitions by cluster; shuffle volume per
     iteration is |k|*dim rows per task."""
-    from idh_etl_demo_spark.catalog_llm import _spark_quant
-    from idh_etl_demo_spark.operators.kmeans import CENTROID_GRID, lloyd_iterations
-
-    emb = _t(spark, sf_dir, "embeddings")
-    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id", _spark_quant(F.col("embedding")).alias("v")
-    )
-    # seeds on the x100 centroid grid; iteration-1 distances scale by
-    # 100^2 uniformly so every argmin matches the raw-seed oracle
-    seeds = _kcenter_seed_frame(vv, 4).select(
-        F.col("vec_id").alias("cid"),
-        F.transform(F.col("v"), lambda x: x * CENTROID_GRID).alias("cv"),
-    )
-    a2 = lloyd_iterations(vv, seeds, iterations=2)
+    a2, _ = _km_trained_frames(spark, sf_dir, 4)
     w = Window.partitionBy("cluster")
     return (
         a2.select("vec_id", "cluster")

@@ -1227,37 +1227,22 @@ def multimodal_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_int8_sql() -> str:
-    import idh_etl_demo_spark.catalog_llm as _llm
+    # composes the TRAINED coarse quantizer (kcenter→Lloyd chain from
+    # catalog_r3, CTE names v/h/s*/b*/vv/c0/a1/upd/c1/r2/a2 — disjoint
+    # from the int8 chain's s/codes) with the int8 code table
+    from idh_etl_demo_spark.catalog_r3 import _km_trained_ctes
 
-    dist = (
-        "list_sum(list_transform(generate_series(1, 64), "
-        "i -> (fv[i] - cfv[i]) * (fv[i] - cfv[i])))"
-    )
     return f"""
-    with {_INT8_CODES_CTE},
-    vv as (select vec_id, {_llm._QUANT} as fv from embeddings),
-    cents as (select vec_id as cid, fv as cfv from vv
-              where vec_id < {_llm._IVF_CELLS}),
-    dists as (
-      select vv.vec_id, cents.cid, {dist} as dist
-      from vv cross join cents
-    ),
-    assigned as (
-      select vec_id, cid as cluster from (
-        select vec_id, cid,
-               row_number() over (partition by vec_id
-                                  order by dist asc, cid asc) as rn
-        from dists
-      ) where rn = 1
-    ),
+    with {','.join(_km_trained_ctes(4))},
+    {_INT8_CODES_CTE},
     q as (
       select a.vec_id as query_id, c.v as qv, a.cluster
-      from assigned a join codes c using (vec_id)
+      from a2 a join codes c using (vec_id)
       where a.vec_id % 25 = 0
     ),
     cand as (
       select a.vec_id as neighbor_id, c.v as cv, a.cluster
-      from assigned a join codes c using (vec_id)
+      from a2 a join codes c using (vec_id)
     ),
     scored as (
       select query_id, neighbor_id,
@@ -1281,57 +1266,46 @@ def _ivf_int8_sql() -> str:
 @query("embedding_ivf_int8_search", _ivf_int8_sql())
 def embedding_ivf_int8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION vector-serving pipeline composed end to end as one
-    declarative plan: an IVF coarse quantizer restricts each query to
-    its cell's inverted list (``embedding_ann_ivf``'s deterministic
-    integer-L2 argmin over fixed-point vectors), and the in-list scan
-    scores 4×-compressed int8 codes instead of floats
+    declarative plan: a TRAINED IVF coarse quantizer restricts each
+    query to its cell's inverted list (the seeded kcenter→Lloyd chain
+    that ``embedding_kmeans_seeded`` gates — since round 7 the serving
+    cells ARE the audited clustering, not a first-k fixture), and the
+    in-list scan scores 4×-compressed int8 codes instead of floats
     (``embedding_int8_quantize``'s symmetric codes; under cosine the
     per-vector scales cancel, so ranking is pure integer dot products —
     exact in any engine, ties broken (sim desc, neighbor asc)). This is
     the FAISS IVF-SQ8 shape: candidate generation via bucket equi-join,
     scoring over codes, exact hash-gated output.
 
-    Every ranking decision is engine-exact: cell assignment compares
-    integer squared-L2 (deterministic (dist, cid) argmin), in-list sims
-    divide exact integer dot products by IEEE sqrt/mul/div of
-    integer-valued doubles — the driver hash gates every (query,
-    neighbor, rank) row with no float tolerance. Recall vs exact truth
-    is auditable by composition exactly as ``embedding_ann_audit`` /
-    ``embedding_int8_ann_recall`` do for each half alone.
+    Every ranking decision is engine-exact: the whole training chain is
+    integer arithmetic (integer squared-L2, floor-requantized centroid
+    updates, deterministic (dist, cid) argmin), in-list sims divide
+    exact integer dot products by IEEE sqrt/mul/div of integer-valued
+    doubles — the driver hash gates every (query, neighbor, rank) row
+    with no float tolerance. Recall vs exact truth is auditable by
+    composition exactly as ``embedding_ann_audit`` /
+    ``embedding_int8_ann_recall`` do for each half alone; nprobe>1 is
+    ``embedding_ivf_multiprobe_search`` (catalog_r7).
 
-    Scale shape: assignment is a broadcast 8-row expand + map-side
-    argmin (one N-row shuffle); the probe is an equi-join on the cell
-    id — queries explode only into their own cell, never the corpus;
-    codes shuffle as int8 arrays (4× smaller payload than the float
-    path, the point of serving from codes). No all-pairs stage
-    anywhere. At 100 TB: MLlib-trained centroids, more cells, nprobe>1
-    via a top-p cell join — same plan shape."""
-    from idh_etl_demo_spark.catalog_llm import _IVF_CELLS, _spark_int_dot, _spark_quant
+    Scale shape: training shuffles ≤ |k|·dim rows per Lloyd round;
+    assignment is a packed-broadcast projection; the probe is an
+    equi-join on the cell id — queries explode only into their own
+    cell, never the corpus; codes shuffle as int8 arrays (4× smaller
+    payload than the float path, the point of serving from codes). No
+    all-pairs stage anywhere. At 100 TB: more cells (k grows with N),
+    same plan shape."""
+    from idh_etl_demo_spark.catalog_llm import _spark_int_dot
+    from idh_etl_demo_spark.catalog_r3 import _km_trained_frames
     from idh_etl_demo_spark.operators.similarity import quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    vv = emb.select("vec_id", _spark_quant(F.col("embedding")).alias("fv"))
-    cents = vv.filter(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("fv").alias("cfv")
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("fv"), F.col("cfv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, d: acc + d.cast("double"),
-    )
-    assigned = (
-        vv.join(F.broadcast(cents))
-        .select("vec_id", "cid", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
-        .select("vec_id", F.col("m.cid").alias("cluster"))
-    )
+    assigned, _ = _km_trained_frames(spark, sf_dir, 4)
     codes = quantize_int8(emb, "embedding").select(
         "vec_id", F.col("q_int8").alias("v")
     )
-    base = assigned.join(codes, "vec_id")
+    base = assigned.select("vec_id", "cluster").join(codes, "vec_id")
     q = base.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cluster"
     )

@@ -33,56 +33,103 @@ from pyspark.sql import DataFrame
 CENTROID_GRID = 100
 
 
+def _dist_structs() -> F.Column:
+    """Per-centroid (dist, cid) structs for the packed broadcast row
+    ``cs`` (array<struct(cid, cv)>) against the current row's ``v`` —
+    the shared argmin/top-n core: distances are integer-valued doubles
+    (exact, see module docstring), ties break on cid via lexicographic
+    struct ordering."""
+
+    def dist_to(cv: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                cv,
+                lambda x, y: (x * CENTROID_GRID - y) * (x * CENTROID_GRID - y),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d.cast("double"),
+        )
+
+    return F.transform(
+        F.col("cs"),
+        lambda c: F.struct(dist_to(c["cv"]).alias("dist"), c["cid"].alias("cid")),
+    )
+
+
+def _packed(cents: DataFrame) -> DataFrame:
+    # Pack the |k| centroids into ONE broadcast row of
+    # array<struct(cid, cv)>: the argmin then evaluates entirely
+    # inside a projection (array_min over per-centroid distances), so
+    # the corpus is NEVER shuffled for assignment — the earlier
+    # explode-by-k + groupBy(vec_id) form re-shuffled every vector
+    # (with its 64-long array) once per iteration, which is the cost
+    # that would dominate at 100 TB. Ties break on centroid id via
+    # lexicographic struct(dist, cid) ordering — identical to the
+    # min(struct(dist, cid)) aggregate it replaces.
+    return cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cs")
+    )
+
+
+def lloyd_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (vec_id, v) row to its nearest centroid — returns
+    (vec_id, v, cluster). Broadcast + projection; zero corpus shuffles."""
+    best = F.array_min(_dist_structs())
+    return df.join(F.broadcast(_packed(cents))).select(
+        "vec_id", "v", best["cid"].alias("cluster")
+    )
+
+
+def lloyd_assign_topn(df: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Rank the ``n`` nearest centroids per row — returns (vec_id, v,
+    cluster, cell_rank 1..n). The multi-probe (nprobe>1) query-side
+    primitive: same packed-broadcast projection as ``lloyd_assign``,
+    then a per-row array slice of the sorted (dist, cid) structs —
+    still zero shuffles; the row count fans out ×n on the (small)
+    query side only."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ranked = F.slice(F.array_sort(_dist_structs()), 1, n)
+    fan = df.join(F.broadcast(_packed(cents))).select(
+        "vec_id", "v", F.posexplode(ranked).alias("pos", "d")
+    )
+    return fan.select(
+        "vec_id",
+        "v",
+        F.col("d.cid").alias("cluster"),
+        (F.col("pos") + 1).cast("int").alias("cell_rank"),
+    )
+
+
 def lloyd_iterations(
     vectors: DataFrame,
     seeds: DataFrame,
     iterations: int,
 ) -> DataFrame:
-    """Run ``iterations`` Lloyd rounds; returns (vec_id, cluster).
+    """Run ``iterations`` Lloyd rounds; returns (vec_id, v, cluster).
 
     ``vectors``: (vec_id, v array<long>) — integer-quantized.
     ``seeds``: (cid, cv array<long>) — centroids ON THE ×100 GRID
     (multiply quantized seed vectors by CENTROID_GRID).
     """
+    assigned = lloyd_assign(vectors, lloyd_centroids(vectors, seeds, iterations))
+    return assigned
+
+
+def lloyd_centroids(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    iterations: int,
+) -> DataFrame:
+    """The TRAINED centroid table (cid, cv on the ×100 grid) that the
+    final assignment round of ``iterations`` Lloyd rounds uses: runs
+    ``iterations - 1`` assign→update cycles from ``seeds``. Exposed so
+    consumers that need the codebook itself (IVF coarse quantizers,
+    multi-probe cell ranking) train it once and share it with the
+    assignment."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-
-    def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
-        # Pack the |k| centroids into ONE broadcast row of
-        # array<struct(cid, cv)>: the argmin then evaluates entirely
-        # inside a projection (array_min over per-centroid distances), so
-        # the corpus is NEVER shuffled for assignment — the earlier
-        # explode-by-k + groupBy(vec_id) form re-shuffled every vector
-        # (with its 64-long array) once per iteration, which is the cost
-        # that would dominate at 100 TB. Ties break on centroid id via
-        # lexicographic struct(dist, cid) ordering — identical to the
-        # min(struct(dist, cid)) aggregate it replaces.
-        packed = cents.agg(
-            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cs")
-        )
-
-        def dist_to(cv: F.Column) -> F.Column:
-            return F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    cv,
-                    lambda x, y: (x * CENTROID_GRID - y) * (x * CENTROID_GRID - y),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d.cast("double"),
-            )
-
-        best = F.array_min(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    dist_to(c["cv"]).alias("dist"), c["cid"].alias("cid")
-                ),
-            )
-        )
-        return df.join(F.broadcast(packed)).select(
-            "vec_id", "v", best["cid"].alias("cluster")
-        )
 
     def update(assigned: DataFrame) -> DataFrame:
         return (
@@ -106,7 +153,7 @@ def lloyd_iterations(
             .select(F.col("cluster").alias("cid"), "cv")
         )
 
-    assigned = assign(vectors, seeds)
+    cents = seeds
     for _ in range(iterations - 1):
-        assigned = assign(assigned.select("vec_id", "v"), update(assigned))
-    return assigned.select("vec_id", "cluster")
+        cents = update(lloyd_assign(vectors, cents))
+    return cents

@@ -15,6 +15,8 @@ import idh_etl_demo_spark.catalog_llm  # noqa: F401
 import idh_etl_demo_spark.catalog_r3  # noqa: F401
 import idh_etl_demo_spark.catalog_r4  # noqa: F401
 import idh_etl_demo_spark.catalog_r5  # noqa: F401
+import idh_etl_demo_spark.catalog_r6  # noqa: F401
+import idh_etl_demo_spark.catalog_r7  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -184,10 +186,10 @@ SHUFFLE_BUDGETS = {
     "embedding_kmeans_2iter": 11,
     # same two Lloyd rounds; the kcenter seed chain itself adds ZERO
     # shuffles (TakeOrderedAndProject top-1s + broadcast joins only); the
-    # 8 are the Lloyd-round centroid aggs/rebuilds deduplicated further
-    # by exchange reuse than 2iter's (the seeded centroid subtrees are
-    # semantically identical across consumers)
-    "embedding_kmeans_seeded": 8,
+    # 7 are the Lloyd-round centroid aggs/rebuilds deduplicated by
+    # exchange reuse (the round-7 lloyd_assign/lloyd_centroids refactor
+    # shares the assignment subtree one step further: 8 → 7)
+    "embedding_kmeans_seeded": 7,
     # round-6 audited breakdown of 5: quality+hash scan round-robin
     # spread 1 (the gopher rewrite removed its two aggs and the chq
     # join rode into the same scan via the extra= hook), exact-dedup
@@ -230,9 +232,13 @@ SHUFFLE_BUDGETS = {
     # same audit shape on the embeddings side: brute topk + ANN topk
     # (both already budget-audited as standalone entries) + intersect
     "embedding_ann_audit": 10,
-    # IVF: coarse-quantizer build (SinglePartition pack) + per-list
-    # assignment agg + probe join + topk window + ordering
-    "embedding_ann_ivf": 7,
+    # IVF on the TRAINED quantizer (round 7): the seeded-KMeans chain's
+    # 7 (Lloyd centroid aggs/packs, all |k|·dim-bounded — audited under
+    # embedding_kmeans_seeded) + the probe join exchange + the per-query
+    # topk window; presentation sort rides exchange reuse. The corpus
+    # shuffles ONCE (input spread, shared); assignment stays a
+    # packed-broadcast projection
+    "embedding_ann_ivf": 9,
     # round-6: quantization is a MAP-ONLY projection — the single
     # exchange is the presentation range sort; a second exchange
     # appearing here means the quantizer grew a shuffle it must not
@@ -279,13 +285,12 @@ SHUFFLE_BUDGETS = {
     # — never all-pairs; shingle arrays shuffle only into the audit
     # joins
     "doc_minhash_estimate_audit": 7,
-    # round-6 IVF+int8 serving composition: input spread, the N-row
-    # assignment argmin agg, the assignment↔codes vec_id join's two
-    # exchanges, the cell-id probe join exchange, the per-query topk
-    # window, presentation sort — the IVF entry's shape plus one join
-    # to swap float vectors for int8 codes; queries broadcast, corpus
-    # never re-shuffles for the probe
-    "embedding_ivf_int8_search": 7,
+    # IVF+int8 serving on the TRAINED quantizer (round 7): the
+    # seeded-KMeans chain's 7 + the assignment↔codes vec_id join + the
+    # cell-id probe/topk pair — same count as the float entry because
+    # the codes join rides exchange reuse with the probe side; queries
+    # broadcast, corpus never re-shuffles for the probe
+    "embedding_ivf_int8_search": 9,
     # round-6 REAL AVI demux: map-only synthesis + demux fan-out —
     # the single exchange is the presentation range sort; frame bytes
     # must never shuffle

@@ -634,8 +634,8 @@ def test_ivf_int8_search_composes_consistently(spark):
     [-1, 1]."""
     from collections import defaultdict
 
-    from idh_etl_demo_spark.catalog_llm import embedding_ann_ivf
     from idh_etl_demo_spark.catalog_r6 import embedding_ivf_int8_search
+    from idh_etl_demo_spark.catalog_r7 import embedding_ann_ivf
 
     sf = "/root/testdata/sf0.001"
     got = embedding_ivf_int8_search(spark, sf).collect()
