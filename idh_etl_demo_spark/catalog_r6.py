@@ -107,9 +107,9 @@ def multimodal_image_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(1 as bigint) as n_channels,
            cast(n as bigint) as n_samples,
            round(sqrt(list_sum(list_transform(generate_series(1, n),
-                                              i -> ascii(substring(mh, i, 1))
-                                                   * ascii(substring(mh, i, 1))))
-                      / cast(n as double)) / 255.0, 6) as rms
+                                              i -> (ascii(substring(mh, i, 1)) - 128)
+                                                   * (ascii(substring(mh, i, 1)) - 128)))
+                      / cast(n as double)) / 128.0, 6) as rms
     from m
     order by media_id
     """,

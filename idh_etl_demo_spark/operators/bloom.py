@@ -34,16 +34,22 @@ import pyspark.sql.functions as F
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit positions in [0, m_bits) from disjoint 16-bit slices of
+    """k bit positions in [0, m_bits) from disjoint 32-bit slices of
     md5(key) — identical arithmetic is expressible in any engine with
-    md5 + substring + conv."""
-    if not (1 <= k <= 8):
-        raise ValueError(f"k must be in 1..8 (32 hex chars / 4), got {k}")
-    if m_bits & (m_bits - 1) or m_bits < 32:
-        raise ValueError(f"m_bits must be a power of two >= 32, got {m_bits}")
+    md5 + substring + conv. Slices are 8 hex chars (so k ≤ 4): a 32-bit
+    slice mod a power-of-two m_bits ≤ 2^32 addresses EVERY bit — the
+    earlier 16-bit slices silently saturated the first 65536 bits for
+    any larger filter, turning the advertised 2^30-bit production
+    sizing into a ~100%-fp 64K-bit map (round-6 advice)."""
+    if not (1 <= k <= 4):
+        raise ValueError(f"k must be in 1..4 (32 hex chars / 8), got {k}")
+    if m_bits & (m_bits - 1) or not (32 <= m_bits <= 2**32):
+        raise ValueError(
+            f"m_bits must be a power of two in [32, 2^32], got {m_bits}"
+        )
     h = F.md5(key)
     return [
-        F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long")
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
         % F.lit(m_bits)
         for j in range(k)
     ]

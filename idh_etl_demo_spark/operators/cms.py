@@ -29,13 +29,20 @@ import pyspark.sql.functions as F
 def _check_params(w: int, d: int) -> None:
     if not (1 <= d <= 8):
         raise ValueError(f"d must be in 1..8 (32 hex chars / 4), got {d}")
-    if w & (w - 1) or w < 2:
-        raise ValueError(f"w must be a power of two >= 2, got {w}")
+    # upper bound ties to the 16-bit slice in _col_j: a wider sketch
+    # would leave columns >= 65536 permanently empty (the min over rows
+    # would still be an over-count, but the extra width buys nothing and
+    # the eps it advertises is a lie) — reject instead (round-6 advice).
+    # Need w > 65536 (eps < ~4e-5)? Widen the slice to 8 hex chars AND
+    # update every oracle that reproduces this arithmetic in SQL.
+    if w & (w - 1) or not (2 <= w <= 65536):
+        raise ValueError(f"w must be a power of two in [2, 65536], got {w}")
 
 
 def _col_j(key: Column, j: int, w: int) -> Column:
     """Column index of ``key`` in sketch row j: the j-th 16-bit md5
-    slice mod w (same slicing as bloom's positions)."""
+    slice mod w (same slicing idea as bloom's positions; w is capped at
+    65536 by :func:`_check_params` so the slice covers every column)."""
     return (
         F.conv(F.substring(F.md5(key), 1 + 4 * j, 4), 16, 10).cast("long")
         % F.lit(w)
@@ -81,8 +88,20 @@ def cms_estimate(
     row of ``keys``. The counter table broadcasts (≤ d·w rows); each key
     explodes to its d (j, col) probes, joins the broadcast, and takes
     the min: per-key cost is d broadcast lookups, no counter shuffle.
-    A key the sketch never saw estimates 0 (empty cells read as 0)."""
+    A key the sketch never saw estimates 0 (empty cells read as 0).
+
+    ``keys`` rows must be DISTINCT: the probe fan-out is regrouped by
+    every ``keys`` column, so duplicate rows collapse to one output row
+    (deduplicate upstream or carry a row id if multiplicity matters).
+    ``j``/``col`` are reserved by the probe struct and may not appear
+    in ``keys`` (round-6 advice: both were silent footguns)."""
     _check_params(w, d)
+    clash = {"j", "col"} & set(keys.columns)
+    if clash:
+        raise ValueError(
+            f"keys columns {sorted(clash)} collide with the probe struct "
+            "fields; rename them before cms_estimate"
+        )
     key = F.col(key_col)
     probes = keys.select(
         *keys.columns,

@@ -172,9 +172,11 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
     """REAL WAV (RIFF PCM) decoder, stdlib only: the ``wave`` module
     validates the RIFF/WAVE/fmt chunk structure and exposes the format
-    fields; RMS is computed over the decoded samples, normalized by the
-    sample-width full scale (255 for unsigned 8-bit, 32768 for signed
-    16-bit)."""
+    fields; RMS is computed over the decoded samples normalized to
+    [-1, 1]: unsigned 8-bit is CENTERED at its 128 midpoint before
+    squaring (digital silence 0x80 reports 0.0, full scale 128 — the
+    uncentered form reported ~0.5 for silence, inconsistent with the
+    16-bit path; round-6 advice), signed 16-bit divides by 32768."""
     import io
     import math
     import struct
@@ -186,9 +188,13 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         width = w.getsampwidth()
         nframes = w.getnframes()
         frames = w.readframes(nframes)
-    if width == 1:  # unsigned 8-bit PCM
+    if width == 1:  # unsigned 8-bit PCM, midpoint 128
         n = len(frames)
-        rms = math.sqrt(sum(b * b for b in frames) / n) / 255.0 if n else 0.0
+        rms = (
+            math.sqrt(sum((b - 128) * (b - 128) for b in frames) / n) / 128.0
+            if n
+            else 0.0
+        )
     elif width == 2:  # signed 16-bit little-endian PCM
         samples = struct.unpack(f"<{len(frames) // 2}h", frames)
         n = len(samples)

@@ -146,7 +146,9 @@ def test_wav_decode_8bit_mono():
     frames = bytes([0, 128, 255, 64])
     rate, nch, n, rms = _decode_wav(_wav(8000, 1, 1, frames))
     assert (rate, nch, n) == (8000, 1, 4)
-    assert rms == math.sqrt(sum(b * b for b in frames) / 4) / 255.0
+    # unsigned 8-bit is centered at 128 before squaring (silence → 0.0)
+    assert rms == math.sqrt(sum((b - 128) ** 2 for b in frames) / 4) / 128.0
+    assert _decode_wav(_wav(8000, 1, 1, bytes([128] * 8)))[3] == 0.0
 
 
 def test_wav_decode_16bit_stereo():
@@ -176,14 +178,14 @@ def test_wav_spark_path(spark):
 
     payloads = [
         (1, "audio", _wav(8000, 1, 1, bytes([100] * 8)), None, None),
-        (2, "audio", _wav(16000, 1, 1, bytes([0] * 4)), None, None),
+        (2, "audio", _wav(16000, 1, 1, bytes([128] * 4)), None, None),
     ]
     df = spark.createDataFrame(payloads, MEDIA_SCHEMA)
     got = {r.media_id: r for r in audio_features(df).collect()}
     assert (got[1].sample_rate, got[1].n_samples) == (8000, 8)
-    assert got[1].rms == 100 / 255
+    assert got[1].rms == 28 / 128  # |100 - 128| / 128 after centering
     assert (got[2].sample_rate, got[2].n_samples) == (16000, 4)
-    assert got[2].rms == 0.0
+    assert got[2].rms == 0.0  # 0x80 samples ARE digital silence
 
 
 # ---------------------------------------------------------------------------

@@ -110,7 +110,9 @@ def test_wav_decode_roundtrips_writer(clip):
     got_rate, got_nch, got_n, got_rms = _decode_wav(buf.getvalue())
     assert (got_rate, got_nch) == (rate, nch)
     assert got_n == len(frames) // nch
-    ref = math.sqrt(sum(b * b for b in frames) / len(frames)) / 255.0
+    ref = (
+        math.sqrt(sum((b - 128) ** 2 for b in frames) / len(frames)) / 128.0
+    )
     assert got_rms == ref
 
 
