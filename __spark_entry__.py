@@ -92,7 +92,8 @@ DRIVER_PRIORITY: list[str] = [
     "doc_shared_passages",
     "doc_minhash_estimate_audit",
     # --- round-7 new entries (registered in catalog_r7.py) ---
-    # (names appended here as they land)
+    "embedding_ivf_multiprobe_search",
+    "embedding_ivf_nprobe_audit",
     # --- round-6 first-greens: second hard signal ---
     "promo_period_orders_salted",
     "multimodal_image_features",

@@ -88,6 +88,13 @@ HEADLINE = [
     "multimodal_video_avi",
     "embedding_ivf_int8_search",
     "doc_minhash_estimate_audit",
+    # appended round 7: trained-quantizer serving (the IVF rows above
+    # now pay the kcenter→Lloyd training cost — an expected step up vs
+    # their r6 fixture-centroid numbers), multi-probe, and the nprobe
+    # cost/recall audit
+    "embedding_ann_ivf",
+    "embedding_ivf_multiprobe_search",
+    "embedding_ivf_nprobe_audit",
 ]
 
 

@@ -116,8 +116,17 @@ PROBES = [
     # fraction of the corpus and its cell count is pinned (for oracle
     # determinism), so in-cell query×candidate pairs grow
     # quadratically BY PARAMETER CHOICE at 10× (measured 19×); at prod
-    # scale the centroid count grows with N (MLlib-trained), keeping
-    # cell size — and the probe join — constant per query
+    # scale the centroid count grows with N (k grows, trained by the
+    # same kcenter→Lloyd pipeline), keeping cell size — and the probe
+    # join — constant per query.
+    # round-7: embedding_ivf_multiprobe_search and
+    # embedding_ivf_nprobe_audit inherit the same exclusion — both run
+    # the fixed-query-fraction × pinned-4-cell scan (the audit adds the
+    # deliberately quadratic brute-force truth side on top); nprobe
+    # multiplies the already-by-parameter-quadratic candidate count by
+    # a constant, so a 10× ratio would measure the parameter choice,
+    # not the plan. embedding_ann_ivf (now trained) stays excluded for
+    # the same pinned-cell reason.
 ]
 
 # key columns to shift per copy so unioned rows stay distinct entities

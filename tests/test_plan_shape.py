@@ -291,6 +291,16 @@ SHUFFLE_BUDGETS = {
     # the codes join rides exchange reuse with the probe side; queries
     # broadcast, corpus never re-shuffles for the probe
     "embedding_ivf_int8_search": 9,
+    # round-7 multi-probe serving (nprobe=2): the int8 entry's 9 + the
+    # query-side topn cell fan-out join's two exchanges — all on the
+    # |queries|·nprobe side; the corpus inverted lists are untouched
+    "embedding_ivf_multiprobe_search": 11,
+    # round-7 nprobe cost/recall audit: ONE shared multi-probe scored
+    # frame (the 11 above) + cosine-topk truth (input spread + topk
+    # window) + per-depth hit/candidate aggs and the assembly joins —
+    # the same audited audit shape as embedding_int8_ann_recall, one
+    # scored pass for both depths
+    "embedding_ivf_nprobe_audit": 19,
     # round-6 REAL AVI demux: map-only synthesis + demux fan-out —
     # the single exchange is the presentation range sort; frame bytes
     # must never shuffle
