@@ -58,8 +58,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #    events_stateful_running_totals (stateful op stays pytest-replayed
 #    incl. RocksDB; streaming family keeps snapshot curation in-window)
 #  - 1 green, superseded by an in-window REAL-decoder sibling:
-#    multimodal_frame_sample (fake byte-stride path; the real AVI demux
-#    `multimodal_video_avi` is the same op's production form)
+#    multimodal_frame_sample and multimodal_image_features (fake-path
+#    kernels; the real AVI demux `multimodal_video_avi` and the real
+#    PPM decoder `multimodal_image_ppm` are the same ops' production
+#    forms, and wav/resize keep the family at 5 in-window)
 DRIVER_PRIORITY: list[str] = [
     # --- ZTM star schema + flagship (reference: src/queries.py) ---
     "ztm_line_dim",
@@ -94,9 +96,10 @@ DRIVER_PRIORITY: list[str] = [
     # --- round-7 new entries (registered in catalog_r7.py) ---
     "embedding_ivf_multiprobe_search",
     "embedding_ivf_nprobe_audit",
+    "doc_bpe_merge_steps",
+    "doc_bpe_segmentation",
     # --- round-6 first-greens: second hard signal ---
     "promo_period_orders_salted",
-    "multimodal_image_features",
     "multimodal_image_ppm",
     "event_props_map",
     "user_event_type_map",

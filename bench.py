@@ -95,6 +95,8 @@ HEADLINE = [
     "embedding_ann_ivf",
     "embedding_ivf_multiprobe_search",
     "embedding_ivf_nprobe_audit",
+    "doc_bpe_merge_steps",
+    "doc_bpe_segmentation",
 ]
 
 

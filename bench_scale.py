@@ -107,6 +107,11 @@ PROBES = [
     # the ratio should stay ~linear in the token scan
     "doc_dsir_sample",
     "doc_bigram_familiarity",
+    # round-7: BPE training — the corpus cost is the ONE word groupBy;
+    # the three merge iterations run over the |types| table (31 types
+    # in this corpus, size-invariant under the union-widened copies),
+    # so the ratio should track the token scan and nothing else
+    "doc_bpe_merge_steps",
     # round-6: the REAL AVI demux rides the scan like the other
     # map-only multimodal kernels (fan-out happens inside the Arrow
     # batch; only hashes/means cross the wire)

@@ -301,6 +301,14 @@ SHUFFLE_BUDGETS = {
     # the same audited audit shape as embedding_int8_ann_recall, one
     # scored pass for both depths
     "embedding_ivf_nprobe_audit": 19,
+    # round-7 BPE training: ONE corpus-sized word groupBy (shared by
+    # all three iterations via exchange reuse) + the three per-round
+    # pair-count aggs — everything after the word agg carries |types|
+    # rows; the per-round argmax is a TakeOrdered (no sort shuffle) and
+    # the merge application is a broadcast-join projection
+    "doc_bpe_merge_steps": 4,
+    # the merge-steps chain + the final per-word presentation sort
+    "doc_bpe_segmentation": 5,
     # round-6 REAL AVI demux: map-only synthesis + demux fan-out —
     # the single exchange is the presentation range sort; frame bytes
     # must never shuffle

@@ -105,3 +105,99 @@ def test_nprobe_audit_internally_consistent(spark):
     # pinned corpus: probing the 2nd trained cell must recover some of
     # the cell-boundary misses (0.42 → 0.67 at sf0.001 as of round 7)
     assert r2.n_hits > r1.n_hits
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training vs a pure-Python reference trainer
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_counts: dict, n_steps: int):
+    """Reference BPE trainer (Sennrich et al. 2016 structure): pair
+    counts weighted by word frequency, argmax with (count desc, pair
+    asc) ties, left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    syms = {w: [c for c in w] for w in word_counts}
+    steps = []
+    for _ in range(n_steps):
+        pc: Counter = Counter()
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        steps.append((a, b, c))
+        for w in syms:
+            out: list = []
+            for s in syms[w]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms[w] = out
+    return steps, syms
+
+
+def test_bpe_matches_python_reference(spark):
+    """The distributed 3-step training run must reproduce the reference
+    trainer exactly on the real corpus: same merge table (pairs AND
+    counts) and same final segmentation for every word type."""
+    import re
+
+    from idh_etl_demo_spark.catalog_r7 import (
+        _BPE_STEPS,
+        doc_bpe_merge_steps,
+        doc_bpe_segmentation,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    wc: dict = {}
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r.text.strip().lower())
+        for w in norm.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    ref_steps, ref_syms = _ref_bpe(wc, _BPE_STEPS)
+    got_steps = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in doc_bpe_merge_steps(spark, SF).collect()
+    ]
+    assert got_steps == ref_steps
+    got_seg = {
+        r.word: (r.word_count, r.n_symbols, r.segmentation)
+        for r in doc_bpe_segmentation(spark, SF).collect()
+    }
+    assert set(got_seg) == set(wc)
+    for w, s in ref_syms.items():
+        assert got_seg[w] == (wc[w], len(s), " ".join(s)), w
+    # non-vacuity: at least one merge actually changed a segmentation
+    assert any(len(s) < len(w) for w, s in ref_syms.items())
+
+
+def test_bpe_merge_fold_non_overlap(spark):
+    """The fold's left-to-right non-overlap semantics on the classic
+    adversarial inputs — runs of the merged pair ("aaaa" + (a,a) →
+    aa aa; "aaa" → aa a) and interleavings ("abab" + (a,b) → ab ab)."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.catalog_r7 import _bpe_merge_step
+
+    cases = [
+        ("aaaa", "a", "a", ["aa", "aa"]),
+        ("aaa", "a", "a", ["aa", "a"]),
+        ("abab", "a", "b", ["ab", "ab"]),
+        ("bab", "a", "b", ["b", "ab"]),
+        ("xyz", "a", "b", ["x", "y", "z"]),
+    ]
+    df = spark.createDataFrame(
+        [(list(w), a, b) for w, a, b, _ in cases],
+        "syms array<string>, ba string, bb string",
+    )
+    got = df.select(
+        F.aggregate(
+            F.col("syms"), F.array().cast("array<string>"), _bpe_merge_step
+        ).alias("m")
+    ).collect()
+    assert [r.m for r in got] == [want for *_, want in cases]
