@@ -993,18 +993,19 @@ def _bigram_familiarity_sql() -> str:
     ),
     g as (
       select doc_id,
-             unnest(list_transform(
+             ('0x' || substring(md5(unnest(list_transform(
                generate_series(1, greatest(len(toks) - 1, 0)),
-               i -> toks[i] || ' ' || toks[i + 1])) as gram
+               i -> toks[i] || ' ' || toks[i + 1]))), 1, 15))::bigint as gh
       from base
     ),
-    gc as (select gram, count(*) as c from g group by gram),
+    dg as (select doc_id, gh, count(*) as k from g group by doc_id, gh),
+    gc as (select gh, sum(k) as c from dg group by gh),
     per_doc as (
-      select g.doc_id,
-             count(*) as n_bigrams,
-             sum(gc.c) as familiarity_num
-      from g join gc using (gram)
-      group by g.doc_id
+      select dg.doc_id,
+             sum(dg.k) as n_bigrams,
+             sum(dg.k * gc.c) as familiarity_num
+      from dg join gc using (gh)
+      group by dg.doc_id
     )
     select b.doc_id,
            cast(coalesce(p.n_bigrams, 0) as bigint) as n_bigrams,
@@ -1035,14 +1036,21 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator and denominator with one deterministic IEEE division
     (the ``doc_importance_weights`` technique, applied to a bigram LM).
 
-    Scale shape: one explode builds the (doc_id, gram) stream; the
-    bigram-count table aggregates map-side-combined on gram and joins
-    back on the same gram key (co-partitioned — no re-shuffle of the
-    stream side beyond its aggregate exchange; at this SF Catalyst
-    broadcasts the count table outright). Per-doc scoring is then one
-    doc_id aggregate. Unlike a driver-side vocabulary, the LM lives
-    entirely in the shuffle — at 100 TB the bigram table is big but
-    BOUNDED BY DISTINCT TRANSITIONS, and nothing is quadratic."""
+    Scale shape (round-7 rework of the r6 watch item — the 10× probe
+    sat at 2.3× because the raw string-keyed gram stream fed the LM
+    join on BOTH sides): the exploded stream now collapses FIRST into
+    per-document gram counts (doc_id, gh, k) — map-side combined, so
+    repeated transitions inside a document never reach a join — and
+    every downstream stage runs on 60-bit md5-derived LONG keys instead
+    of two-word strings (identical hashing in the oracle, so any
+    collision collides identically in both engines and the gate stays
+    exact). The LM aggregate consumes the already-collapsed pair table;
+    the join sides are bounded by |distinct (doc, transition)| and
+    |distinct transitions| — both far below the token stream wherever
+    language is repetitive, which is everywhere at 100 TB. Per-doc
+    scoring is Σ k·c over the joined pairs. Unlike a driver-side
+    vocabulary, the LM lives entirely in the shuffle — bounded by
+    distinct transitions, nothing quadratic."""
     from idh_etl_demo_spark.operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -1059,14 +1067,18 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    g = base.select("doc_id", F.explode(grams).alias("gram"))
-    gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    g = base.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", gh.alias("gh")
+    )
+    dg = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("k"))
+    gc = dg.groupBy("gh").agg(F.sum("k").alias("c"))
     per_doc = (
-        g.join(gc, "gram")
+        dg.join(gc, "gh")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("c").alias("familiarity_num"),
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("c")).alias("familiarity_num"),
         )
     )
     return (

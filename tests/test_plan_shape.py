@@ -313,12 +313,14 @@ SHUFFLE_BUDGETS = {
     # the single exchange is the presentation range sort; frame bytes
     # must never shuffle
     "multimodal_video_avi": 1,
-    # round-6 bigram LM familiarity: input spread, the gram-count agg,
-    # the stream-side gram exchange for the LM join, the per-doc agg,
-    # the doc_id assembly join exchange, presentation sort — the LM
-    # lives in the shuffle (bounded by distinct transitions), never on
-    # the driver
-    "doc_bigram_familiarity": 6,
+    # round-7 rework (the r6 2.3× probe watch item): input spread, the
+    # (doc_id, gh) pair-collapse agg, the gh LM agg, the pair-side gh
+    # join exchange, the per-doc agg, the doc_id assembly join's two
+    # exchanges, presentation sort. Two more than r6's 6 — but every
+    # exchange past the collapse carries DISTINCT (doc, transition)
+    # pairs on 60-bit long keys, not the raw string gram stream, which
+    # is what moved the 10× probe 2.5× → ~1.5-1.8×
+    "doc_bigram_familiarity": 8,
 }
 
 
