@@ -40,6 +40,30 @@ def test_non_convergence_raises(spark):
         connected_components(df, "src", "dst", max_iterations=1)
 
 
+def test_check_every_batched_matches_per_round(spark):
+    """Micro-batched convergence checks must return the identical
+    component map (labels are monotone, so the batched fixpoint test is
+    exact) — on a deep chain whose diameter exercises several batches,
+    and for a batch size larger than the rounds needed."""
+    edges = [(i, i + 1) for i in range(12)] + [(20, 21), (21, 22)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        r.id: r.component
+        for r in connected_components(df, "src", "dst", check_every=1).collect()
+    }
+    for ce in (2, 3):
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                df, "src", "dst", check_every=ce
+            ).collect()
+        }
+        assert got == want, ce
+    for bad in (0, 50):  # 50 would build a 2^50-subtree batch plan
+        with pytest.raises(ValueError):
+            connected_components(df, "src", "dst", check_every=bad)
+
+
 def test_checkpoints_released(spark):
     """The fixpoint must not leak its per-round localCheckpoint blocks:
     only the final labels checkpoint (which the returned DataFrame reads
