@@ -62,6 +62,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #    kernels; the real AVI demux `multimodal_video_avi` and the real
 #    PPM decoder `multimodal_image_ppm` are the same ops' production
 #    forms, and wav/resize keep the family at 5 in-window)
+#  - 1 green, family-represented: orders_cumulative_distinct (window
+#    family keeps orders_rolling_30d + order_window_bounds +
+#    user_weekly_retention) and event_props_variant (props family
+#    keeps event_props_map + user_event_type_map) — displaced by the
+#    six new round-7 entries, which need first-round driver signal
 DRIVER_PRIORITY: list[str] = [
     # --- ZTM star schema + flagship (reference: src/queries.py) ---
     "ztm_line_dim",
@@ -98,6 +103,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivf_nprobe_audit",
     "doc_bpe_merge_steps",
     "doc_bpe_segmentation",
+    "embedding_semantic_dedup",
+    "doc_ccnet_buckets",
     # --- round-6 first-greens: second hard signal ---
     "promo_period_orders_salted",
     "multimodal_image_ppm",
@@ -106,9 +113,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_gap_fill",
     "event_type_transitions",
     "orders_rolling_30d",
-    "orders_cumulative_distinct",
     "price_percentiles_sketch",
-    "event_props_variant",
     "top2_orders_lateral",
     "daily_order_spine_recursive",
     "order_window_bounds",

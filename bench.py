@@ -97,6 +97,8 @@ HEADLINE = [
     "embedding_ivf_nprobe_audit",
     "doc_bpe_merge_steps",
     "doc_bpe_segmentation",
+    "embedding_semantic_dedup",
+    "doc_ccnet_buckets",
 ]
 
 

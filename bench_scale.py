@@ -107,6 +107,15 @@ PROBES = [
     # the ratio should stay ~linear in the token scan
     "doc_dsir_sample",
     "doc_bigram_familiarity",
+    # round-7: the CCNet tercile split rides the (probed) familiarity
+    # plan plus ONE global ntile sort over the per-doc score table —
+    # the ratio should track doc_bigram_familiarity's; a gap between
+    # the two isolates the global-sort cost at scale.
+    # embedding_semantic_dedup is NOT probed: in-cluster pairs under
+    # the pinned 4-cell quantizer are quadratic by parameter choice —
+    # the same documented exclusion as the IVF serving entries (at prod
+    # scale k grows with N, holding cluster size constant).
+    "doc_ccnet_buckets",
     # round-7: BPE training — the corpus cost is the ONE word groupBy;
     # the three merge iterations run over the |types| table (31 types
     # in this corpus, size-invariant under the union-widened copies),

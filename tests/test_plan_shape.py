@@ -301,6 +301,15 @@ SHUFFLE_BUDGETS = {
     # the same audited audit shape as embedding_int8_ann_recall, one
     # scored pass for both depths
     "embedding_ivf_nprobe_audit": 19,
+    # round-7 SemDeDup: the seeded-KMeans chain's 7 + the cluster-id
+    # pair join exchange + the keeper-min agg; the dup verdict join
+    # rides exchange reuse — pairs exist only within trained cells,
+    # never corpus-wide
+    "embedding_semantic_dedup": 9,
+    # round-7 CCNet split: the reworked familiarity chain's 8 + the
+    # global ntile window (deliberate single-partition sort over the
+    # per-doc SCORE table, the customer_revenue_pareto shape)
+    "doc_ccnet_buckets": 9,
     # round-7 BPE training: ONE corpus-sized word groupBy (shared by
     # all three iterations via exchange reuse) + the three per-round
     # pair-count aggs — everything after the word agg carries |types|

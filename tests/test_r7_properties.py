@@ -176,6 +176,73 @@ def test_bpe_matches_python_reference(spark):
     assert any(len(s) < len(w) for w, s in ref_syms.items())
 
 
+def test_semantic_dedup_matches_python_reference(spark):
+    """The keep/drop verdicts must equal a brute-force python rerun:
+    recompute every in-cluster cosine from the quantized vectors and
+    apply the keep-first rule — and the threshold must be non-vacuous
+    (some vector dropped, most kept)."""
+    import math
+
+    from idh_etl_demo_spark.catalog_r3 import _km_trained_frames
+    from idh_etl_demo_spark.catalog_r7 import (
+        _SEMDEDUP_THRESHOLD,
+        embedding_semantic_dedup,
+    )
+
+    assigned = {
+        r.vec_id: (list(r.v), r.cluster)
+        for r in _km_trained_frames(spark, SF, 4)[0].collect()
+    }
+    by_cluster: dict = {}
+    for vid, (v, c) in assigned.items():
+        by_cluster.setdefault(c, []).append((vid, v))
+    want = {}
+    for c, members in by_cluster.items():
+        for vid, v in members:
+            dup_of = None
+            for uid, u in members:
+                if uid >= vid:
+                    continue
+                dot = sum(x * y for x, y in zip(u, v))
+                sim = dot / (
+                    math.sqrt(sum(x * x for x in u))
+                    * math.sqrt(sum(y * y for y in v))
+                )
+                if sim >= _SEMDEDUP_THRESHOLD and (
+                    dup_of is None or uid < dup_of
+                ):
+                    dup_of = uid
+            want[vid] = (c, dup_of is None, dup_of)
+    got = {
+        r.vec_id: (r.cluster, r.keep, r.dup_of)
+        for r in embedding_semantic_dedup(spark, SF).collect()
+    }
+    assert got == want
+    dropped = sum(1 for _, keep, _ in got.values() if not keep)
+    assert 0 < dropped < len(got) // 4  # non-vacuous AND selective
+
+
+def test_ccnet_buckets_cover_and_order(spark):
+    """Tercile invariants: every doc bucketed, bucket sizes differ by
+    at most one, and the familiarity ORDER respects the buckets (no
+    tail doc more familiar than a head doc)."""
+    from idh_etl_demo_spark.catalog_r7 import doc_ccnet_buckets
+
+    rows = doc_ccnet_buckets(spark, SF).collect()
+    assert len(rows) == 500
+    sizes: dict = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    lo_head = min(r.familiarity for r in rows if r.bucket == "head")
+    hi_mid = max(r.familiarity for r in rows if r.bucket == "middle")
+    lo_mid = min(r.familiarity for r in rows if r.bucket == "middle")
+    hi_tail = max(r.familiarity for r in rows if r.bucket == "tail")
+    assert lo_head >= hi_mid
+    assert lo_mid >= hi_tail
+
+
 def test_bpe_merge_fold_non_overlap(spark):
     """The fold's left-to-right non-overlap semantics on the classic
     adversarial inputs — runs of the merged pair ("aaaa" + (a,a) →
