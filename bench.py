@@ -99,6 +99,7 @@ HEADLINE = [
     "doc_bpe_segmentation",
     "embedding_semantic_dedup",
     "doc_ccnet_buckets",
+    "doc_bpe_token_counts",
 ]
 
 

@@ -116,6 +116,11 @@ PROBES = [
     # the same documented exclusion as the IVF serving entries (at prod
     # scale k grows with N, holding cluster size constant).
     "doc_ccnet_buckets",
+    # round-7: tokenizer application — corpus explode + broadcast join
+    # against the |types|-row segmentation table + one doc_id agg; the
+    # training chain inside the plan is size-invariant (same 31 types),
+    # so the ratio should track the token scan
+    "doc_bpe_token_counts",
     # round-7: BPE training — the corpus cost is the ONE word groupBy;
     # the three merge iterations run over the |types| table (31 types
     # in this corpus, size-invariant under the union-widened copies),

@@ -703,6 +703,79 @@ def _bpe_seg_sql() -> str:
     """
 
 
+def _bpe_token_counts_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _WORDS
+
+    return f"""
+    with {','.join(_bpe_ctes())},
+    seg as (select word, len(syms) as n_syms from w{_BPE_STEPS}),
+    doc_words as (
+      select doc_id, word
+      from (select doc_id, unnest({_WORDS}) as word from documents)
+      where word <> ''
+    ),
+    per_doc as (
+      select dw.doc_id,
+             count(*) as n_words,
+             sum(seg.n_syms) as n_bpe_tokens
+      from doc_words dw join seg using (word)
+      group by dw.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(p.n_words, 0) as bigint) as n_words,
+           cast(coalesce(p.n_bpe_tokens, 0) as bigint) as n_bpe_tokens
+    from (select doc_id from documents) d
+    left join per_doc p using (doc_id)
+    order by d.doc_id
+    """
+
+
+@query("doc_bpe_token_counts", _bpe_token_counts_sql())
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED at corpus scale: per-document
+    token counts under the learned BPE merges — the number every
+    training-data budget (sequence packing, epoch sizing, mixture
+    weighting) actually needs, as opposed to whitespace token counts.
+    Composes ``doc_bpe_segmentation``'s symbol table verbatim: the
+    corpus word stream joins the |types|-row segmentation table
+    (broadcast — the tokenizer artifact is small by construction) and
+    sums n_symbols per document.
+
+    Scale shape: one corpus explode + one broadcast join + one doc_id
+    aggregate — the tokenizer never shuffles the corpus; the training
+    chain's cost is shared via the composed plan. Sweep-gated this
+    round (the 50-slot window is fully committed to the rotation —
+    round-8 window candidate)."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    _, words = _bpe_frames(spark, sf_dir)
+    seg = words.select("word", F.size("syms").alias("n_syms"))
+    docs = _t(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("doc_bpe_segmentation", _bpe_seg_sql())
 def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every corpus word type segmented by the trained BPE merges — the

@@ -318,6 +318,11 @@ SHUFFLE_BUDGETS = {
     "doc_bpe_merge_steps": 4,
     # the merge-steps chain + the final per-word presentation sort
     "doc_bpe_segmentation": 5,
+    # round-7 tokenizer application: the training chain's 4 + the
+    # corpus word-stream spread, the per-doc agg, the doc_id assembly
+    # join exchange, presentation sort — the segmentation table itself
+    # BROADCASTS (|types| rows), the corpus never shuffles for the join
+    "doc_bpe_token_counts": 8,
     # round-6 REAL AVI demux: map-only synthesis + demux fan-out —
     # the single exchange is the presentation range sort; frame bytes
     # must never shuffle

@@ -176,6 +176,46 @@ def test_bpe_matches_python_reference(spark):
     assert any(len(s) < len(w) for w, s in ref_syms.items())
 
 
+def test_bpe_token_counts_match_python_reference(spark):
+    """Per-document counts under the trained tokenizer must equal the
+    python rerun: n_words = whitespace tokens, n_bpe_tokens = Σ over
+    the doc's words of the reference segmentation's symbol count — and
+    the trained tokenizer must compress (fewer symbols than characters)
+    somewhere while never producing fewer symbols than words."""
+    import re
+
+    from idh_etl_demo_spark.catalog_r7 import (
+        _BPE_STEPS,
+        doc_bpe_token_counts,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    wc: dict = {}
+    doc_words = {}
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r.text.strip().lower())
+        ws = [w for w in norm.split(" ") if w]
+        doc_words[r.doc_id] = ws
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    _, ref_syms = _ref_bpe(wc, _BPE_STEPS)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in doc_bpe_token_counts(spark, SF).collect()
+    }
+    assert set(got) == set(doc_words)
+    compressed = False
+    for did, ws in doc_words.items():
+        want = (len(ws), sum(len(ref_syms[w]) for w in ws))
+        assert got[did] == want, did
+        n_chars = sum(len(w) for w in ws)
+        assert want[0] <= want[1] <= n_chars
+        compressed = compressed or want[1] < n_chars
+    assert compressed
+
+
 def test_semantic_dedup_matches_python_reference(spark):
     """The keep/drop verdicts must equal a brute-force python rerun:
     recompute every in-cluster cosine from the quantized vectors and
