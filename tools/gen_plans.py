@@ -34,8 +34,12 @@ PICKS = {
     "embedding_int8_quantize": "int8 quantization is a pure JVM array-expression projection — the presentation sort is the plan's ONLY exchange",
     "doc_importance_weights": "DSIR weights: 256-row bucket table broadcasts back onto the token stream — tokens shuffle only into the two aggregates, never as raw text",
     "doc_dsir_sample": "DSIR resampling: the integer cross-multiply acceptance is a projection + filter ON TOP of the weights plan — zero added exchanges",
-    "doc_bigram_familiarity": "bigram LM familiarity: the LM lives in the shuffle (gram-count agg + gram-keyed join), never on the driver; per-doc scoring is one doc_id agg",
+    "doc_bigram_familiarity": "bigram LM familiarity (round-7 rework): the gram stream collapses into per-doc transition counts on 60-bit long keys BEFORE the LM join — join sides bounded by distinct pairs/transitions; the LM never touches the driver",
     "multimodal_video_avi": "real AVI demux: synthesis + RIFF walk + frame fan-out in one map-only MapInPandas pass — frame bytes never shuffle",
+    "embedding_ivf_int8_search": "round-7 trained-quantizer serving: the kcenter→Lloyd chain's |k|·dim-bounded aggs feed a packed-broadcast assignment projection; the probe is a cell-id equi-join over int8 codes",
+    "embedding_ivf_multiprobe_search": "nprobe=2 serving: the query side fans out ×2 via a top-n slice of the SAME packed-broadcast distance structs; corpus inverted lists untouched",
+    "doc_bpe_merge_steps": "BPE training: ONE corpus-sized word groupBy (exchange-reused by all three iterations); per-round pair aggs and argmax TakeOrdereds run on the |types| table",
+    "embedding_semantic_dedup": "SemDeDup shape: the pair join is an equi-join on the trained cluster id — quadratic only within a cell; keeper selection is an integer min agg",
 }
 
 
