@@ -100,6 +100,7 @@ HEADLINE = [
     "embedding_semantic_dedup",
     "doc_ccnet_buckets",
     "doc_bpe_token_counts",
+    "doc_bucket_quality_sample",
 ]
 
 

@@ -121,6 +121,10 @@ PROBES = [
     # training chain inside the plan is size-invariant (same 31 types),
     # so the ratio should track the token scan
     "doc_bpe_token_counts",
+    # round-7: stratified sampling adds a projection+filter on the
+    # ccnet-buckets plan, so its ratio must track doc_ccnet_buckets'
+    # (a gap means the sampling grew its own stage)
+    "doc_bucket_quality_sample",
     # round-7: BPE training — the corpus cost is the ONE word groupBy;
     # the three merge iterations run over the |types| table (31 types
     # in this corpus, size-invariant under the union-widened copies),

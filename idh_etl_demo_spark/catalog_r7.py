@@ -703,6 +703,79 @@ def _bpe_seg_sql() -> str:
     """
 
 
+# ===========================================================================
+# Quality-stratified corpus sampling over the CCNet buckets
+# ===========================================================================
+
+# per-bucket acceptance thresholds over the 32-bit uniform: head keeps
+# everything, middle 1/2, tail 1/8 — integer powers of two so the
+# accept test is a pure integer comparison (no float ever enters)
+_BUCKET_KEEP_NUM = {"head": 2**32, "middle": 2**31, "tail": 2**29}
+
+
+def _bucket_sample_sql() -> str:
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    buckets = ENTRIES["doc_ccnet_buckets"].oracle
+    cases = " ".join(
+        f"when '{b}' then {n}" for b, n in _BUCKET_KEEP_NUM.items()
+    )
+    return f"""
+    with b as materialized ({buckets}),
+    scored as (
+      select doc_id, bucket,
+             ('0x' || substring(md5('mix:' || cast(doc_id as varchar)), 1, 8))::bigint as u,
+             case bucket {cases} end as keep_num
+      from b
+    )
+    select doc_id, bucket, cast(u as bigint) as u_sample
+    from scored
+    where u < keep_num
+    order by doc_id
+    """
+
+
+@query("doc_bucket_quality_sample", _bucket_sample_sql())
+def doc_bucket_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus construction — the step CCNet's
+    bucketing exists FOR: keep the head entirely, sample the middle at
+    1/2 and the tail at 1/8 (down-weighting low-LM-familiarity text
+    without discarding its diversity outright). Composes
+    ``doc_ccnet_buckets`` verbatim; the per-document uniform is a
+    seeded 32-bit md5 prefix and every per-bucket rate is a power of
+    two, so the accept test is a PURE INTEGER comparison — both engines
+    keep the identical set, no float in the decision (the
+    ``doc_dsir_sample`` technique with exactly-representable rates).
+
+    Scale shape: a projection + filter over the composed bucket plan —
+    the sampling adds ZERO exchanges (pinned by the shuffle budget);
+    at 100 TB the mixture rates come from the data-mixture config and
+    the same hash-acceptance runs embarrassingly parallel."""
+    from idh_etl_demo_spark.catalog_r7 import doc_ccnet_buckets
+
+    b = doc_ccnet_buckets(spark, sf_dir)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep_num = F.when(
+        F.col("bucket") == "head", F.lit(_BUCKET_KEEP_NUM["head"])
+    ).when(
+        F.col("bucket") == "middle", F.lit(_BUCKET_KEEP_NUM["middle"])
+    ).otherwise(F.lit(_BUCKET_KEEP_NUM["tail"]))
+    return (
+        b.select("doc_id", "bucket", u.alias("u_sample"), keep_num.alias("kn"))
+        .filter(F.col("u_sample") < F.col("kn"))
+        .select("doc_id", "bucket", "u_sample")
+        .orderBy("doc_id")
+    )
+
+
 def _bpe_token_counts_sql() -> str:
     from idh_etl_demo_spark.catalog_llm import _WORDS
 

@@ -310,6 +310,10 @@ SHUFFLE_BUDGETS = {
     # global ntile window (deliberate single-partition sort over the
     # per-doc SCORE table, the customer_revenue_pareto shape)
     "doc_ccnet_buckets": 9,
+    # round-7 quality-stratified sampling: EXACTLY the buckets entry's
+    # 9 — the per-bucket hash-acceptance is a projection + filter and
+    # must add ZERO exchanges (the doc_dsir_sample contract)
+    "doc_bucket_quality_sample": 9,
     # round-7 BPE training: ONE corpus-sized word groupBy (shared by
     # all three iterations via exchange reuse) + the three per-round
     # pair-count aggs — everything after the word agg carries |types|

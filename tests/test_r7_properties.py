@@ -283,6 +283,42 @@ def test_ccnet_buckets_cover_and_order(spark):
     assert lo_mid >= hi_tail
 
 
+def test_bucket_quality_sample_matches_python_reference(spark):
+    """Every keep decision must be reproducible from the bucket
+    assignment + the seeded md5 uniform in pure python, the head must
+    be kept in full, and the realized middle/tail rates must sit near
+    their configured 1/2 and 1/8 (binomial tolerance)."""
+    import hashlib
+
+    from idh_etl_demo_spark.catalog_r7 import (
+        _BUCKET_KEEP_NUM,
+        doc_bucket_quality_sample,
+        doc_ccnet_buckets,
+    )
+
+    buckets = {
+        r.doc_id: r.bucket for r in doc_ccnet_buckets(spark, SF).collect()
+    }
+    kept = {
+        r.doc_id: (r.bucket, r.u_sample)
+        for r in doc_bucket_quality_sample(spark, SF).collect()
+    }
+    want = {}
+    for did, b in buckets.items():
+        u = int(hashlib.md5(f"mix:{did}".encode()).hexdigest()[:8], 16)
+        if u < _BUCKET_KEEP_NUM[b]:
+            want[did] = (b, u)
+    assert kept == want
+    n_bucket = {b: 0 for b in _BUCKET_KEEP_NUM}
+    n_kept = {b: 0 for b in _BUCKET_KEEP_NUM}
+    for did, b in buckets.items():
+        n_bucket[b] += 1
+        n_kept[b] += did in kept
+    assert n_kept["head"] == n_bucket["head"]  # head kept in full
+    assert 0.3 < n_kept["middle"] / n_bucket["middle"] < 0.7
+    assert 0.02 < n_kept["tail"] / n_bucket["tail"] < 0.30
+
+
 def test_bpe_merge_fold_non_overlap(spark):
     """The fold's left-to-right non-overlap semantics on the classic
     adversarial inputs — runs of the merged pair ("aaaa" + (a,a) →
