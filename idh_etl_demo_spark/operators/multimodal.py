@@ -132,6 +132,75 @@ def _resize_ppm_nn(payload: bytes, out_w: int, out_h: int) -> bytes:
     return bytes(out)
 
 
+def _ahash_ppm(payload: bytes, grid: int = 2) -> tuple[int, int, int]:
+    """Per-channel average-hash of a binary-PPM image — the perceptual
+    near-dup signature (aHash family): NN-downsample to a grid×grid
+    cell grid (same mapping as :func:`_resize_ppm_nn`), then one bit
+    per (cell, channel): set iff that sample EXCEEDS its channel's mean
+    over the grid. The mean comparison is an integer cross-multiply
+    (sample · n_cells > channel_total — strict, no float, no rounding),
+    so the hash is bit-identical in any engine. Bit order: cells
+    row-major, channels r,g,b within a cell, MSB first —
+    grid²·3 bits total (12 for the default 2×2).
+
+    Returns (width, height, ahash)."""
+    w, h, maxval, raster = _parse_ppm(payload)
+    samples: list[int] = []
+    for y in range(grid):
+        sy = y * h // grid
+        for x in range(grid):
+            sx = x * w // grid
+            i = (sy * w + sx) * 3
+            samples.extend(raster[i : i + 3])
+    n_cells = grid * grid
+    totals = [
+        sum(samples[c + 3 * j] for j in range(n_cells)) for c in range(3)
+    ]
+    bits = 0
+    for j, s in enumerate(samples):
+        bits = (bits << 1) | (1 if s * n_cells > totals[j % 3] else 0)
+    return (w, h, bits)
+
+
+IMAGE_AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, grid: int = 2) -> DataFrame:
+    """Perceptual hashes for PPM payloads via Arrow ``mapInPandas`` —
+    the image-modality entry point of the dedup family: equal hashes
+    are near-dup candidates (group/join on ``ahash`` exactly like the
+    text pipeline groups on MinHash bands). Map-only; raster bytes
+    never leave the worker."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                _ahash_ppm(p, grid)
+                if p is not None and len(p)
+                else (0, 0, 0)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "ahash": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_AHASH_SCHEMA
+    )
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, float]:
     """Real decode path. Binary PPM (``P6``) is decoded natively with the
     stdlib parser above; every other format needs Pillow/opencv, which

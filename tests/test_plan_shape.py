@@ -314,6 +314,11 @@ SHUFFLE_BUDGETS = {
     # 9 — the per-bucket hash-acceptance is a projection + filter and
     # must add ZERO exchanges (the doc_dsir_sample contract)
     "doc_bucket_quality_sample": 9,
+    # round-7 perceptual image hash: synthesis + decode + hash are one
+    # map-only Arrow pass; the two exchanges are the ahash group-size
+    # window (12-bit-hash-keyed pairs) and the presentation sort —
+    # raster bytes must never shuffle
+    "multimodal_image_ahash": 2,
     # round-7 BPE training: ONE corpus-sized word groupBy (shared by
     # all three iterations via exchange reuse) + the three per-round
     # pair-count aggs — everything after the word agg carries |types|

@@ -283,6 +283,49 @@ def test_ccnet_buckets_cover_and_order(spark):
     assert lo_mid >= hi_tail
 
 
+def test_image_ahash_matches_python_reference(spark):
+    """The aHash kernel vs a brute-force python rerun on non-trivial
+    rasters (bigger than the catalog entry's 1-3 px images), including
+    the flat-image edge case (all samples equal the mean → hash 0,
+    strict comparison) and hash stability under NN upscaling (the
+    perceptual property: a 2× blowup of the same image hashes
+    identically because NN sampling lands on the same source pixels)."""
+    from idh_etl_demo_spark.operators.multimodal import (
+        _ahash_ppm,
+        _resize_ppm_nn,
+    )
+
+    def ppm(w, h, px):
+        return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+    def ref(w, h, px, grid=2):
+        samples = []
+        for y in range(grid):
+            for x in range(grid):
+                i = ((y * h // grid) * w + (x * w // grid)) * 3
+                samples.extend(px[i : i + 3])
+        tot = [sum(samples[c::3]) for c in range(3)]
+        bits = 0
+        for j, s in enumerate(samples):
+            bits = (bits << 1) | (s * grid * grid > tot[j % 3])
+        return bits
+
+    import random
+
+    rng = random.Random(7)
+    for w, h in [(4, 4), (5, 3), (8, 2), (1, 1), (3, 7)]:
+        px = [rng.randrange(256) for _ in range(w * h * 3)]
+        payload = ppm(w, h, px)
+        assert _ahash_ppm(payload) == (w, h, ref(w, h, px)), (w, h)
+    flat = ppm(4, 4, [9] * 48)
+    assert _ahash_ppm(flat)[2] == 0
+    # perceptual stability: NN 2× upscale samples the same pixels
+    px = [rng.randrange(256) for _ in range(4 * 4 * 3)]
+    orig = ppm(4, 4, px)
+    up = _resize_ppm_nn(orig, 8, 8)
+    assert _ahash_ppm(orig)[2] == _ahash_ppm(up)[2]
+
+
 def test_bucket_quality_sample_matches_python_reference(spark):
     """Every keep decision must be reproducible from the bucket
     assignment + the seeded md5 uniform in pure python, the head must
