@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_bpe_token_counts",
     "doc_bucket_quality_sample",
     "multimodal_image_ahash",
+    "multimodal_audio_fingerprint",
 ]
 
 

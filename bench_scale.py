@@ -125,9 +125,11 @@ PROBES = [
     # ccnet-buckets plan, so its ratio must track doc_ccnet_buckets'
     # (a gap means the sampling grew its own stage)
     "doc_bucket_quality_sample",
-    # round-7: the image aHash is a map-only Arrow kernel + one
-    # hash-keyed window — must ride the scan like the other decoders
+    # round-7: the image aHash and audio fingerprint are map-only Arrow
+    # kernels + one hash-keyed window each — must ride the scan like
+    # the other decoders
     "multimodal_image_ahash",
+    "multimodal_audio_fingerprint",
     # round-7: BPE training — the corpus cost is the ONE word groupBy;
     # the three merge iterations run over the |types| table (31 types
     # in this corpus, size-invariant under the union-widened copies),

@@ -797,6 +797,91 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Audio fingerprinting: the dedup family's audio-modality signature
+# ===========================================================================
+
+
+def _audio_fp_sql() -> str:
+    # bit i (1-based, MSB first, weight 2^(15-i)) set iff sample i+1
+    # strictly exceeds sample i — samples are the ASCII md5 chars the
+    # synthesis wrote (every clip has ≥ 16 samples, so no padding path)
+    return """
+    with m as (
+      select doc_id as media_id,
+             8 + (1 + doc_id % 3) * 8 as n,
+             md5(text) as mh
+      from documents
+    ),
+    fp as (
+      select media_id, cast(n as bigint) as n_samples,
+             cast(list_sum(list_transform(generate_series(1, 15), i ->
+               case when ascii(substring(mh, i + 1, 1))
+                         > ascii(substring(mh, i, 1))
+                    then 1 << (15 - i) else 0 end)) as bigint) as fingerprint
+      from m
+    )
+    select media_id, n_samples, fingerprint,
+           count(*) over (partition by fingerprint) as fp_group_size
+    from fp
+    order by media_id
+    """
+
+
+@query("multimodal_audio_fingerprint", _audio_fp_sql())
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family extended to the AUDIO modality: a
+    sign-of-difference fingerprint (the Haitsma-Kalkman bit derivation
+    reduced to raw samples for uncompressed PCM) computed from REAL
+    stdlib WAV decodes — bit i set iff decoded sample i+1 strictly
+    exceeds sample i over the first 15 transitions, a pure integer
+    comparison chain, so the 15-bit fingerprint is engine-exact and the
+    oracle rebuilds every bit from the md5 synthesis arithmetic.
+    Payloads are ``multimodal_audio_wav``'s valid RIFF/WAVE clips;
+    ``fp_group_size`` is the near-dup candidate-group occupancy, the
+    audio twin of ``multimodal_image_ahash``'s grouping (and of MinHash
+    band buckets on the text side) — with this entry all three
+    modalities have BOTH a decode path and a dedup signature under the
+    driver gate.
+
+    Scale shape: synthesis + decode + fingerprint are one map-only
+    Arrow pass (sample bytes never shuffle); the group window shuffles
+    (media_id, 15-bit fingerprint) pairs only."""
+    from idh_etl_demo_spark.operators.multimodal import audio_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.lit(8) + (F.lit(1) + F.col("doc_id") % 3) * 8).cast("int")
+    le32 = lambda col: F.concat(  # noqa: E731  (x < 128 → 3 zero bytes)
+        F.encode(F.char(col), "utf-8"), F.lit(bytes([0, 0, 0]))
+    )
+    header = F.concat(
+        F.lit(b"RIFF"),
+        le32(F.lit(36) + n),
+        F.lit(b"WAVEfmt "),
+        F.lit(bytes([16, 0, 0, 0])),
+        F.lit(bytes([1, 0])),
+        F.lit(bytes([1, 0])),
+        F.lit(bytes([0x40, 0x1F, 0, 0])),
+        F.lit(bytes([0x40, 0x1F, 0, 0])),
+        F.lit(bytes([1, 0])),
+        F.lit(bytes([8, 0])),
+        F.lit(b"data"),
+        le32(n),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            header, F.encode(F.left(F.md5(F.col("text")), n), "utf-8")
+        ).alias("payload"),
+    )
+    grp = Window.partitionBy("fingerprint")
+    return (
+        audio_fingerprint(media, n_bits=15)
+        .withColumn("fp_group_size", F.count(F.lit(1)).over(grp))
+        .orderBy("media_id")
+    )
+
+
+# ===========================================================================
 # Quality-stratified corpus sampling over the CCNet buckets
 # ===========================================================================
 

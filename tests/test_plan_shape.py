@@ -319,6 +319,9 @@ SHUFFLE_BUDGETS = {
     # window (12-bit-hash-keyed pairs) and the presentation sort —
     # raster bytes must never shuffle
     "multimodal_image_ahash": 2,
+    # round-7 audio fingerprint: same shape as the image aHash — one
+    # map-only Arrow decode pass, fingerprint window + sort only
+    "multimodal_audio_fingerprint": 2,
     # round-7 BPE training: ONE corpus-sized word groupBy (shared by
     # all three iterations via exchange reuse) + the three per-round
     # pair-count aggs — everything after the word agg carries |types|

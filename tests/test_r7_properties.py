@@ -326,6 +326,49 @@ def test_image_ahash_matches_python_reference(spark):
     assert _ahash_ppm(orig)[2] == _ahash_ppm(up)[2]
 
 
+def test_audio_fingerprint_matches_python_reference(spark):
+    """The fingerprint kernel vs a python rerun over synthetic WAVs:
+    8-bit and 16-bit paths, the short-clip zero-padding rule, and a
+    constant clip (no strict increases → fingerprint 0)."""
+    import io
+    import struct
+    import wave as wavmod
+
+    from idh_etl_demo_spark.operators.multimodal import (
+        _audio_fingerprint_wav,
+    )
+
+    def wav(width, frames_bytes, nch=1):
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(frames_bytes)
+        return buf.getvalue()
+
+    import random
+
+    rng = random.Random(11)
+    samples = [rng.randrange(256) for _ in range(24)]
+    want = 0
+    for i in range(15):
+        want = (want << 1) | (samples[i + 1] > samples[i])
+    assert _audio_fingerprint_wav(wav(1, bytes(samples))) == (24, 1, want)
+    # 16-bit: signed samples through the same comparison chain
+    s16 = [rng.randrange(-32768, 32768) for _ in range(20)]
+    want16 = 0
+    for i in range(15):
+        want16 = (want16 << 1) | (s16[i + 1] > s16[i])
+    got = _audio_fingerprint_wav(wav(2, struct.pack("<20h", *s16)))
+    assert got == (20, 2, want16)
+    # short clip: transitions beyond the stream are deterministic 0-bits
+    short = [10, 250, 20]  # 2 real transitions: up, down
+    assert _audio_fingerprint_wav(wav(1, bytes(short)))[2] == 1 << 14
+    # constant clip: strict > never fires
+    assert _audio_fingerprint_wav(wav(1, bytes([77] * 24)))[2] == 0
+
+
 def test_bucket_quality_sample_matches_python_reference(spark):
     """Every keep decision must be reproducible from the bucket
     assignment + the seeded md5 uniform in pure python, the head must
