@@ -103,6 +103,7 @@ HEADLINE = [
     "doc_bucket_quality_sample",
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
+    "multimodal_video_fingerprint",
 ]
 
 

@@ -130,6 +130,7 @@ PROBES = [
     # the other decoders
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
+    "multimodal_video_fingerprint",
     # round-7: BPE training — the corpus cost is the ONE word groupBy;
     # the three merge iterations run over the |types| table (31 types
     # in this corpus, size-invariant under the union-widened copies),

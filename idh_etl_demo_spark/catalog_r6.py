@@ -1178,7 +1178,26 @@ def multimodal_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact for any 32-bit value."""
     from idh_etl_demo_spark.operators.multimodal import demux_sample_frames
 
-    docs = _t(spark, sf_dir, "documents")
+    media = _avi_media(_t(spark, sf_dir, "documents"))
+    return (
+        demux_sample_frames(media, every_k=2)
+        .select(
+            "media_id",
+            "frame_idx",
+            "n_frames",
+            "frame_md5",
+            F.round("frame_mean", 6).alias("frame_mean"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _avi_media(docs: DataFrame) -> DataFrame:
+    """Synthesize the catalog's VALID RIFF/AVI payloads from the
+    documents table — (media_id, payload) with n ∈ {2..5} frames of 4
+    ASCII md5 bytes each. Shared by ``multimodal_video_avi`` (demux +
+    per-frame features) and ``multimodal_video_fingerprint``
+    (catalog_r7 — the sampled-frame dedup signature)."""
     n = (F.lit(2) + F.col("doc_id") % 4).cast("int")
     mh = F.md5(F.col("text"))
 
@@ -1219,18 +1238,7 @@ def multimodal_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.concat(
         F.lit(b"RIFF"), _le32(F.lit(216) + n * 12), F.lit(b"AVI "), hdrl, movi
     )
-    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
-    return (
-        demux_sample_frames(media, every_k=2)
-        .select(
-            "media_id",
-            "frame_idx",
-            "n_frames",
-            "frame_md5",
-            F.round("frame_mean", 6).alias("frame_mean"),
-        )
-        .orderBy("media_id", "frame_idx")
-    )
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
 
 
 # ===========================================================================

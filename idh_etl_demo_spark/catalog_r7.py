@@ -882,6 +882,95 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Video fingerprinting: the dedup family's video-modality signature
+# ===========================================================================
+
+
+def _video_fp_sql() -> str:
+    # the clip fingerprint is md5 over the ordered sampled-frame md5s —
+    # frames are ASCII, so DuckDB's string md5 equals the kernel's byte
+    # md5 exactly as in the demux entry's oracle
+    return """
+    with m as (
+      select doc_id as media_id,
+             2 + doc_id % 4 as n,
+             md5(text) as mh
+      from documents
+    ),
+    fp as (
+      select media_id, cast(n as bigint) as n_frames,
+             cast(len(list_filter(generate_series(0, n - 1),
+                                  i -> i % 2 = 0)) as bigint) as n_sampled,
+             md5(list_aggregate(
+               list_transform(
+                 list_filter(generate_series(0, n - 1), i -> i % 2 = 0),
+                 i -> md5(substring(mh, i * 4 + 1, 4))),
+               'string_agg', '')) as fingerprint
+      from m
+    )
+    select media_id, n_frames, n_sampled, fingerprint,
+           count(*) over (partition by fingerprint) as fp_group_size
+    from fp
+    order by media_id
+    """
+
+
+@query("multimodal_video_fingerprint", _video_fp_sql())
+def multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family extended to the VIDEO modality: the standard
+    frame-sampling signature — demux the container (the REAL stdlib
+    RIFF/AVI walker), hash every sampled frame, and fingerprint the
+    clip as the md5 of the ORDERED sampled-frame hashes. Two clips
+    collide iff their sampled content matches, which is how cheap
+    video dedup works in practice (sample → per-frame hash → clip
+    signature), robust to container-level byte differences the way a
+    whole-file hash is not. With ``multimodal_image_ahash`` and
+    ``multimodal_audio_fingerprint`` every modality now carries decode
+    + features + a DEDUP SIGNATURE under the oracle gate.
+
+    Engine-exactness: frames are ASCII md5 chars, so the per-frame and
+    clip-level md5s are identical strings in both engines; ordering is
+    pinned by frame_idx. Scale shape: the demux fan-out is map-only;
+    the per-clip aggregate groups ⌈n/2⌉ hash rows by media_id
+    (map-side combined via sorted collect_list), and the group window
+    shuffles (media_id, 32-char hash) pairs only."""
+    from idh_etl_demo_spark.catalog_r6 import _avi_media
+    from idh_etl_demo_spark.operators.multimodal import demux_sample_frames
+
+    frames = demux_sample_frames(
+        _avi_media(_t(spark, sf_dir, "documents")), every_k=2
+    )
+    per_clip = (
+        frames.groupBy("media_id")
+        .agg(
+            F.first("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("frame_idx", "frame_md5")
+                            )
+                        ),
+                        lambda s: s["frame_md5"],
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
+    )
+    grp = Window.partitionBy("fingerprint")
+    return (
+        per_clip.withColumn("fp_group_size", F.count(F.lit(1)).over(grp))
+        .select(
+            "media_id", "n_frames", "n_sampled", "fingerprint", "fp_group_size"
+        )
+        .orderBy("media_id")
+    )
+
+
+# ===========================================================================
 # Quality-stratified corpus sampling over the CCNet buckets
 # ===========================================================================
 

@@ -322,6 +322,10 @@ SHUFFLE_BUDGETS = {
     # round-7 audio fingerprint: same shape as the image aHash — one
     # map-only Arrow decode pass, fingerprint window + sort only
     "multimodal_audio_fingerprint": 2,
+    # round-7 video fingerprint: map-only demux fan-out + the media_id
+    # clip aggregate + fingerprint window + sort — only (id, hash)
+    # pairs shuffle, never frame bytes
+    "multimodal_video_fingerprint": 3,
     # round-7 BPE training: ONE corpus-sized word groupBy (shared by
     # all three iterations via exchange reuse) + the three per-round
     # pair-count aggs — everything after the word agg carries |types|

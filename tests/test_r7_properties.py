@@ -369,6 +369,47 @@ def test_audio_fingerprint_matches_python_reference(spark):
     assert _audio_fingerprint_wav(wav(1, bytes([77] * 24)))[2] == 0
 
 
+def test_video_fingerprint_collision_semantics(spark):
+    """The clip signature must collide exactly on SAMPLED content:
+    two clips identical at the sampled (even) frames but differing at
+    an unsampled (odd) frame share a fingerprint; changing a sampled
+    frame splits them. Uses the real AVI writer/demux path."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.operators.multimodal import demux_sample_frames
+    from tests.test_r6_properties import _avi_bytes
+
+    # 4 frames of 4 bytes; sampled idx 0, 2
+    base = [b"AAAA", b"BBBB", b"CCCC", b"DDDD"]
+    odd_diff = [b"AAAA", b"XXXX", b"CCCC", b"YYYY"]  # same sampled frames
+    even_diff = [b"ZZZZ", b"BBBB", b"CCCC", b"DDDD"]  # sampled frame 0 differs
+    media = spark.createDataFrame(
+        [
+            (1, _avi_bytes(base)),
+            (2, _avi_bytes(odd_diff)),
+            (3, _avi_bytes(even_diff)),
+        ],
+        "media_id long, payload binary",
+    )
+    frames = demux_sample_frames(media, every_k=2)
+    per_clip = frames.groupBy("media_id").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_idx", "frame_md5"))
+                    ),
+                    lambda s: s["frame_md5"],
+                ),
+            )
+        ).alias("fingerprint")
+    )
+    fp = {r.media_id: r.fingerprint for r in per_clip.collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
 def test_bucket_quality_sample_matches_python_reference(spark):
     """Every keep decision must be reproducible from the bucket
     assignment + the seeded md5 uniform in pure python, the head must
