@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
+    "doc_decontamination_passages",
 ]
 
 

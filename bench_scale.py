@@ -131,6 +131,10 @@ PROBES = [
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
+    # round-7: passage decontamination rides the (probed) CDC kernel
+    # plus a broadcast semi-join and two doc_id aggs — the ratio should
+    # track doc_cdc_chunks'
+    "doc_decontamination_passages",
     # round-7: BPE training — the corpus cost is the ONE word groupBy;
     # the three merge iterations run over the |types| table (31 types
     # in this corpus, size-invariant under the union-widened copies),

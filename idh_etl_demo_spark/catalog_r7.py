@@ -882,6 +882,99 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Passage-level decontamination via content-defined chunks
+# ===========================================================================
+
+
+def _passage_decontam_sql() -> str:
+    import idh_etl_demo_spark.catalog_r6  # noqa: F401  (registers cdc entry)
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    return f"""
+    with chunks as materialized ({ENTRIES["doc_cdc_chunks"].oracle}),
+    longc as (
+      select doc_id, chunk_hash from chunks where chunk_len >= 16
+    ),
+    bh as (select distinct chunk_hash from longc where doc_id % 11 = 0),
+    corp as (select doc_id, chunk_hash from longc where doc_id % 11 <> 0),
+    nch as (select doc_id, count(*) as n_chunks from corp group by doc_id),
+    hits as (
+      select c.doc_id, count(*) as n_bench_shared
+      from corp c join bh using (chunk_hash)
+      group by c.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(nch.n_chunks, 0) as bigint) as n_chunks,
+           cast(coalesce(h.n_bench_shared, 0) as bigint) as n_bench_shared,
+           coalesce(h.n_bench_shared, 0) > 0 as contaminated
+    from (select doc_id from documents where doc_id % 11 <> 0) d
+    left join nch using (doc_id)
+    left join hits h using (doc_id)
+    order by d.doc_id
+    """
+
+
+@query("doc_decontamination_passages", _passage_decontam_sql())
+def doc_decontamination_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-LEVEL decontamination — the sub-document complement of
+    the n-gram entries (`doc_decontamination`/`_bloom` catch gram
+    overlap; this catches verbatim PASSAGES): chunk every document with
+    content-defined chunking (``doc_cdc_chunks`` composed verbatim —
+    boundaries follow content, so a benchmark passage embedded anywhere
+    inside a training document still yields the identical chunk hashes,
+    the property fixed-width windows lack), then flag every corpus
+    document sharing a ≥16-char chunk with the held-out benchmark split
+    (doc_id % 11 = 0, the family's standing split). Output per corpus
+    doc: long-chunk count, shared-chunk count, contaminated verdict.
+
+    Scale shape: chunking is the map-only Arrow kernel; the benchmark
+    hash set is DISTINCT chunk hashes of the small split (broadcast —
+    the corpus side gains no shuffle for membership); per-doc counts
+    are two doc_id aggregates. Only 16-byte hashes flow, never passage
+    text. At 100 TB this is exactly how you sweep a corpus against a
+    benchmark suite without materializing any text joins."""
+    from idh_etl_demo_spark.catalog_r6 import _CDC_BASE, _CDC_MOD, _CDC_W
+    from idh_etl_demo_spark.operators.text import cdc_chunks_arrow
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = cdc_chunks_arrow(
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        window=_CDC_W,
+        boundary_mod=_CDC_MOD,
+        base=_CDC_BASE,
+    ).filter(F.col("chunk_len") >= 16)
+    bench_h = (
+        chunks.filter(F.col("doc_id") % 11 == 0)
+        .select("chunk_hash")
+        .distinct()
+    )
+    corp = chunks.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "chunk_hash"
+    )
+    nch = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    hits = (
+        corp.join(F.broadcast(bench_h), "chunk_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_shared"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id")
+        .join(nch, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_bench_shared", F.lit(0))
+            .cast("long")
+            .alias("n_bench_shared"),
+            (F.coalesce("n_bench_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
 # Video fingerprinting: the dedup family's video-modality signature
 # ===========================================================================
 

@@ -326,6 +326,11 @@ SHUFFLE_BUDGETS = {
     # clip aggregate + fingerprint window + sort — only (id, hash)
     # pairs shuffle, never frame bytes
     "multimodal_video_fingerprint": 3,
+    # round-7 passage decontamination: the CDC input spread + the two
+    # per-doc aggregates + the assembly joins' exchanges — the bench
+    # hash set BROADCASTS (semi-join), so the corpus gains no shuffle
+    # for membership; only 16-byte hashes flow
+    "doc_decontamination_passages": 5,
     # round-7 BPE training: ONE corpus-sized word groupBy (shared by
     # all three iterations via exchange reuse) + the three per-round
     # pair-count aggs — everything after the word agg carries |types|

@@ -369,6 +369,52 @@ def test_audio_fingerprint_matches_python_reference(spark):
     assert _audio_fingerprint_wav(wav(1, bytes([77] * 24)))[2] == 0
 
 
+def test_passage_decontamination_matches_python_reference(spark):
+    """Every contamination verdict must be reproducible in python from
+    the (already oracle-gated) chunk table: a corpus doc is contaminated
+    iff it shares a ≥16-char chunk hash with the % 11 bench split — and
+    the measurement must be non-vacuous (some contaminated, most not)."""
+    from idh_etl_demo_spark.catalog_r6 import (
+        _CDC_BASE,
+        _CDC_MOD,
+        _CDC_W,
+        doc_cdc_chunks,
+    )
+    from idh_etl_demo_spark.catalog_r7 import doc_decontamination_passages
+
+    chunks = [
+        (r.doc_id, r.chunk_hash)
+        for r in doc_cdc_chunks(spark, SF).collect()
+        if r.chunk_len >= 16
+    ]
+    bench = {h for d, h in chunks if d % 11 == 0}
+    want_n: dict = {}
+    want_hit: dict = {}
+    corpus_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+        if r.doc_id % 11 != 0
+    }
+    for d, h in chunks:
+        if d % 11 == 0:
+            continue
+        want_n[d] = want_n.get(d, 0) + 1
+        if h in bench:
+            want_hit[d] = want_hit.get(d, 0) + 1
+    got = {
+        r.doc_id: (r.n_chunks, r.n_bench_shared, r.contaminated)
+        for r in doc_decontamination_passages(spark, SF).collect()
+    }
+    assert set(got) == corpus_ids
+    for d in corpus_ids:
+        want = (want_n.get(d, 0), want_hit.get(d, 0), want_hit.get(d, 0) > 0)
+        assert got[d] == want, d
+    n_cont = sum(1 for v in got.values() if v[2])
+    assert 0 < n_cont < len(got) // 10  # non-vacuous AND selective
+
+
 def test_video_fingerprint_collision_semantics(spark):
     """The clip signature must collide exactly on SAMPLED content:
     two clips identical at the sampled (even) frames but differing at
