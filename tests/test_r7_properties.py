@@ -492,6 +492,52 @@ def test_bucket_quality_sample_matches_python_reference(spark):
     assert 0.02 < n_kept["tail"] / n_bucket["tail"] < 0.30
 
 
+def test_bpe_merge_fold_random_inputs(spark):
+    """Hypothesis sweep: the Spark fold equals the reference
+    left-to-right non-overlapping merge for ARBITRARY symbol sequences
+    and pairs drawn from a small alphabet (maximizing run/overlap
+    collisions), batched through one DataFrame per example set."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.catalog_r7 import _bpe_merge_step
+
+    sym = st.sampled_from(["a", "b", "ab", "ba"])
+    case = st.tuples(
+        st.lists(sym, min_size=1, max_size=8), sym, sym
+    )
+
+    def ref_merge(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    @given(st.lists(case, min_size=1, max_size=6))
+    @settings(max_examples=20, deadline=None)
+    def run(cases):
+        df = spark.createDataFrame(
+            cases, "syms array<string>, ba string, bb string"
+        )
+        got = [
+            r.m
+            for r in df.select(
+                F.aggregate(
+                    F.col("syms"),
+                    F.array().cast("array<string>"),
+                    _bpe_merge_step,
+                ).alias("m")
+            ).collect()
+        ]
+        assert got == [ref_merge(s, a, b) for s, a, b in cases]
+
+    run()
+
+
 def test_bpe_merge_fold_non_overlap(spark):
     """The fold's left-to-right non-overlap semantics on the classic
     adversarial inputs — runs of the merged pair ("aaaa" + (a,a) →
