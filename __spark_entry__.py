@@ -34,56 +34,58 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then the most operator-diverse TPC-H entries. Everything not named here
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
-# ROUND-7 ROTATION (the round-6 verdict's ask #1): the 14 round-6
-# entries that have never had a driver-green row rotate IN, plus this
-# round's new entries. Staying in-window: the three hardest ZTM star
-# tables + pricing_summary (the reference's core, permanent), every
-# entry whose PLAN changes this round (both curations + the CC
-# consumers dup_clusters/dup_kcore — convergence micro-batching;
-# embedding_ann_ivf — trained KMeans centroids; embedding_kmeans_seeded
-# — now feeds the IVF quantizer), one streaming representative
-# (doc_streaming_snapshot_curation — foreachBatch/watermark has no
-# other driver surface), and the round-6 first-greens for a second hard
-# signal. Rotating OUT to the sweep-gated tail, by green count:
-#  - 5-6 greens: rollup_revenue, doc_exact_dedup,
-#    doc_minhash_candidates, doc_ngram_jaccard, embedding_cosine_topk,
-#    doc_bottomk_sketch (cosine_topk stays the composed truth side of
-#    the in-window int8/multiprobe recall audits — its SQL is verified
-#    through them verbatim)
-#  - 4 greens: doc_simhash_neardup, embedding_ann_audit,
-#    doc_gopher_quality, doc_tfidf_topk
-#  - 3 greens (r4-r6): doc_snapshot_dedup
-#  - 2 greens (r5-r6): doc_sequence_packing, doc_pii_scrub,
-#    doc_lang_mix_weights, doc_chunk_overlap,
-#    events_stateful_running_totals (stateful op stays pytest-replayed
-#    incl. RocksDB; streaming family keeps snapshot curation in-window)
-#  - 1 green, superseded by an in-window REAL-decoder sibling:
-#    multimodal_frame_sample and multimodal_image_features (fake-path
-#    kernels; the real AVI demux `multimodal_video_avi` and the real
-#    PPM decoder `multimodal_image_ppm` are the same ops' production
-#    forms, and wav/resize keep the family at 5 in-window)
-#  - 1 green, family-represented: orders_cumulative_distinct (window
-#    family keeps orders_rolling_30d + order_window_bounds +
-#    user_weekly_retention) and event_props_variant (props family
-#    keeps event_props_map + user_event_type_map) — displaced by the
-#    six new round-7 entries, which need first-round driver signal
+# ROUND-8 ROTATION (the round-7 verdict's ask #2). Rotating IN:
+#  - the six round-7 entries that have never had a driver-green row:
+#    doc_bpe_token_counts, doc_bucket_quality_sample,
+#    multimodal_image_ahash, multimodal_audio_fingerprint,
+#    multimodal_video_fingerprint, doc_decontamination_passages
+#  - the four stalest sweep rows (last driver-green r4 or older):
+#    doc_simhash, doc_simhash60_neardup, embedding_ann_signbit,
+#    doc_dup_triangles (freshness recall, family policy)
+#  - the 20 round-7 first-greens for a second hard signal (the r6/r7
+#    rotation pattern): the 14 r6-crop entries + the 6 new r7 entries
+#  - stale r2-green fills for the remaining slots, each marked
+#    DISPLACEABLE — new round-8 entries displace them one-for-one as
+#    they land (so every new entry gets first-round driver signal)
+# Staying: the ZTM star trio + pricing_summary (permanent core) and
+# one streaming representative (doc_streaming_snapshot_curation —
+# foreachBatch/watermark has no other driver surface).
+# Rotating OUT to the sweep-gated tail, by green count: the 5×-green
+# r3 crop whose plans are unchanged this round (doc_corpus_curation,
+# doc_incremental_curation, doc_dup_clusters, doc_dup_kcore,
+# embedding_ann_ivf, embedding_kmeans_seeded — the trained-quantizer
+# chain stays driver-gated through the in-window ivf_int8/multiprobe/
+# nprobe entries that compose it verbatim) and the 18 round-6
+# first-greens that earned their second signal in r7 (promo_period_
+# orders_salted, multimodal_image_ppm, event_props_map,
+# user_event_type_map, events_gap_fill, event_type_transitions,
+# orders_rolling_30d, price_percentiles_sketch, top2_orders_lateral,
+# daily_order_spine_recursive, order_window_bounds,
+# user_weekly_retention, suppliers_full_type_coverage,
+# priority_yearly_growth, events_hourly_anomalies,
+# customer_revenue_pareto, events_distinct_users_hll,
+# doc_balanced_sample, doc_oov_rate).
 DRIVER_PRIORITY: list[str] = [
     # --- ZTM star schema + flagship (reference: src/queries.py) ---
     "ztm_line_dim",
     "ztm_delay_fact",
     "ztm_weather_dim",
     "pricing_summary",
-    # --- plan changes this round: CC micro-batched convergence ---
-    "doc_corpus_curation",
-    "doc_incremental_curation",
-    "doc_dup_clusters",
-    "doc_dup_kcore",
-    # --- plan changes this round: trained IVF coarse quantizer ---
-    "embedding_ann_ivf",
-    "embedding_kmeans_seeded",
     # --- streaming representative ---
     "doc_streaming_snapshot_curation",
-    # --- round-7 rotation-in: the 14 never-driver-verified r6 entries ---
+    # --- round-8 rotation-in: the 6 never-driver-green r7 entries ---
+    "doc_bpe_token_counts",
+    "doc_bucket_quality_sample",
+    "multimodal_image_ahash",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_fingerprint",
+    "doc_decontamination_passages",
+    # --- round-8 rotation-in: stalest rows (last green r4 or older) ---
+    "doc_simhash",
+    "doc_simhash60_neardup",
+    "embedding_ann_signbit",
+    "doc_dup_triangles",
+    # --- round-7 first-greens: second hard signal ---
     "multimodal_audio_wav",
     "multimodal_image_resize",
     "multimodal_video_avi",
@@ -98,33 +100,31 @@ DRIVER_PRIORITY: list[str] = [
     "doc_cdc_chunks",
     "doc_shared_passages",
     "doc_minhash_estimate_audit",
-    # --- round-7 new entries (registered in catalog_r7.py) ---
     "embedding_ivf_multiprobe_search",
     "embedding_ivf_nprobe_audit",
     "doc_bpe_merge_steps",
     "doc_bpe_segmentation",
     "embedding_semantic_dedup",
     "doc_ccnet_buckets",
-    # --- round-6 first-greens: second hard signal ---
-    "promo_period_orders_salted",
-    "multimodal_image_ppm",
-    "event_props_map",
-    "user_event_type_map",
-    "events_gap_fill",
-    "event_type_transitions",
-    "orders_rolling_30d",
-    "price_percentiles_sketch",
-    "top2_orders_lateral",
-    "daily_order_spine_recursive",
-    "order_window_bounds",
-    "user_weekly_retention",
-    "suppliers_full_type_coverage",
-    "priority_yearly_growth",
-    "events_hourly_anomalies",
-    "customer_revenue_pareto",
-    "events_distinct_users_hll",
-    "doc_balanced_sample",
-    "doc_oov_rate",
+    # --- event family freshness (minimum 5; stalest members) ---
+    "events_hourly_tumbling",
+    "events_sliding_3h",
+    "event_funnel",
+    "event_session_windows",
+    "event_props_variant",
+    # --- embedding family freshness (minimum 8; r3-red history) ---
+    "embedding_centroid_by_label",
+    # --- DISPLACEABLE stale fills (r2-green): new round-8 entries
+    # --- displace these one-for-one, top to bottom ---
+    "cube_revenue",
+    "lineitem_unpivot",
+    "orders_running_total",
+    "orderkey_distinct_kmv",
+    "salted_flag_join",
+    "customer_dense_ids",
+    "promo_brand_revenue",
+    "parts_above_avg_price",
+    "lineitem_quarantine_report",
 ]
 
 

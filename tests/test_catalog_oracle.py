@@ -54,13 +54,15 @@ def test_priority_entries_inside_driver_window():
         "window drifted from the declared priority list"
     )
     first50 = set(names[:50])
-    # Re-baselined for the round-7 rotation (the r6 verdict's ask #1):
-    # the 14 never-driver-verified round-6 entries + six new round-7
-    # entries displaced multi-round-green and family-represented
-    # members, so the minimums encode REPRESENTATION (each family keeps
-    # enough members for its operator shapes to stay driver-gated), not
-    # near-complete residency. Mapping of what rotated where:
-    # __spark_entry__.py's DRIVER_PRIORITY comment.
+    # Re-baselined for the round-8 rotation (the r7 verdict's ask #2):
+    # the six never-driver-green round-7 entries + the four stalest
+    # sweep rows rotate in, the 20 round-7 first-greens keep a
+    # second-signal slot, and stale r2-green fills hold the remaining
+    # slots until new round-8 entries displace them. The minimums
+    # encode REPRESENTATION (each family keeps enough members for its
+    # operator shapes to stay driver-gated), not near-complete
+    # residency. Mapping of what rotated where: __spark_entry__.py's
+    # DRIVER_PRIORITY comment.
     family_minimums = {
         "ztm_": 3,        # star schema: line dim, delay fact, weather dim
         "doc_": 18,       # dedup / text / curation / training-data ops
