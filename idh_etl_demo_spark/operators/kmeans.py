@@ -87,7 +87,13 @@ def lloyd_assign_topn(df: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     primitive: same packed-broadcast projection as ``lloyd_assign``,
     then a per-row array slice of the sorted (dist, cid) structs —
     still zero shuffles; the row count fans out ×n on the (small)
-    query side only."""
+    query side only.
+
+    If ``n`` exceeds the centroid count the slice TRUNCATES: each row
+    yields min(n, |cents|) ranks, not n. Checking |cents| here would
+    cost an eager count job per call, so callers that require exactly
+    n ranks must validate n against their (known) codebook size —
+    every catalog call site passes a compile-time-constant k."""
     if n < 1:
         raise ValueError("n must be >= 1")
     ranked = F.slice(F.array_sort(_dist_structs()), 1, n)

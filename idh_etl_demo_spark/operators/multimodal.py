@@ -181,18 +181,22 @@ def image_ahash(df: DataFrame, grid: int = 2) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # Missing payloads yield NULLs, not a (0, 0, 0) sentinel:
+            # ahash=0 is a legitimate hash (an all-dark flat image), so
+            # a sentinel would join real dedup groups and inflate
+            # hash_group_size.
             decoded = [
                 _ahash_ppm(p, grid)
                 if p is not None and len(p)
-                else (0, 0, 0)
+                else (None, None, None)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "ahash": [d[2] for d in decoded],
+                    "width": pd.array([d[0] for d in decoded], dtype="Int64"),
+                    "height": pd.array([d[1] for d in decoded], dtype="Int64"),
+                    "ahash": pd.array([d[2] for d in decoded], dtype="Int64"),
                 }
             )
 
@@ -286,6 +290,13 @@ def _audio_fingerprint_wav(payload: bytes, n_bits: int = 15) -> tuple[int, int, 
     n_bits + 1 samples contribute 0-bits for the missing transitions
     (deterministic padding).
 
+    The stream is the channel-INTERLEAVED sample sequence as decoded:
+    for multi-channel WAVs each transition compares adjacent samples
+    from DIFFERENT channels. That is deterministic and valid as a
+    dedup signature (identical clips still collide), but it is not a
+    per-channel acoustic fingerprint — fingerprint mono (or downmix
+    first) when per-channel semantics matter.
+
     Returns (n_samples_per_channel, sample_width, fingerprint)."""
     import io
     import struct
@@ -327,17 +338,25 @@ def audio_fingerprint(df: DataFrame, n_bits: int = 15) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # Missing payloads yield NULLs, not a (0, 0) sentinel:
+            # fingerprint=0 is a legitimate signature (a monotonically
+            # non-increasing clip), so a sentinel would join real dedup
+            # groups and inflate fp_group_size.
             decoded = [
                 _audio_fingerprint_wav(p, n_bits)
                 if p is not None and len(p)
-                else (0, 0, 0)
+                else (None, None, None)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
-                    "n_samples": [d[0] for d in decoded],
-                    "fingerprint": [d[2] for d in decoded],
+                    "n_samples": pd.array(
+                        [d[0] for d in decoded], dtype="Int64"
+                    ),
+                    "fingerprint": pd.array(
+                        [d[2] for d in decoded], dtype="Int64"
+                    ),
                 }
             )
 

@@ -239,3 +239,50 @@ def test_ppm_resize_spark_path(spark):
     assert (feats[1].width, feats[1].height) == (2, 1)
     # sx for x=0,1 at w=3: 0, 1 -> src bytes [0:3] and [3:6]
     assert feats[1].mean_intensity == sum(range(6)) / 6 / 255
+
+
+def test_signature_null_payloads_stay_out_of_dedup_groups(spark):
+    """Missing/empty payloads must produce NULL signatures, not the
+    (0, 0, 0) sentinel: ahash=0 / fingerprint=0 are legitimate values
+    (flat image, non-increasing clip), so a sentinel would join real
+    dedup candidate groups (round-7 ADVICE)."""
+    import io
+    import wave as wavmod
+
+    from idh_etl_demo_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_ahash,
+    )
+
+    img = spark.createDataFrame(
+        [
+            (1, "image", _ppm(2, 2, bytes([9] * 12)), None, None),  # flat -> ahash 0
+            (2, "image", None, None, None),
+            (3, "image", b"", None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in image_ahash(img).collect()}
+    assert got[1].ahash == 0 and got[1].width == 2
+    for mid in (2, 3):
+        assert got[mid].ahash is None
+        assert got[mid].width is None and got[mid].height is None
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([77] * 24))  # constant clip -> fingerprint 0
+    aud = spark.createDataFrame(
+        [
+            (1, "audio", buf.getvalue(), None, None),
+            (2, "audio", None, None, None),
+            (3, "audio", b"", None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in audio_fingerprint(aud).collect()}
+    assert got[1].fingerprint == 0 and got[1].n_samples == 24
+    for mid in (2, 3):
+        assert got[mid].fingerprint is None and got[mid].n_samples is None
