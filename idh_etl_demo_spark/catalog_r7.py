@@ -928,32 +928,42 @@ def doc_decontamination_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc: long-chunk count, shared-chunk count, contaminated verdict.
 
     Scale shape: chunking is the map-only Arrow kernel; the benchmark
-    hash set is DISTINCT chunk hashes of the small split (broadcast —
-    the corpus side gains no shuffle for membership); per-doc counts
-    are two doc_id aggregates. Only 16-byte hashes flow, never passage
-    text. At 100 TB this is exactly how you sweep a corpus against a
-    benchmark suite without materializing any text joins."""
+    hash set is DISTINCT chunk hashes of the small split. The
+    membership step is SIZE-GATED (``membership_semi_join``): a
+    benchmark-suite-sized hash set broadcasts (the corpus side gains
+    no shuffle for membership — the path this entry takes, and the
+    gating count job re-chunks only the 1/11 bench split because each
+    side chunks its own filtered scan); a held-out set too large to
+    broadcast falls back to a shuffle semi-join on chunk_hash, moving
+    only 16-byte hashes. Per-doc counts are two doc_id aggregates;
+    passage text never joins. At 100 TB this is exactly how you sweep
+    a corpus against a benchmark suite without materializing any text
+    joins."""
     from idh_etl_demo_spark.catalog_r6 import _CDC_BASE, _CDC_MOD, _CDC_W
+    from idh_etl_demo_spark.operators.dedup import membership_semi_join
     from idh_etl_demo_spark.operators.text import cdc_chunks_arrow
 
     docs = _t(spark, sf_dir, "documents")
-    chunks = cdc_chunks_arrow(
-        docs.repartition(spark.sparkContext.defaultParallelism),
-        window=_CDC_W,
-        boundary_mod=_CDC_MOD,
-        base=_CDC_BASE,
-    ).filter(F.col("chunk_len") >= 16)
+
+    def long_chunks(side: DataFrame) -> DataFrame:
+        return cdc_chunks_arrow(
+            side.repartition(spark.sparkContext.defaultParallelism),
+            window=_CDC_W,
+            boundary_mod=_CDC_MOD,
+            base=_CDC_BASE,
+        ).filter(F.col("chunk_len") >= 16)
+
     bench_h = (
-        chunks.filter(F.col("doc_id") % 11 == 0)
+        long_chunks(docs.filter(F.col("doc_id") % 11 == 0))
         .select("chunk_hash")
         .distinct()
     )
-    corp = chunks.filter(F.col("doc_id") % 11 != 0).select(
+    corp = long_chunks(docs.filter(F.col("doc_id") % 11 != 0)).select(
         "doc_id", "chunk_hash"
     )
     nch = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     hits = (
-        corp.join(F.broadcast(bench_h), "chunk_hash", "left_semi")
+        membership_semi_join(corp, bench_h, "chunk_hash")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bench_shared"))
     )

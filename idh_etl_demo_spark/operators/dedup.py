@@ -616,3 +616,38 @@ def snapshot_dedup_status(batch: DataFrame, snapshot: DataFrame) -> DataFrame:
             .alias("keeper_id"),
         )
     )
+
+
+# ~128 MB of 16-byte hashes — the point where a broadcast table stops
+# being "free on every executor" and starts evicting the working set.
+BROADCAST_MEMBERSHIP_MAX = 8_000_000
+
+
+def membership_semi_join(
+    left: DataFrame,
+    keys: DataFrame,
+    on: str,
+    *,
+    keys_count: int | None = None,
+    broadcast_max_rows: int = BROADCAST_MEMBERSHIP_MAX,
+) -> DataFrame:
+    """Semi-join ``left`` against a distinct key set on column ``on``,
+    choosing the physical strategy by key-set SIZE (round-7 verdict
+    ask #6, the passage-decontamination production shape):
+
+    - small key set (a benchmark suite's chunk/gram hashes): broadcast
+      semi-join — the big corpus side gains NO shuffle for membership;
+    - large key set (an entire held-out corpus): shuffle semi-join on
+      the key — broadcasting it would OOM every executor, and the
+      shuffle moves only the 16-byte keys plus ``left``'s key column,
+      never document text.
+
+    ``keys_count``: pass when the caller already knows the size (skips
+    the gating count job). The threshold is row-count-based because the
+    key sets this gates are fixed-width hashes; callers with wide keys
+    should lower ``broadcast_max_rows`` accordingly.
+    """
+    n = keys_count if keys_count is not None else keys.count()
+    if n <= broadcast_max_rows:
+        return left.join(F.broadcast(keys), on, "left_semi")
+    return left.join(keys.hint("shuffle_hash"), on, "left_semi")
