@@ -162,6 +162,27 @@ PROBES = [
     # the same pinned-cell reason.
 ]
 
+# Probe-only callables (no catalog entry / oracle): name -> fn(spark,
+# dir) that runs the operator end-to-end and returns nothing. Used for
+# loop-driven operators whose output is a driver-side artifact (the
+# deep BPE merge table) rather than a DataFrame a noop sink can drain.
+def _probe_bpe_deep64(spark: SparkSession, sf_dir: str) -> None:
+    # round-8 (r7 verdict ask #4): 64 loop-driven merges — the corpus
+    # cost is the ONE word groupBy; all 64 argmax jobs run over the
+    # |types| table, so the 10x ratio must track the token scan like
+    # the 3-step unrolled entry (1.2-1.3), proving the |types|-bounded
+    # iteration claim at realistic depth
+    from idh_etl_demo_spark.operators.bpe import bpe_train, bpe_word_table
+    from idh_etl_demo_spark.catalog import _read_table
+
+    merges, _ = bpe_train(bpe_word_table(_read_table(spark, sf_dir, "documents")), 64)
+    assert len(merges) == 64
+
+
+EXTRA_PROBES = {
+    "doc_bpe_deep64_merges": _probe_bpe_deep64,
+}
+
 # key columns to shift per copy so unioned rows stay distinct entities
 SHIFT_KEYS = {
     "lineitem": ["l_orderkey"],
@@ -219,21 +240,28 @@ def main() -> None:
     for t in tables:
         _scaled(spark, args.base, t).write.mode("overwrite").parquet(os.path.join(tmp, f"{t}.parquet"))
 
+    def run_probe(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        if name in EXTRA_PROBES:
+            EXTRA_PROBES[name](spark, sf_dir)
+        else:
+            ENTRIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    all_probes = PROBES + list(EXTRA_PROBES)
     # base timings for the ratio
     base_times: dict[str, float] = {}
     scaled_times: dict[str, float] = {}
-    for name in PROBES:
-        t0 = time.perf_counter()
-        ENTRIES[name].spark(spark, args.base).write.format("noop").mode("overwrite").save()
-        base_times[name] = round(time.perf_counter() - t0, 3)
-    for name in PROBES:
-        t0 = time.perf_counter()
-        ENTRIES[name].spark(spark, tmp).write.format("noop").mode("overwrite").save()
-        scaled_times[name] = round(time.perf_counter() - t0, 3)
+    for name in all_probes:
+        base_times[name] = run_probe(name, args.base)
+    for name in all_probes:
+        scaled_times[name] = run_probe(name, tmp)
 
     ratios = {
         n: round(scaled_times[n] / base_times[n], 1) if base_times[n] > 0 else None
-        for n in PROBES
+        for n in all_probes
     }
     print(
         json.dumps(

@@ -95,3 +95,114 @@ def test_passage_decontam_fallback_matches_broadcast_path(spark):
     }
     assert got == want
     assert want, "split must yield real contaminations (non-vacuous gate)"
+
+
+def _ref_bpe_deep(word_counts: dict, n_merges: int):
+    """Reference deep BPE trainer: pair counts weighted by word
+    frequency, (count desc, pair asc) argmax ties, left-to-right
+    non-overlapping merges, early stop when no pair remains."""
+    from collections import Counter
+
+    syms = {w: list(w) for w in word_counts}
+    steps = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        steps.append((a, b, c))
+        for w in syms:
+            out: list = []
+            for s in syms[w]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms[w] = out
+    return steps, syms
+
+
+def test_bpe_deep_train_matches_python_reference(spark):
+    """The loop-driven trainer at 64 merges on the real corpus must
+    reproduce the reference trainer exactly: same merge table (pairs
+    AND weighted counts, in order) and same final segmentation for
+    every word type — the |types|-bounded iteration claim holds at
+    realistic depth, not just the 3 unrolled steps the oracle gates."""
+    import re
+
+    from idh_etl_demo_spark.operators.bpe import bpe_train, bpe_word_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wc: dict = {}
+    for r in docs.select("text").collect():
+        norm = re.sub(r"\s+", " ", r.text.strip().lower())
+        for w in norm.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    ref_steps, ref_syms = _ref_bpe_deep(wc, 64)
+    assert len(ref_steps) == 64, "corpus saturated: deep run is vacuous"
+
+    merges, words = bpe_train(bpe_word_table(docs), 64)
+    assert merges == ref_steps
+    got = {r.word: r.syms for r in words.collect()}
+    assert got == ref_syms
+    # depth is non-trivial: late merges build on earlier merged tokens
+    assert any(len(a) > 1 and len(b) > 1 for a, b, _ in merges[32:])
+
+
+def test_bpe_deep_train_first_steps_match_unrolled_entry(spark):
+    """The loop trainer's first 3 merges must equal the oracle-gated
+    unrolled entry's merge table — one algorithm, two plan forms."""
+    from idh_etl_demo_spark.catalog_r7 import doc_bpe_merge_steps
+    from idh_etl_demo_spark.operators.bpe import bpe_train, bpe_word_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges, _ = bpe_train(bpe_word_table(docs), 3)
+    entry = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in doc_bpe_merge_steps(spark, SF).collect()
+    ]
+    assert merges == entry
+
+
+def test_bpe_deep_train_checkpoint_invariant(spark):
+    """checkpoint_every is a plan-depth knob, never a semantics knob:
+    aggressive (every step) and absent (beyond depth) checkpointing
+    must yield identical merges and segmentations, including on the
+    overlap adversaries (runs of the merged pair at depth)."""
+    from idh_etl_demo_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame(
+        [("aaaaaaaa", 3), ("ababab", 2), ("aab", 5), ("b", 9)],
+        "word string, cnt long",
+    ).selectExpr(
+        "word",
+        "cnt",
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1)) as syms",
+    )
+    ref_steps, ref_syms = _ref_bpe_deep(
+        {"aaaaaaaa": 3, "ababab": 2, "aab": 5, "b": 9}, 6
+    )
+    m1, w1 = bpe_train(words, 6, checkpoint_every=1)
+    m2, w2 = bpe_train(words, 6, checkpoint_every=100)
+    assert m1 == m2 == ref_steps
+    s1 = {r.word: r.syms for r in w1.collect()}
+    s2 = {r.word: r.syms for r in w2.collect()}
+    assert s1 == s2 == ref_syms
+
+
+def test_bpe_deep_train_early_stop(spark):
+    """When every word is a single symbol the pair table is empty and
+    training stops early instead of looping or failing."""
+    from idh_etl_demo_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "word string, cnt long"
+    ).selectExpr("word", "cnt", "array(word) as syms")
+    merges, out = bpe_train(words, 10)
+    assert merges == []
+    assert sorted(r.word for r in out.collect()) == ["a", "b"]
