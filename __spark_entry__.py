@@ -23,6 +23,7 @@ import idh_etl_demo_spark.catalog_r4  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r5  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r6  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r7  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r8  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -114,13 +115,16 @@ DRIVER_PRIORITY: list[str] = [
     "event_props_variant",
     # --- embedding family freshness (minimum 8; r3-red history) ---
     "embedding_centroid_by_label",
-    # --- DISPLACEABLE stale fills (r2-green): new round-8 entries
+    # --- round-8 NEW entries (displaced the first five stale fills:
+    # cube_revenue, lineitem_unpivot, orders_running_total,
+    # orderkey_distinct_kmv, salted_flag_join) ---
+    "embedding_pq_codebooks",
+    "embedding_pq_search",
+    "embedding_ivfpq_search",
+    "doc_bm25_topk",
+    "doc_contamination_fraction",
+    # --- DISPLACEABLE stale fills (r2-green): further new entries
     # --- displace these one-for-one, top to bottom ---
-    "cube_revenue",
-    "lineitem_unpivot",
-    "orders_running_total",
-    "orderkey_distinct_kmv",
-    "salted_flag_join",
     "customer_dense_ids",
     "promo_brand_revenue",
     "parts_above_avg_price",

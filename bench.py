@@ -32,6 +32,7 @@ import idh_etl_demo_spark.catalog_r4  # noqa: F401
 import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
+import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -111,6 +112,11 @@ HEADLINE = [
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
     "doc_decontamination_passages",
+    "embedding_pq_codebooks",
+    "embedding_pq_search",
+    "embedding_ivfpq_search",
+    "doc_bm25_topk",
+    "doc_contamination_fraction",
 ]
 
 

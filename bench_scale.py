@@ -33,6 +33,7 @@ import idh_etl_demo_spark.catalog_r4  # noqa: F401
 import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
+import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -160,6 +161,24 @@ PROBES = [
     # a constant, so a 10× ratio would measure the parameter choice,
     # not the plan. embedding_ann_ivf (now trained) stays excluded for
     # the same pinned-cell reason.
+    # round-8: BM25 — one token explode filtered to the fixed query
+    # terms + small aggs; the ratio must track the token scan (the df
+    # window and the fold agg carry |matched docs|·|terms| rows)
+    "doc_bm25_topk",
+    # round-8: contamination fraction rides the decontamination shape
+    # (gram explode + broadcast membership + doc agg) with a carried
+    # per-doc gram count; ratio should track doc_decontamination's
+    "doc_contamination_fraction",
+    # round-8: PQ codebook training — two sub-space kcenter→Lloyd
+    # chains; every post-scan row count is |k|·dim-bounded, so the
+    # ratio must track the embeddings scan like the kmeans entries
+    "embedding_pq_codebooks",
+    # embedding_pq_search / embedding_ivfpq_search are NOT probed —
+    # the ivf_int8 exclusion above applies verbatim: a fixed query
+    # FRACTION (vec_id % 25) against the full corpus (flat ADC) or
+    # pinned-4 cells (IVFPQ) is quadratic by parameter choice at 10×;
+    # at prod scale |Q| is a constant batch and k grows with N
+    # (PROBE_KSCALE.json measures that k∝N keeps cells flat).
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -17,6 +17,7 @@ import idh_etl_demo_spark.catalog_r4  # noqa: F401
 import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
+import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -329,8 +330,11 @@ SHUFFLE_BUDGETS = {
     # round-7 passage decontamination: the CDC input spread + the two
     # per-doc aggregates + the assembly joins' exchanges — the bench
     # hash set BROADCASTS (semi-join), so the corpus gains no shuffle
-    # for membership; only 16-byte hashes flow
-    "doc_decontamination_passages": 5,
+    # for membership; only 16-byte hashes flow. +1 in round 8: the
+    # size-gated membership rework chunks the bench split from its own
+    # filtered scan (so the gating count job re-chunks only the 1/11
+    # split), which adds the bench side's own input spread
+    "doc_decontamination_passages": 6,
     # round-7 BPE training: ONE corpus-sized word groupBy (shared by
     # all three iterations via exchange reuse) + the three per-round
     # pair-count aggs — everything after the word agg carries |types|
@@ -356,6 +360,32 @@ SHUFFLE_BUDGETS = {
     # pairs on 60-bit long keys, not the raw string gram stream, which
     # is what moved the 10× probe 2.5× → ~1.5-1.8×
     "doc_bigram_familiarity": 8,
+    # round-8 PQ codebooks: two sub-space kcenter→Lloyd chains (each
+    # the audited trained-quantizer shape: seed limits + the k·dim-row
+    # Lloyd update aggs) + presentation sort. Every exchange is
+    # |k|·dim- or 1-row-bounded except the shared input spread
+    "embedding_pq_codebooks": 8,
+    # PQ-ADC search: both sub-space training chains (~8 each, as
+    # above) + the corpus encode spread + the per-query top-k window +
+    # presentation sort. Corpus-sized exchanges: input spreads and the
+    # ONE ranking window — codes join the broadcast |Q|·k² score table
+    # with no corpus shuffle
+    "embedding_pq_search": 20,
+    # IVFPQ: pq_search's chains + the coarse-cell training chain; the
+    # serving join stays broadcast (cell+code equi-join against the
+    # |Q|·k² table), adding ZERO corpus exchanges beyond the ranking
+    # window
+    "embedding_ivfpq_search": 24,
+    # BM25: input spread, query-term tf groupBy, token-partition df
+    # window (reuses the tf partitioning's exchange output shape),
+    # per-doc fold agg, global top-20 sort. Everything after the tf
+    # groupBy carries |matched docs|·|query terms| rows at most
+    "doc_bm25_topk": 6,
+    # contamination fraction: bench + corpus input spreads, the bench
+    # gram distinct, the per-doc (doc_id, n_grams) hit agg,
+    # presentation sort — same family shape as doc_decontamination
+    # (gram hashes broadcast; corpus text never shuffles)
+    "doc_contamination_fraction": 5,
 }
 
 
@@ -384,6 +414,12 @@ EAGER_EXEMPT = {
     "embedding_dup_clusters",
     "doc_corpus_curation",
     "doc_incremental_curation",
+    # round-8: the size-gated membership semi-join must COUNT the bench
+    # key set to choose broadcast vs shuffle (the gate is a physical
+    # decision the plan can't defer); the counted side is the 1/11
+    # bench split only, and the warm in-session cost measured ~0.1 s
+    # at sf0.1 (NOTES_r8)
+    "doc_decontamination_passages",
 }
 
 

@@ -206,3 +206,260 @@ def test_bpe_deep_train_early_stop(spark):
     merges, out = bpe_train(words, 10)
     assert merges == []
     assert sorted(r.word for r in out.collect()) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: full-pipeline pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _py_pq_train(vecs: dict[int, list[int]], k: int = 4):
+    """Pure-python twin of the kcenter→2-Lloyd sub-space chain
+    (catalog_r8._pq_sub_frames): md5-min start, farthest-first seeds
+    with (d desc, vec_id asc) selection, one Lloyd update on the ×100
+    grid, final assignment with (dist, cid) tie-breaks. Returns
+    (codebook {cid: cv}, codes {vec_id: cid})."""
+    import hashlib
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    hv = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in vecs
+    }
+    start = min(vecs, key=lambda i: (hv[i], i))
+    seeds = [start]
+    dist = {i: d2(v, vecs[start]) for i, v in vecs.items()}
+    for _ in range(k - 1):
+        far = max(vecs, key=lambda i: (dist[i], -i))
+        # tie-break: d desc, vec_id ASC — max on (dist, -i)
+        seeds.append(far)
+        dist = {i: min(dist[i], d2(vecs[i], vecs[far])) for i in vecs}
+    c0 = {s: [x * 100 for x in vecs[s]] for s in seeds}
+
+    def assign(cents, scale):
+        out = {}
+        for i, v in vecs.items():
+            best = min(
+                (sum((x * scale - c) ** 2 for x, c in zip(v, cv)), cid)
+                for cid, cv in cents.items()
+            )
+            out[i] = best[1]
+        return out
+
+    a1 = assign({s: vecs[s] for s in seeds}, 1)  # raw seeds, raw v
+    # one update on the x100 grid
+    from collections import defaultdict
+
+    member = defaultdict(list)
+    for i, c in a1.items():
+        member[c].append(i)
+    # floor of ONE double division (matches floor(s * 100.0 / n))
+    import math
+
+    c1 = {
+        c: [
+            math.floor(sum(vecs[i][p] for i in ids) * 100.0 / len(ids))
+            for p in range(len(vecs[ids[0]]))
+        ]
+        for c, ids in member.items()
+    }
+    return c1, assign(c1, 100)
+
+
+def test_pq_search_matches_python_reference(spark):
+    """The full PQ-ADC pipeline — sub-space training, encoding, ADC
+    cosine, top-5 ranking — must equal a brute-force pure-Python
+    reference on the real sf0.001 embeddings, doubles compared EXACTLY
+    (same integer inputs, same operation order)."""
+    import math
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r8  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding] for r in rows
+    }
+    sub1 = {i: v[:32] for i, v in vecs.items()}
+    sub2 = {i: v[32:] for i, v in vecs.items()}
+    cb1, codes1 = _py_pq_train(sub1)
+    cb2, codes2 = _py_pq_train(sub2)
+
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid % 25 != 0:
+            continue
+        qq = sum(x * x for x in qv)
+        scored = []
+        for nid in vecs:
+            if nid == qid:
+                continue
+            c1v, c2v = cb1[codes1[nid]], cb2[codes2[nid]]
+            num = sum(a * b for a, b in zip(qv[:32], c1v)) + sum(
+                a * b for a, b in zip(qv[32:], c2v)
+            )
+            rr = sum(c * c for c in c1v) + sum(c * c for c in c2v)
+            cos = num / (math.sqrt(qq) * math.sqrt(rr))
+            scored.append((-cos, nid))
+        for rank, (negcos, nid) in enumerate(sorted(scored)[:5], start=1):
+            expected[(qid, rank)] = (nid, -negcos)
+
+    got = ENTRIES["embedding_pq_search"].spark(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        nid, cos = expected[(r.query_id, r.rank)]
+        assert r.neighbor_id == nid, (r.query_id, r.rank)
+        assert r.adc_cosine == cos, (r.query_id, r.rank)
+        assert codes1[r.neighbor_id] == r.code1
+        assert codes2[r.neighbor_id] == r.code2
+
+
+def test_ivfpq_is_cell_restricted_pq(spark):
+    """IVFPQ = PQ-ADC restricted to the query's coarse cell: every IVFPQ
+    hit must carry the same ADC cosine as the flat-ADC frame, and its
+    candidate set must be exactly the query's-cell subset."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r3 import _km_trained_frames
+    import idh_etl_demo_spark.catalog_r8 as r8
+
+    codes, cents1, cents2 = r8._pq_encoded(spark, SF)
+    flat = {
+        (r.query_id, r.neighbor_id): r.adc_cosine
+        for r in r8._adc_scored(codes, cents1, cents2).collect()
+    }
+    assigned, _ = _km_trained_frames(spark, SF, 4)
+    cell = {r.vec_id: r.cluster for r in assigned.select("vec_id", "cluster").collect()}
+    ivf = ENTRIES["embedding_ivfpq_search"].spark(spark, SF).collect()
+    assert ivf, "ivfpq returned nothing"
+    for r in ivf:
+        assert cell[r.neighbor_id] == cell[r.query_id] == r.cell
+        assert flat[(r.query_id, r.neighbor_id)] == r.adc_cosine
+
+
+# ---------------------------------------------------------------------------
+# BM25 vs pure-Python on an adversarial synthetic corpus
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(tmp_path, texts):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["synth"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    """doc_bm25_topk on a hand-built corpus — repeated terms, absent
+    terms, single-term docs, case/whitespace noise — must equal the
+    pure-Python BM25 with the same cleared-denominator rational
+    arithmetic, doubles compared exactly."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r8 import _BM25_TERMS
+
+    texts = [
+        "dup dup dup hash",                      # rare term stacked
+        "hash join vector hash hash",            # common terms
+        "the quick brown fox",                   # no query terms
+        "vector",                                # single-token doc
+        "  DUP   Hash\tvector  ",                # case + whitespace noise
+        "hash " * 50 + "dup",                    # long doc, tf saturation
+        "",                                      # empty doc (counts in N)
+        "dup vector dup vector",
+    ]
+    sf = _write_docs(tmp_path, texts)
+
+    toks = [
+        [w for w in " ".join(t.lower().strip().split()).split(" ") if w != ""]
+        for t in texts
+    ]
+    N = len(texts)
+    S = sum(len(t) for t in toks)
+    df_ = {
+        term: sum(1 for t in toks if term in t) for term in _BM25_TERMS
+    }
+    expect = {}
+    for i, t in enumerate(toks):
+        terms = sorted(term for term in _BM25_TERMS if term in t)
+        if not terms:
+            continue
+        dl = len(t)
+        score = 0.0
+        for term in terms:
+            tf = t.count(term)
+            num = (2 * (N - df_[term]) + 1) * 22 * tf * S
+            den = (2 * df_[term] + 1) * (10 * S * tf + 3 * S + 9 * dl * N)
+            score = score + num / den
+        expect[i] = (len(terms), dl, score)
+
+    got = ENTRIES["doc_bm25_topk"].spark(spark, sf).collect()
+    assert {r.doc_id for r in got} == set(expect)
+    for r in got:
+        n_terms, dl, score = expect[r.doc_id]
+        assert (r.n_terms, r.n_tokens) == (n_terms, dl), r.doc_id
+        assert r.bm25 == score, r.doc_id
+    # ranking: descending bm25, doc_id tie-break
+    keys = [(-r.bm25, r.doc_id) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_contamination_fraction_matches_python_reference(spark, tmp_path):
+    """doc_contamination_fraction on a corpus with a planted benchmark
+    doc: exact 5-gram overlap fractions, including fully-contaminated
+    (1e6), partially-overlapping, gram-free (short), and clean docs."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r8 import (
+        _CONTAM_MOD,
+        _CONTAM_RES,
+        _CONTAM_THRESHOLD_MICRO,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = []
+    for i in range(2 * _CONTAM_MOD):
+        if i % _CONTAM_MOD == _CONTAM_RES:
+            texts.append(bench_text)               # the benchmark split
+        elif i % 4 == 0:
+            texts.append(bench_text + " iota kappa")   # partial overlap
+        elif i % 4 == 1:
+            texts.append("one two three four")     # too short: 0 grams
+        elif i % 4 == 2:
+            texts.append(bench_text)               # exact copy: 100%
+        else:
+            texts.append("p q r s t u v w x y z")  # clean
+    sf = _write_docs(tmp_path, texts)
+
+    def grams(t):
+        w = " ".join(t.lower().strip().split()).split(" ")
+        w = [x for x in w if x != ""] if t.strip() else []
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    bench = set()
+    for i, t in enumerate(texts):
+        if i % _CONTAM_MOD == _CONTAM_RES:
+            bench |= grams(t)
+    got = {r.doc_id: r for r in
+           ENTRIES["doc_contamination_fraction"].spark(spark, sf).collect()}
+    corpus_ids = [i for i in range(len(texts)) if i % _CONTAM_MOD != _CONTAM_RES]
+    assert set(got) == set(corpus_ids)
+    saw_full = saw_partial = saw_empty = False
+    for i in corpus_ids:
+        g = grams(texts[i])
+        hits = len(g & bench)
+        micro = (hits * 1000000) // len(g) if g else 0
+        r = got[i]
+        assert (r.n_grams, r.n_hits, r.overlap_micro) == (len(g), hits, micro), i
+        assert r.contaminated == (bool(g) and micro >= _CONTAM_THRESHOLD_MICRO), i
+        saw_full |= micro == 1000000
+        saw_partial |= 0 < micro < 1000000
+        saw_empty |= not g
+    assert saw_full and saw_partial and saw_empty
