@@ -706,3 +706,103 @@ def doc_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# PQ serving audit: recall@5 of ADC vs the exact cosine truth
+# ===========================================================================
+
+
+def _pq_recall_sql() -> str:
+    # module import registers embedding_cosine_topk when catalog_r8 is
+    # imported directly (outside __spark_entry__'s fixed module order)
+    import idh_etl_demo_spark.catalog_llm  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    topk = ENTRIES["embedding_cosine_topk"].oracle
+    return f"""
+    with {_pq_all_ctes()},
+    fv as (select vec_id, {_QUANT} as v from embeddings),
+    {_PQ_SQL_COMBOS},
+    q as (
+      select vec_id as query_id,
+             list_slice(v, 1, {_PQ_DIM}) as q1,
+             list_slice(v, {_PQ_SUBS[1][1]}, 64) as q2,
+             list_dot_product(v, v) as qq
+      from fv where vec_id % 25 = 0
+    ),
+    qscore as (
+      select query_id, code1, code2,
+             (list_dot_product(q1, c1v) + list_dot_product(q2, c2v))
+               / (sqrt(qq) * sqrt(rr)) as adc_cosine
+      from q cross join combos
+    ),
+    approx as (
+      select query_id, neighbor_id from (
+        select s.query_id, c.vec_id as neighbor_id,
+               row_number() over (partition by s.query_id
+                                  order by adc_cosine desc, c.vec_id asc) as rn
+        from codes c join qscore s on c.code1 = s.code1 and c.code2 = s.code2
+        where c.vec_id != s.query_id
+      ) where rn <= 5
+    ),
+    truth as materialized (select query_id, neighbor_id from ({topk})),
+    hits as (select * from approx intersect select * from truth)
+    select t.query_id,
+           cast(t.n as bigint) as n_truth,
+           cast(coalesce(h.n, 0) as bigint) as n_hits,
+           cast(coalesce(h.n, 0) as double) / t.n as recall_at_5
+    from (select query_id, count(*) as n from truth group by query_id) t
+    left join (select query_id, count(*) as n from hits group by query_id) h
+      using (query_id)
+    order by t.query_id
+    """
+
+
+@query("embedding_pq_recall_audit", _pq_recall_sql())
+def embedding_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-SERVING AUDIT — per-query recall@5 of flat ADC search against
+    the exact fixed-point cosine truth (``embedding_cosine_topk``'s
+    verbatim plan): the number that decides whether ~32×-compressed
+    2-code vectors can serve retrieval, measured per query BEFORE anyone
+    swaps the flat index out at scale. The int8 audit
+    (``embedding_int8_ann_recall``) prices 4× compression; this prices
+    the far harsher PQ trade, and recall < 1 is the measurement — it is
+    exactly the neighbors two 4-codeword codebooks cannot separate.
+
+    Engine-exact for the same reasons as the search entry: ADC cosine is
+    one double division of exact integer dots, so both engines rank
+    identically and the driver hash gates every (query, n_hits) pair.
+
+    Scale shape: the approx side is the search entry's plan (broadcast
+    |Q|·k² score table, no corpus shuffle beyond the top-k window); the
+    truth side is the brute-force scan every recall audit pays by
+    design, run on a sampled query set at production scale."""
+    from idh_etl_demo_spark.catalog_llm import embedding_cosine_topk
+
+    codes, cents1, cents2 = _pq_encoded(spark, sf_dir)
+    scored = _adc_scored(codes, cents1, cents2)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    truth = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = approx.intersect(truth)
+    t_n = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    h_n = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h"))
+    return (
+        t_n.join(h_n, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("h"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("h"), F.lit(0)).cast("double") / F.col("n_truth")
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
