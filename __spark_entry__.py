@@ -35,37 +35,43 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then the most operator-diverse TPC-H entries. Everything not named here
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
-# ROUND-8 ROTATION (the round-7 verdict's ask #2). Rotating IN:
-#  - the six round-7 entries that have never had a driver-green row:
-#    doc_bpe_token_counts, doc_bucket_quality_sample,
-#    multimodal_image_ahash, multimodal_audio_fingerprint,
-#    multimodal_video_fingerprint, doc_decontamination_passages
-#  - the four stalest sweep rows (last driver-green r4 or older):
-#    doc_simhash, doc_simhash60_neardup, embedding_ann_signbit,
-#    doc_dup_triangles (freshness recall, family policy)
-#  - the 20 round-7 first-greens for a second hard signal (the r6/r7
-#    rotation pattern): the 14 r6-crop entries + the 6 new r7 entries
-#  - stale r2-green fills for the remaining slots, each marked
-#    DISPLACEABLE — new round-8 entries displace them one-for-one as
-#    they land (so every new entry gets first-round driver signal)
+# ROUND-9 ROTATION (the round-8 verdict's asks #1 and #7). Rotating IN:
+#  - embedding_pq_recall_audit — the only never-driver-green entry
+#    (landed in the r8 snapshot commit; now budgeted + property-pinned)
+#  - the verdict's named stale recalls (last driver-green r5):
+#    doc_hash_sample, doc_ngram_novelty, embedding_kcenter_seeds,
+#    doc_dup_4cliques, doc_decontamination, embedding_dup_clusters,
+#    doc_lsh_audit, doc_vocab_topk, doc_length_histogram
+#  - the stalest remaining sweep rows by family (CORRECTNESS history):
+#    doc_word_histogram (r4 — stalest row in the catalog),
+#    doc_fingerprint_tokens, doc_lang_id, doc_quality, ztm_stop_dim,
+#    ztm_vehicle_dim, embedding_ann_hyperplane, embedding_near_dup,
+#    multimodal_chunks, multimodal_metadata (all r5),
+#    events_stateful_running_totals (r6), event_props_map,
+#    event_type_transitions, events_distinct_users_hll,
+#    events_gap_fill (r7)
+#  - the 15 round-8 first-greens for their second hard signal (the
+#    r6/r7/r8 rotation pattern): the 10 r8 rotation-in entries that
+#    greened for the first time + the 5 new r8 entries (PQ trio, BM25,
+#    contamination fraction)
 # Staying: the ZTM star trio + pricing_summary (permanent core) and
 # one streaming representative (doc_streaming_snapshot_curation —
 # foreachBatch/watermark has no other driver surface).
-# Rotating OUT to the sweep-gated tail, by green count: the 5×-green
-# r3 crop whose plans are unchanged this round (doc_corpus_curation,
-# doc_incremental_curation, doc_dup_clusters, doc_dup_kcore,
-# embedding_ann_ivf, embedding_kmeans_seeded — the trained-quantizer
-# chain stays driver-gated through the in-window ivf_int8/multiprobe/
-# nprobe entries that compose it verbatim) and the 18 round-6
-# first-greens that earned their second signal in r7 (promo_period_
-# orders_salted, multimodal_image_ppm, event_props_map,
-# user_event_type_map, events_gap_fill, event_type_transitions,
-# orders_rolling_30d, price_percentiles_sketch, top2_orders_lateral,
-# daily_order_spine_recursive, order_window_bounds,
-# user_weekly_retention, suppliers_full_type_coverage,
-# priority_yearly_growth, events_hourly_anomalies,
-# customer_revenue_pareto, events_distinct_users_hll,
-# doc_balanced_sample, doc_oov_rate).
+# Rotating OUT to the sweep-gated tail: the r7 first-greens that
+# earned their second signal in r8 (multimodal_audio_wav,
+# multimodal_image_resize, multimodal_video_avi,
+# embedding_int8_quantize, embedding_int8_ann_recall,
+# embedding_ivf_int8_search, doc_importance_weights, doc_dsir_sample,
+# doc_bigram_familiarity, doc_decontamination_bloom,
+# doc_cms_word_counts, doc_cdc_chunks, doc_shared_passages,
+# doc_minhash_estimate_audit, embedding_ivf_multiprobe_search,
+# embedding_ivf_nprobe_audit, doc_bpe_merge_steps,
+# doc_bpe_segmentation, embedding_semantic_dedup, doc_ccnet_buckets)
+# and the twice-green r8 event fills (events_hourly_tumbling,
+# events_sliding_3h, event_funnel, event_session_windows,
+# event_props_variant, embedding_centroid_by_label) plus the r2-green
+# fills (customer_dense_ids, promo_brand_revenue,
+# parts_above_avg_price, lineitem_quarantine_report).
 DRIVER_PRIORITY: list[str] = [
     # --- ZTM star schema + flagship (reference: src/queries.py) ---
     "ztm_line_dim",
@@ -74,61 +80,57 @@ DRIVER_PRIORITY: list[str] = [
     "pricing_summary",
     # --- streaming representative ---
     "doc_streaming_snapshot_curation",
-    # --- round-8 rotation-in: the 6 never-driver-green r7 entries ---
+    # --- round-9: the never-driver-green r8 audit (verdict ask #1) ---
+    "embedding_pq_recall_audit",
+    # --- round-9 rotation-in: the verdict's named r5-stale recalls ---
+    "doc_hash_sample",
+    "doc_ngram_novelty",
+    "embedding_kcenter_seeds",
+    "doc_dup_4cliques",
+    "doc_decontamination",
+    "embedding_dup_clusters",
+    "doc_lsh_audit",
+    "doc_vocab_topk",
+    "doc_length_histogram",
+    # --- round-9 rotation-in: stalest remaining rows per family ---
+    "doc_word_histogram",
+    "doc_fingerprint_tokens",
+    "doc_lang_id",
+    "doc_quality",
+    "ztm_stop_dim",
+    "ztm_vehicle_dim",
+    "embedding_ann_hyperplane",
+    "embedding_near_dup",
+    "multimodal_chunks",
+    "multimodal_metadata",
+    "events_stateful_running_totals",
+    "event_props_map",
+    "event_type_transitions",
+    "events_distinct_users_hll",
+    "events_gap_fill",
+    # --- round-8 first-greens: second hard signal ---
     "doc_bpe_token_counts",
     "doc_bucket_quality_sample",
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
     "doc_decontamination_passages",
-    # --- round-8 rotation-in: stalest rows (last green r4 or older) ---
     "doc_simhash",
     "doc_simhash60_neardup",
     "embedding_ann_signbit",
     "doc_dup_triangles",
-    # --- round-7 first-greens: second hard signal ---
-    "multimodal_audio_wav",
-    "multimodal_image_resize",
-    "multimodal_video_avi",
-    "embedding_int8_quantize",
-    "embedding_int8_ann_recall",
-    "embedding_ivf_int8_search",
-    "doc_importance_weights",
-    "doc_dsir_sample",
-    "doc_bigram_familiarity",
-    "doc_decontamination_bloom",
-    "doc_cms_word_counts",
-    "doc_cdc_chunks",
-    "doc_shared_passages",
-    "doc_minhash_estimate_audit",
-    "embedding_ivf_multiprobe_search",
-    "embedding_ivf_nprobe_audit",
-    "doc_bpe_merge_steps",
-    "doc_bpe_segmentation",
-    "embedding_semantic_dedup",
-    "doc_ccnet_buckets",
-    # --- event family freshness (minimum 5; stalest members) ---
-    "events_hourly_tumbling",
-    "events_sliding_3h",
-    "event_funnel",
-    "event_session_windows",
-    "event_props_variant",
-    # --- embedding family freshness (minimum 8; r3-red history) ---
-    "embedding_centroid_by_label",
-    # --- round-8 NEW entries (displaced the first five stale fills:
-    # cube_revenue, lineitem_unpivot, orders_running_total,
-    # orderkey_distinct_kmv, salted_flag_join) ---
     "embedding_pq_codebooks",
     "embedding_pq_search",
     "embedding_ivfpq_search",
     "doc_bm25_topk",
     "doc_contamination_fraction",
-    # --- DISPLACEABLE stale fills (r2-green): further new entries
-    # --- displace these one-for-one, top to bottom ---
-    "customer_dense_ids",
-    "promo_brand_revenue",
-    "parts_above_avg_price",
-    "lineitem_quarantine_report",
+    # --- DISPLACEABLE stale fills: new round-9 entries displace these
+    # --- one-for-one, top to bottom ---
+    "embedding_kmeans_2iter",
+    "doc_bottomk_sketch",
+    "doc_chunk_overlap",
+    "multimodal_frame_sample",
+    "events_hourly_anomalies",
 ]
 
 

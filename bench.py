@@ -117,6 +117,9 @@ HEADLINE = [
     "embedding_ivfpq_search",
     "doc_bm25_topk",
     "doc_contamination_fraction",
+    # appended round 9: the r8 audit that missed its HEADLINE row
+    # (r8 verdict wrong #1), then the round-9 entries
+    "embedding_pq_recall_audit",
 ]
 
 

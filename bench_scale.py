@@ -179,6 +179,10 @@ PROBES = [
     # pinned-4 cells (IVFPQ) is quadratic by parameter choice at 10×;
     # at prod scale |Q| is a constant batch and k grows with N
     # (PROBE_KSCALE.json measures that k∝N keeps cells flat).
+    # embedding_pq_recall_audit is NOT probed for the same reason
+    # doubled: BOTH its sides (flat-ADC approx + brute-force truth)
+    # are |Q|·N by parameter choice, so the 10× ratio would be the
+    # pinned query fraction again, not a plan property.
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,
@@ -195,7 +199,10 @@ def _probe_bpe_deep64(spark: SparkSession, sf_dir: str) -> None:
     from idh_etl_demo_spark.catalog import _read_table
 
     merges, _ = bpe_train(bpe_word_table(_read_table(spark, sf_dir, "documents")), 64)
-    assert len(merges) == 64
+    # record, don't assert: bpe_train early-stops when no pair repeats
+    # (documented behavior), and on a saturating corpus the probe must
+    # still report its ratio rather than crash (ADVICE r8)
+    print(f"[probe] doc_bpe_deep64_merges: achieved {len(merges)} merges")
 
 
 EXTRA_PROBES = {

@@ -386,6 +386,17 @@ SHUFFLE_BUDGETS = {
     # presentation sort — same family shape as doc_decontamination
     # (gram hashes broadcast; corpus text never shuffles)
     "doc_contamination_fraction": 5,
+    # round-8 PQ recall audit (budgeted round 9 — the r8 checklist
+    # breach): the approx side is pq_search's full plan minus its
+    # presentation sort (two sub-space training chains ~8 each + the
+    # corpus encode spread + the per-query top-k window ≈ 19), the
+    # truth side is cosine_topk's audited plan (input spread + topk
+    # window = 2), then the audit tail shared with the int8/nprobe
+    # audits: intersect, per-query truth/hit aggs, join, ordering. All
+    # but the corpus spreads and the two top-k windows are k·dim- or
+    # |Q|-bounded; the brute truth side is the cost every recall audit
+    # pays by design on a SAMPLED query set
+    "embedding_pq_recall_audit": 25,
 }
 
 

@@ -463,3 +463,61 @@ def test_contamination_fraction_matches_python_reference(spark, tmp_path):
         saw_partial |= 0 < micro < 1000000
         saw_empty |= not g
     assert saw_full and saw_partial and saw_empty
+
+
+# ---------------------------------------------------------------------------
+# PQ recall audit vs pure-Python (budgeted + property-pinned round 9,
+# closing the r8 checklist breach)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall_audit_matches_python_reference(spark):
+    """The recall audit must equal a pure-Python computation of BOTH
+    sides on the real sf0.001 embeddings: approx top-5 by ADC cosine
+    (via the _py_pq_train twin), truth top-5 by exact fixed-point
+    cosine, recall = |approx ∩ truth| / |truth| with the SAME double
+    division. Also pins that recall is a real measurement (< 1 for at
+    least one query at this codebook size — two 4-codeword codebooks
+    cannot separate 64-dim neighbors perfectly)."""
+    import math
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r8  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding] for r in rows
+    }
+    cb1, codes1 = _py_pq_train({i: v[:32] for i, v in vecs.items()})
+    cb2, codes2 = _py_pq_train({i: v[32:] for i, v in vecs.items()})
+
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid % 25 != 0:
+            continue
+        qq = sum(x * x for x in qv)
+        adc, exact = [], []
+        for nid, nv in vecs.items():
+            if nid == qid:
+                continue
+            c1v, c2v = cb1[codes1[nid]], cb2[codes2[nid]]
+            num = sum(a * b for a, b in zip(qv[:32], c1v)) + sum(
+                a * b for a, b in zip(qv[32:], c2v)
+            )
+            rr = sum(c * c for c in c1v) + sum(c * c for c in c2v)
+            adc.append((-(num / (math.sqrt(qq) * math.sqrt(rr))), nid))
+            dot = sum(a * b for a, b in zip(qv, nv))
+            nn = sum(x * x for x in nv)
+            exact.append((-(dot / (math.sqrt(qq) * math.sqrt(nn))), nid))
+        approx5 = {nid for _, nid in sorted(adc)[:5]}
+        truth5 = {nid for _, nid in sorted(exact)[:5]}
+        n_hits = len(approx5 & truth5)
+        expected[qid] = (len(truth5), n_hits, n_hits / len(truth5))
+
+    got = ENTRIES["embedding_pq_recall_audit"].spark(spark, SF).collect()
+    assert {r.query_id for r in got} == set(expected)
+    for r in got:
+        n_truth, n_hits, recall = expected[r.query_id]
+        assert (r.n_truth, r.n_hits) == (n_truth, n_hits), r.query_id
+        assert r.recall_at_5 == recall, r.query_id
+    assert any(r.recall_at_5 < 1.0 for r in got)
