@@ -741,7 +741,7 @@ def _image_ahash_sql() -> str:
       from tot
     )
     select media_id, width, height, ahash,
-           count(*) over (partition by ahash) as hash_group_size
+           count(ahash) over (partition by ahash) as hash_group_size
     from hashed
     order by media_id
     """
@@ -788,10 +788,14 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(header, "utf-8"), F.encode(raster, "utf-8")
         ).alias("payload"),
     )
+    # count(ahash), not count(*): a NULL signature (missing/undecodable
+    # payload) must NOT share an inflated group size with every other
+    # null row — window partitioning pools NULLs into one partition, so
+    # the null-skipping count reports occupancy 0 for them (ADVICE r8)
     grp = Window.partitionBy("ahash")
     return (
         image_ahash(media, grid=2)
-        .withColumn("hash_group_size", F.count(F.lit(1)).over(grp))
+        .withColumn("hash_group_size", F.count("ahash").over(grp))
         .orderBy("media_id")
     )
 
@@ -821,7 +825,7 @@ def _audio_fp_sql() -> str:
       from m
     )
     select media_id, n_samples, fingerprint,
-           count(*) over (partition by fingerprint) as fp_group_size
+           count(fingerprint) over (partition by fingerprint) as fp_group_size
     from fp
     order by media_id
     """
@@ -873,10 +877,12 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             header, F.encode(F.left(F.md5(F.col("text")), n), "utf-8")
         ).alias("payload"),
     )
+    # count(fingerprint), not count(*): NULL signatures stay out of
+    # dedup groups (see multimodal_image_ahash)
     grp = Window.partitionBy("fingerprint")
     return (
         audio_fingerprint(media, n_bits=15)
-        .withColumn("fp_group_size", F.count(F.lit(1)).over(grp))
+        .withColumn("fp_group_size", F.count("fingerprint").over(grp))
         .orderBy("media_id")
     )
 
@@ -1012,7 +1018,7 @@ def _video_fp_sql() -> str:
       from m
     )
     select media_id, n_frames, n_sampled, fingerprint,
-           count(*) over (partition by fingerprint) as fp_group_size
+           count(fingerprint) over (partition by fingerprint) as fp_group_size
     from fp
     order by media_id
     """
@@ -1063,9 +1069,11 @@ def multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint"),
         )
     )
+    # count(fingerprint), not count(*): NULL signatures stay out of
+    # dedup groups (see multimodal_image_ahash)
     grp = Window.partitionBy("fingerprint")
     return (
-        per_clip.withColumn("fp_group_size", F.count(F.lit(1)).over(grp))
+        per_clip.withColumn("fp_group_size", F.count("fingerprint").over(grp))
         .select(
             "media_id", "n_frames", "n_sampled", "fingerprint", "fp_group_size"
         )

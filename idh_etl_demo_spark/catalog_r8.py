@@ -530,6 +530,38 @@ _BM25_SQL = f"""
 """
 
 
+def _bm25_term_score() -> F.Column:
+    """The cleared-denominator BM25 term score with its EXACTNESS BOUND
+    enforced (ADVICE r8): num = (2(N−df)+1)·22·tf·S and den =
+    (2df+1)·(10·S·tf+3S+9·dl·N) are exact int64 products whose single
+    double division is bit-identical across engines ONLY while both
+    operands < 2^53 — and Spark long arithmetic WRAPS silently past
+    int64, so the precondition must be checked, not assumed. The guard
+    evaluates both magnitudes in double (conservative bound 2^52, a 2×
+    margin absorbing the double rounding of the product estimate) and
+    raises instead of returning a silently-wrong score. DuckDB needs no
+    twin guard: it raises on int64 overflow natively. Expects columns
+    n, df, tf, s, dl."""
+    num = (2 * (F.col("n") - F.col("df")) + 1) * 22 * F.col("tf") * F.col("s")
+    den = (2 * F.col("df") + 1) * (
+        10 * F.col("s") * F.col("tf") + 3 * F.col("s") + 9 * F.col("dl") * F.col("n")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num_d = (2 * (d("n") - d("df")) + 1) * 22 * d("tf") * d("s")
+    den_d = (2 * d("df") + 1) * (
+        10 * d("s") * d("tf") + 3 * d("s") + 9 * d("dl") * d("n")
+    )
+    bound = F.lit(float(2**52))
+    return F.when((num_d < bound) & (den_d < bound), num / den).otherwise(
+        F.raise_error(
+            F.lit(
+                "bm25 exactness bound exceeded: an operand reached 2^52; "
+                "rescale the cleared-denominator score (catalog_r8)"
+            )
+        ).cast("double")
+    )
+
+
 @query("doc_bm25_topk", _BM25_SQL)
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 retrieval for a fixed query over the corpus
@@ -571,12 +603,8 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("token")).cast("long")
     )
-    num = (2 * (F.col("n") - F.col("df")) + 1) * 22 * F.col("tf") * F.col("s")
-    den = (2 * F.col("df") + 1) * (
-        10 * F.col("s") * F.col("tf") + 3 * F.col("s") + 9 * F.col("dl") * F.col("n")
-    )
     scored = terms.crossJoin(F.broadcast(stats)).select(
-        "doc_id", "dl", "token", (num / den).alias("term_score")
+        "doc_id", "dl", "token", _bm25_term_score().alias("term_score")
     )
     parts = F.array_sort(F.collect_list(F.struct("token", "term_score")))
     return (

@@ -622,6 +622,15 @@ def snapshot_dedup_status(batch: DataFrame, snapshot: DataFrame) -> DataFrame:
 # being "free on every executor" and starts evicting the working set.
 BROADCAST_MEMBERSHIP_MAX = 8_000_000
 
+# Gating-count memo: (applicationId, key-plan semantic hash) -> count.
+# Repeated builder constructions over the same key set (the driver's
+# double evaluation, the oracle sweep, bench reps) would otherwise
+# re-run the whole key-side job per build just to pick a join strategy
+# (ADVICE r8). A semantic-hash collision could at worst pick the other
+# STRATEGY — both strategies return identical rows, so correctness is
+# unaffected. Bounded: one int per distinct key plan per session.
+_GATING_COUNTS: dict[tuple[str, int], int] = {}
+
 
 def membership_semi_join(
     left: DataFrame,
@@ -643,11 +652,22 @@ def membership_semi_join(
       never document text.
 
     ``keys_count``: pass when the caller already knows the size (skips
-    the gating count job). The threshold is row-count-based because the
+    the gating count job). When omitted, the count is memoized per
+    (session, key-plan) — repeated builds of the same entry pay the
+    gating job once. The threshold is row-count-based because the
     key sets this gates are fixed-width hashes; callers with wide keys
     should lower ``broadcast_max_rows`` accordingly.
     """
-    n = keys_count if keys_count is not None else keys.count()
+    if keys_count is not None:
+        n = keys_count
+    else:
+        memo_key = (
+            keys.sparkSession.sparkContext.applicationId,
+            keys.semanticHash(),
+        )
+        if memo_key not in _GATING_COUNTS:
+            _GATING_COUNTS[memo_key] = keys.count()
+        n = _GATING_COUNTS[memo_key]
     if n <= broadcast_max_rows:
         return left.join(F.broadcast(keys), on, "left_semi")
     return left.join(keys.hint("shuffle_hash"), on, "left_semi")

@@ -6,7 +6,17 @@ This is the hard-check rehearsal the per-round ritual requires before
 the driver's own CORRECTNESS run (run it at least twice per round: once
 mid-round, once after the final code commit).
 
-Usage: python tools/preflight.py [--sf /root/testdata/sf0.01] [names...]
+``--suite`` additionally runs the FULL pytest suite first and refuses
+to proceed while it is red — the snapshot pre-condition the round-8
+verdict mandated (ask #2) after a late entry shipped 2 failures: a
+round's last preflight must be ``python tools/preflight.py --suite``
+so an entry that skipped the checklist (shuffle budget, COVERAGE
+regen) can never reach the end-of-round snapshot unnoticed.
+``--suite-fast`` runs only the cheap contract layer (plan shapes +
+window/COVERAGE drift) for mid-round iterations.
+
+Usage: python tools/preflight.py [--suite|--suite-fast]
+                                 [--sf /root/testdata/sf0.01] [names...]
 """
 
 from __future__ import annotations
@@ -29,11 +39,42 @@ TABLES = (
 ).split()
 
 
+def _run_suite(fast: bool) -> int:
+    import subprocess
+
+    target = (
+        ["tests/test_plan_shape.py", "tests/test_catalog_oracle.py"]
+        if fast
+        else ["tests/"]
+    )
+    print(f"preflight suite gate: pytest {' '.join(target)}", flush=True)
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest", *target, "-q", "-p", "no:cacheprovider"],
+        cwd=REPO,
+    )
+    if rc != 0:
+        print("preflight: SUITE RED — fix before snapshot", flush=True)
+    return rc
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--suite", action="store_true",
+        help="gate on the FULL pytest suite before the window rehearsal",
+    )
+    ap.add_argument(
+        "--suite-fast", action="store_true",
+        help="gate on plan-shape + window/COVERAGE contract tests only",
+    )
     ap.add_argument("names", nargs="*", help="subset of entries (default: full window)")
     args = ap.parse_args()
+
+    if args.suite or args.suite_fast:
+        rc = _run_suite(fast=args.suite_fast and not args.suite)
+        if rc != 0:
+            return rc
 
     spec = importlib.util.spec_from_file_location(
         "entrymod", os.path.join(REPO, "__spark_entry__.py")
