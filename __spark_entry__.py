@@ -24,6 +24,7 @@ import idh_etl_demo_spark.catalog_r5  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r6  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r7  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r8  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r9  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -124,13 +125,14 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivfpq_search",
     "doc_bm25_topk",
     "doc_contamination_fraction",
-    # --- DISPLACEABLE stale fills: new round-9 entries displace these
-    # --- one-for-one, top to bottom ---
-    "embedding_kmeans_2iter",
-    "doc_bottomk_sketch",
-    "doc_chunk_overlap",
-    "multimodal_frame_sample",
-    "events_hourly_anomalies",
+    # --- round-9 NEW entries (displaced the first five stale fills:
+    # embedding_kmeans_2iter, doc_bottomk_sketch, doc_chunk_overlap,
+    # multimodal_frame_sample, events_hourly_anomalies) ---
+    "embedding_ivfpq_residual_search",
+    "embedding_ivfpq_multiprobe",
+    "embedding_ivfpq_residual_recall_audit",
+    "embedding_ivfpq_nprobe_audit",
+    "doc_bm25_multiquery",
 ]
 
 

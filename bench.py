@@ -33,6 +33,7 @@ import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
 import idh_etl_demo_spark.catalog_r8  # noqa: F401
+import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -118,8 +119,14 @@ HEADLINE = [
     "doc_bm25_topk",
     "doc_contamination_fraction",
     # appended round 9: the r8 audit that missed its HEADLINE row
-    # (r8 verdict wrong #1), then the round-9 entries
+    # (r8 verdict wrong #1), then the round-9 entries (residual IVFPQ
+    # family + table-parameterized BM25)
     "embedding_pq_recall_audit",
+    "embedding_ivfpq_residual_search",
+    "embedding_ivfpq_multiprobe",
+    "embedding_ivfpq_residual_recall_audit",
+    "embedding_ivfpq_nprobe_audit",
+    "doc_bm25_multiquery",
 ]
 
 
@@ -129,13 +136,25 @@ HEADLINE = [
 # the memo before EVERY rep — both reps rebuild end-to-end and the
 # reported number is honest cold execution (round-5 verdict, What's
 # wrong #1).
-SESSION_CACHED = {"doc_corpus_curation", "doc_incremental_curation"}
+SESSION_CACHED = {
+    "doc_corpus_curation",
+    "doc_incremental_curation",
+    # round-9 residual-PQ family: the trained codebook tables are
+    # frozen per (session, sf) — cleared per rep so each rep pays the
+    # full train→freeze→encode sequence
+    "embedding_ivfpq_residual_search",
+    "embedding_ivfpq_multiprobe",
+    "embedding_ivfpq_residual_recall_audit",
+    "embedding_ivfpq_nprobe_audit",
+}
 
 
 def _clear_session_caches() -> None:
     from idh_etl_demo_spark.catalog_r3 import _CURATION_RESULTS
+    from idh_etl_demo_spark.catalog_r9 import _RES_MODELS
 
     _CURATION_RESULTS.clear()
+    _RES_MODELS.clear()
 
 
 def main() -> None:

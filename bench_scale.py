@@ -34,6 +34,7 @@ import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
 import idh_etl_demo_spark.catalog_r8  # noqa: F401
+import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -183,6 +184,17 @@ PROBES = [
     # doubled: BOTH its sides (flat-ADC approx + brute-force truth)
     # are |Q|·N by parameter choice, so the 10× ratio would be the
     # pinned query fraction again, not a plan property.
+    # round-9: the residual IVFPQ family (embedding_ivfpq_residual_
+    # search / _multiprobe / _residual_recall_audit / _nprobe_audit)
+    # is NOT probed — the ivf_int8/ivfpq exclusion applies verbatim
+    # (fixed query fraction against pinned-4 cells is quadratic by
+    # parameter choice at 10×; the audits additionally carry the
+    # brute-force truth side). k∝N keeps cells flat at scale
+    # (PROBE_KSCALE.json).
+    # doc_bm25_multiquery rides doc_bm25_topk's probed shape with a
+    # broadcast query table; the corpus-side scan is identical, so a
+    # separate probe would measure the same token explode twice —
+    # doc_bm25_topk's probe stands for both.
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -33,19 +33,24 @@ from pyspark.sql import DataFrame
 CENTROID_GRID = 100
 
 
-def _dist_structs() -> F.Column:
+def _dist_structs(grid: int = CENTROID_GRID) -> F.Column:
     """Per-centroid (dist, cid) structs for the packed broadcast row
     ``cs`` (array<struct(cid, cv)>) against the current row's ``v`` —
     the shared argmin/top-n core: distances are integer-valued doubles
     (exact, see module docstring), ties break on cid via lexicographic
-    struct ordering."""
+    struct ordering.
+
+    ``grid``: the centroid sub-grid factor — distances compare
+    ``v·grid`` against ``cv``. The default ×100 is the embedding
+    chain's layout; residual PQ codebooks (round 9) train on vectors
+    ALREADY on the centroid grid and pass ``grid=1``."""
 
     def dist_to(cv: F.Column) -> F.Column:
         return F.aggregate(
             F.zip_with(
                 F.col("v"),
                 cv,
-                lambda x, y: (x * CENTROID_GRID - y) * (x * CENTROID_GRID - y),
+                lambda x, y: (x * grid - y) * (x * grid - y),
             ),
             F.lit(0.0),
             lambda acc, d: acc + d.cast("double"),
@@ -72,16 +77,20 @@ def _packed(cents: DataFrame) -> DataFrame:
     )
 
 
-def lloyd_assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+def lloyd_assign(
+    df: DataFrame, cents: DataFrame, grid: int = CENTROID_GRID
+) -> DataFrame:
     """Assign every (vec_id, v) row to its nearest centroid — returns
     (vec_id, v, cluster). Broadcast + projection; zero corpus shuffles."""
-    best = F.array_min(_dist_structs())
+    best = F.array_min(_dist_structs(grid))
     return df.join(F.broadcast(_packed(cents))).select(
         "vec_id", "v", best["cid"].alias("cluster")
     )
 
 
-def lloyd_assign_topn(df: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+def lloyd_assign_topn(
+    df: DataFrame, cents: DataFrame, n: int, grid: int = CENTROID_GRID
+) -> DataFrame:
     """Rank the ``n`` nearest centroids per row — returns (vec_id, v,
     cluster, cell_rank 1..n). The multi-probe (nprobe>1) query-side
     primitive: same packed-broadcast projection as ``lloyd_assign``,
@@ -96,7 +105,7 @@ def lloyd_assign_topn(df: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     every catalog call site passes a compile-time-constant k."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    ranked = F.slice(F.array_sort(_dist_structs()), 1, n)
+    ranked = F.slice(F.array_sort(_dist_structs(grid)), 1, n)
     fan = df.join(F.broadcast(_packed(cents))).select(
         "vec_id", "v", F.posexplode(ranked).alias("pos", "d")
     )
@@ -127,13 +136,16 @@ def lloyd_centroids(
     vectors: DataFrame,
     seeds: DataFrame,
     iterations: int,
+    grid: int = CENTROID_GRID,
 ) -> DataFrame:
-    """The TRAINED centroid table (cid, cv on the ×100 grid) that the
-    final assignment round of ``iterations`` Lloyd rounds uses: runs
-    ``iterations - 1`` assign→update cycles from ``seeds``. Exposed so
-    consumers that need the codebook itself (IVF coarse quantizers,
-    multi-probe cell ranking) train it once and share it with the
-    assignment."""
+    """The TRAINED centroid table (cid, cv on the ×``grid`` sub-grid of
+    the input) that the final assignment round of ``iterations`` Lloyd
+    rounds uses: runs ``iterations - 1`` assign→update cycles from
+    ``seeds``. Exposed so consumers that need the codebook itself (IVF
+    coarse quantizers, multi-probe cell ranking) train it once and
+    share it with the assignment. ``grid=1`` keeps centroids on the
+    input's own grid (the residual-codebook layout: update is the floor
+    of ONE double division, still bit-identical across engines)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
@@ -145,7 +157,7 @@ def lloyd_centroids(
             .select(
                 "cluster",
                 "p",
-                F.floor(F.col("s") * F.lit(float(CENTROID_GRID)) / F.col("n"))
+                F.floor(F.col("s") * F.lit(float(grid)) / F.col("n"))
                 .cast("long")
                 .alias("cq"),
             )
@@ -161,5 +173,5 @@ def lloyd_centroids(
 
     cents = seeds
     for _ in range(iterations - 1):
-        cents = update(lloyd_assign(vectors, cents))
+        cents = update(lloyd_assign(vectors, cents, grid))
     return cents

@@ -18,6 +18,7 @@ import idh_etl_demo_spark.catalog_r5  # noqa: F401
 import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
 import idh_etl_demo_spark.catalog_r8  # noqa: F401
+import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -397,6 +398,34 @@ SHUFFLE_BUDGETS = {
     # |Q|-bounded; the brute truth side is the cost every recall audit
     # pays by design on a SAMPLED query set
     "embedding_pq_recall_audit": 25,
+    # round-9 residual IVFPQ: training is FROZEN (localCheckpoint'd
+    # 4-row codebooks — see catalog_r9._RES_MODELS; the entries are in
+    # EAGER_EXEMPT), so the SERVED plan is just: corpus encode spread,
+    # the residual-projection broadcast join's spread, the per-query
+    # top-k window, presentation sort + the checkpoint scan spreads.
+    # A count above this means serving grew a corpus shuffle it must
+    # not have at 100 TB
+    "embedding_ivfpq_residual_search": 9,
+    # multiprobe: identical serving plan — only the broadcast query
+    # side fans out ×nprobe, which adds ZERO corpus exchanges
+    "embedding_ivfpq_multiprobe": 9,
+    # nprobe audit: the multiprobe serving plan + the brute-force truth
+    # side (input spread + topk window) + probes union + per-nprobe
+    # aggs + ordering; everything past the two corpus sides is
+    # |probes|-bounded
+    "embedding_ivfpq_nprobe_audit": 15,
+    # residual recall audit: composes THREE corpus-side plans by audit
+    # design — round-8's plain IVFPQ (its two LAZY training chains ~8
+    # exchanges each + encode + serving), the frozen-model residual
+    # serving (~9), and the brute truth side — plus the intersect/agg/
+    # join audit tail. Every exchange past the corpus spreads and topk
+    # windows is k·dim- or |Q|-bounded
+    "embedding_ivfpq_residual_recall_audit": 38,
+    # BM25 multiquery: doc_bm25_topk's shape (input spread, tf groupBy,
+    # token-partition df window, fold agg) + the per-(query, doc) agg
+    # and per-query ranking window replacing the global sort; the
+    # query-table join is broadcast, adding no exchange
+    "doc_bm25_multiquery": 8,
 }
 
 
@@ -431,6 +460,18 @@ EAGER_EXEMPT = {
     # bench split only, and the warm in-session cost measured ~0.1 s
     # at sf0.1 (NOTES_r8)
     "doc_decontamination_passages",
+    # round-9 residual-PQ family: residual training is inherently
+    # SEQUENTIAL (residuals need the trained coarse quantizer, codes
+    # need the trained residual codebooks), so the 4-row codebook
+    # tables are trained eagerly and frozen with localCheckpoint
+    # (FAISS's train→freeze→encode) — a fully-lazy plan re-expands the
+    # coarse chain inside every residual reference (measured 178 s vs
+    # ~10 s at sf0.001). Memoized per (session, sf); bench clears the
+    # memo per rep
+    "embedding_ivfpq_residual_search",
+    "embedding_ivfpq_multiprobe",
+    "embedding_ivfpq_residual_recall_audit",
+    "embedding_ivfpq_nprobe_audit",
 }
 
 

@@ -119,3 +119,283 @@ def test_membership_gating_count_memoized(spark, monkeypatch):
     assert sorted(r.doc_id for r in first.collect()) == sorted(
         r.doc_id for r in second.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 residual IVFPQ vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def _py_train(vecs: dict[int, list[int]], k: int, grid: int):
+    """Pure-python twin of the kcenter→2-Lloyd chain at an arbitrary
+    centroid grid (operators/kmeans.py round-9 generalization): md5-min
+    start, farthest-first seeds with (d desc, vec_id asc) selection, one
+    Lloyd update flooring sum·grid/n, final assignment comparing v·grid
+    against centroids with (dist, cid) tie-breaks. grid=100 is the
+    embedding chain (test_r8_properties._py_pq_train verbatim); grid=1
+    is the residual-codebook layout."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    hv = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in vecs}
+    start = min(vecs, key=lambda i: (hv[i], i))
+    seeds = [start]
+    dist = {i: d2(v, vecs[start]) for i, v in vecs.items()}
+    for _ in range(k - 1):
+        far = max(vecs, key=lambda i: (dist[i], -i))
+        seeds.append(far)
+        dist = {i: min(dist[i], d2(vecs[i], vecs[far])) for i in vecs}
+
+    a1 = {
+        i: min((d2(v, vecs[s]), s) for s in seeds)[1] for i, v in vecs.items()
+    }
+    member = defaultdict(list)
+    for i, c in a1.items():
+        member[c].append(i)
+    c1 = {
+        c: [
+            math.floor(sum(vecs[i][p] for i in ids) * float(grid) / len(ids))
+            for p in range(len(vecs[ids[0]]))
+        ]
+        for c, ids in member.items()
+    }
+    a2 = {
+        i: min(
+            (sum((x * grid - cc) ** 2 for x, cc in zip(v, cv)), cid)
+            for cid, cv in c1.items()
+        )[1]
+        for i, v in vecs.items()
+    }
+    return c1, a2
+
+
+def _py_residual_pipeline(vecs: dict[int, list[int]]):
+    """(cell_cb, cell, rcb1, rcb2, rcode1, rcode2): the full residual
+    encoding reference — coarse at grid=100, residual r = v·100 −
+    c_cell, sub-space codebooks at grid=1."""
+    cc, cell = _py_train(vecs, 4, 100)
+    R = {
+        i: [x * 100 - c for x, c in zip(v, cc[cell[i]])]
+        for i, v in vecs.items()
+    }
+    rcb1, rcode1 = _py_train({i: r[:32] for i, r in R.items()}, 4, 1)
+    rcb2, rcode2 = _py_train({i: r[32:] for i, r in R.items()}, 4, 1)
+    return cc, cell, rcb1, rcb2, rcode1, rcode2
+
+
+def test_ivfpq_residual_search_matches_python_reference(spark):
+    """The full residual-IVFPQ pipeline — coarse training, residual
+    computation, grid=1 codebooks, ADC cosine over recon = c_cell +
+    [rc1 ‖ rc2], top-5 ranking — must equal a brute-force pure-Python
+    reference on the real sf0.001 embeddings, doubles compared EXACTLY
+    (same integer inputs, same operation order)."""
+    import math
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding] for r in rows
+    }
+    cc, cell, rcb1, rcb2, rcode1, rcode2 = _py_residual_pipeline(vecs)
+
+    expected = {}
+    for qid, qv in vecs.items():
+        if qid % 25 != 0:
+            continue
+        qq = sum(x * x for x in qv)
+        scored = []
+        for nid in vecs:
+            if nid == qid or cell[nid] != cell[qid]:
+                continue
+            recon = [
+                c + rc
+                for c, rc in zip(
+                    cc[cell[nid]], rcb1[rcode1[nid]] + rcb2[rcode2[nid]]
+                )
+            ]
+            num = sum(a * b for a, b in zip(qv, recon))
+            rr = sum(c * c for c in recon)
+            cos = num / (math.sqrt(qq) * math.sqrt(rr))
+            scored.append((-cos, nid))
+        for rank, (negcos, nid) in enumerate(sorted(scored)[:5], start=1):
+            expected[(qid, rank)] = (nid, -negcos, cell[nid])
+
+    got = ENTRIES["embedding_ivfpq_residual_search"].spark(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        nid, cos, c = expected[(r.query_id, r.rank)]
+        assert (r.neighbor_id, r.cell) == (nid, c), (r.query_id, r.rank)
+        assert r.adc_cosine == cos, (r.query_id, r.rank)
+
+
+def _write_embeddings(tmp_path, X, path_name="embeddings.parquet"):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arr = pa.array(
+        [np.asarray(v, dtype=np.float32).tolist() for v in X],
+        type=pa.list_(pa.float32()),
+    )
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(X)), type=pa.int64()),
+            "embedding": arr,
+            "label": pa.array([i % 4 for i in range(len(X))], type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / path_name))
+    return str(tmp_path)
+
+
+def test_residual_beats_plain_on_clustered_data(spark, tmp_path):
+    """THE claim residual encoding exists for (Jégou et al. 2011): when
+    the corpus has cluster structure, quantizing v − c_cell beats
+    quantizing v at the identical code budget. The sf test embeddings
+    are isotropic (within-label cosine 0.0 — no structure, no possible
+    lift; disclosed in the audit entry's docstring), so this test
+    constructs 4 well-separated clusters (σ=0.05 noise, the regime
+    where within-cluster discrimination requires residual codes), runs
+    the REAL ``embedding_ivfpq_residual_recall_audit`` entry on them,
+    checks full DuckDB-oracle parity on that adversarial input, and
+    asserts the residual recall lift (measured 16 vs 8 hits of 80)."""
+    import duckdb
+    import numpy as np
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    rng = np.random.RandomState(7)
+    C = rng.randn(4, 64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X = []
+    for i in range(400):
+        v = C[i % 4] + 0.05 * rng.randn(64)
+        X.append(v / np.linalg.norm(v))
+    sf = _write_embeddings(tmp_path, X)
+
+    sdf = ENTRIES["embedding_ivfpq_residual_recall_audit"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["embedding_ivfpq_residual_recall_audit"].oracle).df()
+    )
+    plain, residual = int(sdf.hits_plain.sum()), int(sdf.hits_residual.sum())
+    assert residual > plain, f"no residual lift on clustered data: {residual} vs {plain}"
+
+
+def test_ivfpq_nprobe_audit_consistent_with_search(spark):
+    """The audit's nprobe=1 row must equal recall computed directly from
+    the residual-search entry's top-5 against the cosine-topk truth
+    (the audit is a VIEW over the serving path, not a reimplementation),
+    and probing deeper can only add candidates."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_llm import embedding_cosine_topk
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    audit = {
+        r.nprobe: r
+        for r in ENTRIES["embedding_ivfpq_nprobe_audit"].spark(spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ENTRIES["embedding_ivfpq_residual_search"].spark(spark, SF).collect()
+    }
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in embedding_cosine_topk(spark, SF).collect()
+    }
+    assert audit[1].n_truth == len(truth)
+    assert audit[1].n_hits == len(approx & truth)
+    assert audit[2].n_candidates > audit[1].n_candidates
+    assert audit[2].n_hits >= 0 and audit[2].n_truth == len(truth)
+
+
+# ---------------------------------------------------------------------------
+# BM25 multiquery
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_multiquery_q1_matches_single_query_entry(spark):
+    """Query 1 of the multiquery table IS doc_bm25_topk's literal query:
+    its top-10 rows must match the single-query entry's first 10 rows
+    exactly (doc order, fold order, and the bm25 doubles)."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    multi = [
+        r
+        for r in ENTRIES["doc_bm25_multiquery"].spark(spark, SF).collect()
+        if r.query_id == 1
+    ]
+    single = ENTRIES["doc_bm25_topk"].spark(spark, SF).collect()[:10]
+    assert len(multi) == min(10, len(single)) and multi, "q1 returned nothing"
+    for m, s in zip(multi, single):
+        assert (m.doc_id, m.n_terms, m.n_tokens) == (s.doc_id, s.n_terms, s.n_tokens)
+        assert m.bm25 == s.bm25
+
+
+def test_bm25_multiquery_matches_python_reference(spark, tmp_path):
+    """Multi-query BM25 on a hand-built corpus must equal the pure-Python
+    reference per (query, doc) — including a query with zero matches
+    anywhere (absent from the output) and disjoint per-query rankings."""
+    import math
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r9 import _BM25_QUERIES, _BM25_TOPN
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.test_r8_properties import _write_docs
+
+    texts = [
+        "dup dup hash vector scan",
+        "scan filter join merge merge merge",
+        "spark stream batch stream",
+        "slow fast slow fast slow",
+        "the quick brown fox",
+        "  SPARK   Batch\tmerge  ",
+        "hash " * 30 + "join scan",
+        "",
+    ]
+    sf = _write_docs(tmp_path, texts)
+
+    def toks(t):
+        return [w for w in " ".join(t.lower().strip().split()).split(" ") if w]
+
+    docs = {i: toks(t) for i, t in enumerate(texts)}
+    S = sum(len(v) for v in docs.values())
+    N = len(docs)
+    expected = {}
+    for qid, terms in _BM25_QUERIES:
+        scored = []
+        for d, tok in docs.items():
+            present = sorted(t for t in set(terms) if t in tok)
+            if not present:
+                continue
+            total = 0.0
+            for t in present:
+                tf = tok.count(t)
+                df = sum(1 for v in docs.values() if t in v)
+                dl = len(tok)
+                num = (2 * (N - df) + 1) * 22 * tf * S
+                den = (2 * df + 1) * (10 * S * tf + 3 * S + 9 * dl * N)
+                total += num / den
+            scored.append((-total, d, len(present), len(tok)))
+        for rank, (neg, d, nt, dl) in enumerate(sorted(scored)[:_BM25_TOPN], 1):
+            expected[(qid, rank)] = (d, nt, dl, -neg)
+
+    got = ENTRIES["doc_bm25_multiquery"].spark(spark, sf).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        d, nt, dl, bm = expected[(r.query_id, r.rank)]
+        assert (r.doc_id, r.n_terms, r.n_tokens) == (d, nt, dl), (r.query_id, r.rank)
+        assert math.isclose(r.bm25, bm, rel_tol=0, abs_tol=0), (r.query_id, r.rank)
