@@ -97,7 +97,9 @@ DRIVER_PRIORITY: list[str] = [
     "doc_word_histogram",
     "doc_fingerprint_tokens",
     "doc_lang_id",
-    "doc_quality",
+    # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th
+    # round-9 entry gets first-round driver signal — doc_ family stays
+    # at 20 in-window, above its minimum of 18)
     "ztm_stop_dim",
     "ztm_vehicle_dim",
     "embedding_ann_hyperplane",
@@ -132,6 +134,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivfpq_multiprobe",
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
+    "embedding_ivfpq_adc_lut",
     "doc_bm25_multiquery",
 ]
 

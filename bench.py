@@ -126,6 +126,7 @@ HEADLINE = [
     "embedding_ivfpq_multiprobe",
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
+    "embedding_ivfpq_adc_lut",
     "doc_bm25_multiquery",
 ]
 
@@ -146,6 +147,7 @@ SESSION_CACHED = {
     "embedding_ivfpq_multiprobe",
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
+    "embedding_ivfpq_adc_lut",
 }
 
 

@@ -185,8 +185,8 @@ PROBES = [
     # are |Q|·N by parameter choice, so the 10× ratio would be the
     # pinned query fraction again, not a plan property.
     # round-9: the residual IVFPQ family (embedding_ivfpq_residual_
-    # search / _multiprobe / _residual_recall_audit / _nprobe_audit)
-    # is NOT probed — the ivf_int8/ivfpq exclusion applies verbatim
+    # search / _multiprobe / _residual_recall_audit / _nprobe_audit /
+    # _adc_lut) is NOT probed — the ivf_int8/ivfpq exclusion applies verbatim
     # (fixed query fraction against pinned-4 cells is quadratic by
     # parameter choice at 10×; the audits additionally carry the
     # brute-force truth side). k∝N keeps cells flat at scale
@@ -217,7 +217,18 @@ def _probe_bpe_deep64(spark: SparkSession, sf_dir: str) -> None:
     print(f"[probe] doc_bpe_deep64_merges: achieved {len(merges)} merges")
 
 
+def _probe_bpe_deep32(spark: SparkSession, sf_dir: str) -> None:
+    # round-9 (r8 verdict ask #5): the 32-merge point of the depth
+    # curve — PROBE_BPE_DEEP.json records both depths' 10× ratios
+    from idh_etl_demo_spark.operators.bpe import bpe_train, bpe_word_table
+    from idh_etl_demo_spark.catalog import _read_table
+
+    merges, _ = bpe_train(bpe_word_table(_read_table(spark, sf_dir, "documents")), 32)
+    print(f"[probe] doc_bpe_deep32_merges: achieved {len(merges)} merges")
+
+
 EXTRA_PROBES = {
+    "doc_bpe_deep32_merges": _probe_bpe_deep32,
     "doc_bpe_deep64_merges": _probe_bpe_deep64,
 }
 

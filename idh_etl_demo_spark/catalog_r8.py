@@ -16,9 +16,12 @@ with its own k=4 codebook trained by the SAME kcenter→Lloyd chain the
 seeded-KMeans entry gates (catalog_r3) — so a corpus vector is stored
 as 2 small codes instead of 64 floats, and search scores candidates by
 looking up per-(code1, code2) reconstructed similarities (ADC). m and k
-are pinned tiny for oracle determinism; at 100 TB m=8..16, k=256, and
-every plan below keeps its shape — only the broadcast codebook row and
-the |Q|·k² score table widen.
+are pinned tiny for oracle determinism. The per-(code1, code2) score
+table is k^m rows — fine at the pinned m=2 (k²=16), NOT viable at
+FAISS-scale m=16·k=256; the production formulation is the SEPARABLE
+per-subspace LUT (m·k partial dots per query, m lookups per candidate),
+implemented as catalog_r9's ``embedding_ivfpq_adc_lut`` with
+bit-identical results.
 
 This module may import catalog_llm / catalog_r3 helpers at module
 level — nothing imports catalog_r8 back, so there is no cycle.

@@ -825,3 +825,151 @@ def doc_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "n_terms", "n_tokens", "bm25", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ===========================================================================
+# ADC via separable per-subspace LUTs — the m·k serving layout
+# ===========================================================================
+
+
+def _adc_lut_sql() -> str:
+    # Same oracle as the residual search: the LUT plan computes the
+    # IDENTICAL integers (num and rr decompose exactly into per-subspace
+    # terms because recon is a concatenation — no cross-subspace terms),
+    # so the result frame is bit-identical by construction.
+    return f"""
+    with {','.join(_km_trained_ctes(_CELLS))},
+    {_res_ctes()},
+    {_res_scored_ctes(1)}
+    {_RES_TOP5_TAIL}
+    """
+
+
+@query("embedding_ivfpq_adc_lut", _adc_lut_sql())
+def embedding_ivfpq_adc_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ served through SEPARABLE per-subspace lookup
+    tables — the layout that survives production code sizes. The combo
+    entries (`embedding_pq_search` / `embedding_ivfpq_residual_search`)
+    precompute one score per (cell, code1, …, code_m) tuple: k^m rows.
+    Fine at the oracle-pinned m=2·k=4 (16), impossible at FAISS-scale
+    m=16·k=256. Real ADC (Jégou et al. 2011 §II-C) instead builds
+    per-query tables of m·k partial dots and scores each candidate
+    with m lookups + adds. This entry implements exactly that: both
+    ADC terms decompose per sub-space because recon = c_cell + [rc1 ‖
+    rc2] is a CONCATENATION —
+      num = ⟨q, c_cell⟩ + Σⱼ ⟨qⱼ, rc_codeⱼ⟩
+      rr  = ⟨c_cell, c_cell⟩ + Σⱼ (2⟨c_cellⱼ, rc_codeⱼ⟩ + ⟨rc_codeⱼ, rc_codeⱼ⟩)
+    with zero cross-subspace terms; every term is an exact int64, the
+    adds are exact, so the final double division is BIT-IDENTICAL to
+    the combo plan (the property test asserts frame equality, and the
+    oracle is the residual search's SQL verbatim).
+
+    Shape at 100 TB — the point of this entry: the broadcast state is
+    |Q|·(m·k + 1) longs (query LUTs as map<code, partial>) plus
+    |cells|·(m·k + 1) (cell cross/self terms), LINEAR in m and k; each
+    candidate costs 2m map lookups and one division in a pure
+    projection. The corpus side still never shuffles beyond the
+    per-query top-k window."""
+    enc, cell_cents, rc1, rc2 = _res_parts(spark, sf_dir)
+    sub1 = lambda col: F.slice(col, _PQ_SUBS[0][1], _PQ_DIM)  # noqa: E731
+    sub2 = lambda col: F.slice(col, _PQ_SUBS[1][1], _PQ_DIM)  # noqa: E731
+
+    # per-cell LUTs: rr_cell + map(code -> 2<c_cell_j, rc> + <rc, rc>)
+    c = cell_cents.select(
+        F.col("cid").alias("cell"),
+        F.col("cv").alias("ccv"),
+        _spark_int_dot(F.col("cv"), F.col("cv")).alias("rr_cell"),
+    )
+    p1 = _packed(rc1).withColumnRenamed("cs", "cs1")
+    p2 = _packed(rc2).withColumnRenamed("cs", "cs2")
+
+    def cell_map(cs_name: str, sub) -> F.Column:
+        return F.map_from_entries(
+            F.transform(
+                F.col(cs_name),
+                lambda s: F.struct(
+                    s["cid"].alias("key"),
+                    (
+                        2 * _spark_int_dot(sub(F.col("ccv")), s["cv"])
+                        + _spark_int_dot(s["cv"], s["cv"])
+                    ).alias("value"),
+                ),
+            )
+        )
+
+    clut = (
+        c.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .select(
+            "cell",
+            "rr_cell",
+            cell_map("cs1", sub1).alias("clut1"),
+            cell_map("cs2", sub2).alias("clut2"),
+        )
+    )
+
+    # per-query LUTs: qcnum = <q, c_cell> + map(code -> <q_j, rc>)
+    def q_map(cs_name: str, sub) -> F.Column:
+        return F.map_from_entries(
+            F.transform(
+                F.col(cs_name),
+                lambda s: F.struct(
+                    s["cid"].alias("key"),
+                    _spark_int_dot(sub(F.col("v")), s["cv"]).alias("value"),
+                ),
+            )
+        )
+
+    qlut = (
+        enc.filter(F.col("vec_id") % 25 == 0)
+        .select("vec_id", "v", "cell")
+        .join(F.broadcast(c.select("cell", "ccv")), "cell")
+        .crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            _spark_int_dot(F.col("v"), F.col("v")).alias("qq"),
+            _spark_int_dot(F.col("v"), F.col("ccv")).alias("qcnum"),
+            q_map("cs1", sub1).alias("qlut1"),
+            q_map("cs2", sub2).alias("qlut2"),
+        )
+    )
+
+    num = (
+        F.col("qcnum")
+        + F.element_at("qlut1", F.col("code1"))
+        + F.element_at("qlut2", F.col("code2"))
+    )
+    rr = (
+        F.col("rr_cell")
+        + F.element_at("clut1", F.col("code1"))
+        + F.element_at("clut2", F.col("code2"))
+    )
+    scored = (
+        enc.select("vec_id", "cell", "code1", "code2")
+        .join(F.broadcast(clut), "cell")
+        .join(F.broadcast(qlut), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            (
+                num.cast("double")
+                / (
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(rr.cast("double"))
+                )
+            ).alias("adc_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cell", "adc_cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -421,6 +421,11 @@ SHUFFLE_BUDGETS = {
     # join audit tail. Every exchange past the corpus spreads and topk
     # windows is k·dim- or |Q|-bounded
     "embedding_ivfpq_residual_recall_audit": 38,
+    # ADC-LUT serving: same frozen-model serving plan as the residual
+    # search (the LUT formulation changes per-candidate WORK — 2m map
+    # lookups instead of the code equi-join against k^m combos — not
+    # the exchange structure)
+    "embedding_ivfpq_adc_lut": 9,
     # BM25 multiquery: doc_bm25_topk's shape (input spread, tf groupBy,
     # token-partition df window, fold agg) + the per-(query, doc) agg
     # and per-query ranking window replacing the global sort; the
@@ -472,6 +477,7 @@ EAGER_EXEMPT = {
     "embedding_ivfpq_multiprobe",
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
+    "embedding_ivfpq_adc_lut",
 }
 
 

@@ -399,3 +399,22 @@ def test_bm25_multiquery_matches_python_reference(spark, tmp_path):
         d, nt, dl, bm = expected[(r.query_id, r.rank)]
         assert (r.doc_id, r.n_terms, r.n_tokens) == (d, nt, dl), (r.query_id, r.rank)
         assert math.isclose(r.bm25, bm, rel_tol=0, abs_tol=0), (r.query_id, r.rank)
+
+
+def test_adc_lut_bit_identical_to_combo_plan(spark):
+    """The separable-LUT serving plan must produce a frame BIT-IDENTICAL
+    to the combo-table residual search: num and rr decompose exactly
+    into per-subspace int64 terms (recon is a concatenation — no
+    cross-subspace products), so every adc_cosine double is the same
+    division of the same integers. Also pins the physical claim: the
+    LUT plan contains map lookups and NO code equi-join."""
+    import pandas as pd
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    lut_df = ENTRIES["embedding_ivfpq_adc_lut"].spark(spark, SF)
+    combo = ENTRIES["embedding_ivfpq_residual_search"].spark(spark, SF).toPandas()
+    pd.testing.assert_frame_equal(lut_df.toPandas(), combo)
+    plan = lut_df._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan, "LUT plan lost its map lookups"

@@ -42,6 +42,8 @@ PICKS = {
     "embedding_ivf_multiprobe_search": "nprobe=2 serving: the query side fans out ×2 via a top-n slice of the SAME packed-broadcast distance structs; corpus inverted lists untouched",
     "doc_bpe_merge_steps": "BPE training: ONE corpus-sized word groupBy (exchange-reused by all three iterations); per-round pair aggs and argmax TakeOrdereds run on the |types| table",
     "embedding_semantic_dedup": "SemDeDup shape: the pair join is an equi-join on the trained cluster id — quadratic only within a cell; keeper selection is an integer min agg",
+    "embedding_ivfpq_residual_search": "round-9 residual IVFPQ serving: frozen codebook tables (localCheckpoint RDD leaves) feed packed-broadcast cell+code projections; the broadcast |cells|·k² reconstruction table joins on (cell, code1, code2); the per-query top-k window is the only corpus-keyed exchange",
+    "doc_bm25_multiquery": "BM25 over a query table: one token explode filtered to the union of query terms, token-partition df window, broadcast query join, per-(query, doc) fold agg, per-query ranking window",
 }
 
 
