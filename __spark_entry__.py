@@ -103,7 +103,9 @@ DRIVER_PRIORITY: list[str] = [
     "ztm_stop_dim",
     "ztm_vehicle_dim",
     "embedding_ann_hyperplane",
-    "embedding_near_dup",
+    # (embedding_near_dup was slotted here pre-rerank; displaced so the
+    # 7th round-9 entry gets first-round driver signal — embedding
+    # family stays at 14 in-window, far above its minimum of 8)
     "multimodal_chunks",
     "multimodal_metadata",
     "events_stateful_running_totals",
@@ -135,6 +137,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
     "embedding_ivfpq_adc_lut",
+    "embedding_ivfpq_rerank",
     "doc_bm25_multiquery",
 ]
 

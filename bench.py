@@ -127,6 +127,7 @@ HEADLINE = [
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
     "embedding_ivfpq_adc_lut",
+    "embedding_ivfpq_rerank",
     "doc_bm25_multiquery",
 ]
 
@@ -148,6 +149,7 @@ SESSION_CACHED = {
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
     "embedding_ivfpq_adc_lut",
+    "embedding_ivfpq_rerank",
 }
 
 

@@ -186,7 +186,7 @@ PROBES = [
     # pinned query fraction again, not a plan property.
     # round-9: the residual IVFPQ family (embedding_ivfpq_residual_
     # search / _multiprobe / _residual_recall_audit / _nprobe_audit /
-    # _adc_lut) is NOT probed — the ivf_int8/ivfpq exclusion applies verbatim
+    # _adc_lut / _rerank) is NOT probed — the ivf_int8/ivfpq exclusion applies verbatim
     # (fixed query fraction against pinned-4 cells is quadratic by
     # parameter choice at 10×; the audits additionally carry the
     # brute-force truth side). k∝N keeps cells flat at scale

@@ -973,3 +973,107 @@ def embedding_ivfpq_adc_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cell", "adc_cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ===========================================================================
+# Two-stage serving: ADC shortlist → exact re-rank (FAISS "refine")
+# ===========================================================================
+
+_RERANK_SHORTLIST = 20
+
+
+@query(
+    "embedding_ivfpq_rerank",
+    f"""
+    with {','.join(_km_trained_ctes(_CELLS))},
+    {_res_ctes()},
+    {_res_scored_ctes(1)},
+    shortlist as (
+      select query_id, neighbor_id, cell from (
+        select query_id, neighbor_id, cell,
+               row_number() over (partition by query_id
+                                  order by adc_cosine desc, neighbor_id asc) as rn
+        from rscored
+      ) where rn <= {_RERANK_SHORTLIST}
+    ),
+    exact as (
+      select s.query_id, s.neighbor_id, s.cell,
+             list_dot_product(qv.v, nv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(nv.v, nv.v))) as exact_cosine
+      from shortlist s
+      join vv qv on qv.vec_id = s.query_id
+      join vv nv on nv.vec_id = s.neighbor_id
+    )
+    select query_id, neighbor_id, cell, exact_cosine, rank from (
+      select query_id, neighbor_id, cell, exact_cosine,
+             row_number() over (partition by query_id
+                                order by exact_cosine desc, neighbor_id asc) as rank
+      from exact
+    ) where rank <= 5
+    order by query_id, rank
+    """,
+)
+def embedding_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVFPQ serving — ADC shortlist then EXACT re-rank
+    (FAISS's refine stage, the standard production answer to coarse
+    codes): stage 1 takes each query's top-{R} candidates by residual
+    ADC cosine (compressed-domain, cheap); stage 2 fetches ONLY those
+    R full-precision vectors and re-ranks them by exact fixed-point
+    cosine (``embedding_cosine_topk``'s formula verbatim). Code
+    collisions that tie hundreds of candidates in the compressed
+    domain are broken by real similarities — at the cost of R exact
+    dots per query instead of |corpus|.
+
+    Shape at 100 TB — the whole point of the two-stage layout: the
+    corpus-sized stage stays compressed (codes + the top-R window);
+    the exact stage touches R·|Q| rows via an equi-join on vec_id
+    (at production R·|Q| ≪ corpus, the shortlist side broadcasts and
+    full vectors stream map-side). Raw vectors are read but never
+    shuffled on a corpus key."""
+    scored = _res_scored_frames(spark, sf_dir, nprobe=1)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _RERANK_SHORTLIST)
+        .select("query_id", "neighbor_id", "cell")
+    )
+    vv = _vv(spark, sf_dir)
+    qv = vv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        _spark_int_dot(F.col("v"), F.col("v")).alias("qq"),
+    )
+    nv = vv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nvec"),
+        _spark_int_dot(F.col("v"), F.col("v")).alias("nn"),
+    )
+    # shortlist is |Q|·R rows — broadcast it onto both vector streams
+    exact = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv.join(F.broadcast(shortlist.select("query_id").distinct()), "query_id")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (
+                _spark_int_dot(F.col("q"), F.col("nvec")).cast("double")
+                / (
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                )
+            ).alias("exact_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cell", "exact_cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -421,6 +421,11 @@ SHUFFLE_BUDGETS = {
     # join audit tail. Every exchange past the corpus spreads and topk
     # windows is k·dim- or |Q|-bounded
     "embedding_ivfpq_residual_recall_audit": 38,
+    # two-stage rerank: the residual serving plan's exchanges + the
+    # ADC shortlist window + the exact stage's |Q|·R-row broadcast
+    # joins onto the two vector streams (their input spreads) +
+    # presentation sort; the exact stage adds NO corpus-keyed exchange
+    "embedding_ivfpq_rerank": 11,
     # ADC-LUT serving: same frozen-model serving plan as the residual
     # search (the LUT formulation changes per-candidate WORK — 2m map
     # lookups instead of the code equi-join against k^m combos — not
@@ -478,6 +483,7 @@ EAGER_EXEMPT = {
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
     "embedding_ivfpq_adc_lut",
+    "embedding_ivfpq_rerank",
 }
 
 

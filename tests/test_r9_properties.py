@@ -418,3 +418,64 @@ def test_adc_lut_bit_identical_to_combo_plan(spark):
     pd.testing.assert_frame_equal(lut_df.toPandas(), combo)
     plan = lut_df._jdf.queryExecution().executedPlan().toString()
     assert "element_at" in plan, "LUT plan lost its map lookups"
+
+
+def test_ivfpq_rerank_matches_python_reference(spark):
+    """Two-stage serving vs pure Python on the real sf0.001 embeddings:
+    the ADC top-20 shortlist (via the residual reference pipeline)
+    re-ranked by exact fixed-point cosine must equal the entry's top-5
+    exactly — including the exact_cosine doubles. Also pins that
+    re-ranking actually reorders: at this code resolution the ADC
+    shortlist is tie-heavy, so the exact stage must not return the
+    shortlist's own order for every query."""
+    import math
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r9 import _RERANK_SHORTLIST
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding] for r in rows
+    }
+    cc, cell, rcb1, rcb2, rcode1, rcode2 = _py_residual_pipeline(vecs)
+
+    expected = {}
+    reordered = False
+    for qid, qv in vecs.items():
+        if qid % 25 != 0:
+            continue
+        qq = sum(x * x for x in qv)
+        adc = []
+        for nid in vecs:
+            if nid == qid or cell[nid] != cell[qid]:
+                continue
+            recon = [
+                c + rc
+                for c, rc in zip(
+                    cc[cell[nid]], rcb1[rcode1[nid]] + rcb2[rcode2[nid]]
+                )
+            ]
+            num = sum(a * b for a, b in zip(qv, recon))
+            rr = sum(c * c for c in recon)
+            adc.append((-(num / (math.sqrt(qq) * math.sqrt(rr))), nid))
+        shortlist = [nid for _, nid in sorted(adc)[:_RERANK_SHORTLIST]]
+        exact = []
+        for nid in shortlist:
+            nv = vecs[nid]
+            dot = sum(a * b for a, b in zip(qv, nv))
+            nn = sum(x * x for x in nv)
+            exact.append((-(dot / (math.sqrt(qq) * math.sqrt(nn))), nid))
+        top5 = sorted(exact)[:5]
+        if [nid for _, nid in top5] != shortlist[: len(top5)]:
+            reordered = True
+        for rank, (neg, nid) in enumerate(top5, start=1):
+            expected[(qid, rank)] = (nid, -neg, cell[nid])
+
+    got = ENTRIES["embedding_ivfpq_rerank"].spark(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        nid, cos, c = expected[(r.query_id, r.rank)]
+        assert (r.neighbor_id, r.cell) == (nid, c), (r.query_id, r.rank)
+        assert r.exact_cosine == cos, (r.query_id, r.rank)
+    assert reordered, "exact stage never reordered the ADC shortlist"
