@@ -1,7 +1,9 @@
 """Round-9 catalog entries: RESIDUAL product quantization (the FAISS
 IVFPQ layout proper — Jégou, Douze, Schmid 2011), multi-probe IVFPQ
 serving, the residual-vs-plain recall audit that prices the round-8
-disclosure, and table-parameterized BM25 retrieval.
+disclosure, separable ADC-LUT serving (the m·k layout that survives
+production code sizes), two-stage shortlist→exact re-rank serving
+(FAISS refine), and table-parameterized BM25 retrieval.
 
 Round 8 shipped IVFPQ without residual encoding (catalog_r8.py
 disclosed it as the accuracy gap vs FAISS): codes quantized the raw
