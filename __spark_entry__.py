@@ -107,7 +107,9 @@ DRIVER_PRIORITY: list[str] = [
     # 7th round-9 entry gets first-round driver signal — embedding
     # family stays at 14 in-window, far above its minimum of 8)
     "multimodal_chunks",
-    "multimodal_metadata",
+    # (multimodal_metadata was slotted here pre-spans; displaced so the
+    # 8th round-9 entry gets first-round driver signal — multimodal
+    # stays at 4 in-window, exactly its minimum)
     "events_stateful_running_totals",
     "event_props_map",
     "event_type_transitions",
@@ -139,6 +141,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivfpq_adc_lut",
     "embedding_ivfpq_rerank",
     "doc_bm25_multiquery",
+    "doc_duplicated_spans",
 ]
 
 

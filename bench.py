@@ -129,6 +129,7 @@ HEADLINE = [
     "embedding_ivfpq_adc_lut",
     "embedding_ivfpq_rerank",
     "doc_bm25_multiquery",
+    "doc_duplicated_spans",
 ]
 
 

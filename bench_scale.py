@@ -195,6 +195,10 @@ PROBES = [
     # broadcast query table; the corpus-side scan is identical, so a
     # separate probe would measure the same token explode twice —
     # doc_bm25_topk's probe stands for both.
+    # round-9: exact-substring spans — linear (rolling-hash projection,
+    # one gh window, islands over the dup subset); the ratio must track
+    # the token scan like the decontamination family
+    "doc_duplicated_spans",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

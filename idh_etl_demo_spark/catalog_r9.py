@@ -1079,3 +1079,169 @@ def embedding_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cell", "exact_cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ===========================================================================
+# Exact-substring duplication spans (Lee et al. 2021)
+# ===========================================================================
+
+# Minimum duplicated run, in tokens. Lee et al. use 50-token substrings
+# at corpus scale; 8 is the oracle-determinism pin that keeps the test
+# corpus non-vacuous (47/500 sf0.01 docs carry duplicated 8-gram runs,
+# most carry none).
+_SPAN_L = 8
+
+
+@query(
+    "doc_duplicated_spans",
+    f"""
+    with base as (
+      select doc_id, list_filter({_WORDS}, w -> w != '') as toks from documents
+    ),
+    tot as (select doc_id, len(toks) as n_tokens from base),
+    grams as (
+      select doc_id, i as start, i + {_SPAN_L} - 1 as fin,
+             md5(array_to_string(list_slice(toks, i, i + {_SPAN_L} - 1), ' ')) as gh
+      from base cross join lateral (
+        select unnest(generate_series(1, greatest(len(toks) - {_SPAN_L} + 1, 0))) as i
+      )
+    ),
+    occ as (
+      select doc_id, start, fin from (
+        select doc_id, start, fin, count(*) over (partition by gh) as c
+        from grams
+      ) where c >= 2
+    ),
+    isl as (
+      select doc_id, start, fin,
+             sum(case when prev_fin is null or start > prev_fin + 1
+                 then 1 else 0 end)
+               over (partition by doc_id order by start
+                     rows unbounded preceding) as island
+      from (
+        select doc_id, start, fin,
+               max(fin) over (partition by doc_id order by start
+                              rows between unbounded preceding
+                              and 1 preceding) as prev_fin
+        from occ
+      )
+    ),
+    spans as (
+      select doc_id, island, min(start) as s, max(fin) as e
+      from isl group by doc_id, island
+    ),
+    perdoc as (
+      select doc_id, count(*) as n_spans, sum(e - s + 1) as dup_tokens
+      from spans group by doc_id
+    )
+    select t.doc_id,
+           cast(t.n_tokens as bigint) as n_tokens,
+           cast(coalesce(p.n_spans, 0) as bigint) as n_spans,
+           cast(coalesce(p.dup_tokens, 0) as bigint) as dup_tokens,
+           cast(case when t.n_tokens > 0
+                then coalesce(p.dup_tokens, 0) * 1000000 // t.n_tokens
+                else 0 end as bigint) as dup_micro
+    from tot t left join perdoc p on t.doc_id = p.doc_id
+    order by t.doc_id
+    """,
+)
+def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication spans (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the merged token spans covered by ≥{L}-token runs
+    that occur more than once ANYWHERE in the corpus (cross-doc or
+    within-doc), with the per-doc duplicated-token fraction. This is
+    the family's exact-substring member — MinHash/SimHash find
+    near-dup DOCUMENTS, CDC passages find shared CHUNKS; this finds
+    every verbatim duplicated RUN and measures how much of each doc it
+    covers, which is the signal Lee et al. cut (their suffix-array
+    substrings re-expressed as rolling-window hashes: every duplicated
+    run of length ≥ L is exactly a maximal chain of duplicated
+    L-windows, so merged window intervals ARE the duplicated spans).
+
+    New operator shape for the catalog: GAPS-AND-ISLANDS interval
+    merging — a running-max window (prev coverage end), a gap flag, a
+    running-sum island id, then per-island min/max. Engine-exact: all
+    integer positions and md5 hashes; both engines merge identical
+    interval sets.
+
+    Shape at 100 TB: the rolling windows ride the token arrays as a
+    projection (no explode of raw text — only (doc_id, start, 16-byte
+    gh) rows flow); duplication marking is ONE window over the gh
+    partitioning (no agg+join round trip); island merging partitions
+    by doc_id over the ≥2-occurrence SUBSET (tiny); the final join
+    broadcasts the per-doc aggregate back onto the full doc list."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    tot = base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    # Spark sequence(1, 0) DESCENDS where DuckDB's is empty — guard the
+    # short-doc case explicitly (repo-standing engine gotcha)
+    starts = F.when(
+        F.size("toks") >= _SPAN_L,
+        F.sequence(F.lit(1), F.size("toks") - _SPAN_L + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    gh_arr = F.transform(
+        starts,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, _SPAN_L))),
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("start"),
+        (F.col("pos0") + _SPAN_L).alias("fin"),
+        "gh",
+    )
+    occ = (
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "start", "fin")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = occ.withColumn("prev_fin", F.max("fin").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_fin").isNull()
+                | (F.col("start") > F.col("prev_fin") + 1),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"), F.max("fin").alias("e")
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    micro = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("(dup_tokens * 1000000) div n_tokens"),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        tot.join(F.broadcast(perdoc), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .select("doc_id", "n_tokens", "n_spans", "dup_tokens", micro.alias("dup_micro"))
+        .orderBy("doc_id")
+    )

@@ -421,6 +421,12 @@ SHUFFLE_BUDGETS = {
     # join audit tail. Every exchange past the corpus spreads and topk
     # windows is k·dim- or |Q|-bounded
     "embedding_ivfpq_residual_recall_audit": 38,
+    # exact-substring spans: input spread, the ONE gh-partition window
+    # (duplication marking without an agg+join round trip), the doc_id
+    # islands window over the ≥2-occurrence subset, spans/per-doc aggs
+    # + presentation sort share remaining exchanges; only (doc_id,
+    # start, 16-byte gh) rows ever shuffle, never text
+    "doc_duplicated_spans": 4,
     # two-stage rerank: the residual serving plan's exchanges + the
     # ADC shortlist window + the exact stage's |Q|·R-row broadcast
     # joins onto the two vector streams (their input spreads) +

@@ -479,3 +479,64 @@ def test_ivfpq_rerank_matches_python_reference(spark):
         assert (r.neighbor_id, r.cell) == (nid, c), (r.query_id, r.rank)
         assert r.exact_cosine == cos, (r.query_id, r.rank)
     assert reordered, "exact stage never reordered the ADC shortlist"
+
+
+def test_duplicated_spans_matches_python_reference(spark, tmp_path):
+    """Exact-substring spans on a hand-built corpus — cross-doc
+    duplicated runs, a within-doc repeat, overlapping windows that must
+    merge into one span, adjacent-but-distinct islands, docs shorter
+    than L, and an empty doc — must equal a pure-Python interval-merge
+    reference exactly."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r9 import _SPAN_L
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.test_r8_properties import _write_docs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # exactly L=8
+    texts = [
+        f"intro {run} tail words here",                  # run shared with doc 1
+        f"{run} and then something different entirely",  # → cross-doc dup
+        f"{run} middle filler {run}",                    # within-doc repeat
+        "unique words only nothing repeated anywhere at all today",
+        f"pad {run} extended overlap beta gamma",        # overlapping windows
+        "short doc",                                     # < L tokens
+        "",                                              # empty
+        f"xx {run} yy {run} zz",                         # two islands? (merged if adjacent)
+    ]
+    sf = _write_docs(tmp_path, texts)
+
+    def toks(t):
+        return [w for w in " ".join(t.lower().strip().split()).split(" ") if w]
+
+    docs = {i: toks(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    grams = Counter()
+    for tok in docs.values():
+        for i in range(len(tok) - _SPAN_L + 1):
+            grams[" ".join(tok[i : i + _SPAN_L])] += 1
+    expected = {}
+    for d, tok in docs.items():
+        occ = [
+            (i + 1, i + _SPAN_L)
+            for i in range(len(tok) - _SPAN_L + 1)
+            if grams[" ".join(tok[i : i + _SPAN_L])] >= 2
+        ]
+        spans = []
+        for s, e in occ:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        dup = sum(e - s + 1 for s, e in spans)
+        n = len(tok)
+        expected[d] = (n, len(spans), dup, (dup * 1000000) // n if n else 0)
+
+    got = ENTRIES["doc_duplicated_spans"].spark(spark, sf).collect()
+    assert {r.doc_id for r in got} == set(expected)
+    for r in got:
+        assert (r.n_tokens, r.n_spans, r.dup_tokens, r.dup_micro) == expected[r.doc_id], r.doc_id
+    # the fixture exercises every regime
+    assert any(v[1] > 1 for v in expected.values()), "no multi-span doc"
+    assert any(v[1] == 1 for v in expected.values())
+    assert any(v[2] == 0 and v[0] > 0 for v in expected.values())
