@@ -142,24 +142,31 @@ HEADLINE = [
 SESSION_CACHED = {
     "doc_corpus_curation",
     "doc_incremental_curation",
-    # round-9 residual-PQ family: the trained codebook tables are
-    # frozen per (session, sf) — cleared per rep so each rep pays the
-    # full train→freeze→encode sequence
+    # round-9 residual-PQ family + the retrofitted round-8 PQ family:
+    # trained codebook tables are frozen per (session, sf) — cleared
+    # per rep so each rep pays the full train→freeze→encode sequence
     "embedding_ivfpq_residual_search",
     "embedding_ivfpq_multiprobe",
     "embedding_ivfpq_residual_recall_audit",
     "embedding_ivfpq_nprobe_audit",
     "embedding_ivfpq_adc_lut",
     "embedding_ivfpq_rerank",
+    "embedding_pq_codebooks",
+    "embedding_pq_search",
+    "embedding_ivfpq_search",
+    "embedding_pq_recall_audit",
 }
 
 
 def _clear_session_caches() -> None:
     from idh_etl_demo_spark.catalog_r3 import _CURATION_RESULTS
+    from idh_etl_demo_spark.catalog_r8 import _CELLS_FROZEN, _PQ_MODELS
     from idh_etl_demo_spark.catalog_r9 import _RES_MODELS
 
     _CURATION_RESULTS.clear()
     _RES_MODELS.clear()
+    _PQ_MODELS.clear()
+    _CELLS_FROZEN.clear()
 
 
 def main() -> None:

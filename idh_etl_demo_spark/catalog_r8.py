@@ -179,6 +179,43 @@ def _pq_all_ctes() -> str:
     )
 
 
+# Trained-model memo per (applicationId, sf_dir): the two sub-space
+# codebooks and the coarse cells, frozen with eager localCheckpoint —
+# the round-9 train→freeze→encode pattern (catalog_r9._RES_MODELS)
+# retrofitted to the round-8 family: a fully-lazy plan re-expands each
+# kcenter→Lloyd chain inside every consumer branch, which is wasted
+# recomputation, not the "honest cost" of training (training runs ONCE
+# here, exactly as FAISS trains once). Checkpointing k-row tables
+# preserves their values bit-for-bit, so every oracle stays green.
+# bench.py clears this memo per rep (SESSION_CACHED) for honest cold
+# numbers; the consuming entries are in EAGER_EXEMPT.
+_PQ_MODELS: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_CELLS_FROZEN: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pq_models(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_MODELS:
+        _, c1 = _pq_sub_frames(spark, sf_dir, _PQ_SUBS[0][1])
+        _, c2 = _pq_sub_frames(spark, sf_dir, _PQ_SUBS[1][1])
+        _PQ_MODELS[key] = (
+            c1.localCheckpoint(eager=True),
+            c2.localCheckpoint(eager=True),
+        )
+    return _PQ_MODELS[key]
+
+
+def _cells_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse-cell table (catalog_r3._km_trained_frames
+    values, frozen). Shared by the IVFPQ entries here and catalog_r9's
+    residual family — one coarse training per (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CELLS_FROZEN:
+        _, cents = _km_trained_frames(spark, sf_dir, 4)
+        _CELLS_FROZEN[key] = cents.localCheckpoint(eager=True)
+    return _CELLS_FROZEN[key]
+
+
 @query(
     "embedding_pq_codebooks",
     f"""
@@ -207,8 +244,7 @@ def embedding_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pass. At 100 TB with m=16, k=256 the update shuffle is still
     m·k·(dim/m) = k·dim rows — independent of corpus size."""
     out = []
-    for sub, lo in _PQ_SUBS:
-        _, cents = _pq_sub_frames(spark, sf_dir, lo)
+    for sub, cents in zip((s for s, _ in _PQ_SUBS), _pq_models(spark, sf_dir)):
         out.append(
             cents.select(
                 F.lit(sub).cast("long").alias("subspace"),
@@ -276,10 +312,10 @@ def _argmin_cid(
 
 def _pq_encoded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(codes, cents1, cents2): the corpus encoded to (vec_id, v, code1,
-    code2) in ONE projection pass — both sub-space codebooks ride the
-    row as packed broadcast structs, so encoding shuffles nothing."""
-    _, cents1 = _pq_sub_frames(spark, sf_dir, _PQ_SUBS[0][1])
-    _, cents2 = _pq_sub_frames(spark, sf_dir, _PQ_SUBS[1][1])
+    code2) in ONE projection pass — both sub-space codebooks (frozen
+    trained tables) ride the row as packed broadcast structs, so
+    encoding shuffles nothing."""
+    cents1, cents2 = _pq_models(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id", _spark_quant(F.col("embedding")).alias("v")
@@ -463,7 +499,7 @@ def embedding_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections over ONE corpus pass; the serving join is cell+code
     equi-join against the broadcast |Q|·k² score table; the per-query
     top-k window is the only corpus-keyed exchange."""
-    _, cell_cents = _km_trained_frames(spark, sf_dir, 4)
+    cell_cents = _cells_frozen(spark, sf_dir)
     codes, cents1, cents2 = _pq_encoded(spark, sf_dir)
     enc = (
         codes.crossJoin(

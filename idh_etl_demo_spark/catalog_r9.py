@@ -205,10 +205,13 @@ def _res_models(
     both grid=1 residual sub-space codebooks — freezing each k-row
     table with an eager localCheckpoint so downstream plans reference
     trained VALUES instead of re-expanding the training lineage."""
+    from idh_etl_demo_spark.catalog_r8 import _cells_frozen
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _RES_MODELS:
-        _, cc0 = _km_trained_frames(spark, sf_dir, _CELLS)
-        cell_cents = cc0.localCheckpoint(eager=True)
+        # one coarse training per (session, sf), shared with the r8
+        # IVFPQ entries through the same frozen-table memo
+        cell_cents = _cells_frozen(spark, sf_dir)
         resid = _resid_frame(_vv(spark, sf_dir), cell_cents)
         rcents = []
         for lo in (_PQ_SUBS[0][1], _PQ_SUBS[1][1]):

@@ -361,22 +361,23 @@ SHUFFLE_BUDGETS = {
     # pairs on 60-bit long keys, not the raw string gram stream, which
     # is what moved the 10× probe 2.5× → ~1.5-1.8×
     "doc_bigram_familiarity": 8,
-    # round-8 PQ codebooks: two sub-space kcenter→Lloyd chains (each
-    # the audited trained-quantizer shape: seed limits + the k·dim-row
-    # Lloyd update aggs) + presentation sort. Every exchange is
-    # |k|·dim- or 1-row-bounded except the shared input spread
-    "embedding_pq_codebooks": 8,
-    # PQ-ADC search: both sub-space training chains (~8 each, as
-    # above) + the corpus encode spread + the per-query top-k window +
-    # presentation sort. Corpus-sized exchanges: input spreads and the
-    # ONE ranking window — codes join the broadcast |Q|·k² score table
-    # with no corpus shuffle
-    "embedding_pq_search": 20,
-    # IVFPQ: pq_search's chains + the coarse-cell training chain; the
-    # serving join stays broadcast (cell+code equi-join against the
-    # |Q|·k² table), adding ZERO corpus exchanges beyond the ranking
-    # window
-    "embedding_ivfpq_search": 24,
+    # round-8 PQ codebooks, frozen-model retrofit (round 9): the
+    # trained tables are localCheckpoint'd, so the SERVED plan is the
+    # posexplode/union over two 4-row checkpoint scans + the ONE
+    # presentation sort. A second exchange means codebook emission
+    # grew a shuffle it cannot need
+    "embedding_pq_codebooks": 1,
+    # PQ-ADC search, frozen-model retrofit: corpus encode spread + the
+    # per-query top-k window + presentation sort + checkpoint-scan
+    # spreads; the training chains left the plan (they run once per
+    # session at freeze time). Codes still join the broadcast |Q|·k²
+    # score table with no corpus shuffle
+    "embedding_pq_search": 8,
+    # IVFPQ, frozen-model retrofit: pq_search's served shape + the
+    # frozen coarse-cell scan; the serving join stays broadcast
+    # (cell+code equi-join), adding ZERO corpus exchanges beyond the
+    # ranking window
+    "embedding_ivfpq_search": 9,
     # BM25: input spread, query-term tf groupBy, token-partition df
     # window (reuses the tf partitioning's exchange output shape),
     # per-doc fold agg, global top-20 sort. Everything after the tf
@@ -388,16 +389,15 @@ SHUFFLE_BUDGETS = {
     # (gram hashes broadcast; corpus text never shuffles)
     "doc_contamination_fraction": 5,
     # round-8 PQ recall audit (budgeted round 9 — the r8 checklist
-    # breach): the approx side is pq_search's full plan minus its
-    # presentation sort (two sub-space training chains ~8 each + the
-    # corpus encode spread + the per-query top-k window ≈ 19), the
-    # truth side is cosine_topk's audited plan (input spread + topk
-    # window = 2), then the audit tail shared with the int8/nprobe
-    # audits: intersect, per-query truth/hit aggs, join, ordering. All
-    # but the corpus spreads and the two top-k windows are k·dim- or
-    # |Q|-bounded; the brute truth side is the cost every recall audit
-    # pays by design on a SAMPLED query set
-    "embedding_pq_recall_audit": 25,
+    # breach — then tightened by the frozen-model retrofit): the
+    # approx side is pq_search's SERVED plan (encode spread + topk
+    # window), the truth side is cosine_topk's audited plan (input
+    # spread + topk window), then the audit tail shared with the
+    # int8/nprobe audits: intersect, per-query truth/hit aggs, join,
+    # ordering. All but the corpus spreads and the two top-k windows
+    # are |Q|-bounded; the brute truth side is the cost every recall
+    # audit pays by design on a SAMPLED query set
+    "embedding_pq_recall_audit": 13,
     # round-9 residual IVFPQ: training is FROZEN (localCheckpoint'd
     # 4-row codebooks — see catalog_r9._RES_MODELS; the entries are in
     # EAGER_EXEMPT), so the SERVED plan is just: corpus encode spread,
@@ -415,12 +415,11 @@ SHUFFLE_BUDGETS = {
     # |probes|-bounded
     "embedding_ivfpq_nprobe_audit": 15,
     # residual recall audit: composes THREE corpus-side plans by audit
-    # design — round-8's plain IVFPQ (its two LAZY training chains ~8
-    # exchanges each + encode + serving), the frozen-model residual
-    # serving (~9), and the brute truth side — plus the intersect/agg/
-    # join audit tail. Every exchange past the corpus spreads and topk
-    # windows is k·dim- or |Q|-bounded
-    "embedding_ivfpq_residual_recall_audit": 38,
+    # design — round-8's plain IVFPQ (frozen-model served shape ~9),
+    # the frozen-model residual serving (~9), and the brute truth side
+    # — plus the intersect/agg/join audit tail. Every exchange past
+    # the corpus spreads and topk windows is |Q|-bounded
+    "embedding_ivfpq_residual_recall_audit": 22,
     # exact-substring spans: input spread, the ONE gh-partition window
     # (duplication marking without an agg+join round trip), the doc_id
     # islands window over the ≥2-occurrence subset, spans/per-doc aggs
@@ -490,6 +489,14 @@ EAGER_EXEMPT = {
     "embedding_ivfpq_nprobe_audit",
     "embedding_ivfpq_adc_lut",
     "embedding_ivfpq_rerank",
+    # the round-8 PQ family retrofitted to the same frozen-model
+    # pattern (catalog_r8._PQ_MODELS / _CELLS_FROZEN): training runs
+    # once per (session, sf) instead of re-expanding inside every
+    # consumer branch; checkpointing k-row tables preserves values
+    "embedding_pq_codebooks",
+    "embedding_pq_search",
+    "embedding_ivfpq_search",
+    "embedding_pq_recall_audit",
 }
 
 
