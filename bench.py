@@ -155,18 +155,27 @@ SESSION_CACHED = {
     "embedding_pq_search",
     "embedding_ivfpq_search",
     "embedding_pq_recall_audit",
+    # every consumer of the source-frozen coarse quantizer
+    # (catalog_r3._KM_MODELS): without clearing, whichever entry runs
+    # first would pay training and the rest would ride the memo
+    "embedding_kmeans_seeded",
+    "embedding_semantic_dedup",
+    "embedding_ann_ivf",
+    "embedding_ivf_int8_search",
+    "embedding_ivf_multiprobe_search",
+    "embedding_ivf_nprobe_audit",
 }
 
 
 def _clear_session_caches() -> None:
-    from idh_etl_demo_spark.catalog_r3 import _CURATION_RESULTS
-    from idh_etl_demo_spark.catalog_r8 import _CELLS_FROZEN, _PQ_MODELS
+    from idh_etl_demo_spark.catalog_r3 import _CURATION_RESULTS, _KM_MODELS
+    from idh_etl_demo_spark.catalog_r8 import _PQ_MODELS
     from idh_etl_demo_spark.catalog_r9 import _RES_MODELS
 
     _CURATION_RESULTS.clear()
     _RES_MODELS.clear()
     _PQ_MODELS.clear()
-    _CELLS_FROZEN.clear()
+    _KM_MODELS.clear()
 
 
 def main() -> None:

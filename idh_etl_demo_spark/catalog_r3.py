@@ -1000,15 +1000,30 @@ def _km_seeded_sql(k: int = 4) -> str:
     """
 
 
+# Trained-centroid memo per (applicationId, sf_dir, k): the k-row
+# trained table, frozen with eager localCheckpoint — the round-9
+# train→freeze→encode pattern applied at the SOURCE so every consumer
+# (seeded-KMeans, the IVF-flat/int8/multiprobe serving family, SemDeDup,
+# and the r8/r9 PQ families through _cells_frozen) references trained
+# VALUES instead of re-expanding the kcenter→Lloyd lineage inside each
+# plan branch. Training runs ONCE per (session, sf, k) — exactly as
+# FAISS trains once — and checkpointing a k-row table preserves its
+# values bit-for-bit, so every oracle stays green. bench.py clears this
+# memo per rep (SESSION_CACHED) so reported numbers are honest cold
+# runs; consuming entries are in test_plan_shape.EAGER_EXEMPT.
+_KM_MODELS: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def _km_trained_frames(
     spark: SparkSession, sf_dir: str, k: int = 4
 ) -> tuple[DataFrame, DataFrame]:
     """Spark twin of ``_km_trained_ctes``: returns ``(assigned, cents)``
     where ``assigned`` = (vec_id, v, cluster) after kcenter seeding + two
     Lloyd rounds (the SQL chain's ``a2``) and ``cents`` = the trained
-    centroid table (cid, cv on the ×100 grid — the chain's ``c1``).
-    Shared by the seeded-KMeans entry and the trained-IVF serving
-    entries so the quantizer they serve from is the audited clustering."""
+    centroid table (cid, cv on the ×100 grid — the chain's ``c1``),
+    frozen per (session, sf, k) via ``_KM_MODELS``. Shared by the
+    seeded-KMeans entry and the trained-IVF serving entries so the
+    quantizer they serve from is the audited clustering."""
     from idh_etl_demo_spark.catalog_llm import _spark_quant
     from idh_etl_demo_spark.operators.kmeans import (
         CENTROID_GRID,
@@ -1020,13 +1035,17 @@ def _km_trained_frames(
     vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id", _spark_quant(F.col("embedding")).alias("v")
     )
-    # seeds on the x100 centroid grid; iteration-1 distances scale by
-    # 100^2 uniformly so every argmin matches the raw-seed oracle
-    seeds = _kcenter_seed_frame(vv, k).select(
-        F.col("vec_id").alias("cid"),
-        F.transform(F.col("v"), lambda x: x * CENTROID_GRID).alias("cv"),
-    )
-    cents = lloyd_centroids(vv, seeds, iterations=2)
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _KM_MODELS:
+        # seeds on the x100 centroid grid; iteration-1 distances scale
+        # by 100^2 uniformly so every argmin matches the raw-seed oracle
+        seeds = _kcenter_seed_frame(vv, k).select(
+            F.col("vec_id").alias("cid"),
+            F.transform(F.col("v"), lambda x: x * CENTROID_GRID).alias("cv"),
+        )
+        cents = lloyd_centroids(vv, seeds, iterations=2)
+        _KM_MODELS[key] = cents.localCheckpoint(eager=True)
+    cents = _KM_MODELS[key]
     return lloyd_assign(vv, cents), cents
 
 

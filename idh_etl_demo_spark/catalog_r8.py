@@ -180,17 +180,16 @@ def _pq_all_ctes() -> str:
 
 
 # Trained-model memo per (applicationId, sf_dir): the two sub-space
-# codebooks and the coarse cells, frozen with eager localCheckpoint —
-# the round-9 train→freeze→encode pattern (catalog_r9._RES_MODELS)
-# retrofitted to the round-8 family: a fully-lazy plan re-expands each
-# kcenter→Lloyd chain inside every consumer branch, which is wasted
-# recomputation, not the "honest cost" of training (training runs ONCE
-# here, exactly as FAISS trains once). Checkpointing k-row tables
-# preserves their values bit-for-bit, so every oracle stays green.
-# bench.py clears this memo per rep (SESSION_CACHED) for honest cold
-# numbers; the consuming entries are in EAGER_EXEMPT.
+# codebooks, frozen with eager localCheckpoint — the round-9
+# train→freeze→encode pattern (catalog_r9._RES_MODELS) retrofitted to
+# the round-8 family: a fully-lazy plan re-expands each kcenter→Lloyd
+# chain inside every consumer branch, which is wasted recomputation,
+# not the "honest cost" of training (training runs ONCE here, exactly
+# as FAISS trains once). Checkpointing k-row tables preserves their
+# values bit-for-bit, so every oracle stays green. bench.py clears this
+# memo per rep (SESSION_CACHED) for honest cold numbers; the consuming
+# entries are in EAGER_EXEMPT.
 _PQ_MODELS: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
-_CELLS_FROZEN: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pq_models(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -207,13 +206,11 @@ def _pq_models(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 def _cells_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained coarse-cell table (catalog_r3._km_trained_frames
-    values, frozen). Shared by the IVFPQ entries here and catalog_r9's
-    residual family — one coarse training per (session, sf)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CELLS_FROZEN:
-        _, cents = _km_trained_frames(spark, sf_dir, 4)
-        _CELLS_FROZEN[key] = cents.localCheckpoint(eager=True)
-    return _CELLS_FROZEN[key]
+    values — frozen at the source via catalog_r3._KM_MODELS). Shared by
+    the IVFPQ entries here and catalog_r9's residual family — one
+    coarse training per (session, sf)."""
+    _, cents = _km_trained_frames(spark, sf_dir, 4)
+    return cents
 
 
 @query(

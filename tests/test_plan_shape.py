@@ -186,12 +186,12 @@ SHUFFLE_BUDGETS = {
     # rose 7→11 with the honest counter: the old string scan missed the
     # round-robin input spreads and truncated the plan string.)
     "embedding_kmeans_2iter": 11,
-    # same two Lloyd rounds; the kcenter seed chain itself adds ZERO
-    # shuffles (TakeOrderedAndProject top-1s + broadcast joins only); the
-    # 7 are the Lloyd-round centroid aggs/rebuilds deduplicated by
-    # exchange reuse (the round-7 lloyd_assign/lloyd_centroids refactor
-    # shares the assignment subtree one step further: 8 → 7)
-    "embedding_kmeans_seeded": 7,
+    # frozen-source retrofit (round 9, catalog_r3._KM_MODELS): the
+    # Lloyd training chain runs ONCE at freeze time, so the SERVED plan
+    # is input spread + the cluster-size window + ordering over the
+    # 4-row checkpoint scan (the kcenter seed chain never shuffled —
+    # TakeOrderedAndProject top-1s + broadcast joins only)
+    "embedding_kmeans_seeded": 4,
     # round-6 audited breakdown of 5: quality+hash scan round-robin
     # spread 1 (the gopher rewrite removed its two aggs and the chq
     # join rode into the same scan via the extra= hook), exact-dedup
@@ -234,13 +234,12 @@ SHUFFLE_BUDGETS = {
     # same audit shape on the embeddings side: brute topk + ANN topk
     # (both already budget-audited as standalone entries) + intersect
     "embedding_ann_audit": 10,
-    # IVF on the TRAINED quantizer (round 7): the seeded-KMeans chain's
-    # 7 (Lloyd centroid aggs/packs, all |k|·dim-bounded — audited under
-    # embedding_kmeans_seeded) + the probe join exchange + the per-query
-    # topk window; presentation sort rides exchange reuse. The corpus
-    # shuffles ONCE (input spread, shared); assignment stays a
-    # packed-broadcast projection
-    "embedding_ann_ivf": 9,
+    # IVF on the TRAINED quantizer, frozen-source retrofit: training
+    # left the plan (runs once at freeze time), so the SERVED shape is
+    # the corpus input spread + the probe join exchange + the per-query
+    # topk window + presentation sort + the checkpoint scan spread;
+    # assignment stays a packed-broadcast projection
+    "embedding_ann_ivf": 5,
     # round-6: quantization is a MAP-ONLY projection — the single
     # exchange is the presentation range sort; a second exchange
     # appearing here means the quantizer grew a shuffle it must not
@@ -287,27 +286,28 @@ SHUFFLE_BUDGETS = {
     # — never all-pairs; shingle arrays shuffle only into the audit
     # joins
     "doc_minhash_estimate_audit": 7,
-    # IVF+int8 serving on the TRAINED quantizer (round 7): the
-    # seeded-KMeans chain's 7 + the assignment↔codes vec_id join + the
+    # IVF+int8 serving, frozen-source retrofit: the served shape is
+    # the corpus spread + the assignment↔codes vec_id join + the
     # cell-id probe/topk pair — same count as the float entry because
     # the codes join rides exchange reuse with the probe side; queries
     # broadcast, corpus never re-shuffles for the probe
-    "embedding_ivf_int8_search": 9,
-    # round-7 multi-probe serving (nprobe=2): the int8 entry's 9 + the
-    # query-side topn cell fan-out join's two exchanges — all on the
-    # |queries|·nprobe side; the corpus inverted lists are untouched
-    "embedding_ivf_multiprobe_search": 11,
-    # round-7 nprobe cost/recall audit: ONE shared multi-probe scored
-    # frame (the 11 above) + cosine-topk truth (input spread + topk
-    # window) + per-depth hit/candidate aggs and the assembly joins —
-    # the same audited audit shape as embedding_int8_ann_recall, one
-    # scored pass for both depths
-    "embedding_ivf_nprobe_audit": 19,
-    # round-7 SemDeDup: the seeded-KMeans chain's 7 + the cluster-id
-    # pair join exchange + the keeper-min agg; the dup verdict join
-    # rides exchange reuse — pairs exist only within trained cells,
-    # never corpus-wide
-    "embedding_semantic_dedup": 9,
+    "embedding_ivf_int8_search": 5,
+    # round-7 multi-probe serving (nprobe=2), frozen-source retrofit:
+    # the int8 entry's 5 + the query-side topn cell fan-out join's
+    # exchange — all on the |queries|·nprobe side; the corpus inverted
+    # lists are untouched
+    "embedding_ivf_multiprobe_search": 6,
+    # round-7 nprobe cost/recall audit, frozen-source retrofit: ONE
+    # shared multi-probe scored frame (the 6 above) + cosine-topk truth
+    # (input spread + topk window) + per-depth hit/candidate aggs and
+    # the assembly joins — the same audited audit shape as
+    # embedding_int8_ann_recall, one scored pass for both depths
+    "embedding_ivf_nprobe_audit": 14,
+    # round-7 SemDeDup, frozen-source retrofit: corpus spread + the
+    # cluster-id pair join exchange + the keeper-min agg + ordering;
+    # the dup verdict join rides exchange reuse — pairs exist only
+    # within trained cells, never corpus-wide
+    "embedding_semantic_dedup": 6,
     # round-7 CCNet split: the reworked familiarity chain's 8 + the
     # global ntile window (deliberate single-partition sort over the
     # per-doc SCORE table, the customer_revenue_pareto shape)
@@ -490,13 +490,24 @@ EAGER_EXEMPT = {
     "embedding_ivfpq_adc_lut",
     "embedding_ivfpq_rerank",
     # the round-8 PQ family retrofitted to the same frozen-model
-    # pattern (catalog_r8._PQ_MODELS / _CELLS_FROZEN): training runs
-    # once per (session, sf) instead of re-expanding inside every
-    # consumer branch; checkpointing k-row tables preserves values
+    # pattern (catalog_r8._PQ_MODELS): training runs once per
+    # (session, sf) instead of re-expanding inside every consumer
+    # branch; checkpointing k-row tables preserves values
     "embedding_pq_codebooks",
     "embedding_pq_search",
     "embedding_ivfpq_search",
     "embedding_pq_recall_audit",
+    # the coarse quantizer frozen at its SOURCE
+    # (catalog_r3._KM_MODELS): every trained-quantizer consumer now
+    # trains once per (session, sf, k) and serves from the frozen
+    # k-row table — same pattern, same honesty rules (bench clears
+    # the memo per rep)
+    "embedding_kmeans_seeded",
+    "embedding_semantic_dedup",
+    "embedding_ann_ivf",
+    "embedding_ivf_int8_search",
+    "embedding_ivf_multiprobe_search",
+    "embedding_ivf_nprobe_audit",
 }
 
 
