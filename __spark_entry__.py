@@ -127,8 +127,14 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ann_signbit",
     "doc_dup_triangles",
     "embedding_pq_codebooks",
-    "embedding_pq_search",
-    "embedding_ivfpq_search",
+    # (embedding_pq_search and embedding_ivfpq_search were slotted here
+    # for their r8 second signal; displaced by the two late round-9
+    # leakage-split entries — their served plans are fully composed by
+    # the in-window embedding_pq_recall_audit (pq_search's plan is its
+    # approx side) and embedding_ivfpq_nprobe_audit/_multiprobe (the
+    # same IVFPQ serving path), so the driver still executes both
+    # shapes; embedding family stays at 12 in-window, above its
+    # minimum of 8)
     "doc_bm25_topk",
     "doc_contamination_fraction",
     # --- round-9 NEW entries (displaced the first five stale fills:
@@ -142,6 +148,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivfpq_rerank",
     "doc_bm25_multiquery",
     "doc_duplicated_spans",
+    "doc_leakage_safe_split",
+    "doc_split_leakage_audit",
 ]
 
 

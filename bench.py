@@ -130,6 +130,8 @@ HEADLINE = [
     "embedding_ivfpq_rerank",
     "doc_bm25_multiquery",
     "doc_duplicated_spans",
+    "doc_leakage_safe_split",
+    "doc_split_leakage_audit",
 ]
 
 

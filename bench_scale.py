@@ -199,6 +199,12 @@ PROBES = [
     # one gh window, islands over the dup subset); the ratio must track
     # the token scan like the decontamination family
     "doc_duplicated_spans",
+    # round-9: doc_leakage_safe_split / doc_split_leakage_audit are NOT
+    # probed — their scale-bearing stages (LSH banding + the CC
+    # fixpoint) are exactly doc_minhash_candidates' and
+    # doc_corpus_curation's probed machinery; the split/audit layers on
+    # top are id-keyed joins + a map-side md5 projection whose 10×
+    # ratio would re-measure those probes
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

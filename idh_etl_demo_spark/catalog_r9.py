@@ -1248,3 +1248,244 @@ def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_spans", "dup_tokens", micro.alias("dup_micro"))
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Leakage-safe corpus splitting — dedup-aware train/valid/test assignment
+# ===========================================================================
+#
+# Splitting a corpus per-document leaks: near-duplicate pairs straddle
+# the train/test boundary, so held-out loss is measured on documents the
+# model effectively saw (the contamination mechanism Lee et al. 2021
+# §6.2 and the GPT-3 appendix both document). The fix is to assign
+# SPLITS TO NEAR-DUP CLUSTERS, not documents: hash the cluster id, and
+# every member inherits the cluster's split — a near-dup pair can never
+# straddle because both endpoints share a cluster by construction.
+#
+# The split hash is the repo's established engine-exact splitter
+# (doc_hash_sample): md5 of the id's decimal string, first 60 bits,
+# thresholded at floor(0.8·2^60) / floor(0.9·2^60) for an 80/10/10
+# train/valid/test split — a pure function of the key, stable across
+# runs, engines, partitionings and cluster sizes.
+
+_SPLIT_T80 = ((1 << 60) * 4) // 5
+_SPLIT_T90 = ((1 << 60) * 9) // 10
+
+
+def _split_label(key: F.Column) -> F.Column:
+    """'train'/'valid'/'test' from the md5-60-bit prefix of the key's
+    decimal string — the Spark twin of the oracle's case expression."""
+    hv = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        F.when(hv < F.lit(_SPLIT_T80), F.lit("train"))
+        .when(hv < F.lit(_SPLIT_T90), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for EVERY document: near-dup components
+    (the doc_dup_clusters pipeline verbatim — LSH candidates closed
+    under transitivity by min-label propagation) left-joined onto the
+    corpus, singletons falling back to their own id."""
+    from idh_etl_demo_spark.operators.dedup import minhash_lsh_candidates
+    from idh_etl_demo_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs,
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
+    )
+    cc = connected_components(cand, "id_a", "id_b")
+    return docs.select("doc_id").join(
+        cc.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+def _leakage_cluster_sql() -> str:
+    """Recursive-closure CTE chain shared by the split and audit
+    oracles: ``assigned(doc_id, cluster_id)`` over ALL documents."""
+    from idh_etl_demo_spark.catalog_llm import _minhash_cte
+
+    return f"""{_minhash_cte()},
+    bi as (
+      select id_a as a, id_b as b from cand
+      union
+      select id_b as a, id_a as b from cand
+    ),
+    nodes as (select distinct a as id from bi),
+    reach as (
+      select id, id as r from nodes
+      union
+      select bi.a as id, reach.r from bi join reach on reach.id = bi.b
+    ),
+    comp as (select id, min(r) as component from reach group by id),
+    assigned as (
+      select d.doc_id, coalesce(c.component, d.doc_id) as cluster_id
+      from documents d left join comp c on c.id = d.doc_id
+    )"""
+
+
+@query(
+    "doc_leakage_safe_split",
+    f"""
+    with recursive {_leakage_cluster_sql()},
+    h as (
+      select doc_id, cluster_id,
+             ('0x' || substring(md5(cast(cluster_id as varchar)), 1, 15))::bigint as hv
+      from assigned
+    )
+    select doc_id, cluster_id,
+           count(*) over (partition by cluster_id) as cluster_size,
+           case when hv < {_SPLIT_T80} then 'train'
+                when hv < {_SPLIT_T90} then 'valid'
+                else 'test' end as split
+    from h
+    order by doc_id
+    """,
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/valid/test assignment: every document carries
+    its near-dup cluster's split, so near-duplicates NEVER straddle the
+    held-out boundary (the train→test contamination path per-doc
+    splitting leaves open — Lee et al. 2021 §6.2). Clusters come from
+    the audited ``doc_dup_clusters`` pipeline (LSH candidates closed
+    under transitivity); singletons hash their own id, so the entry
+    degrades to exactly ``doc_hash_sample``'s per-doc split on a
+    dup-free corpus. 80/10/10 via the md5-60-bit threshold splitter.
+
+    Scale shape: the LSH/CC stages are the already-probed
+    ``doc_corpus_curation`` machinery (banding equi-join, min-label
+    fixpoint over checkpointed edges); the split itself adds ONE
+    doc_id-keyed join of the (doc_id, cluster_id) table against the
+    corpus id stream + a map-side md5 projection — document bodies
+    never shuffle, and the cluster-size window shuffles id-width rows
+    only."""
+    assigned = _cluster_assignment(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return (
+        assigned.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            _split_label(F.col("cluster_id")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_split_leakage_audit",
+    f"""
+    with recursive {_leakage_cluster_sql()},
+    h as (
+      select doc_id,
+             ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::bigint as hd,
+             ('0x' || substring(md5(cast(cluster_id as varchar)), 1, 15))::bigint as hc
+      from assigned
+    ),
+    s as (
+      select doc_id,
+             case when hd < {_SPLIT_T80} then 0 when hd < {_SPLIT_T90} then 1 else 2 end as naive_s,
+             case when hc < {_SPLIT_T80} then 0 when hc < {_SPLIT_T90} then 1 else 2 end as safe_s
+      from h
+    ),
+    p as (
+      select sa.naive_s as na, sb.naive_s as nb, sa.safe_s as fa, sb.safe_s as fb
+      from cand
+      join s sa on sa.doc_id = cand.id_a
+      join s sb on sb.doc_id = cand.id_b
+    )
+    select cast(count(*) as bigint) as n_dup_pairs,
+           cast(coalesce(sum(case when na != nb then 1 else 0 end), 0) as bigint) as naive_straddling,
+           cast(coalesce(sum(case when fa != fb then 1 else 0 end), 0) as bigint) as safe_straddling,
+           cast(case when count(*) > 0
+                then (coalesce(sum(case when na != nb then 1 else 0 end), 0) * 1000000) // count(*)
+                else 0 end as bigint) as naive_straddle_micro
+    from p
+    """,
+)
+def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices what cluster-level splitting prevents: for every near-dup
+    CANDIDATE PAIR, does it straddle splits under the naive per-doc
+    hash vs the cluster hash? ``safe_straddling`` is MEASURED (not
+    assumed) and must be 0 — both endpoints of a candidate pair share a
+    component by construction, so the cluster hash assigns them the
+    same split; ``naive_straddling`` is the leaked-pair count a per-doc
+    split would ship to evaluation (~34% of dup pairs in expectation at
+    80/10/10: 1 − 0.8² − 0.1² − 0.1²). One summary row, micro-exact
+    integer ratio.
+
+    Scale shape: the pair list is |candidates|-bounded (banding
+    equi-join, never all-pairs); the two split joins carry (doc_id,
+    2 small ints) rows; the final agg is map-side-combined to one
+    row."""
+    assigned = _cluster_assignment(spark, sf_dir)
+    from idh_etl_demo_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs,
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
+    )
+    code = lambda col: (  # noqa: E731 — 0/1/2 split codes, both engines
+        F.when(col < F.lit(_SPLIT_T80), 0)
+        .when(col < F.lit(_SPLIT_T90), 1)
+        .otherwise(2)
+    )
+    hv = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    s = assigned.select(
+        "doc_id",
+        code(hv(F.col("doc_id"))).alias("naive_s"),
+        code(hv(F.col("cluster_id"))).alias("safe_s"),
+    )
+    p = (
+        cand.join(
+            s.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("naive_s").alias("na"),
+                F.col("safe_s").alias("fa"),
+            ),
+            "id_a",
+        )
+        .join(
+            s.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("naive_s").alias("nb"),
+                F.col("safe_s").alias("fb"),
+            ),
+            "id_b",
+        )
+    )
+    n = F.count(F.lit(1))
+    naive = F.coalesce(
+        F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0)), F.lit(0)
+    )
+    safe = F.coalesce(
+        F.sum(F.when(F.col("fa") != F.col("fb"), 1).otherwise(0)), F.lit(0)
+    )
+    # counts are |candidates|-bounded, so naive·10^6 < 2^53 and the
+    # double division is exact before the floor-truncation to long
+    return p.agg(
+        n.cast("long").alias("n_dup_pairs"),
+        naive.cast("long").alias("naive_straddling"),
+        safe.cast("long").alias("safe_straddling"),
+        F.when(n > 0, F.floor((naive * 1000000) / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("naive_straddle_micro"),
+    )

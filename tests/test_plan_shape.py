@@ -441,6 +441,18 @@ SHUFFLE_BUDGETS = {
     # and per-query ranking window replacing the global sort; the
     # query-table join is broadcast, adding no exchange
     "doc_bm25_multiquery": 8,
+    # leakage-safe split: the LSH/CC stages run inside the fixpoint's
+    # checkpointed loop (EAGER_EXEMPT, same as doc_dup_clusters), so
+    # the static plan is the doc_id join of the checkpointed component
+    # table onto the corpus id stream, the cluster-size window, and
+    # the presentation sort — id-width rows only, never text (the
+    # fourth exchange is the corpus id-stream spread)
+    "doc_leakage_safe_split": 4,
+    # split-leakage audit: the same served assignment join + the two
+    # pair↔split joins (doc_id, 2 small ints per row) + the one-row
+    # final agg; the candidate pair list is |candidates|-bounded by
+    # the banding equi-join, never all-pairs
+    "doc_split_leakage_audit": 7,
 }
 
 
@@ -508,6 +520,10 @@ EAGER_EXEMPT = {
     "embedding_ivf_int8_search",
     "embedding_ivf_multiprobe_search",
     "embedding_ivf_nprobe_audit",
+    # round-9 leakage-safe splitting: both compose the CC fixpoint
+    # (checkpointed loop — the same reason doc_dup_clusters is exempt)
+    "doc_leakage_safe_split",
+    "doc_split_leakage_audit",
 }
 
 

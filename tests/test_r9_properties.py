@@ -540,3 +540,78 @@ def test_duplicated_spans_matches_python_reference(spark, tmp_path):
     assert any(v[1] > 1 for v in expected.values()), "no multi-span doc"
     assert any(v[1] == 1 for v in expected.values())
     assert any(v[2] == 0 and v[0] > 0 for v in expected.values())
+
+
+# ---------------------------------------------------------------------------
+# doc_leakage_safe_split / doc_split_leakage_audit vs a pure-Python
+# reference on a constructed dup-group corpus
+# ---------------------------------------------------------------------------
+
+
+def _py_split(key: int) -> str:
+    import hashlib
+
+    from idh_etl_demo_spark.catalog_r9 import _SPLIT_T80, _SPLIT_T90
+
+    hv = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+    return "train" if hv < _SPLIT_T80 else ("valid" if hv < _SPLIT_T90 else "test")
+
+
+def test_leakage_safe_split_matches_python_reference(spark, tmp_path):
+    """Three exact-duplicate groups chosen (by precomputed md5) so each
+    straddles the NAIVE per-doc split, plus two singletons: the split
+    entry must assign every member its cluster-min-id's split (matching
+    a pure-Python md5 reference row for row), and the audit entry must
+    measure naive_straddling = 3, safe_straddling = 0 over exactly the
+    3 within-group candidate pairs."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.test_r8_properties import _write_docs
+
+    # ids 0/1 → valid/train, 2/3 → train/test, 4/5 → train/valid under
+    # the naive per-doc hash (precomputed, deterministic): every dup
+    # group straddles naively. Texts are identical within a group and
+    # wildly different across groups, so LSH pairs exactly the groups.
+    g = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "import numpy as np import pandas as pd from pyspark sql import functions",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor",
+    ]
+    texts = [g[0], g[0], g[1], g[1], g[2], g[2],
+             "completely unrelated singleton text about gardening and tulip bulbs in spring",
+             "another singleton concerning medieval castle architecture and stone masonry"]
+    sf = _write_docs(tmp_path, texts)
+
+    split_rows = {
+        r.doc_id: r
+        for r in ENTRIES["doc_leakage_safe_split"].spark(spark, sf).collect()
+    }
+    expected_cluster = {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 7}
+    expected_size = {0: 2, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 1, 7: 1}
+    assert set(split_rows) == set(expected_cluster)
+    for d, r in split_rows.items():
+        assert r.cluster_id == expected_cluster[d], d
+        assert r.cluster_size == expected_size[d], d
+        assert r.split == _py_split(expected_cluster[d]), d
+    # the fixture exercises real leakage: at least one group's members
+    # would DISAGREE under the naive per-doc split
+    assert any(
+        _py_split(d) != _py_split(expected_cluster[d]) for d in expected_cluster
+    )
+    # dup-group members share a split; singletons degrade to doc_hash
+    for d in (6, 7):
+        assert split_rows[d].split == _py_split(d)
+
+    audit = ENTRIES["doc_split_leakage_audit"].spark(spark, sf).collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert a.n_dup_pairs == 3
+    assert a.safe_straddling == 0
+    expected_naive = sum(
+        1
+        for lo, hi in [(0, 1), (2, 3), (4, 5)]
+        if _py_split(lo) != _py_split(hi)
+    )
+    assert expected_naive == 3  # fixture chosen so every group straddles
+    assert a.naive_straddling == expected_naive
+    assert a.naive_straddle_micro == (expected_naive * 1000000) // 3
