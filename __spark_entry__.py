@@ -122,7 +122,11 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
     "doc_decontamination_passages",
-    "doc_simhash",
+    # (doc_simhash was slotted here for its r8 second signal; displaced
+    # by the late round-9 embedding_prototype_pruning — it is
+    # thrice-green (r1/r4/r8) and doc_simhash60_neardup keeps the
+    # simhash shape in-window; doc family stays at 22, above its
+    # minimum of 21)
     "doc_simhash60_neardup",
     "embedding_ann_signbit",
     "doc_dup_triangles",
@@ -150,6 +154,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_duplicated_spans",
     "doc_leakage_safe_split",
     "doc_split_leakage_audit",
+    "embedding_prototype_pruning",
 ]
 
 

@@ -132,6 +132,7 @@ HEADLINE = [
     "doc_duplicated_spans",
     "doc_leakage_safe_split",
     "doc_split_leakage_audit",
+    "embedding_prototype_pruning",
 ]
 
 
@@ -166,6 +167,7 @@ SESSION_CACHED = {
     "embedding_ivf_int8_search",
     "embedding_ivf_multiprobe_search",
     "embedding_ivf_nprobe_audit",
+    "embedding_prototype_pruning",
 }
 
 

@@ -205,6 +205,10 @@ PROBES = [
     # doc_corpus_curation's probed machinery; the split/audit layers on
     # top are id-keyed joins + a map-side md5 projection whose 10×
     # ratio would re-measure those probes
+    # round-9: prototype pruning rides the trained-quantizer serving
+    # shape (packed-broadcast argmin projection + a per-cluster id-row
+    # window) already probed via embedding_ann_ivf / the kmeans family;
+    # its only addition is the ranking window over id-width rows
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -1489,3 +1489,82 @@ def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("naive_straddle_micro"),
     )
+
+
+# ===========================================================================
+# Prototype-based data pruning — keep the hardest examples per cluster
+# ===========================================================================
+#
+# Sorscher et al. 2022 ("Beyond neural scaling laws") show random
+# pruning is the wrong curation knob at scale: rank examples by
+# distance to their k-means prototype and, on large corpora, KEEP THE
+# HARD ones (far from the centroid) while dropping redundant
+# near-prototype mass — and keep per-cluster so no region of the space
+# is emptied. This entry ranks every vector by its exact integer
+# squared distance to its trained centroid and flags the kept half,
+# cluster-balanced.
+
+
+@query(
+    "embedding_prototype_pruning",
+    f"""
+    with {','.join(_km_trained_ctes(4))},
+    d as (
+      select vec_id, cid as cluster, cast(dist as bigint) as dist2
+      from r2 where rn = 1
+    ),
+    r as (
+      select vec_id, cluster, dist2,
+             count(*) over (partition by cluster) as cluster_size,
+             row_number() over (partition by cluster
+                                order by dist2 desc, vec_id asc) as hardness_rank
+      from d
+    )
+    select vec_id, cluster, dist2, cluster_size, hardness_rank,
+           hardness_rank <= (cluster_size + 1) // 2 as kept
+    from r
+    order by vec_id
+    """,
+)
+def embedding_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced prototype pruning (Sorscher et al. 2022): every
+    vector ranked per cluster by exact integer squared distance to its
+    TRAINED centroid (the audited kcenter→Lloyd quantizer,
+    ``catalog_r3._km_trained_frames`` — the same frozen model the IVF
+    and SemDeDup families serve from), hardest first; ``kept`` flags
+    the ceil(half) farthest per cluster — the keep-hard-examples regime
+    the paper prescribes for large corpora, balanced so no cluster is
+    emptied. Distances are integer-valued doubles (< 2^53), so the
+    rank order is bit-identical across engines.
+
+    Scale shape: assignment + distance is the packed-broadcast argmin
+    projection (zero corpus shuffles — ``operators/kmeans.py``); the
+    only corpus-keyed exchanges are the per-cluster ranking window over
+    (vec_id, cluster, dist2) id-width rows — vectors never shuffle —
+    and the presentation sort. Training shuffles ≤ k·dim rows and is
+    frozen once per session."""
+    from idh_etl_demo_spark.catalog_llm import _spark_quant
+    from idh_etl_demo_spark.operators.kmeans import _dist_structs
+
+    _, cents = _km_trained_frames(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", _spark_quant(F.col("embedding")).alias("v")
+    )
+    best = F.array_min(_dist_structs(CENTROID_GRID))
+    d = vv.join(F.broadcast(_packed(cents))).select(
+        "vec_id",
+        best["cid"].alias("cluster"),
+        best["dist"].cast("long").alias("dist2"),
+    )
+    w = Window.partitionBy("cluster")
+    wr = Window.partitionBy("cluster").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        d.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("hardness_rank", F.row_number().over(wr).cast("long"))
+        .withColumn(
+            "kept",
+            F.col("hardness_rank") <= F.expr("(cluster_size + 1) div 2"),
+        )
+        .orderBy("vec_id")
+    )

@@ -453,6 +453,13 @@ SHUFFLE_BUDGETS = {
     # final agg; the candidate pair list is |candidates|-bounded by
     # the banding equi-join, never all-pairs
     "doc_split_leakage_audit": 7,
+    # prototype pruning: assignment + distance is the packed-broadcast
+    # argmin PROJECTION (zero corpus shuffles — the frozen trained
+    # centroids are a checkpointed 4-row table), so the four exchanges
+    # are the corpus spread, the per-cluster ranking window's
+    # hashpartitioning, its count-window twin, and the presentation
+    # sort — all over (vec_id, cluster, dist2) id-width rows
+    "embedding_prototype_pruning": 4,
 }
 
 
@@ -524,6 +531,9 @@ EAGER_EXEMPT = {
     # (checkpointed loop — the same reason doc_dup_clusters is exempt)
     "doc_leakage_safe_split",
     "doc_split_leakage_audit",
+    # round-9 prototype pruning serves from the same frozen coarse
+    # quantizer (_KM_MODELS) as the IVF family above
+    "embedding_prototype_pruning",
 }
 
 

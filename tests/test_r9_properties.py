@@ -615,3 +615,70 @@ def test_leakage_safe_split_matches_python_reference(spark, tmp_path):
     assert expected_naive == 3  # fixture chosen so every group straddles
     assert a.naive_straddling == expected_naive
     assert a.naive_straddle_micro == (expected_naive * 1000000) // 3
+
+
+# ---------------------------------------------------------------------------
+# embedding_prototype_pruning vs a pure-Python full-chain reference
+# ---------------------------------------------------------------------------
+
+
+def test_prototype_pruning_matches_python_reference(spark):
+    """The pruning entry on the REAL sf0.001 embeddings must equal a
+    pure-Python twin of the full trained-quantizer chain: kcenter seeds
+    → one ×100-grid Lloyd update → final assignment (``_py_pq_train``
+    run on the full 64 dims — the identical arithmetic the sub-space
+    chain uses), then per-cluster hardness ranks (dist² desc, vec_id
+    asc) with the ceil(half)-kept rule. Pins that ``kept`` marks the
+    FARTHEST-from-prototype half per cluster, cluster-balanced."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.test_r8_properties import _py_pq_train
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding] for r in rows
+    }
+    cb, codes = _py_pq_train(vecs, k=4)
+    dist2 = {}
+    for i, v in vecs.items():
+        best = min(
+            (sum((x * 100 - c) ** 2 for x, c in zip(v, cb[cid])), cid)
+            for cid in cb
+        )
+        assert best[1] == codes[i]
+        dist2[i] = best[0]
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for i, c in codes.items():
+        members[c].append(i)
+    expected = {}
+    for c, ids in members.items():
+        ranked = sorted(ids, key=lambda i: (-dist2[i], i))
+        for rank0, i in enumerate(ranked):
+            expected[i] = (
+                c,
+                dist2[i],
+                len(ids),
+                rank0 + 1,
+                rank0 + 1 <= (len(ids) + 1) // 2,
+            )
+
+    got = ENTRIES["embedding_prototype_pruning"].spark(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (
+            r.cluster,
+            r.dist2,
+            r.cluster_size,
+            r.hardness_rank,
+            r.kept,
+        ) == expected[r.vec_id], r.vec_id
+    # the measurement is real: at least two clusters, and kept counts
+    # are the ceil-half per cluster (no cluster emptied or kept whole)
+    assert len(members) >= 2
+    for c, ids in members.items():
+        kept_n = sum(1 for i in ids if expected[i][4])
+        assert kept_n == (len(ids) + 1) // 2
+        if len(ids) > 1:
+            assert 0 < kept_n < len(ids)
