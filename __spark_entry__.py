@@ -129,7 +129,11 @@ DRIVER_PRIORITY: list[str] = [
     # minimum of 21)
     "doc_simhash60_neardup",
     "embedding_ann_signbit",
-    "doc_dup_triangles",
+    # (doc_dup_triangles was slotted here for its r8 second signal;
+    # displaced by the late round-9 doc_unimax_allocation — it is
+    # thrice-green (r3/r4/r8) and doc_dup_4cliques keeps the
+    # clique-mining shape in-window; doc family stays at 22, above its
+    # minimum of 21)
     "embedding_pq_codebooks",
     # (embedding_pq_search and embedding_ivfpq_search were slotted here
     # for their r8 second signal; displaced by the two late round-9
@@ -155,6 +159,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_leakage_safe_split",
     "doc_split_leakage_audit",
     "embedding_prototype_pruning",
+    "doc_unimax_allocation",
 ]
 
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_leakage_safe_split",
     "doc_split_leakage_audit",
     "embedding_prototype_pruning",
+    "doc_unimax_allocation",
 ]
 
 

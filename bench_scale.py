@@ -209,6 +209,11 @@ PROBES = [
     # shape (packed-broadcast argmin projection + a per-cluster id-row
     # window) already probed via embedding_ann_ivf / the kmeans family;
     # its only addition is the ranking window over id-width rows
+    # round-9: doc_unimax_allocation is NOT probed — its corpus-scaling
+    # stage is one map-side-combined lang count (the doc_lang_mix
+    # shape); everything else is |languages| rows on one task, so a
+    # 10× ratio would measure the count agg the quality-family probes
+    # already cover
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -1568,3 +1568,142 @@ def embedding_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ===========================================================================
+# UniMax language-budget allocation — epoch-capped waterfilling
+# ===========================================================================
+#
+# Temperature sampling (doc_lang_mix_weights, alpha=0.5) rebalances a
+# multilingual mix but still lets head languages dominate and can
+# over-epoch tiny tails. UniMax (Chung et al. 2023) instead
+# waterfills: give every language an equal share of the token budget,
+# capped at E epochs of its own corpus — tail languages saturate at
+# E·n and the freed budget redistributes to the rest. The closed form
+# is sort-by-cap + prefix sums (no iteration): in ascending-cap order,
+# language i saturates iff cap_i·(L−i+1) ≤ B − prefix_i (the
+# equal-share test, kept as an INTEGER comparison so no floor-division
+# edge case); the unsaturated remainder splits B−P evenly with the
+# first r=(B−P) mod U languages (cap asc, lang asc) taking the +1.
+# sum(allocation) == B exactly, by construction.
+
+_UNIMAX_EPOCHS = 2  # per-language epoch cap E
+# budget: 90% of the total epoch-capped supply — corpus-derived so the
+# entry scales with sf, and always strictly below sum(cap), so the
+# unsaturated set is never empty
+
+
+@query(
+    "doc_unimax_allocation",
+    f"""
+    with c as (
+      select lang, cast(count(*) as bigint) as n_docs
+      from documents group by lang
+    ),
+    s as (
+      select lang, n_docs, {_UNIMAX_EPOCHS} * n_docs as cap,
+             row_number() over (order by {_UNIMAX_EPOCHS} * n_docs asc, lang asc) as i,
+             count(*) over () as nl,
+             coalesce(sum({_UNIMAX_EPOCHS} * n_docs) over (
+               order by {_UNIMAX_EPOCHS} * n_docs asc, lang asc
+               rows between unbounded preceding and 1 preceding), 0) as pfx,
+             sum({_UNIMAX_EPOCHS} * n_docs) over () as sumcap
+      from c
+    ),
+    f as (
+      select *, (9 * sumcap) // 10 as budget,
+             cap * (nl - i + 1) <= (9 * sumcap) // 10 - pfx as saturated
+      from s
+    ),
+    g as (
+      select *, sum(case when saturated then cap else 0 end) over () as p,
+             sum(case when saturated then 1 else 0 end) over () as n_sat
+      from f
+    ),
+    a as (
+      select lang, n_docs, cap, saturated,
+             case when saturated then cap
+                  else (budget - p) // (nl - n_sat)
+                       + case when i - n_sat <= (budget - p) % (nl - n_sat)
+                              then 1 else 0 end
+             end as allocation
+      from g
+    )
+    select lang, n_docs, cap, saturated, allocation,
+           (allocation * 1000000) // n_docs as epochs_micro
+    from a
+    order by lang
+    """,
+)
+def doc_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax sampling allocation (Chung et al. 2023): split a corpus
+    budget B = 90% of the epoch-capped supply across languages as
+    evenly as possible, capping each language at E=2 epochs of its own
+    documents. Closed-form waterfill — sort by cap, prefix sums, the
+    integer equal-share saturation test, deterministic remainder
+    distribution (first r unsaturated languages by cap asc, lang asc
+    take the +1) — so sum(allocation) == B exactly and every number is
+    integer-exact across engines. Complements ``doc_lang_mix_weights``
+    (temperature rebalance): UniMax is the bounded-repetition regime.
+
+    Scale shape: ONE map-side-combined count pass over the corpus;
+    everything after operates on the |languages|-row table (the
+    unpartitioned analytic windows move ≤ |languages| rows to a single
+    task — the textbook small-frame closed form, same shape as the
+    lang-mix entry)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    wsort = Window.orderBy(F.asc("cap"), F.asc("lang"))
+    g = (
+        c.withColumn("cap", F.col("n_docs") * _UNIMAX_EPOCHS)
+        .withColumn("i", F.row_number().over(wsort).cast("long"))
+        .withColumn("nl", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "pfx",
+            F.coalesce(
+                F.sum("cap").over(
+                    wsort.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("sumcap", F.sum("cap").over(wall))
+        .withColumn("budget", F.expr("(9 * sumcap) div 10"))
+        .withColumn(
+            "saturated",
+            F.col("cap") * (F.col("nl") - F.col("i") + 1)
+            <= F.col("budget") - F.col("pfx"),
+        )
+        .withColumn(
+            "p",
+            F.sum(F.when(F.col("saturated"), F.col("cap")).otherwise(0)).over(
+                wall
+            ),
+        )
+        .withColumn(
+            "n_sat",
+            F.sum(F.when(F.col("saturated"), 1).otherwise(0)).over(wall),
+        )
+        .withColumn(
+            "allocation",
+            F.when(F.col("saturated"), F.col("cap")).otherwise(
+                F.expr("(budget - p) div (nl - n_sat)")
+                + F.when(
+                    F.col("i") - F.col("n_sat")
+                    <= F.expr("(budget - p) % (nl - n_sat)"),
+                    1,
+                ).otherwise(0)
+            ),
+        )
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        F.col("cap").cast("long").alias("cap"),
+        "saturated",
+        F.col("allocation").cast("long").alias("allocation"),
+        F.expr("(allocation * 1000000) div n_docs").cast("long").alias(
+            "epochs_micro"
+        ),
+    ).orderBy("lang")

@@ -460,6 +460,11 @@ SHUFFLE_BUDGETS = {
     # hashpartitioning, its count-window twin, and the presentation
     # sort — all over (vec_id, cluster, dist2) id-width rows
     "embedding_prototype_pruning": 4,
+    # UniMax waterfill: the lang-count groupBy (map-side combined) and
+    # the SinglePartition exchange every |languages|-row analytic
+    # window shares — the presentation sort rides the same single
+    # partition; nothing corpus-sized moves after the count pass
+    "doc_unimax_allocation": 2,
 }
 
 

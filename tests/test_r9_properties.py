@@ -682,3 +682,99 @@ def test_prototype_pruning_matches_python_reference(spark):
         assert kept_n == (len(ids) + 1) // 2
         if len(ids) > 1:
             assert 0 < kept_n < len(ids)
+
+
+# ---------------------------------------------------------------------------
+# doc_unimax_allocation vs a pure-Python waterfill reference
+# ---------------------------------------------------------------------------
+
+
+def _py_unimax(counts: dict[str, int], epochs: int = 2):
+    """Reference waterfill: budget = 90% of epoch-capped supply; langs
+    ascending by (cap, lang) saturate while cap ≤ equal-share of the
+    remaining budget; unsaturated split evenly, first r take +1."""
+    langs = sorted(counts, key=lambda l: (epochs * counts[l], l))
+    caps = {l: epochs * counts[l] for l in langs}
+    budget = (9 * sum(caps.values())) // 10
+    alloc, pfx, n_sat = {}, 0, 0
+    for idx, l in enumerate(langs):
+        if caps[l] * (len(langs) - idx) <= budget - pfx:
+            alloc[l] = caps[l]
+            pfx += caps[l]
+            n_sat += 1
+        else:
+            break
+    unsat = langs[n_sat:]
+    t, r = divmod(budget - pfx, len(unsat))
+    for j, l in enumerate(unsat):
+        alloc[l] = t + (1 if j + 1 <= r else 0)
+    return caps, budget, alloc, set(langs[:n_sat])
+
+
+def _write_lang_docs(tmp_path, lang_counts: dict[str, int]):
+    import pandas as pd
+
+    langs = [l for l, n in sorted(lang_counts.items()) for _ in range(n)]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(langs)),
+            "text": [f"doc {i} text" for i in range(len(langs))],
+            "lang": langs,
+            "source": ["synth"] * len(langs),
+            "n_chars": [10] * len(langs),
+        }
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "counts",
+    [
+        # saturation cascade: caps (2,6,14,20) sum 42, B=37; aa, bb AND
+        # cc saturate (cc by one: 14·2=28 ≤ 37−8=29), dd takes the 15
+        {"aa": 1, "bb": 3, "cc": 7, "dd": 10},
+        # nobody saturates: equal caps, B=90 over 5 langs → t=18 r=0
+        {"aa": 10, "bb": 10, "cc": 10, "dd": 10, "ee": 10},
+        # heavy head, long saturated tail (the sf-like shape)
+        {"en": 200, "fr": 80, "es": 75, "zh": 70, "de": 65},
+        # two langs, extreme skew
+        {"aa": 1, "zz": 999},
+    ],
+)
+def test_unimax_matches_python_reference(spark, tmp_path, counts):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    sf = _write_lang_docs(tmp_path, counts)
+    caps, budget, alloc, saturated = _py_unimax(counts)
+    got = {r.lang: r for r in ENTRIES["doc_unimax_allocation"].spark(spark, sf).collect()}
+    assert set(got) == set(counts)
+    for l, r in got.items():
+        assert r.n_docs == counts[l], l
+        assert r.cap == caps[l], l
+        assert r.allocation == alloc[l], l
+        assert r.saturated == (l in saturated), l
+        assert r.epochs_micro == (alloc[l] * 1000000) // counts[l], l
+    # waterfill invariants: the budget is spent exactly, nobody exceeds
+    # its epoch cap, and unsaturated allocations differ by at most 1
+    assert sum(r.allocation for r in got.values()) == budget
+    assert all(r.allocation <= r.cap for r in got.values())
+    unsat = [r.allocation for r in got.values() if not r.saturated]
+    assert unsat and max(unsat) - min(unsat) <= 1
+
+
+def test_unimax_remainder_distribution(spark, tmp_path):
+    """The r>0 case concretely: caps (2,20,20), B=37 → aa saturates
+    (P=2), t=(37−2)//2=17 with r=1 — exactly one +1, taken by the
+    FIRST unsaturated lang in (cap asc, lang asc) order (cc before dd
+    on the lang tie-break) — deterministic, not engine-dependent."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    sf = _write_lang_docs(tmp_path, {"aa": 1, "cc": 10, "dd": 10})
+    got = {r.lang: r for r in ENTRIES["doc_unimax_allocation"].spark(spark, sf).collect()}
+    assert got["aa"].allocation == 2 and got["aa"].saturated
+    assert got["cc"].allocation == 18 and not got["cc"].saturated
+    assert got["dd"].allocation == 17 and not got["dd"].saturated
+    assert sum(r.allocation for r in got.values()) == 37
