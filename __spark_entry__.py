@@ -117,7 +117,13 @@ DRIVER_PRIORITY: list[str] = [
     "events_gap_fill",
     # --- round-8 first-greens: second hard signal ---
     "doc_bpe_token_counts",
-    "doc_bucket_quality_sample",
+    # (doc_bucket_quality_sample was slotted here for its r8 second
+    # signal; displaced by the late round-9
+    # embedding_nndescent_recall_audit — it is the session-warmth-
+    # flagged row (NOTES_r9 §9: 1.52× in-bench with zero changed
+    # lines, standalone 6.5 s reproduces ABOVE the bench number) and
+    # its bucket machinery stays exercised via doc_ccnet_buckets in
+    # the sweep; doc family stays at 21, exactly its minimum)
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
@@ -134,7 +140,12 @@ DRIVER_PRIORITY: list[str] = [
     # thrice-green (r3/r4/r8) and doc_dup_4cliques keeps the
     # clique-mining shape in-window; doc family stays at 22, above its
     # minimum of 21)
-    "embedding_pq_codebooks",
+    # (embedding_pq_codebooks was slotted here for its r8 second
+    # signal; displaced by the late round-9 embedding_nndescent_round —
+    # its trained chain is fully composed by the in-window
+    # embedding_pq_recall_audit, so the driver still executes the
+    # shape; embedding family rises to 14 in-window with the two
+    # NN-descent entries, far above its minimum of 8)
     # (embedding_pq_search and embedding_ivfpq_search were slotted here
     # for their r8 second signal; displaced by the two late round-9
     # leakage-split entries — their served plans are fully composed by
@@ -160,6 +171,8 @@ DRIVER_PRIORITY: list[str] = [
     "doc_split_leakage_audit",
     "embedding_prototype_pruning",
     "doc_unimax_allocation",
+    "embedding_nndescent_round",
+    "embedding_nndescent_recall_audit",
 ]
 
 

@@ -134,6 +134,8 @@ HEADLINE = [
     "doc_split_leakage_audit",
     "embedding_prototype_pruning",
     "doc_unimax_allocation",
+    "embedding_nndescent_round",
+    "embedding_nndescent_recall_audit",
 ]
 
 

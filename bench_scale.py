@@ -214,6 +214,12 @@ PROBES = [
     # shape); everything else is |languages| rows on one task, so a
     # 10× ratio would measure the count agg the quality-family probes
     # already cover
+    # round-9: the NN-descent local join is the O(N·K²) claim — the
+    # candidate stream must scale linearly with the corpus, so the 10×
+    # ratio is the plan property itself. The recall audit is NOT
+    # probed (its brute truth side is |Q|·N by audit design — the
+    # same exclusion as every recall audit)
+    "embedding_nndescent_round",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

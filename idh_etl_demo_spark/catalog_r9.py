@@ -1707,3 +1707,340 @@ def doc_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_micro"
         ),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# NN-descent — graph-based ANN (the third paradigm after IVF and LSH/PQ)
+# ===========================================================================
+#
+# Dong, Moses, Li 2011 ("Efficient k-nearest neighbor graph construction
+# for generic similarity measures"): start from a RANDOM K-NN graph and
+# iterate a LOCAL JOIN — every pair of nodes sharing a neighbor (in
+# either direction) is compared, and each node keeps its best K — so
+# the graph climbs toward the true K-NN graph with O(N·K²) comparisons
+# per round, never the brute-force N². This is the paradigm behind
+# HNSW/NSG serving layouts; one round is expressed here exactly
+# (deterministic md5 "random" init, exact integer-quantized cosine),
+# with the recall audit pricing what the round buys.
+#
+# Init partners are md5-draws over [0, max_id+1): deterministic, uniform,
+# engine-identical. Draws colliding with the node itself shift by one;
+# duplicate draws collapse (a node may start with < K partners — the
+# paper's random init has the same property).
+
+_NND_K = 4
+
+
+def _nnd_cos(va: str, vb: str) -> str:
+    return (
+        f"list_dot_product({va}, {vb}) / (sqrt(list_dot_product({va}, {va}))"
+        f" * sqrt(list_dot_product({vb}, {vb})))"
+    )
+
+
+def _nnd_ctes(k: int = _NND_K) -> str:
+    from idh_etl_demo_spark.catalog_llm import _QUANT
+
+    return f"""vq as (select vec_id, {_QUANT} as v from embeddings),
+    nn as (select max(vec_id) + 1 as n from embeddings),
+    seeds as (
+      select vec_id as ia,
+             ('0x' || substring(md5(vec_id::varchar || '-' || s::varchar), 1, 15))::bigint % n as raw,
+             n
+      from vq cross join nn cross join generate_series(1, {k}) g(s)
+    ),
+    e0 as (
+      select distinct ia, case when raw = ia then (ia + 1) % n else raw end as ib
+      from seeds
+    ),
+    p0 as (
+      select a.vec_id as ida, b.vec_id as idb, {_nnd_cos('a.v', 'b.v')} as cos
+      from e0 join vq a on a.vec_id = e0.ia join vq b on b.vec_id = e0.ib
+    ),
+    g0 as (
+      select * from (
+        select *, row_number() over (partition by ida
+                                     order by cos desc, idb asc) as rank
+        from p0
+      ) where rank <= {k}
+    ),
+    u as (
+      select ida as v, idb as x from g0
+      union
+      select idb as v, ida as x from g0
+    ),
+    cand as (
+      select least(a.x, b.x) as pa, greatest(a.x, b.x) as pb
+      from u a join u b on a.v = b.v and a.x < b.x
+      union
+      select least(ida, idb), greatest(ida, idb) from g0
+    ),
+    sc as (
+      select pa, pb, {_nnd_cos('va.v', 'vb.v')} as cos
+      from cand join vq va on va.vec_id = pa join vq vb on vb.vec_id = pb
+    ),
+    bi as (
+      select pa as ida, pb as idb, cos from sc
+      union all
+      select pb as ida, pa as idb, cos from sc
+    ),
+    g1 as (
+      select * from (
+        select *, row_number() over (partition by ida
+                                     order by cos desc, idb asc) as rank
+        from bi
+      ) where rank <= {k}
+    )"""
+
+
+def _nnd_frames(
+    spark: SparkSession, sf_dir: str, k: int = _NND_K
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Lazy Spark twin of ``_nnd_ctes``: (e0, g0, cand, g1)."""
+    from idh_etl_demo_spark.catalog_llm import _spark_quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vq = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", _spark_quant(F.col("embedding")).alias("v")
+    )
+    n1 = vq.agg((F.max("vec_id") + 1).alias("n"))
+    seeds = (
+        vq.select("vec_id")
+        .join(F.broadcast(n1))
+        .select(
+            F.col("vec_id").alias("ia"),
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("s"),
+        )
+        .withColumn(
+            "raw",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("ia").cast("string"),
+                            F.col("s").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n"),
+        )
+    )
+    e0 = seeds.select(
+        "ia",
+        F.when(F.col("raw") == F.col("ia"), (F.col("ia") + 1) % F.col("n"))
+        .otherwise(F.col("raw"))
+        .alias("ib"),
+    ).distinct()
+
+    def cos(va: F.Column, vb: F.Column) -> F.Column:
+        return _spark_int_dot(va, vb) / (
+            F.sqrt(_spark_int_dot(va, va)) * F.sqrt(_spark_int_dot(vb, vb))
+        )
+
+    va = vq.select(F.col("vec_id").alias("ia"), F.col("v").alias("av"))
+    vb = vq.select(F.col("vec_id").alias("ib"), F.col("v").alias("bv"))
+    p0 = (
+        e0.join(va, "ia")
+        .join(vb, "ib")
+        .select(
+            F.col("ia").alias("ida"),
+            F.col("ib").alias("idb"),
+            cos(F.col("av"), F.col("bv")).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("ida").orderBy(F.desc("cos"), F.asc("idb"))
+    g0 = (
+        p0.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    u = (
+        g0.select(F.col("ida").alias("v"), F.col("idb").alias("x"))
+        .union(g0.select(F.col("idb").alias("v"), F.col("ida").alias("x")))
+        .distinct()
+    )
+    ua = u.select(F.col("v").alias("jv"), F.col("x").alias("xa"))
+    ub = u.select(F.col("v").alias("jv"), F.col("x").alias("xb"))
+    cand = (
+        ua.join(ub, "jv")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(F.col("xa").alias("pa"), F.col("xb").alias("pb"))
+        .union(
+            g0.select(
+                F.least("ida", "idb").alias("pa"),
+                F.greatest("ida", "idb").alias("pb"),
+            )
+        )
+        .distinct()
+    )
+    sa = vq.select(F.col("vec_id").alias("pa"), F.col("v").alias("av"))
+    sb = vq.select(F.col("vec_id").alias("pb"), F.col("v").alias("bv"))
+    sc = (
+        cand.join(sa, "pa")
+        .join(sb, "pb")
+        .select("pa", "pb", cos(F.col("av"), F.col("bv")).alias("cos"))
+    )
+    bi = sc.select(
+        F.col("pa").alias("ida"), F.col("pb").alias("idb"), "cos"
+    ).unionAll(
+        sc.select(F.col("pb").alias("ida"), F.col("pa").alias("idb"), "cos")
+    )
+    g1 = (
+        bi.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    return e0, g0, cand, g1
+
+
+@query(
+    "embedding_nndescent_round",
+    f"""
+    with {_nnd_ctes()}
+    select ida as vec_id, idb as neighbor_id, cos as cosine_sim, rank
+    from g1
+    order by vec_id, rank
+    """,
+)
+def embedding_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent round (Dong et al. 2011) over the full corpus:
+    deterministic-random K=4 init graph, the LOCAL JOIN (every pair
+    sharing a neighbor in either direction is compared exactly), and
+    each node keeps its best K by integer-quantized cosine. Every node
+    gets a refreshed neighbor list — the building block HNSW-class
+    graph indexes iterate to convergence.
+
+    Scale shape: the local join is the paper's O(N·K²) bound — the
+    candidate stream is |U|·deg ≈ N·(2K)² id-pairs, NEVER the N²
+    brute-force; every exchange is id-keyed (the corpus vector stream
+    joins the candidate list by id, ids-only rows shuffle elsewhere);
+    per-node top-K is one window. No collect, no cartesian."""
+    _, _, _, g1 = _nnd_frames(spark, sf_dir)
+    return g1.select(
+        F.col("ida").alias("vec_id"),
+        F.col("idb").alias("neighbor_id"),
+        F.col("cos").alias("cosine_sim"),
+        "rank",
+    ).orderBy("vec_id", "rank")
+
+
+@query(
+    "embedding_nndescent_recall_audit",
+    f"""
+    with {_nnd_ctes()},
+    truth as (
+      select * from (
+        select q.vec_id as q, c.vec_id as nid,
+               row_number() over (partition by q.vec_id
+                                  order by {_nnd_cos('q.v', 'c.v')} desc,
+                                           c.vec_id asc) as rank
+        from vq q join vq c on c.vec_id != q.vec_id
+        where q.vec_id % 25 = 0
+      ) where rank <= {_NND_K}
+    ),
+    gall as (
+      select 'init' as phase, ida, idb from g0
+      union all
+      select 'round1' as phase, ida, idb from g1
+    ),
+    ph as (
+      select phase, count(*) as scored_pairs from (
+        select 'init' as phase from e0
+        union all
+        select 'round1' as phase from cand
+      ) group by phase
+    ),
+    ht as (
+      select phase, count(*) as hits
+      from gall join truth on gall.ida = truth.q and gall.idb = truth.nid
+      group by phase
+    ),
+    ps as (select count(*) as possible from truth)
+    select ph.phase, scored_pairs, coalesce(hits, 0) as hits, possible,
+           (coalesce(hits, 0) * 1000000) // possible as recall_micro
+    from ph left join ht using (phase) cross join ps
+    order by phase
+    """,
+)
+def embedding_nndescent_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prices what one NN-descent round buys: recall@4 against the
+    brute-force truth on the audited query subset (vec_id % 25),
+    before (random init) and after the local join, with the exact-score
+    count each phase paid. On the sf embeddings the round lifts hits
+    substantially even without cluster structure (best-of-~(2K)²
+    sampled candidates beats K random draws); on clustered data the
+    lift is larger (property-pinned). The truth side is brute-force by
+    audit design, on the SAMPLED queries only.
+
+    Scale shape: the two graph phases are ``embedding_nndescent_round``'s
+    plan; the truth side is |Q|·N via the broadcast query set; all
+    audit arithmetic is on one-row aggregates (broadcast cross joins,
+    never a data cartesian)."""
+    e0, g0, cand, g1 = _nnd_frames(spark, sf_dir)
+    from idh_etl_demo_spark.catalog_llm import _spark_quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vq = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", _spark_quant(F.col("embedding")).alias("v")
+    )
+    q = vq.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv")
+    )
+
+    def cos(va: F.Column, vb: F.Column) -> F.Column:
+        return _spark_int_dot(va, vb) / (
+            F.sqrt(_spark_int_dot(va, va)) * F.sqrt(_spark_int_dot(vb, vb))
+        )
+
+    wq = Window.partitionBy("q").orderBy(F.desc("cos"), F.asc("nid"))
+    truth = (
+        vq.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+        .join(F.broadcast(q))
+        .filter(F.col("nid") != F.col("q"))
+        .select("q", "nid", cos(F.col("qv"), F.col("cv")).alias("cos"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _NND_K)
+        .select("q", "nid")
+    )
+
+    gall = g0.select(
+        F.lit("init").alias("phase"), "ida", "idb"
+    ).unionAll(g1.select(F.lit("round1").alias("phase"), "ida", "idb"))
+    hits = (
+        gall.join(
+            truth,
+            (gall["ida"] == truth["q"]) & (gall["idb"] == truth["nid"]),
+        )
+        .groupBy("phase")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    scored = (
+        e0.select(F.lit("init").alias("phase"))
+        .unionAll(cand.select(F.lit("round1").alias("phase")))
+        .groupBy("phase")
+        .agg(F.count(F.lit(1)).cast("long").alias("scored_pairs"))
+    )
+    poss = truth.agg(F.count(F.lit(1)).cast("long").alias("possible"))
+    return (
+        scored.join(F.broadcast(hits), "phase", "left")
+        .join(F.broadcast(poss))
+        .select(
+            "phase",
+            "scored_pairs",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            "possible",
+            F.floor(
+                (F.coalesce("hits", F.lit(0)) * 1000000) / F.col("possible")
+            )
+            .cast("long")
+            .alias("recall_micro"),
+        )
+        .orderBy("phase")
+    )

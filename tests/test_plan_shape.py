@@ -465,6 +465,21 @@ SHUFFLE_BUDGETS = {
     # window shares — the presentation sort rides the same single
     # partition; nothing corpus-sized moves after the count pass
     "doc_unimax_allocation": 2,
+    # NN-descent round: corpus spread + max-id agg, the init-edge
+    # distinct, the two id-keyed vector joins scoring init edges, the
+    # per-node init top-K window, the U-list distinct, the local join's
+    # v-keyed exchange, the candidate distinct, the two vector joins
+    # scoring candidates, the refresh top-K window, presentation sort.
+    # Everything is id-keyed and N·K²-bounded — the paper's local-join
+    # cost — never an N² corpus product
+    "embedding_nndescent_round": 11,
+    # NN-descent recall audit: the round's full two-phase chain (above)
+    # + the brute truth side (corpus spread + per-query top-K window,
+    # |Q|·N by audit design on the sampled queries) + the tag-unioned
+    # hits join, the per-phase count aggs, the one-row possible agg and
+    # the 2-row presentation sort — all |Q|- or |phases|-bounded past
+    # the graph chain and truth window
+    "embedding_nndescent_recall_audit": 26,
 }
 
 

@@ -778,3 +778,143 @@ def test_unimax_remainder_distribution(spark, tmp_path):
     assert got["cc"].allocation == 18 and not got["cc"].saturated
     assert got["dd"].allocation == 17 and not got["dd"].saturated
     assert sum(r.allocation for r in got.values()) == 37
+
+
+# ---------------------------------------------------------------------------
+# NN-descent: pure-Python reference + the improvement claim
+# ---------------------------------------------------------------------------
+
+
+def _py_nndescent(vecs: dict[int, list[int]], k: int = 4):
+    """Pure-Python twin of catalog_r9._nnd_ctes: md5 init draws over
+    [0, max_id+1), exact double cosine, one local-join round. Returns
+    (g0, g1) as {node: [(cos, nid), ...] rank-ordered}."""
+    import hashlib
+    import math
+
+    n = max(vecs) + 1
+
+    def hv(i, s):
+        return int(hashlib.md5(f"{i}-{s}".encode()).hexdigest()[:15], 16)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return num / (
+            math.sqrt(sum(x * x for x in vecs[a]))
+            * math.sqrt(sum(x * x for x in vecs[b]))
+        )
+
+    e0 = set()
+    for i in vecs:
+        for s in range(1, k + 1):
+            raw = hv(i, s) % n
+            ib = (i + 1) % n if raw == i else raw
+            if ib in vecs:  # sparse ids: missing partners drop
+                e0.add((i, ib))
+
+    def topk(pairs):
+        from collections import defaultdict
+
+        by = defaultdict(list)
+        for a, b in pairs:
+            by[a].append((-cos(a, b), b))
+        return {
+            a: [(-d, b) for d, b in sorted(lst)[:k]] for a, lst in by.items()
+        }
+
+    g0 = topk(e0)
+    u = set()
+    for a, lst in g0.items():
+        for _, b in lst:
+            u.add((a, b))
+            u.add((b, a))
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for v, x in u:
+        adj[v].add(x)
+    cand = set()
+    for v, xs in adj.items():
+        xs = sorted(xs)
+        for i2 in range(len(xs)):
+            for j2 in range(i2 + 1, len(xs)):
+                cand.add((xs[i2], xs[j2]))
+    for a, lst in g0.items():
+        for _, b in lst:
+            cand.add((min(a, b), max(a, b)))
+    bi = set()
+    for a, b in cand:
+        bi.add((a, b))
+        bi.add((b, a))
+    g1 = topk(bi)
+    return g0, g1
+
+
+def test_nndescent_matches_python_reference(spark):
+    """embedding_nndescent_round on the REAL sf0.001 embeddings must
+    equal the pure-Python local-join twin row for row — ranks, ids,
+    and the cosine doubles exactly (identical integer inputs, same
+    operation order)."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding] for r in rows
+    }
+    _, g1 = _py_nndescent(vecs)
+    got = ENTRIES["embedding_nndescent_round"].spark(spark, SF).collect()
+    expected = {
+        (a, rank0 + 1): (b, c)
+        for a, lst in g1.items()
+        for rank0, (c, b) in enumerate(lst)
+    }
+    assert len(got) == len(expected)
+    for r in got:
+        b, c = expected[(r.vec_id, r.rank)]
+        assert r.neighbor_id == b, (r.vec_id, r.rank)
+        assert r.cosine_sim == c, (r.vec_id, r.rank)
+
+
+def test_nndescent_round_improves_recall(spark, tmp_path):
+    """THE claim NN-descent exists for (Dong et al. 2011): one local
+    join lifts recall over the random init graph. Constructs 4
+    well-separated clusters (σ=0.05 — the structured regime), runs the
+    REAL ``embedding_nndescent_recall_audit`` entry on them with full
+    DuckDB-oracle parity, and asserts the lift. On the real sf data
+    the same entry also lifts (1→13 of 80 at sf0.01, init→round1),
+    checked here at sf0.001 without the constructed fixture."""
+    import duckdb
+    import numpy as np
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    rng = np.random.RandomState(7)
+    C = rng.randn(4, 64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X = []
+    for i in range(400):
+        v = C[i % 4] + 0.05 * rng.randn(64)
+        X.append(v / np.linalg.norm(v))
+    sf = _write_embeddings(tmp_path, X)
+
+    e = ENTRIES["embedding_nndescent_recall_audit"]
+    sdf = e.spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    assert_frames_equal(sdf, con.execute(e.oracle).df())
+    by = {r.phase: r for r in sdf.itertuples()}
+    assert by["round1"].hits > by["init"].hits, sdf.to_string()
+
+    real = {
+        r.phase: r
+        for r in ENTRIES["embedding_nndescent_recall_audit"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert real["round1"].hits > real["init"].hits
