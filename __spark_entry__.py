@@ -134,7 +134,10 @@ DRIVER_PRIORITY: list[str] = [
     # simhash shape in-window; doc family stays at 22, above its
     # minimum of 21)
     "doc_simhash60_neardup",
-    "embedding_ann_signbit",
+    # (embedding_ann_signbit was slotted here for its r8 second
+    # signal; displaced by the late round-9 embedding_d4_curation — it
+    # is four-times-green (r1/r3/r4/r8) and embedding_ann_hyperplane
+    # keeps the LSH-bucket ANN shape in-window)
     # (doc_dup_triangles was slotted here for its r8 second signal;
     # displaced by the late round-9 doc_unimax_allocation — it is
     # thrice-green (r3/r4/r8) and doc_dup_4cliques keeps the
@@ -173,6 +176,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_unimax_allocation",
     "embedding_nndescent_round",
     "embedding_nndescent_recall_audit",
+    "embedding_d4_curation",
 ]
 
 

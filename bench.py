@@ -136,6 +136,7 @@ HEADLINE = [
     "doc_unimax_allocation",
     "embedding_nndescent_round",
     "embedding_nndescent_recall_audit",
+    "embedding_d4_curation",
 ]
 
 
@@ -171,6 +172,7 @@ SESSION_CACHED = {
     "embedding_ivf_multiprobe_search",
     "embedding_ivf_nprobe_audit",
     "embedding_prototype_pruning",
+    "embedding_d4_curation",
 }
 
 

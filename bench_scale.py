@@ -220,6 +220,11 @@ PROBES = [
     # probed (its brute truth side is |Q|·N by audit design — the
     # same exclusion as every recall audit)
     "embedding_nndescent_round",
+    # round-9: embedding_d4_curation is NOT probed — its quadratic
+    # stage is embedding_semantic_dedup's within-cell pair join, which
+    # carries the documented pinned-cells exclusion (cells fixed at 4
+    # for oracle determinism; PROBE_KSCALE holds the k∝N story); the
+    # pruning layer adds only id-keyed windows
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

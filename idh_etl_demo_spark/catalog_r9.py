@@ -2044,3 +2044,134 @@ def embedding_nndescent_recall_audit(
         )
         .orderBy("phase")
     )
+
+
+# ===========================================================================
+# D4 curation — SemDeDup then prototype pruning, composed end-to-end
+# ===========================================================================
+#
+# Tirumala et al. 2023 ("D4: Improving LLM Pretraining via Document
+# De-Duplication and Diversification"): semantic dedup alone leaves the
+# surviving mass clumped around cluster prototypes; pruning alone
+# wastes budget ranking duplicates. D4 runs BOTH — drop near-duplicates
+# within embedding clusters (SemDeDup, Abbas et al. 2023), then drop
+# the most PROTOTYPICAL quarter of the survivors per cluster (the
+# SSL-prototype rule of Sorscher et al. 2022) — and the paper measures
+# the composition beating either half. This entry composes the repo's
+# two audited halves over the SAME frozen quantizer.
+
+
+def _d4_sql() -> str:
+    from idh_etl_demo_spark.catalog_r7 import (
+        _SEMDEDUP_THRESHOLD,
+        _TRAINED_CELLS,
+    )
+
+    return f"""
+    with {','.join(_km_trained_ctes(_TRAINED_CELLS))},
+    pairs as (
+      select a.vec_id as u, b.vec_id as v
+      from a2 a join a2 b using (cluster)
+      where a.vec_id < b.vec_id
+        and list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {_SEMDEDUP_THRESHOLD}
+    ),
+    dups as (select v as vec_id, min(u) as dup_of from pairs group by v),
+    dd as (
+      select r2.vec_id, r2.cid as cluster, cast(r2.dist as bigint) as dist2,
+             d.dup_of
+      from r2 left join dups d on d.vec_id = r2.vec_id
+      where r2.rn = 1
+    ),
+    surv as (
+      select vec_id,
+             row_number() over (partition by cluster
+                                order by dist2 asc, vec_id asc) as proto_rank,
+             count(*) over (partition by cluster) as surv_size
+      from dd where dup_of is null
+    )
+    select dd.vec_id, dd.cluster, dd.dup_of is null as semdedup_keep,
+           dd.dist2, s.proto_rank,
+           coalesce(s.proto_rank > s.surv_size // 4, false) as d4_kept
+    from dd left join surv s on s.vec_id = dd.vec_id
+    order by dd.vec_id
+    """
+
+
+@query("embedding_d4_curation", _d4_sql())
+def embedding_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 curation (Tirumala et al. 2023): SemDeDup within trained
+    embedding clusters (drop any vector with a lower-id cluster-mate at
+    cosine ≥ the audited threshold — ``embedding_semantic_dedup``'s
+    exact rule), then prototype pruning over the SURVIVORS (drop the
+    floor(quarter) closest to their centroid per cluster — the
+    ``embedding_prototype_pruning`` rule at the D4 default of
+    prototypical-side removal). ``d4_kept`` marks the final corpus;
+    ``proto_rank`` is NULL for dropped duplicates, which never enter
+    the pruning ranks. Both stages serve from the SAME frozen coarse
+    quantizer, as the paper clusters once.
+
+    Scale shape: the pair join is quadratic only within cells (k∝N —
+    PROBE_KSCALE), the distance is the packed-broadcast argmin
+    projection, and the two windows + three joins move (vec_id,
+    cluster, dist2) id-width rows only — the full pipeline adds no
+    exchange the halves didn't already pay."""
+    from idh_etl_demo_spark.catalog_llm import _spark_quant
+    from idh_etl_demo_spark.catalog_r7 import (
+        _SEMDEDUP_THRESHOLD,
+        _TRAINED_CELLS,
+    )
+    from idh_etl_demo_spark.operators.kmeans import _dist_structs
+
+    assigned, cents = _km_trained_frames(spark, sf_dir, _TRAINED_CELLS)
+    emb = _t(spark, sf_dir, "embeddings")
+    vv = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", _spark_quant(F.col("embedding")).alias("v")
+    )
+    best = F.array_min(_dist_structs(CENTROID_GRID))
+    dd = vv.join(F.broadcast(_packed(cents))).select(
+        "vec_id",
+        best["cid"].alias("cluster"),
+        best["dist"].cast("long").alias("dist2"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("u"), F.col("v").alias("uv"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("v_id"), F.col("v").alias("vv"), "cluster"
+    )
+    sim = _spark_int_dot(F.col("uv"), F.col("vv")) / (
+        F.sqrt(_spark_int_dot(F.col("uv"), F.col("uv")))
+        * F.sqrt(_spark_int_dot(F.col("vv"), F.col("vv")))
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("u") < F.col("v_id"))
+        .filter(sim >= _SEMDEDUP_THRESHOLD)
+        .groupBy(F.col("v_id").alias("vec_id"))
+        .agg(F.min("u").alias("dup_of"))
+    )
+    flagged = dd.join(dups, "vec_id", "left")
+    wr = Window.partitionBy("cluster").orderBy(F.asc("dist2"), F.asc("vec_id"))
+    ws = Window.partitionBy("cluster")
+    surv = (
+        flagged.filter(F.col("dup_of").isNull())
+        .withColumn("proto_rank", F.row_number().over(wr).cast("long"))
+        .withColumn("surv_size", F.count(F.lit(1)).over(ws))
+        .select("vec_id", "proto_rank", "surv_size")
+    )
+    return (
+        flagged.join(surv, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dup_of").isNull().alias("semdedup_keep"),
+            "dist2",
+            "proto_rank",
+            F.coalesce(
+                F.col("proto_rank") > F.expr("surv_size div 4"), F.lit(False)
+            ).alias("d4_kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -480,6 +480,13 @@ SHUFFLE_BUDGETS = {
     # the 2-row presentation sort — all |Q|- or |phases|-bounded past
     # the graph chain and truth window
     "embedding_nndescent_recall_audit": 26,
+    # D4: the SemDeDup half's exchanges (corpus spread, the
+    # within-cell pair agg) + the survivor ranking window's
+    # hashpartitioning, its count-window twin, the two id-keyed
+    # back-joins and presentation sort — the distance side is the
+    # packed-broadcast projection (zero corpus exchanges), so the
+    # composition adds only id-width-row exchanges over the halves
+    "embedding_d4_curation": 8,
 }
 
 
@@ -554,6 +561,9 @@ EAGER_EXEMPT = {
     # round-9 prototype pruning serves from the same frozen coarse
     # quantizer (_KM_MODELS) as the IVF family above
     "embedding_prototype_pruning",
+    # round-9 D4 composes SemDeDup + prototype pruning over that same
+    # frozen quantizer
+    "embedding_d4_curation",
 }
 
 

@@ -918,3 +918,86 @@ def test_nndescent_round_improves_recall(spark, tmp_path):
         .collect()
     }
     assert real["round1"].hits > real["init"].hits
+
+
+# ---------------------------------------------------------------------------
+# embedding_d4_curation vs a pure-Python end-to-end reference
+# ---------------------------------------------------------------------------
+
+
+def test_d4_curation_matches_python_reference(spark):
+    """The composed D4 pipeline — trained clustering, SemDeDup keep
+    rule, survivor prototype ranks, drop-the-closest-quarter — must
+    equal a pure-Python reference on the real sf0.001 embeddings,
+    every column exact. Also pins the composition is non-vacuous:
+    duplicates are dropped, survivors are pruned, and a majority is
+    kept."""
+    import math
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from idh_etl_demo_spark.catalog_r7 import _SEMDEDUP_THRESHOLD
+    from tests.test_r8_properties import _py_pq_train
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding] for r in rows
+    }
+    cb, codes = _py_pq_train(vecs, k=4)
+    dist2 = {
+        i: min(
+            (sum((x * 100 - c) ** 2 for x, c in zip(v, cb[cid])), cid)
+            for cid in cb
+        )[0]
+        for i, v in vecs.items()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return num / (
+            math.sqrt(sum(x * x for x in vecs[a]))
+            * math.sqrt(sum(x * x for x in vecs[b]))
+        )
+
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for i, c in codes.items():
+        members[c].append(i)
+    dup_of = {}
+    for c, ids in members.items():
+        ids = sorted(ids)
+        for j, v in enumerate(ids):
+            lower = [u for u in ids[:j] if cos(u, v) >= _SEMDEDUP_THRESHOLD]
+            if lower:
+                dup_of[v] = min(lower)
+    expected = {}
+    for c, ids in members.items():
+        surv = sorted(
+            (i for i in ids if i not in dup_of),
+            key=lambda i: (dist2[i], i),
+        )
+        for rank0, i in enumerate(surv):
+            expected[i] = (
+                c,
+                True,
+                dist2[i],
+                rank0 + 1,
+                rank0 + 1 > len(surv) // 4,
+            )
+        for i in ids:
+            if i in dup_of:
+                expected[i] = (c, False, dist2[i], None, False)
+
+    got = ENTRIES["embedding_d4_curation"].spark(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        c, keep, d2, pr, kept = expected[r.vec_id]
+        assert (r.cluster, r.semdedup_keep, r.dist2) == (c, keep, d2), r.vec_id
+        assert r.proto_rank == pr, r.vec_id
+        assert r.d4_kept == kept, r.vec_id
+    n_dup = sum(1 for v in expected.values() if not v[1])
+    n_pruned = sum(1 for v in expected.values() if v[1] and not v[4])
+    n_kept = sum(1 for v in expected.values() if v[4])
+    assert n_dup > 0 and n_pruned > 0
+    assert n_kept > len(expected) // 2
