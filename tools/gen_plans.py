@@ -48,6 +48,11 @@ PICKS = {
     "embedding_semantic_dedup": "SemDeDup shape: the pair join is an equi-join on the trained cluster id — quadratic only within a cell; keeper selection is an integer min agg",
     "embedding_ivfpq_residual_search": "round-9 residual IVFPQ serving: frozen codebook tables (localCheckpoint RDD leaves) feed packed-broadcast cell+code projections; the broadcast |cells|·k² reconstruction table joins on (cell, code1, code2); the per-query top-k window is the only corpus-keyed exchange",
     "doc_bm25_multiquery": "BM25 over a query table: one token explode filtered to the union of query terms, token-partition df window, broadcast query join, per-(query, doc) fold agg, per-query ranking window",
+    "embedding_nndescent_round": "NN-descent local join: md5 init draws as a projection over the broadcast max-id row; id-keyed vector joins score init edges; the U-list self-join on the shared-neighbor key generates the N·(2K)² candidate stream; per-node top-K windows — no N² product anywhere",
+    "embedding_prototype_pruning": "prototype pruning: assignment + distance to the frozen trained centroids is a packed-broadcast argmin PROJECTION (checkpointed 4-row RDD leaf); only (vec_id, cluster, dist2) rows enter the per-cluster ranking window",
+    "embedding_d4_curation": "D4 composition: SemDeDup's within-cell pair equi-join + the survivor ranking window over id-width rows, both serving from ONE frozen quantizer — the composition adds no exchange the halves didn't pay",
+    "doc_unimax_allocation": "UniMax waterfill: one map-side-combined lang count, then every analytic window shares a single |languages|-row SinglePartition exchange — the closed form never moves corpus rows",
+    "doc_leakage_safe_split": "leakage-safe split: the checkpointed near-dup component table joins the corpus id stream by doc_id; split labels are a map-side md5 projection of the cluster id; document bodies never shuffle",
 }
 
 
