@@ -102,7 +102,12 @@ DRIVER_PRIORITY: list[str] = [
     # at 20 in-window, above its minimum of 18)
     "ztm_stop_dim",
     "ztm_vehicle_dim",
-    "embedding_ann_hyperplane",
+    # (embedding_ann_hyperplane was slotted here as a stale recall;
+    # displaced by the late round-9 doc_winnow_fingerprints when doc
+    # hit its family minimum of 21 — hyperplane stays green in the
+    # oracle sweep and is the FIRST candidate for the r10 recall
+    # rotation; the LSH-bucket ANN shape remains driver-exercised via
+    # the IVF/NN-descent serving entries)
     # (embedding_near_dup was slotted here pre-rerank; displaced so the
     # 7th round-9 entry gets first-round driver signal — embedding
     # family stays at 14 in-window, far above its minimum of 8)
@@ -177,6 +182,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_nndescent_round",
     "embedding_nndescent_recall_audit",
     "embedding_d4_curation",
+    "doc_winnow_fingerprints",
 ]
 
 

@@ -137,6 +137,7 @@ HEADLINE = [
     "embedding_nndescent_round",
     "embedding_nndescent_recall_audit",
     "embedding_d4_curation",
+    "doc_winnow_fingerprints",
 ]
 
 

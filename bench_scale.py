@@ -220,6 +220,10 @@ PROBES = [
     # probed (its brute truth side is |Q|·N by audit design — the
     # same exclusion as every recall audit)
     "embedding_nndescent_round",
+    # round-9: winnowing is map-side gram hashing + per-doc/occupancy
+    # windows over id-width rows — the duplicated_spans shape; the 10×
+    # ratio must track the token scan
+    "doc_winnow_fingerprints",
     # round-9: embedding_d4_curation is NOT probed — its quadratic
     # stage is embedding_semantic_dedup's within-cell pair join, which
     # carries the documented pinned-cells exclusion (cells fixed at 4

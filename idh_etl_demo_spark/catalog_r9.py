@@ -2175,3 +2175,137 @@ def embedding_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ===========================================================================
+# Winnowing fingerprints — MOSS-style local document fingerprinting
+# ===========================================================================
+#
+# Schleimer, Wilkerson, Aiken 2003 ("Winnowing: local algorithms for
+# document fingerprinting" — the MOSS algorithm): hash every k-gram,
+# slide a window of w consecutive gram hashes, keep the minimum per
+# window, dedupe — the selected set is a LOCAL fingerprint with the
+# guarantee that any match of length ≥ w + k − 1 tokens between two
+# documents shares at least one fingerprint, at expected density
+# 2/(w+1) of the gram stream. Whole-doc hashing (doc_fingerprint_tokens)
+# misses partial overlap; shingle sets (minhash) lose positions;
+# winnowing keeps both bounded-size and position-aware.
+#
+# Engine-exact selection: the window minimum runs over the packed
+# integer gh40·2^20 + pos — ties (impossible at 40 bits within a
+# 4-gram window, but pinned anyway) resolve to the LEFTMOST minimal
+# hash in both engines, and pos unpacks exactly. pos < 2^20 bounds
+# documents at ~1M tokens; the 40-bit gram hash is a fingerprint
+# sketch (collisions only widen a candidate set, never lose the
+# guarantee).
+
+_WIN_K = 3  # gram size, tokens
+_WIN_W = 4  # winnowing window, grams
+
+
+@query(
+    "doc_winnow_fingerprints",
+    f"""
+    with base as (
+      select doc_id, list_filter({_WORDS}, w -> w != '') as toks from documents
+    ),
+    grams as (
+      select doc_id, i as pos,
+             ('0x' || substring(md5(array_to_string(list_slice(toks, i, i + {_WIN_K} - 1), ' ')), 1, 10))::bigint as gh,
+             len(toks) - {_WIN_K} + 1 as n_grams
+      from base cross join lateral (
+        select unnest(generate_series(1, greatest(len(toks) - {_WIN_K} + 1, 0))) as i
+      )
+    ),
+    wins as (
+      select doc_id, sel from (
+        select doc_id, pos, n_grams,
+               min(gh * 1048576 + pos) over (
+                 partition by doc_id order by pos
+                 rows between current row and {_WIN_W - 1} following) as sel
+        from grams
+      ) where pos <= n_grams - {_WIN_W} + 1
+    ),
+    fp as (
+      select distinct doc_id, sel // 1048576 as fingerprint,
+             sel % 1048576 as pos
+      from wins
+    )
+    select doc_id, pos, fingerprint,
+           count(*) over (partition by fingerprint) as fp_corpus_count
+    from fp
+    order by doc_id, pos
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003): 3-gram
+    40-bit hashes, window-of-4 minima (leftmost tie rule via the
+    packed gh·2^20+pos integer), deduped to the per-document
+    fingerprint set, each carrying its corpus-wide occupancy (the
+    MOSS match signal — fingerprints shared across documents witness
+    ≥ w+k−1 = 6-token overlaps, property-pinned). Density is the
+    paper's 2/(w+1) in expectation.
+
+    Scale shape: gram hashing and window packing are map-side array
+    projections (one posexplode, no corpus shuffle before the per-doc
+    window); the per-doc window, the fingerprint distinct and the
+    occupancy window move (doc_id, pos, 8-byte gh) rows only — text
+    never shuffles past the gram projection. The occupancy window is
+    the same gh-partition shape doc_duplicated_spans budgets."""
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") >= _WIN_K,
+        F.sequence(F.lit(1), F.size("toks") - _WIN_K + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    gh_arr = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, _WIN_K))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    grams = base.select(
+        "doc_id",
+        (F.size("toks") - _WIN_K + 1).alias("n_grams"),
+        F.posexplode(gh_arr).alias("pos0", "gh"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("pos"),
+        "gh",
+    )
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wins = (
+        grams.withColumn(
+            "sel", F.min(F.col("gh") * 1048576 + F.col("pos")).over(w_win)
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - _WIN_W + 1)
+        .select("doc_id", "sel")
+    )
+    fp = wins.select(
+        "doc_id",
+        F.expr("sel div 1048576").alias("fingerprint"),
+        (F.col("sel") % 1048576).alias("pos"),
+    ).distinct()
+    return (
+        fp.withColumn(
+            "fp_corpus_count",
+            F.count(F.lit(1)).over(Window.partitionBy("fingerprint")),
+        )
+        .select("doc_id", "pos", "fingerprint", "fp_corpus_count")
+        .orderBy("doc_id", "pos")
+    )

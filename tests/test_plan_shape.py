@@ -487,6 +487,12 @@ SHUFFLE_BUDGETS = {
     # packed-broadcast projection (zero corpus exchanges), so the
     # composition adds only id-width-row exchanges over the halves
     "embedding_d4_curation": 8,
+    # winnowing: input spread, the per-doc window-min's doc_id
+    # hashpartitioning (the fingerprint distinct reuses its shape),
+    # the corpus-occupancy window on the fingerprint key, presentation
+    # sort — text never shuffles past the gram projection; only
+    # (doc_id, pos, 8-byte gh) rows move
+    "doc_winnow_fingerprints": 4,
 }
 
 

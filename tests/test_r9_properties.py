@@ -1001,3 +1001,97 @@ def test_d4_curation_matches_python_reference(spark):
     n_kept = sum(1 for v in expected.values() if v[4])
     assert n_dup > 0 and n_pruned > 0
     assert n_kept > len(expected) // 2
+
+
+# ---------------------------------------------------------------------------
+# doc_winnow_fingerprints vs a pure-Python reference + the MOSS guarantee
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4):
+    """Reference winnowing (Schleimer et al. 2003): 40-bit md5 gram
+    hashes, window-of-w minima with the leftmost tie rule via the
+    packed gh·2^20+pos integer, deduped. Returns {(pos, gh)}."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower().strip())
+    toks = [t for t in norm.split(" ") if t]
+    grams = [
+        (
+            i + 1,
+            int(
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[
+                    :10
+                ],
+                16,
+            ),
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    out = set()
+    for j in range(len(grams) - w + 1):
+        sel = min(gh * 1048576 + pos for pos, gh in grams[j : j + w])
+        out.add((sel % 1048576, sel // 1048576))
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    """doc_winnow_fingerprints on the REAL sf0.001 corpus must equal
+    the pure-Python winnow per document, including corpus-wide
+    fingerprint occupancy, and the selection density must sit near the
+    paper's 2/(w+1) expectation."""
+    from collections import Counter
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    expected = {r.doc_id: _py_winnow(r.text) for r in rows}
+    occupancy = Counter(
+        gh for fps in expected.values() for _, gh in fps
+    )
+    got = ENTRIES["doc_winnow_fingerprints"].spark(spark, SF).collect()
+    assert len(got) == sum(len(v) for v in expected.values())
+    for r in got:
+        assert (r.pos, r.fingerprint) in expected[r.doc_id], r
+        assert r.fp_corpus_count == occupancy[r.fingerprint], r
+    # density ≈ 2/(w+1) = 0.4 of the gram stream (loose band — the
+    # guarantee is structural, the density is the paper's expectation)
+    n_grams = sum(
+        max(len([t for t in r.text.lower().split() if t]) - 3 + 1, 0)
+        for r in rows
+    )
+    density = len(got) / n_grams
+    assert 0.25 < density < 0.55, density
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
+    """THE winnowing guarantee: any shared run of ≥ w+k−1 = 6 tokens
+    between two documents shares at least one fingerprint VALUE. Two
+    otherwise-disjoint documents embed the same 6-token phrase at
+    different positions; a third shares nothing and must share no
+    fingerprint with either."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.test_r8_properties import _write_docs
+
+    phrase = "winnow guarantee spans exactly six tokens"
+    texts = [
+        f"alpha beta gamma delta {phrase} epsilon zeta",
+        f"one two three four five six seven {phrase}",
+        "completely disjoint vocabulary nothing matches here at all ever",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = ENTRIES["doc_winnow_fingerprints"].spark(spark, sf).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1], "shared 6-token phrase lost by winnowing"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+    # occupancy marks the shared prints as cross-doc
+    shared = by_doc[0] & by_doc[1]
+    for r in got:
+        if r.fingerprint in shared:
+            assert r.fp_corpus_count >= 2
