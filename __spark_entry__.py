@@ -162,7 +162,12 @@ DRIVER_PRIORITY: list[str] = [
     # same IVFPQ serving path), so the driver still executes both
     # shapes; embedding family stays at 12 in-window, above its
     # minimum of 8)
-    "doc_bm25_topk",
+    # (doc_bm25_topk was slotted here for its r8 second signal;
+    # displaced by the late round-9 doc_bm25_mmr — its scoring chain
+    # IS doc_bm25_multiquery's q1 (a property test pins the first 10
+    # rows identical), and the MMR entry composes that same chain
+    # further, so the driver still executes the BM25 shape twice; doc
+    # family stays at 22, above its minimum of 21)
     "doc_contamination_fraction",
     # --- round-9 NEW entries (displaced the first five stale fills:
     # embedding_kmeans_2iter, doc_bottomk_sketch, doc_chunk_overlap,
@@ -183,6 +188,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_nndescent_recall_audit",
     "embedding_d4_curation",
     "doc_winnow_fingerprints",
+    "doc_bm25_mmr",
 ]
 
 

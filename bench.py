@@ -138,6 +138,7 @@ HEADLINE = [
     "embedding_nndescent_recall_audit",
     "embedding_d4_curation",
     "doc_winnow_fingerprints",
+    "doc_bm25_mmr",
 ]
 
 

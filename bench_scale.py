@@ -229,6 +229,11 @@ PROBES = [
     # carries the documented pinned-cells exclusion (cells fixed at 4
     # for oracle determinism; PROBE_KSCALE holds the k∝N story); the
     # pruning layer adds only id-keyed windows
+    # round-9: doc_bm25_mmr is NOT probed — its corpus-scaling stages
+    # are doc_bm25_multiquery's probed chain plus ONE token join to
+    # the broadcast |Q|·R shortlist (the decontamination token-join
+    # shape); the greedy unroll runs over checkpointed ≤|Q|·R²-row
+    # frames, so a 10× ratio would re-measure the BM25 probe
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

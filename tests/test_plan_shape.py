@@ -493,6 +493,14 @@ SHUFFLE_BUDGETS = {
     # sort — text never shuffles past the gram projection; only
     # (doc_id, pos, 8-byte gh) rows move
     "doc_winnow_fingerprints": 4,
+    # MMR: the BM25 shortlist, candidate tokens, Jaccard pair table,
+    # AND the per-step selected set are all frozen with localCheckpoint
+    # (the greedy steps run at build — EAGER_EXEMPT), so the SERVED
+    # plan is one checkpointed ≤|Q|·K-row scan + the presentation
+    # sort: 1 exchange, under the default budget — kept explicit so
+    # a regression to the lazy-union plan (12 exchanges measured)
+    # trips this line
+    "doc_bm25_mmr": 2,
 }
 
 
@@ -570,6 +578,14 @@ EAGER_EXEMPT = {
     # round-9 D4 composes SemDeDup + prototype pruning over that same
     # frozen quantizer
     "embedding_d4_curation",
+    # round-9 MMR rerank: the greedy unroll references the BM25
+    # shortlist and the Jaccard pair table once per step — a lazy plan
+    # re-expands the full BM25 corpus chain per reference (measured
+    # 78 s vs ~11 s at sf0.001) — and the selected set 3× per step (a
+    # lazy union chain grows the plan tree ~3^K: 1189 nodes at K=5),
+    # so the ≤|Q|·R²-row frames and the per-step selection are frozen
+    # with eager localCheckpoint
+    "doc_bm25_mmr",
 }
 
 

@@ -1095,3 +1095,114 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark, tmp_path):
     for r in got:
         if r.fingerprint in shared:
             assert r.fp_corpus_count >= 2
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr_reference(texts):
+    """Pure-Python MMR over the multiquery BM25 shortlist: the same
+    integer-exact scoring, per-query rel-norm, token-set Jaccard, and
+    K greedy argmax steps with (mmr desc, rank asc) ties — every double
+    produced by the identical operation order as both engines."""
+    from idh_etl_demo_spark.catalog_r9 import _BM25_QUERIES, _BM25_TOPN, _MMR_STEPS
+
+    def toks(t):
+        return [w for w in " ".join(t.lower().strip().split()).split(" ") if w]
+
+    docs = {i: toks(t) for i, t in enumerate(texts)}
+    S = sum(len(v) for v in docs.values())
+    N = len(docs)
+    out = []
+    for qid, terms in _BM25_QUERIES:
+        scored = []
+        for d, tok in docs.items():
+            present = sorted(t for t in set(terms) if t in tok)
+            if not present:
+                continue
+            total = 0.0
+            for t in present:
+                tf = tok.count(t)
+                df = sum(1 for v in docs.values() if t in v)
+                dl = len(tok)
+                num = (2 * (N - df) + 1) * 22 * tf * S
+                den = (2 * df + 1) * (10 * S * tf + 3 * S + 9 * dl * N)
+                total += num / den
+            scored.append((-total, d))
+        shortlist = [
+            (d, -neg, rank)
+            for rank, (neg, d) in enumerate(sorted(scored)[:_BM25_TOPN], 1)
+        ]
+        if not shortlist:
+            continue
+        mx = max(bm for _, bm, _ in shortlist)
+        cand = {d: (bm / mx, rank) for d, bm, rank in shortlist}
+        tsets = {d: set(docs[d]) for d in cand}
+
+        def jac(a, b):
+            shared = len(tsets[a] & tsets[b])
+            return shared / (len(tsets[a]) + len(tsets[b]) - shared)
+
+        first = next(d for d, (_, rank) in cand.items() if rank == 1)
+        sel = [(first, 1, cand[first][1], cand[first][0] / 2)]
+        for step in range(2, _MMR_STEPS + 1):
+            chosen = {d for d, *_ in sel}
+            if len(chosen) == len(cand):
+                break
+            best = None
+            for d, (rel, rank) in cand.items():
+                if d in chosen:
+                    continue
+                sims = [jac(d, s) for s in chosen if jac(d, s) > 0]
+                msim = max(sims) if sims else 0.0
+                mmr = (rel - msim) / 2
+                key = (-mmr, rank)
+                if best is None or key < best[0]:
+                    best = (key, d, rank, mmr)
+            sel.append((best[1], step, best[2], best[3]))
+        out.extend((qid, step, d, rank, mmr) for d, step, rank, mmr in sel)
+    return sorted(out)
+
+
+def test_mmr_matches_python_reference(spark, tmp_path):
+    """doc_bm25_mmr on a hand-built corpus with near-duplicate
+    high-BM25 docs must equal the pure-Python MMR exactly (steps, doc
+    picks, and the mmr_score doubles) — and must actually REORDER: the
+    near-duplicate of the top doc wins BM25 rank 2 but MMR must demote
+    it behind a diverse lower-ranked doc."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401
+    from tests.test_r8_properties import _write_docs
+
+    texts = [
+        "dup dup hash vector scan",          # q1 top doc
+        "dup hash dup vector scan",          # exact token-set duplicate
+        "dup dup hash quantize shard",       # strong diverse q1 match
+        "vector probe rehash chain",         # another diverse q1 match
+        "scan filter join merge merge merge",
+        "spark stream batch stream",
+        "slow fast slow fast slow",
+        "the quick brown fox",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    expected = _py_mmr_reference(texts)
+    got = sorted(
+        (r.query_id, r.mmr_step, r.doc_id, r.bm25_rank, r.mmr_score)
+        for r in ENTRIES["doc_bm25_mmr"].spark(spark, sf).collect()
+    )
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[:4] == e[:4], (g, e)
+        assert g[4] == e[4], (g, e)  # exact doubles, no tolerance
+    # the reorder MMR exists for: q1's BM25 rank-2 near-duplicate must
+    # NOT be the step-2 pick, and some doc with a worse BM25 rank must
+    # be promoted ahead of it
+    q1 = {step: (doc, rank) for qid, step, doc, rank, _ in got if qid == 1}
+    dup_steps = [s for s, (d, _) in q1.items() if d == 1]
+    assert q1[1][0] == 0  # step 1 is pure relevance: the top doc
+    assert q1[2][0] != 1, "MMR step 2 picked the near-duplicate"
+    if dup_steps:
+        promoted = [s for s, (_, r) in q1.items() if r > 2 and s < dup_steps[0]]
+        assert promoted, "no lower-BM25 doc was promoted past the dup"

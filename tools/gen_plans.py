@@ -53,6 +53,7 @@ PICKS = {
     "embedding_d4_curation": "D4 composition: SemDeDup's within-cell pair equi-join + the survivor ranking window over id-width rows, both serving from ONE frozen quantizer — the composition adds no exchange the halves didn't pay",
     "doc_unimax_allocation": "UniMax waterfill: one map-side-combined lang count, then every analytic window shares a single |languages|-row SinglePartition exchange — the closed form never moves corpus rows",
     "doc_leakage_safe_split": "leakage-safe split: the checkpointed near-dup component table joins the corpus id stream by doc_id; split labels are a map-side md5 projection of the cluster id; document bodies never shuffle",
+    "doc_bm25_mmr": "MMR serving plan: the shortlist, token sets, Jaccard pairs, and per-step selections are frozen localCheckpoint scans (greedy unroll runs at build over broadcast joins) — the served plan is a 5-node scan + presentation sort; the corpus chain appears ZERO times",
 }
 
 
