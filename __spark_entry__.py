@@ -25,6 +25,7 @@ import idh_etl_demo_spark.catalog_r6  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r7  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r8  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r9  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r9b  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -118,7 +119,13 @@ DRIVER_PRIORITY: list[str] = [
     "events_stateful_running_totals",
     "event_props_map",
     "event_type_transitions",
-    "events_distinct_users_hll",
+    # (events_distinct_users_hll was slotted here as an r7-stale
+    # recall; displaced by the late round-9 events_kmv_set_ops — the
+    # distinct-count-sketch niche stays driver-exercised by the KMV
+    # entry (engine-portable bottom-k vs the HLL register path, same
+    # events/user surface), HLL stays green in the oracle sweep, and
+    # it is a named candidate for the r10 recall rotation; event
+    # family stays at 5, exactly its minimum, counting the KMV entry)
     "events_gap_fill",
     # --- round-8 first-greens: second hard signal ---
     "doc_bpe_token_counts",
@@ -138,7 +145,11 @@ DRIVER_PRIORITY: list[str] = [
     # thrice-green (r1/r4/r8) and doc_simhash60_neardup keeps the
     # simhash shape in-window; doc family stays at 22, above its
     # minimum of 21)
-    "doc_simhash60_neardup",
+    # (doc_simhash60_neardup was slotted here next; displaced by the
+    # late round-9 embedding_matryoshka_recall_audit — it is itself
+    # thrice-green (r3/r4/r8), the 60-bit banding stays green in the
+    # oracle sweep plus its lossless-banding property test, and doc
+    # family lands at 21, exactly its minimum)
     # (embedding_ann_signbit was slotted here for its r8 second
     # signal; displaced by the late round-9 embedding_d4_curation — it
     # is four-times-green (r1/r3/r4/r8) and embedding_ann_hyperplane
@@ -185,10 +196,25 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_prototype_pruning",
     "doc_unimax_allocation",
     "embedding_nndescent_round",
-    "embedding_nndescent_recall_audit",
+    # (embedding_nndescent_recall_audit was slotted here with the
+    # round-9 batch; displaced by the late round-9
+    # embedding_matryoshka_rerank — both of the audit's sides stay
+    # driver-executed (its candidate side IS the in-window
+    # embedding_nndescent_round plan, its truth side the same
+    # brute-force cosine shape the in-window embedding_pq_recall_audit
+    # runs), it keeps its sweep + pure-Python-twin gates, and it is a
+    # named candidate for the r10 rotation's first-green slot;
+    # embedding family stays at 14 in-window, far above its minimum
+    # of 8)
     "embedding_d4_curation",
     "doc_winnow_fingerprints",
     "doc_bm25_mmr",
+    # --- late round-9 entries (displacements annotated in place
+    # above: doc_simhash60_neardup, events_distinct_users_hll,
+    # embedding_nndescent_recall_audit) ---
+    "embedding_matryoshka_recall_audit",
+    "embedding_matryoshka_rerank",
+    "events_kmv_set_ops",
 ]
 
 

@@ -139,6 +139,10 @@ HEADLINE = [
     "embedding_d4_curation",
     "doc_winnow_fingerprints",
     "doc_bm25_mmr",
+    # late round 9: Matryoshka adaptive retrieval + KMV set operations
+    "embedding_matryoshka_recall_audit",
+    "embedding_matryoshka_rerank",
+    "events_kmv_set_ops",
 ]
 
 

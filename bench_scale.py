@@ -234,6 +234,19 @@ PROBES = [
     # the broadcast |Q|·R shortlist (the decontamination token-join
     # shape); the greedy unroll runs over checkpointed ≤|Q|·R²-row
     # frames, so a 10× ratio would re-measure the BM25 probe
+    # round-9: embedding_matryoshka_recall_audit / _rerank are NOT
+    # probed — the cosine_topk exclusion applies verbatim: a fixed
+    # query FRACTION (vec_id % 25) against the full corpus is
+    # quadratic by parameter choice at 10× (prod audits pin |Q|
+    # constant); the rerank's exact stage is |Q|·25 — shortlist-sized
+    # by construction, nothing corpus-scaling beyond the prefix scan
+    # round-9: KMV set ops — the sketch side must stay linear (member
+    # distinct + hash distinct + bucketed bottom-k windows whose
+    # phase-2 input is k·buckets rows at ANY corpus size), and the
+    # exact-audit self-join fans out ≤|types|² rows per (user, day);
+    # the 10× ratio is the plan property (shifted user_ids give 10×
+    # distinct members, |types| stays 5)
+    "events_kmv_set_ops",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

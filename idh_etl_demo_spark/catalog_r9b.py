@@ -1,0 +1,607 @@
+"""Late round-9 catalog entries: Matryoshka (prefix-dimension) adaptive
+retrieval and KMV sketch SET OPERATIONS.
+
+Matryoshka representation learning (Kusupati et al. 2022) trains
+embeddings whose leading dimensions carry a usable coarse
+representation, so retrieval can scan a PREFIX of each vector and
+spend full-dimension arithmetic only on a shortlist ("adaptive" /
+funnel retrieval — the MRL paper's deployment story). Two entries:
+
+- ``embedding_matryoshka_recall_audit`` prices the width/recall trade:
+  exact prefix-cosine top-5 at widths 8/16/32 vs the full-64-dim truth
+  ranking, one scored frame serving every width. On the ISOTROPIC
+  synthetic embeddings the short widths recall poorly — random unit
+  vectors spread signal evenly across dimensions, so an 8-dim prefix
+  is a noisy 1/8 sample of the dot product. That is the honest
+  measurement (the residual-IVFPQ lesson, NOTES_r9 §3): the lift
+  appears exactly when the representation is Matryoshka-structured,
+  which the property test pins by constructing leading-dim-signal
+  vectors where width-8 recall is perfect with full oracle parity.
+- ``embedding_matryoshka_rerank`` is the serving layout: width-16
+  prefix scan → per-query top-25 shortlist → exact full-dimension
+  cosine over shortlist rows only (the FAISS-refine shape
+  ``embedding_ivfpq_rerank`` uses, with a prefix scan instead of ADC).
+
+KMV set operations (Beyer et al. 2007, "On synopses for distinct-value
+estimation under multiset operations") extend the repo's KMV sketches
+(``orderkey_distinct_kmv``, ``doc_bottomk_sketch``) from single-set
+cardinality to UNION and INTERSECTION estimates: merge two bottom-k
+sketches, take the k smallest of the merge, estimate the union from
+the k-th minimum and scale by the fraction of those k present in BOTH
+sketches. ``events_kmv_set_ops`` sketches each event type's distinct
+(user, day) activity set and audits every pairwise estimate against
+the exact counts in the same frame.
+
+Engine parity: hashes are the repo's md5-derived 60-bit integers
+(functions/hashing.py — identical in Spark and DuckDB); estimators are
+single-rounding double expressions over exact integers with identical
+association order in both engines, so every value gates bit-exactly.
+
+Entry contract per repo convention: @query registration with a DuckDB
+oracle, a shuffle budget in tests/test_plan_shape.py with a
+why-comment, a bench.py HEADLINE row, a bench_scale probe or a
+documented exclusion, and property tests vs pure-Python references
+(tests/test_r9b_properties.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from idh_etl_demo_spark.catalog import _t, query
+from idh_etl_demo_spark.catalog_llm import _QUANT, _spark_int_dot, _spark_quant
+from idh_etl_demo_spark.functions.hashing import md5_long
+
+# Matryoshka prefix widths audited against the full dimension. The
+# embeddings tables are 64-dim; widths are powers of two as in the MRL
+# paper's nesting (8 ⊂ 16 ⊂ 32 ⊂ 64).
+_MRL_WIDTHS = (8, 16, 32)
+_MRL_FULL = 64
+_MRL_TOPK = 5
+# rerank shortlist depth: 5× the final k, the same overfetch ratio the
+# IVFPQ rerank entry uses (R=20 over k=5 there; 25 here keeps the
+# prefix stage's candidate stream a round 5% of the sf0.01 corpus)
+_MRL_SHORTLIST = 25
+_MRL_SERVE_W = 16
+
+
+def _sql_prefix_cos(qv: str, cv: str, w: int | None) -> str:
+    """DuckDB cosine over the first ``w`` dims (None = full vector) —
+    dot/(sqrt·sqrt) over the ×10⁴-quantized integers, the exact shape
+    embedding_cosine_topk gates."""
+    if w is None:
+        a, b = qv, cv
+    else:
+        a, b = f"{qv}[1:{w}]", f"{cv}[1:{w}]"
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _spark_prefix_cos(qv: F.Column, cv: F.Column, w: int | None) -> F.Column:
+    a = qv if w is None else F.slice(qv, 1, w)
+    b = cv if w is None else F.slice(cv, 1, w)
+    return _spark_int_dot(a, b) / (
+        F.sqrt(_spark_int_dot(a, a)) * F.sqrt(_spark_int_dot(b, b))
+    )
+
+
+def _mrl_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cos8, cos16, cos32, cos64): one
+    corpus×queries pass computing every audited width — the widths
+    share the scan and the broadcast, so auditing 3 prefixes costs one
+    extra projection, not three extra scans."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _spark_quant(F.col("embedding")).alias("qv"),
+    )
+    c = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _spark_quant(F.col("embedding")).alias("cv"),
+    )
+    cols = [
+        _spark_prefix_cos(F.col("qv"), F.col("cv"), w).alias(f"cos{w}")
+        for w in _MRL_WIDTHS
+    ] + [_spark_prefix_cos(F.col("qv"), F.col("cv"), None).alias(f"cos{_MRL_FULL}")]
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", *cols)
+    )
+
+
+def _mrl_audit_sql() -> str:
+    cos_cols = ",\n             ".join(
+        f"{_sql_prefix_cos('qv', 'cv', w)} as cos{w}" for w in _MRL_WIDTHS
+    )
+    full = f"{_sql_prefix_cos('qv', 'cv', None)} as cos{_MRL_FULL}"
+    ranks = ",\n             ".join(
+        f"row_number() over (partition by query_id order by cos{w} desc, neighbor_id asc) as r{w}"
+        for w in (*_MRL_WIDTHS, _MRL_FULL)
+    )
+    hits = ",\n             ".join(
+        f"sum(case when r{w} <= {_MRL_TOPK} and r{_MRL_FULL} <= {_MRL_TOPK} then 1 else 0 end)::bigint as hits{w}"
+        for w in _MRL_WIDTHS
+    )
+    unpivot = "\n      union all ".join(
+        f"select {w} as width, hits{w} as hits, possible from agg"
+        for w in _MRL_WIDTHS
+    )
+    return f"""
+    with q as (
+      select vec_id as query_id, {_QUANT} as qv from embeddings where vec_id % 25 = 0
+    ),
+    c as (select vec_id as neighbor_id, {_QUANT} as cv from embeddings),
+    scored as (
+      select query_id, neighbor_id,
+             {cos_cols},
+             {full}
+      from q, c where neighbor_id != query_id
+    ),
+    ranked as (
+      select query_id, neighbor_id,
+             {ranks}
+      from scored
+    ),
+    agg as (
+      select {hits},
+             sum(case when r{_MRL_FULL} <= {_MRL_TOPK} then 1 else 0 end)::bigint as possible
+      from ranked
+    )
+    select width, hits, possible, cast(hits as double) / possible as recall
+    from ({unpivot})
+    order by width
+    """
+
+
+@query("embedding_matryoshka_recall_audit", _mrl_audit_sql())
+def embedding_matryoshka_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka width/recall audit (Kusupati et al. 2022): exact
+    prefix-cosine top-5 at widths 8/16/32 versus the full-64-dim truth
+    ranking, reported as hits / possible / recall per width. All four
+    rankings come off ONE scored frame — the corpus×queries pass is
+    paid once and every width adds only a projection column, so the
+    audit costs what a single brute-force top-k entry costs.
+
+    On the isotropic synthetic embeddings short-prefix recall is LOW by
+    construction (random unit vectors carry no leading-dim structure —
+    an 8-dim prefix is a 1/8 subsample of the dot product), and the
+    entry reports that honestly; the property test pins perfect width-8
+    recall on Matryoshka-structured vectors where the signal lives in
+    the leading dims, with full oracle parity on the same frame
+    (tests/test_r9b_properties.py).
+
+    Scale shape: queries broadcast (|Q| = N/25 at the audit's pinned
+    selector; a production audit pins |Q| constant), the corpus scan is
+    embarrassingly parallel, and the only corpus-keyed exchange is the
+    per-query ranking window shared by all four widths (one exchange,
+    four sorts over |Q|·N score rows — vectors never shuffle). The
+    final unpivot runs on ONE aggregate row."""
+    scored = _mrl_scored(spark, sf_dir)
+    rcols = [
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc(f"cos{w}"), F.asc("neighbor_id")
+            )
+        )
+        .alias(f"r{w}")
+        for w in (*_MRL_WIDTHS, _MRL_FULL)
+    ]
+    ranked = scored.select("query_id", "neighbor_id", *rcols)
+    in_full = F.col(f"r{_MRL_FULL}") <= _MRL_TOPK
+    agg = ranked.agg(
+        *[
+            F.sum(
+                F.when((F.col(f"r{w}") <= _MRL_TOPK) & in_full, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"hits{w}")
+            for w in _MRL_WIDTHS
+        ],
+        F.sum(F.when(in_full, 1).otherwise(0)).cast("long").alias("possible"),
+    )
+    stack_args = ", ".join(
+        f"cast({w} as int), hits{w}" for w in _MRL_WIDTHS
+    )
+    out = agg.selectExpr(
+        f"stack({len(_MRL_WIDTHS)}, {stack_args}) as (width, hits)",
+        "possible",
+    )
+    return out.withColumn(
+        "recall", F.col("hits").cast("double") / F.col("possible")
+    ).orderBy("width")
+
+
+@query(
+    "embedding_matryoshka_rerank",
+    f"""
+    with q as (
+      select vec_id as query_id, {_QUANT} as qv from embeddings where vec_id % 25 = 0
+    ),
+    c as (select vec_id as neighbor_id, {_QUANT} as cv from embeddings),
+    s1 as (
+      select query_id, neighbor_id,
+             {_sql_prefix_cos('qv', 'cv', _MRL_SERVE_W)} as pcos
+      from q, c where neighbor_id != query_id
+    ),
+    short as (
+      select query_id, neighbor_id, prefix_rank from (
+        select query_id, neighbor_id,
+               row_number() over (partition by query_id
+                                  order by pcos desc, neighbor_id asc) as prefix_rank
+        from s1
+      ) where prefix_rank <= {_MRL_SHORTLIST}
+    ),
+    ex as (
+      select s.query_id, s.neighbor_id, s.prefix_rank,
+             {_sql_prefix_cos('q.qv', 'c.cv', None)} as cosine_sim
+      from short s
+      join q on q.query_id = s.query_id
+      join c on c.neighbor_id = s.neighbor_id
+    )
+    select query_id, neighbor_id, cosine_sim, prefix_rank, rank from (
+      select *, row_number() over (partition by query_id
+                                   order by cosine_sim desc, neighbor_id asc) as rank
+      from ex
+    ) where rank <= {_MRL_TOPK}
+    order by query_id, rank
+    """,
+)
+def embedding_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive (funnel) retrieval over Matryoshka prefixes — the MRL
+    paper's serving layout: a width-16 prefix scan ranks the whole
+    corpus cheaply, the per-query top-25 shortlist alone pays
+    full-64-dim exact cosine, and the final top-5 is ranked by the
+    exact score (prefix_rank rides along to show the reorder). The
+    FAISS-refine shape of ``embedding_ivfpq_rerank`` with a prefix scan
+    as the cheap stage instead of ADC.
+
+    The 100 TB win needs the storage side: with dimension-sliced
+    layouts (an MRL-truncated head copy, or Parquet-sharded dim
+    groups) stage 1 READS 16/64ths of the vector bytes. Here both
+    stages scan the same array column, so the entry prices the plan
+    shape (4× less multiply work in the scan stage, full-dim work
+    bounded by |Q|·25) rather than the I/O — disclosed, same as the
+    PQ flat-scan memory-bound disclosure.
+
+    Scale shape: stage 1 is the broadcast-queries corpus scan with one
+    per-query ranking window over (query_id, neighbor_id, pcos) rows;
+    the |Q|·25 shortlist then BROADCASTS back onto the corpus vector
+    stream (corpus vectors never shuffle — the ivfpq_rerank exchange
+    discipline), and the exact stage's window ranks |Q|·25 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _spark_quant(F.col("embedding")).alias("qv"),
+    )
+    c = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _spark_quant(F.col("embedding")).alias("cv"),
+    )
+    s1 = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _spark_prefix_cos(F.col("qv"), F.col("cv"), _MRL_SERVE_W).alias(
+                "pcos"
+            ),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("neighbor_id")
+    )
+    short = (
+        s1.withColumn("prefix_rank", F.row_number().over(wp).cast("long"))
+        .filter(F.col("prefix_rank") <= _MRL_SHORTLIST)
+        .select("query_id", "neighbor_id", "prefix_rank")
+    )
+    ex = (
+        c.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "prefix_rank",
+            _spark_prefix_cos(F.col("qv"), F.col("cv"), None).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= _MRL_TOPK)
+        .select("query_id", "neighbor_id", "cosine_sim", "prefix_rank", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ===========================================================================
+# KMV sketch set operations over event-type activity sets
+# ===========================================================================
+
+_KMV_K = 64
+# the md5-derived hash domain: 15 hex chars → [0, 16^15) = [0, 2^60)
+_KMV_DOMAIN = float(1 << 60)
+# phase-1 pre-prune fan: bottom-k per (type, hv % _KMV_BUCKETS) bounds
+# the final per-type window's input at k·buckets rows
+_KMV_BUCKETS = 16
+
+
+def _kmv_sql() -> str:
+    k = _KMV_K
+    return f"""
+    with mem as (
+      select distinct event_type, user_id, cast(date_trunc('day', ts) as date) as d
+      from events
+    ),
+    hashed as (
+      select distinct event_type,
+             ('0x' || substring(md5(cast(user_id as varchar) || '|' || strftime(d, '%Y-%m-%d')), 1, 15))::bigint as hv
+      from mem
+    ),
+    sketch as (
+      select event_type, hv from (
+        select event_type, hv,
+               row_number() over (partition by event_type order by hv asc) as r
+        from hashed
+      ) where r <= {k}
+    ),
+    cnts as (
+      select event_type, count(*)::bigint as cnt from mem group by event_type
+    ),
+    pairs as (
+      select a.event_type as type_a, b.event_type as type_b,
+             a.cnt as cnt_a, b.cnt as cnt_b
+      from cnts a join cnts b on a.event_type < b.event_type
+    ),
+    inter as (
+      select a.event_type as type_a, b.event_type as type_b,
+             count(*)::bigint as exact_intersection
+      from mem a
+      join mem b on a.user_id = b.user_id and a.d = b.d
+                and a.event_type < b.event_type
+      group by 1, 2
+    ),
+    merged as (
+      select p.type_a, p.type_b, s.hv,
+             max(case when s.event_type = p.type_a then 1 else 0 end) as in_a,
+             max(case when s.event_type = p.type_b then 1 else 0 end) as in_b
+      from pairs p
+      join sketch s on s.event_type in (p.type_a, p.type_b)
+      group by p.type_a, p.type_b, s.hv
+    ),
+    mr as (
+      select *,
+             row_number() over (partition by type_a, type_b order by hv asc) as r,
+             count(*) over (partition by type_a, type_b) as merged_n
+      from merged
+    ),
+    stats as (
+      select type_a, type_b,
+             cast(least({k}, max(merged_n)) as bigint) as k_used,
+             max(case when r = least({k}, merged_n) then hv end) as kth_min_hash,
+             sum(case when r <= {k} and in_a = 1 and in_b = 1 then 1 else 0 end)::bigint as shared_in_k,
+             max(merged_n)::bigint as merged_n
+      from mr group by 1, 2
+    ),
+    est as (
+      select p.type_a, p.type_b, s.k_used, s.kth_min_hash, s.shared_in_k,
+             p.cnt_a < {k} and p.cnt_b < {k} as complete,
+             s.merged_n,
+             case when p.cnt_a < {k} and p.cnt_b < {k}
+                  then cast(s.merged_n as double)
+                  else cast(s.k_used - 1 as double) * {_KMV_DOMAIN!r} / s.kth_min_hash
+             end as est_union,
+             p.cnt_a + p.cnt_b - coalesce(i.exact_intersection, 0) as exact_union,
+             coalesce(i.exact_intersection, 0) as exact_intersection
+      from pairs p
+      join stats s on s.type_a = p.type_a and s.type_b = p.type_b
+      left join inter i on i.type_a = p.type_a and i.type_b = p.type_b
+    )
+    select type_a, type_b, k_used, kth_min_hash, shared_in_k,
+           est_union,
+           case when complete and merged_n <= {k}
+                then cast(shared_in_k as double)
+                else cast(shared_in_k as double) / k_used * est_union
+           end as est_intersection,
+           exact_union, exact_intersection
+    from est
+    order by type_a, type_b
+    """
+
+
+@query("events_kmv_set_ops", _kmv_sql())
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set operations (Beyer et al. 2007): per event type,
+    sketch the distinct (user, day) activity set as the k=64 smallest
+    md5 hashes; for every type pair, merge the two sketches, take the
+    k smallest of the merge, and estimate
+
+        union        ≈ (k−1) · |domain| / kth_min_of_merge
+        intersection ≈ (shared_in_k / k) · union_est
+
+    where shared_in_k counts merge-bottom-k members present in BOTH
+    sketches. Small-set branch (Beyer et al.): when both input sets are
+    smaller than k the sketches ARE the sets, so the union "estimate"
+    is the exact merged count; if the merge also fits in k (union < k)
+    the intersection estimate collapses to the exact count too —
+    the property test pins both. The exact union/intersection ride
+    along as the audit columns, ``orderkey_distinct_kmv``-style: at
+    sf0.01 the ~1600-member sets overlap ~36% and the k=64 estimates
+    carry real sketch noise — that error IS the measurement.
+
+    Engine parity: hashes are 60-bit md5 integers; both estimators are
+    double expressions over exact ints with one rounding per operator
+    in the same association order, so values gate bit-exactly.
+
+    Scale shape: the corpus is touched twice — the distinct-member agg
+    (map-side combined, 8-byte-hash rows) feeding the sketches, and the
+    exact-audit self-join on (user, day); at 100 TB the audit columns
+    swap out and what remains is sketch-sized. Per-type bottom-k is
+    two-phase: bottom-k per (type, hv mod 16) first — windows over
+    balanced hash buckets — so the final per-type window ranks at
+    most k·16 rows per type regardless of corpus size (the
+    oracle runs the single-phase rank; phase 1 only prunes rows that
+    cannot reach any bottom-k, so results are identical). Everything
+    after the sketches is |types|²·k-sized and broadcast."""
+    k = _KMV_K
+    ev = _t(spark, sf_dir, "events")
+    mem = (
+        ev.select(
+            "event_type", "user_id", F.to_date(F.col("ts")).alias("d")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .distinct()
+    )
+    hv = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.date_format(F.col("d"), "yyyy-MM-dd"),
+        )
+    )
+    hashed = mem.select("event_type", hv.alias("hv")).distinct()
+    # phase 1: bottom-k within balanced hash buckets (bounds the final
+    # per-type sort input at k·buckets rows however large the corpus)
+    wb = Window.partitionBy("event_type", F.col("hv") % _KMV_BUCKETS).orderBy(
+        F.asc("hv")
+    )
+    pruned = (
+        hashed.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= k)
+        .drop("rb")
+    )
+    wt = Window.partitionBy("event_type").orderBy(F.asc("hv"))
+    sketch = (
+        pruned.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= k)
+        .drop("r")
+    )
+    cnts = mem.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    ca = cnts.select(
+        F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = cnts.select(
+        F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = ca.join(cb, F.col("type_a") < F.col("type_b"))
+    mem_a = mem.select(
+        F.col("event_type").alias("type_a"), "user_id", "d"
+    )
+    mem_b = mem.select(
+        F.col("event_type").alias("type_b"),
+        F.col("user_id").alias("ub"),
+        F.col("d").alias("db"),
+    )
+    inter = (
+        mem_a.join(
+            mem_b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("d") == F.col("db"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    merged = (
+        sketch.join(
+            F.broadcast(pairs.select("type_a", "type_b")),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wpair = Window.partitionBy("type_a", "type_b")
+    mr = merged.withColumn(
+        "r", F.row_number().over(wpair.orderBy(F.asc("hv")))
+    ).withColumn("merged_n", F.count(F.lit(1)).over(wpair))
+    stats = mr.groupBy("type_a", "type_b").agg(
+        F.least(F.lit(k), F.max("merged_n")).cast("long").alias("k_used"),
+        F.max(
+            F.when(
+                F.col("r") == F.least(F.lit(k), F.col("merged_n")),
+                F.col("hv"),
+            )
+        ).alias("kth_min_hash"),
+        F.sum(
+            F.when(
+                (F.col("r") <= k) & (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("shared_in_k"),
+        F.max("merged_n").cast("long").alias("merged_n"),
+    )
+    est = (
+        pairs.join(F.broadcast(stats), ["type_a", "type_b"])
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_used",
+            "kth_min_hash",
+            "shared_in_k",
+            ((F.col("cnt_a") < k) & (F.col("cnt_b") < k)).alias("complete"),
+            "merged_n",
+            F.when(
+                (F.col("cnt_a") < k) & (F.col("cnt_b") < k),
+                F.col("merged_n").cast("double"),
+            )
+            .otherwise(
+                (F.col("k_used") - 1).cast("double")
+                * F.lit(_KMV_DOMAIN)
+                / F.col("kth_min_hash")
+            )
+            .alias("est_union"),
+            (
+                F.col("cnt_a")
+                + F.col("cnt_b")
+                - F.coalesce(F.col("exact_intersection"), F.lit(0))
+            )
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+    return est.select(
+        "type_a",
+        "type_b",
+        "k_used",
+        "kth_min_hash",
+        "shared_in_k",
+        "est_union",
+        F.when(
+            F.col("complete") & (F.col("merged_n") <= k),
+            F.col("shared_in_k").cast("double"),
+        )
+        .otherwise(
+            F.col("shared_in_k").cast("double")
+            / F.col("k_used")
+            * F.col("est_union")
+        )
+        .alias("est_intersection"),
+        "exact_union",
+        "exact_intersection",
+    ).orderBy("type_a", "type_b")

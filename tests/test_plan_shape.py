@@ -501,6 +501,16 @@ SHUFFLE_BUDGETS = {
     # a regression to the lazy-union plan (12 exchanges measured)
     # trips this line
     "doc_bm25_mmr": 2,
+    # KMV set ops (measured 15): corpus-side are the member distinct
+    # (+ round-robin input spread), the hash distinct, the two-phase
+    # bottom-k windows ((type, bucket) then type — phase 2's input is
+    # k·buckets rows however large the corpus), the per-type count agg,
+    # and the exact-audit self-join on (user, day) (2 sides + pair agg)
+    # — the audit columns that swap out at 100 TB per the docstring.
+    # Everything after the sketches (merge, rank, estimators) is
+    # |types|²·k-sized and rides broadcasts; the tail is the
+    # presentation sort.
+    "events_kmv_set_ops": 15,
 }
 
 

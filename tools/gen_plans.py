@@ -19,6 +19,7 @@ import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
 import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_r9  # noqa: F401
+import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -54,6 +55,8 @@ PICKS = {
     "doc_unimax_allocation": "UniMax waterfill: one map-side-combined lang count, then every analytic window shares a single |languages|-row SinglePartition exchange — the closed form never moves corpus rows",
     "doc_leakage_safe_split": "leakage-safe split: the checkpointed near-dup component table joins the corpus id stream by doc_id; split labels are a map-side md5 projection of the cluster id; document bodies never shuffle",
     "doc_bm25_mmr": "MMR serving plan: the shortlist, token sets, Jaccard pairs, and per-step selections are frozen localCheckpoint scans (greedy unroll runs at build over broadcast joins) — the served plan is a 5-node scan + presentation sort; the corpus chain appears ZERO times",
+    "embedding_matryoshka_rerank": "funnel retrieval: the prefix-16 scan ranks via ONE per-query window; the |Q|·25 shortlist broadcasts back onto the corpus vector stream for the exact-64 stage — corpus vectors never shuffle",
+    "events_kmv_set_ops": "KMV set ops: member distinct + hash distinct collapse the corpus to 8-byte digests; two-phase bottom-k windows ((type, bucket) then type) bound the final sort at k·buckets rows; everything past the sketches is |types|²·k-sized on broadcasts",
 }
 
 
