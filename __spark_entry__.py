@@ -128,7 +128,12 @@ DRIVER_PRIORITY: list[str] = [
     # family stays at 5, exactly its minimum, counting the KMV entry)
     "events_gap_fill",
     # --- round-8 first-greens: second hard signal ---
-    "doc_bpe_token_counts",
+    # (doc_bpe_token_counts was slotted here for its r8 second signal;
+    # displaced by the late round-9 doc_suffix_array — its r8 driver
+    # green stands, the BPE chain keeps its sweep + property +
+    # deep-probe gates (PROBE_BPE_DEEP.json), and the second signal
+    # defers to the r10 rotation; doc family count is unchanged by the
+    # swap)
     # (doc_bucket_quality_sample was slotted here for its r8 second
     # signal; displaced by the late round-9
     # embedding_nndescent_recall_audit — it is the session-warmth-
@@ -179,7 +184,13 @@ DRIVER_PRIORITY: list[str] = [
     # rows identical), and the MMR entry composes that same chain
     # further, so the driver still executes the BM25 shape twice; doc
     # family stays at 22, above its minimum of 21)
-    "doc_contamination_fraction",
+    # (doc_contamination_fraction was slotted here for its r8 second
+    # signal; displaced by the late round-9 doc_suffix_dup_audit — its
+    # r8 driver green stands, its gram-explode + broadcast-membership
+    # shape stays driver-exercised via the in-window
+    # doc_decontamination (recall) and doc_decontamination_passages,
+    # and the second signal defers to the r10 rotation; doc family
+    # count is unchanged by the swap)
     # --- round-9 NEW entries (displaced the first five stale fills:
     # embedding_kmeans_2iter, doc_bottomk_sketch, doc_chunk_overlap,
     # multimodal_frame_sample, events_hourly_anomalies) ---
@@ -211,10 +222,13 @@ DRIVER_PRIORITY: list[str] = [
     "doc_bm25_mmr",
     # --- late round-9 entries (displacements annotated in place
     # above: doc_simhash60_neardup, events_distinct_users_hll,
-    # embedding_nndescent_recall_audit) ---
+    # embedding_nndescent_recall_audit, doc_bpe_token_counts,
+    # doc_contamination_fraction) ---
     "embedding_matryoshka_recall_audit",
     "embedding_matryoshka_rerank",
     "events_kmv_set_ops",
+    "doc_suffix_array",
+    "doc_suffix_dup_audit",
 ]
 
 

@@ -143,6 +143,9 @@ HEADLINE = [
     "embedding_matryoshka_recall_audit",
     "embedding_matryoshka_rerank",
     "events_kmv_set_ops",
+    # late round 9: prefix-doubling suffix array + SA-adjacency dup audit
+    "doc_suffix_array",
+    "doc_suffix_dup_audit",
 ]
 
 
@@ -179,6 +182,11 @@ SESSION_CACHED = {
     "embedding_ivf_nprobe_audit",
     "embedding_prototype_pruning",
     "embedding_d4_curation",
+    # late round-9 suffix array: the prefix-doubling build is memoized
+    # per (session, sf) — cleared per rep so each rep pays the full
+    # doubling loop
+    "doc_suffix_array",
+    "doc_suffix_dup_audit",
 }
 
 
@@ -186,11 +194,13 @@ def _clear_session_caches() -> None:
     from idh_etl_demo_spark.catalog_r3 import _CURATION_RESULTS, _KM_MODELS
     from idh_etl_demo_spark.catalog_r8 import _PQ_MODELS
     from idh_etl_demo_spark.catalog_r9 import _RES_MODELS
+    from idh_etl_demo_spark.catalog_r9b import _SA_MODELS
 
     _CURATION_RESULTS.clear()
     _RES_MODELS.clear()
     _PQ_MODELS.clear()
     _KM_MODELS.clear()
+    _SA_MODELS.clear()
 
 
 def main() -> None:

@@ -247,6 +247,17 @@ PROBES = [
     # the 10× ratio is the plan property (shifted user_ids give 10×
     # distinct members, |types| stays 5)
     "events_kmv_set_ops",
+    # late round-9 suffix array: THE claim is that prefix doubling
+    # costs log(max_len) rounds — a per-DOCUMENT property — so at 10×
+    # corpus the round count is IDENTICAL (max doc length unchanged
+    # under the union) and each round's join + bucketed rank is linear
+    # in positions; the ratio must track the token scan. Probed
+    # through the dup audit, which forces the full build PLUS the
+    # adjacency serving joins; doc_suffix_array itself is NOT probed
+    # separately — it shares the identical build and its serving plan
+    # is a checkpoint scan, so a second probe would time the same
+    # loop twice
+    "doc_suffix_dup_audit",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

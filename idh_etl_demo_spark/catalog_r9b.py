@@ -605,3 +605,195 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersection",
     ).orderBy("type_a", "type_b")
+
+
+# ===========================================================================
+# Distributed suffix array (prefix doubling) + the SA-route duplication
+# audit — Lee et al. 2021's exact-substring primitive, built natively
+# ===========================================================================
+#
+# doc_duplicated_spans (catalog_r9) re-expresses Lee et al.'s
+# suffix-array substring dedup as rolling-window hashes. These entries
+# build the SUFFIX ARRAY ITSELF — prefix doubling, log(max_len)
+# rounds of id-keyed joins + two-phase global ranks
+# (operators/suffix.py) — and then re-derive the duplicated-window
+# verdict from suffix-array ADJACENCY. Both entries' oracles use a
+# COMPLETELY different algorithm (DuckDB sorts the suffix lists
+# directly / counts window hashes), so agreement gates the doubling
+# loop end to end.
+
+# The suffix-array build is eager (per-round localCheckpoint, the
+# CC-fixpoint convention) — memoize per (session, sf) so the array and
+# its audit share one build. bench.py clears this per rep
+# (SESSION_CACHED).
+_SA_MODELS: dict[tuple[str, str], DataFrame] = {}
+
+_SA_L = 8  # duplicated-window length, = catalog_r9._SPAN_L
+
+
+def _sa_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+
+
+def _sa_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from idh_etl_demo_spark.operators.suffix import suffix_ranks
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SA_MODELS:
+        _SA_MODELS[key] = suffix_ranks(_sa_base(spark, sf_dir))
+    return _SA_MODELS[key]
+
+
+_SA_TOKS_SQL = (
+    "list_filter(string_split(regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g'), ' '), w -> w != '')"
+)
+
+
+@query(
+    "doc_suffix_array",
+    f"""
+    with base as (select doc_id, {_SA_TOKS_SQL} as toks from documents),
+    pos as (
+      select doc_id, u.i - 1 as pos, list_slice(toks, u.i, len(toks)) as suffix
+      from base cross join lateral (
+        select unnest(generate_series(1, len(toks))) as i
+      ) u
+    )
+    select doc_id, pos, sa_rank from (
+      select doc_id, pos,
+             row_number() over (order by suffix, doc_id, pos) as sa_rank
+      from pos
+    ) where doc_id % 25 = 0
+    order by doc_id, pos
+    """,
+)
+def doc_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus suffix array over token-level suffixes, built by
+    distributed PREFIX DOUBLING (operators/suffix.py; Manber & Myers
+    1990, the primitive Lee et al. 2021 build for exact-substring
+    dedup). Output: every suffix position of the doc_id % 25 == 0
+    subset with its 1-based rank in the lexicographic order of ALL
+    corpus suffixes (ties between identical cross-document suffixes
+    broken by (doc_id, pos)) — the subset keeps the gated frame
+    compact while every rank still depends on the entire corpus.
+
+    The oracle sorts the suffix LISTS directly (DuckDB list comparison
+    is elementwise with prefix-first semantics — exactly the −1
+    sentinel order the doubling loop uses), so two entirely different
+    algorithms must produce identical ranks.
+
+    Scale shape: log(max_len) rounds (7 at the corpus's 100-token max,
+    at ANY corpus size), each one id-keyed equi-join plus the
+    two-phase bucketed dense rank — suffixes are never materialized,
+    only (doc_id, pos, rank) rows flow, and no round funnels the
+    corpus through one partition. Eager per-round checkpoints; the
+    built array is memoized per (session, sf) and shared with the
+    adjacency audit."""
+    sa = _sa_frame(spark, sf_dir)
+    return (
+        sa.filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "pos", "sa_rank")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "doc_suffix_dup_audit",
+    f"""
+    with base as (select doc_id, {_SA_TOKS_SQL} as toks from documents),
+    tot as (select doc_id, len(toks) as n_tokens from base),
+    grams as (
+      select doc_id, u.i - 1 as pos,
+             md5(array_to_string(list_slice(toks, u.i, u.i + {_SA_L} - 1), ' ')) as gh
+      from base cross join lateral (
+        select unnest(generate_series(1, greatest(len(toks) - {_SA_L} + 1, 0))) as i
+      ) u
+    ),
+    dup as (
+      select doc_id, pos from (
+        select doc_id, pos, count(*) over (partition by gh) as c from grams
+      ) where c >= 2
+    ),
+    perdoc as (select doc_id, count(*) as cnt from dup group by doc_id)
+    select t.doc_id,
+           cast(t.n_tokens as bigint) as n_tokens,
+           cast(coalesce(p.cnt, 0) as bigint) as dup_starts
+    from tot t left join perdoc p on t.doc_id = p.doc_id
+    order by t.doc_id
+    """,
+)
+def doc_suffix_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-window detection via SUFFIX-ARRAY ADJACENCY — the
+    cross-validation of ``doc_duplicated_spans``'s rolling-hash route
+    by Lee et al.'s original algorithm: an {L}-token window is
+    duplicated iff some other suffix shares its {L}-prefix, iff its
+    suffix-array NEIGHBOR (previous or next rank) does — suffixes with
+    a common prefix are CONTIGUOUS in the array, so only adjacent
+    pairs ever need comparing. Per doc: token count + number of
+    duplicated {L}-window starts.
+
+    The oracle computes the same verdict by brute hash counting
+    (window md5 occurring ≥ 2×, the duplicated_spans `occ` logic);
+    the Spark side never counts — it reads duplication off the sorted
+    order. Two independent algorithms, bit-identical answers.
+
+    Scale shape: the {L}-gram hash per position is a map-side
+    projection (16-byte gh rides the id rows); neighbor lookup is two
+    equi-joins on sa_rank ± 1 (id-width rows, never text); the rest is
+    one per-doc count and a broadcast of the per-doc totals. The
+    suffix array itself is the memoized prefix-doubling build shared
+    with ``doc_suffix_array``."""
+    sa = _sa_frame(spark, sf_dir)
+    base = _sa_base(spark, sf_dir)
+    tot = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    gh8 = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= _SA_L,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - _SA_L + 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, _SA_L))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gh"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gh")
+    s = sa.join(gh8, ["doc_id", "pos"], "left")  # gh null past len-L
+    prv = s.select((F.col("sa_rank") + 1).alias("sa_rank"), F.col("gh").alias("gh_prev"))
+    nxt = s.select((F.col("sa_rank") - 1).alias("sa_rank"), F.col("gh").alias("gh_next"))
+    marked = (
+        s.join(prv, "sa_rank", "left")
+        .join(nxt, "sa_rank", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("gh").isNotNull()
+                & (
+                    (F.col("gh") == F.col("gh_prev"))
+                    | (F.col("gh") == F.col("gh_next"))
+                )
+            ).alias("dup"),
+        )
+    )
+    perdoc = marked.filter("dup").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        tot.join(F.broadcast(perdoc), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("dup_starts"),
+        )
+        .orderBy("doc_id")
+    )

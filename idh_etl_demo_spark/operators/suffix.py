@@ -1,0 +1,185 @@
+"""Distributed suffix array construction by PREFIX DOUBLING
+(Manber & Myers 1990; the Larsson–Sadakane rank-doubling variant).
+
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better") build suffix arrays to find every verbatim duplicated
+substring in a training corpus. Their reference implementation is a
+single-node external-memory build; this operator is the Spark-native
+equivalent over TOKEN-level suffixes of every document:
+
+    round 0:  rank(p) = dense rank of token at p        (vocab join)
+    round j:  rank(p) = dense rank of the PAIR
+              (rank(p), rank(p + 2^j) or -1)            (id-keyed join
+                                                         + windows)
+
+After ceil(log2(max_len)) rounds, equal ranks mean genuinely equal
+suffixes (cross-document duplicates); a final positional tie-break
+produces a total order identical to sorting the suffix strings — which
+is exactly what the DuckDB oracle does, so the two independent
+algorithms must agree row for row.
+
+Scale shape — the reason to build it this way:
+- suffixes are never materialized: only (doc_id, pos, rank) id-width
+  rows flow through every round; document text stays in the scan.
+- each round is one equi-join on (doc_id, pos) plus the TWO-PHASE
+  global dense rank: rows bucket by `rank div B` (equal pairs can
+  never straddle buckets because the bucket key is the pair's first
+  component), a per-bucket window ranks locally, and per-bucket
+  offsets come from a |buckets|-row cumulative sum — the
+  `customer_dense_ids` pattern, so no round ever funnels the corpus
+  through one partition.
+- rounds are log(max_len), not log(corpus): 100-token documents cost
+  7 rounds at ANY corpus size.
+- each round's output is frozen with an eager localCheckpoint (the
+  BPE/CC fixpoint convention): plan depth stays bounded and a round
+  is computed exactly once. Driver-side per-round work is two scalar
+  aggregates (the distinct-rank early-exit and nothing else).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+_NBUCKETS = 256
+
+
+def _bucketed_rank(
+    paired: DataFrame,
+    order_cols: list[str],
+    bucket_src: str,
+    bucket_width: int,
+    dense: bool,
+) -> DataFrame:
+    """Global dense_rank (dense=True) or row_number (dense=False) over
+    ``order_cols`` without a single-partition sort: bucket by
+    ``bucket_src div bucket_width`` (bucket_src must be the leading
+    order column, so bucket order refines into row order), rank within
+    buckets, then add |buckets|-row cumulative offsets back. Output:
+    the input columns plus ``gr`` (0-based for dense, 1-based for
+    row_number — matching dense_rank-1 / row_number semantics)."""
+    b = paired.withColumn(
+        "bucket", F.floor(F.col(bucket_src) / bucket_width).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(*[F.asc(c) for c in order_cols])
+    rk = (F.dense_rank() if dense else F.row_number()).over(w)
+    ranked = b.withColumn("lr", rk.cast("long"))
+    counts = ranked.groupBy("bucket").agg(F.max("lr").alias("n"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    out_rank = (
+        (F.col("off") + F.col("lr") - 1)
+        if dense
+        else (F.col("off") + F.col("lr"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .withColumn("gr", out_rank)
+        .drop("bucket", "lr", "off")
+    )
+
+
+def suffix_ranks(base: DataFrame) -> DataFrame:
+    """Token-level suffix array of the corpus.
+
+    ``base``: (doc_id, toks array<string>). Returns (doc_id, pos,
+    sa_rank) — pos 0-based, sa_rank the 1-based position of suffix
+    toks[pos:] in the lexicographic order of ALL corpus suffixes, ties
+    between identical suffixes broken by (doc_id, pos).
+
+    Runs the prefix-doubling loop EAGERLY (each round localCheckpoints
+    its rank table — the CC-fixpoint convention); callers should
+    memoize per (session, sf)."""
+    pos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+    # round 0 seeds with the BIGRAM rank — dense rank of (token, next
+    # token), i.e. the state a single-token seed reaches after its
+    # first doubling round, so the loop starts at h=2 with one fewer
+    # corpus pass. The bigram vocabulary is |vocab|²-bounded (tiny),
+    # ranks broadcast back onto the position stream; a missing next
+    # token sorts FIRST (nulls-first = the −1 sentinel = DuckDB's
+    # prefix-first list order).
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # NULL join keys never match — carry (end, t2v) with end flagging
+    # the suffix-final position so the bigram join stays an equi-join
+    pos2 = pos.withColumn("t2", F.lead("token").over(wdoc)).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.col("t2").isNull().alias("end"),
+        F.coalesce(F.col("t2"), F.lit("")).alias("t2v"),
+    )
+    vocab = pos2.select("token", "end", "t2v").distinct()
+    vr = vocab.withColumn(
+        "r",
+        (
+            F.row_number().over(
+                # suffix-final (end=true) sorts before every real
+                # continuation — the −1 sentinel / prefix-first order
+                Window.orderBy(
+                    F.asc("token"), F.desc("end"), F.asc("t2v")
+                )
+            )
+            - 1
+        ).cast("long"),
+    )
+    cur = (
+        pos2.join(F.broadcast(vr), ["token", "end", "t2v"])
+        .select("doc_id", "pos", "r")
+        .localCheckpoint(eager=True)
+    )
+
+    # corpus stats off the checkpointed rank table — no second
+    # tokenizing scan
+    stats = cur.agg(
+        F.count(F.lit(1)).alias("npos"), F.max("pos").alias("maxpos")
+    ).collect()[0]
+    npos, maxlen = int(stats.npos or 0), int(stats.maxpos or -1) + 1
+    if npos == 0:
+        return cur.select(
+            "doc_id", "pos", F.lit(0).cast("long").alias("sa_rank")
+        )
+    bwidth = max(1, math.ceil(npos / _NBUCKETS))
+
+    h = 2
+    while h < maxlen:
+        nxt = cur.select(
+            "doc_id", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = (
+            cur.join(nxt, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id",
+                "pos",
+                "r",
+                F.coalesce(F.col("r2"), F.lit(-1)).alias("r2"),
+            )
+        )
+        ranked = _bucketed_rank(paired, ["r", "r2"], "r", bwidth, dense=True)
+        cur = ranked.select(
+            "doc_id", "pos", F.col("gr").alias("r")
+        ).localCheckpoint(eager=True)
+        h *= 2
+        # early exit: all ranks distinct → no pair can refine further
+        top = cur.agg(F.max("r")).collect()[0][0]
+        if top == npos - 1:
+            break
+
+    # total order: identical cross-document suffixes share a rank class
+    # after the loop; break ties positionally (the oracle's
+    # ORDER BY suffix, doc_id, pos)
+    final = _bucketed_rank(
+        cur, ["r", "doc_id", "pos"], "r", bwidth, dense=False
+    )
+    return final.select(
+        "doc_id", "pos", F.col("gr").alias("sa_rank")
+    ).localCheckpoint(eager=True)

@@ -511,6 +511,14 @@ SHUFFLE_BUDGETS = {
     # |types|²·k-sized and rides broadcasts; the tail is the
     # presentation sort.
     "events_kmv_set_ops": 15,
+    # SA-adjacency duplication audit (measured 7): the suffix array is
+    # a frozen checkpoint scan (the doubling rounds' shuffles run at
+    # build, each round localCheckpointed — EAGER_EXEMPT); the SERVED
+    # plan pays the gh8 projection's input spread, the (doc_id, pos)
+    # join of the array onto the gram hashes, the two sa_rank±1
+    # neighbor joins (id-width rows + 16-byte hashes — text never
+    # shuffles), the per-doc count agg, and the presentation sort
+    "doc_suffix_dup_audit": 7,
 }
 
 
@@ -596,6 +604,13 @@ EAGER_EXEMPT = {
     # so the ≤|Q|·R²-row frames and the per-step selection are frozen
     # with eager localCheckpoint
     "doc_bm25_mmr",
+    # late round-9 suffix array: prefix doubling is a fixpoint-style
+    # loop (each round's dense rank feeds the next; the early-exit
+    # needs a per-round scalar), so the build runs eagerly with
+    # per-round localCheckpoints like the CC/BPE loops; memoized per
+    # (session, sf) in catalog_r9b._SA_MODELS, cleared per bench rep
+    "doc_suffix_array",
+    "doc_suffix_dup_audit",
 }
 
 

@@ -302,3 +302,143 @@ def test_kmv_exact_when_union_under_k(spark, tmp_path):
     assert r.k_used == 55
     assert r.est_union == 55.0
     assert r.est_intersection == 15.0
+
+
+# ---------------------------------------------------------------------------
+# doc_suffix_array / doc_suffix_dup_audit — prefix doubling vs direct sort
+# ---------------------------------------------------------------------------
+
+
+def _py_toks(text: str) -> list[str]:
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    return [w for w in norm.split(" ") if w != ""]
+
+
+def _py_suffix_ranks(docs: dict[int, list[str]]) -> dict[tuple[int, int], int]:
+    """(doc_id, pos) -> 1-based rank by (suffix, doc_id, pos) — the
+    direct-sort reference the prefix-doubling loop must reproduce."""
+    sufs = [
+        (tuple(toks[p:]), d, p)
+        for d, toks in docs.items()
+        for p in range(len(toks))
+    ]
+    sufs.sort()
+    return {(d, p): i + 1 for i, (_, d, p) in enumerate(sufs)}
+
+
+def test_suffix_array_matches_python_reference(spark):
+    """The distributed prefix-doubling build on the REAL sf0.001 corpus
+    must equal direct suffix sorting (a third independent algorithm
+    beyond the entry's DuckDB list-sort oracle): every emitted rank for
+    the %25 subset, against ranks computed over ALL corpus suffixes."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    docs = {r.doc_id: _py_toks(r.text) for r in rows}
+    ranks = _py_suffix_ranks(docs)
+    got = ENTRIES["doc_suffix_array"].spark(spark, SF).collect()
+    assert len(got) == sum(
+        len(t) for d, t in docs.items() if d % 25 == 0
+    )
+    for r in got:
+        assert r.sa_rank == ranks[(r.doc_id, r.pos)], (r.doc_id, r.pos)
+
+
+def _write_docs(tmp_path, texts):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["synth"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_suffix_array_cross_doc_ties(spark, tmp_path):
+    """Identical suffixes in DIFFERENT documents share a rank class
+    after the doubling loop converges; the final positional tie-break
+    must order them by (doc_id, pos) into consecutive ranks — with
+    full DuckDB-oracle parity on the adversarial corpus. Docs 0 and 25
+    are byte-identical (every suffix tied cross-doc), doc 50 shares
+    only a tail."""
+    import duckdb
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    twin = "alpha beta gamma delta beta gamma"
+    texts = [twin] + ["filler words here"] * 24 + [twin] + ["x " * 3] * 24 + [
+        "omega delta beta gamma"
+    ]
+    sf = _write_docs(tmp_path, texts)
+    sdf = ENTRIES["doc_suffix_array"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_suffix_array"].oracle).df()
+    )
+    # every suffix of doc 0 ties its twin in doc 25; the tie-break puts
+    # doc 0 exactly one rank ahead
+    r0 = {r.pos: r.sa_rank for r in sdf.itertuples() if r.doc_id == 0}
+    r25 = {r.pos: r.sa_rank for r in sdf.itertuples() if r.doc_id == 25}
+    assert set(r0) == set(r25) and len(r0) == 6
+    for p in r0:
+        assert r25[p] == r0[p] + 1, p
+
+
+def test_suffix_dup_audit_matches_python_and_spans(spark):
+    """The SA-adjacency audit on the REAL sf0.001 corpus must equal a
+    pure-Python brute count of duplicated 8-token window starts, AND
+    agree doc-for-doc with doc_duplicated_spans' verdict (dup_starts>0
+    ⟺ n_spans>0) — the rolling-hash route and the suffix-array route
+    are the same Lee et al. computation by different algorithms."""
+    from collections import Counter
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9  # noqa: F401  (doc_duplicated_spans)
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    L = 8
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    docs = {r.doc_id: _py_toks(r.text) for r in rows}
+    grams = Counter()
+    for d, toks in docs.items():
+        for p in range(max(len(toks) - L + 1, 0)):
+            grams[tuple(toks[p : p + L])] += 1
+    expected = {
+        d: (
+            len(toks),
+            sum(
+                1
+                for p in range(max(len(toks) - L + 1, 0))
+                if grams[tuple(toks[p : p + L])] >= 2
+            ),
+        )
+        for d, toks in docs.items()
+    }
+    got = ENTRIES["doc_suffix_dup_audit"].spark(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.n_tokens, r.dup_starts) == expected[r.doc_id], r.doc_id
+    # the measurement is real, and the two routes agree on who is dirty
+    assert any(r.dup_starts > 0 for r in got)
+    assert any(r.dup_starts == 0 for r in got)
+    spans = {
+        r.doc_id: r.n_spans
+        for r in ENTRIES["doc_duplicated_spans"].spark(spark, SF).collect()
+    }
+    for r in got:
+        assert (r.dup_starts > 0) == (spans[r.doc_id] > 0), r.doc_id

@@ -57,6 +57,7 @@ PICKS = {
     "doc_bm25_mmr": "MMR serving plan: the shortlist, token sets, Jaccard pairs, and per-step selections are frozen localCheckpoint scans (greedy unroll runs at build over broadcast joins) — the served plan is a 5-node scan + presentation sort; the corpus chain appears ZERO times",
     "embedding_matryoshka_rerank": "funnel retrieval: the prefix-16 scan ranks via ONE per-query window; the |Q|·25 shortlist broadcasts back onto the corpus vector stream for the exact-64 stage — corpus vectors never shuffle",
     "events_kmv_set_ops": "KMV set ops: member distinct + hash distinct collapse the corpus to 8-byte digests; two-phase bottom-k windows ((type, bucket) then type) bound the final sort at k·buckets rows; everything past the sketches is |types|²·k-sized on broadcasts",
+    "doc_suffix_dup_audit": "SA-adjacency duplication: the prefix-doubled suffix array is a frozen checkpoint scan; gh8 hashes join it id-keyed, the sa_rank±1 neighbor joins carry 16-byte hashes — document text appears in ONE scan and never shuffles",
 }
 
 
