@@ -196,7 +196,15 @@ DRIVER_PRIORITY: list[str] = [
     # multimodal_frame_sample, events_hourly_anomalies) ---
     "embedding_ivfpq_residual_search",
     "embedding_ivfpq_multiprobe",
-    "embedding_ivfpq_residual_recall_audit",
+    # (embedding_ivfpq_residual_recall_audit was slotted here with the
+    # round-9 batch; displaced by the late round-9 orders_zorder_layout
+    # — every component it audits stays driver-executed (residual
+    # serving via embedding_ivfpq_residual_search/_multiprobe, the
+    # brute-force truth side via embedding_pq_recall_audit), it keeps
+    # its sweep + clustered-data property gates, and it is a named
+    # candidate for the r10 rotation's first-green slot alongside
+    # embedding_nndescent_recall_audit; embedding family stays at 13
+    # in-window, far above its minimum of 8)
     "embedding_ivfpq_nprobe_audit",
     "embedding_ivfpq_adc_lut",
     "embedding_ivfpq_rerank",
@@ -229,6 +237,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_kmv_set_ops",
     "doc_suffix_array",
     "doc_suffix_dup_audit",
+    "orders_zorder_layout",
 ]
 
 

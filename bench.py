@@ -146,6 +146,8 @@ HEADLINE = [
     # late round 9: prefix-doubling suffix array + SA-adjacency dup audit
     "doc_suffix_array",
     "doc_suffix_dup_audit",
+    # late round 9: Z-order layout clustering stats
+    "orders_zorder_layout",
 ]
 
 

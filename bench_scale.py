@@ -258,6 +258,11 @@ PROBES = [
     # is a checkpoint scan, so a second probe would time the same
     # loop twice
     "doc_suffix_dup_audit",
+    # late round-9 Z-order stats: pure projections + 64-key aggs — the
+    # ratio must track the orders scan exactly (the 32-term interleave
+    # is constant work per row; shifted o_custkey widens the key range
+    # but the normalize-to-16-bits step is range-invariant)
+    "orders_zorder_layout",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

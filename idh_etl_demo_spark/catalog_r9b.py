@@ -797,3 +797,168 @@ def doc_suffix_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Z-order (Morton curve) layout clustering — multi-dimensional data
+# skipping, measured
+# ===========================================================================
+#
+# At 100 TB, scan cost on selective multi-dimensional predicates is
+# decided by LAYOUT, not compute: parquet files are skipped from
+# min/max footer stats, and a file sorted by ONE key bounds only that
+# key's range per file. Interleaving the bits of both keys (the
+# Z-order / Morton curve — the layout behind Delta's and Iceberg's
+# OPTIMIZE ZORDER) bounds EVERY interleaved dimension's span per
+# range-bucket at ~range/sqrt(buckets) each, so predicates on either
+# (or both) keys skip. This entry computes the curve exactly and
+# MEASURES the claim: per-bucket (customer span, date span) under the
+# z-order layout vs a linear single-key layout, over the same orders.
+
+_Z_BITS = 16
+_Z_BUCKETS = 64  # 2^6 → the curve alternates 3 bucket bits per dim
+
+
+def _z_interleave_spark(cx: F.Column, cd: F.Column) -> F.Column:
+    z = F.lit(0).cast("long")
+    for b in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(cx, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(
+                F.shiftright(cd, b).bitwiseAND(F.lit(1)), 2 * b + 1
+            )
+        )
+    return z
+
+
+def _z_interleave_sql(cx: str, cd: str) -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({cx} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({cd} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_sql() -> str:
+    scale = (1 << _Z_BITS) - 1
+    zdiv = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    ldiv = (1 << _Z_BITS) // _Z_BUCKETS
+    return f"""
+    with src as (
+      select o_custkey as ck,
+             datediff('day', timestamp '1970-01-01', o_orderdate) as d
+      from orders
+    ),
+    ext as (
+      select min(ck) as minck, max(ck) as maxck,
+             min(d) as mind, max(d) as maxd
+      from src
+    ),
+    norm as (
+      select ck, d,
+             ((ck - minck) * {scale}) // greatest(maxck - minck, 1) as nx,
+             ((d - mind) * {scale}) // greatest(maxd - mind, 1) as nd
+      from src, ext
+    ),
+    keyed as (
+      select ck, d, {_z_interleave_sql('nx', 'nd')} as z, nx from norm
+    ),
+    zb as (
+      select 'zorder' as layout, z // {zdiv} as bucket,
+             count(*) as n,
+             max(ck) - min(ck) as ck_span,
+             max(d) - min(d) as date_span
+      from keyed group by 2
+    ),
+    lb as (
+      select 'linear' as layout, nx // {ldiv} as bucket,
+             count(*) as n,
+             max(ck) - min(ck) as ck_span,
+             max(d) - min(d) as date_span
+      from keyed group by 2
+    )
+    select layout, cast(bucket as bigint) as bucket, cast(n as bigint) as n,
+           cast(ck_span as bigint) as ck_span,
+           cast(date_span as bigint) as date_span
+    from (select * from zb union all select * from lb)
+    order by layout, bucket
+    """
+
+
+@query("orders_zorder_layout", _zorder_sql())
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout clustering, measured: normalize
+    (o_custkey, order day) to 16 bits each, interleave the bits into a
+    32-bit curve key (exact integer arithmetic — Spark's shift/mask
+    equals DuckDB's operator-for-operator), range-bucket the curve
+    into 64 cells, and report each bucket's row count and BOTH
+    dimensions' min/max spans — side by side with the same stats for
+    a linear single-key layout over the same rows. The measurement IS
+    the layout claim: the curve alternates bucket bits between
+    dimensions, so 64 z-buckets bound customers AND dates at ~1/8 of
+    their ranges each, while 64 linear buckets bound customers at
+    1/64 and leave dates unbounded (full span). The property test
+    pins both bounds against a pure-Python twin
+    (tests/test_r9b_properties.py).
+
+    At 100 TB this is the write-side twin of predicate pushdown:
+    `repartitionByRange(zkey)` + parquet write gives every file footer
+    tight min/max on every interleaved dimension, so selective
+    predicates on ANY of them skip files (the layout behind Delta /
+    Iceberg OPTIMIZE ZORDER; Morton 1966). The entry keeps the stats
+    query engine-portable — no writes — but the bucket column is
+    exactly the range-partition id such a write would use.
+
+    Scale shape: one extrema aggregate broadcast back onto the scan
+    (the normalizing projection and the 32-term interleave are pure
+    expressions), two map-side-combined groupBys over 64-key buckets,
+    and the presentation sort. Nothing wider than the scan itself."""
+    scale = (1 << _Z_BITS) - 1
+    zdiv = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    ldiv = (1 << _Z_BITS) // _Z_BUCKETS
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    ext = src.agg(
+        F.min("ck").alias("minck"),
+        F.max("ck").alias("maxck"),
+        F.min("d").alias("mind"),
+        F.max("d").alias("maxd"),
+    )
+    norm = src.crossJoin(F.broadcast(ext)).select(
+        "ck",
+        "d",
+        F.expr(f"((ck - minck) * {scale}) div greatest(maxck - minck, 1)").alias(
+            "nx"
+        ),
+        F.expr(f"((d - mind) * {scale}) div greatest(maxd - mind, 1)").alias(
+            "nd"
+        ),
+    )
+    keyed = norm.select(
+        "ck",
+        "d",
+        "nx",
+        _z_interleave_spark(F.col("nx"), F.col("nd")).alias("z"),
+    )
+
+    def stats(df: DataFrame, layout: str, bucket: F.Column) -> DataFrame:
+        return (
+            df.withColumn("bucket", bucket.cast("long"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.max("ck") - F.min("ck")).cast("long").alias("ck_span"),
+                (F.max("d") - F.min("d")).cast("long").alias("date_span"),
+            )
+            .select(F.lit(layout).alias("layout"), "bucket", "n", "ck_span", "date_span")
+        )
+
+    zb = stats(keyed, "zorder", F.expr(f"z div {zdiv}"))
+    lb = stats(keyed, "linear", F.expr(f"nx div {ldiv}"))
+    return zb.unionAll(lb).orderBy("layout", "bucket")

@@ -519,6 +519,13 @@ SHUFFLE_BUDGETS = {
     # neighbor joins (id-width rows + 16-byte hashes — text never
     # shuffles), the per-doc count agg, and the presentation sort
     "doc_suffix_dup_audit": 7,
+    # Z-order layout stats (measured 7): the input spread + the 1-row
+    # extrema agg (SinglePartition pack, broadcast back), then each of
+    # the two layouts pays one 64-key map-side-combined groupBy; the
+    # union's branches re-derive the keyed projection from the same
+    # scan (exchange-reused at runtime), and the tail is the
+    # presentation sort. Nothing is keyed wider than 64 buckets.
+    "orders_zorder_layout": 7,
 }
 
 

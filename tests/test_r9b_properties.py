@@ -442,3 +442,77 @@ def test_suffix_dup_audit_matches_python_and_spans(spark):
     }
     for r in got:
         assert (r.dup_starts > 0) == (spans[r.doc_id] > 0), r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# orders_zorder_layout — Morton interleave vs pure Python, and the
+# layout claim itself
+# ---------------------------------------------------------------------------
+
+
+def _py_zorder_stats(rows, bits=16, buckets=64):
+    """rows: (custkey, days). Mirrors orders_zorder_layout exactly."""
+    scale = (1 << bits) - 1
+    zdiv = (1 << (2 * bits)) // buckets
+    ldiv = (1 << bits) // buckets
+    minck = min(r[0] for r in rows); maxck = max(r[0] for r in rows)
+    mind = min(r[1] for r in rows); maxd = max(r[1] for r in rows)
+
+    def norm(x, lo, hi):
+        return ((x - lo) * scale) // max(hi - lo, 1)
+
+    def interleave(nx, nd):
+        z = 0
+        for b in range(bits):
+            z += ((nx >> b) & 1) << (2 * b)
+            z += ((nd >> b) & 1) << (2 * b + 1)
+        return z
+
+    out = {}
+    for ck, d in rows:
+        nx, nd = norm(ck, minck, maxck), norm(d, mind, maxd)
+        for layout, b in (
+            ("zorder", interleave(nx, nd) // zdiv),
+            ("linear", nx // ldiv),
+        ):
+            st = out.setdefault((layout, b), [0, ck, ck, d, d])
+            st[0] += 1
+            st[1] = min(st[1], ck); st[2] = max(st[2], ck)
+            st[3] = min(st[3], d); st[4] = max(st[4], d)
+    return {
+        k: (v[0], v[2] - v[1], v[4] - v[3]) for k, v in out.items()
+    }
+
+
+def test_zorder_layout_matches_python_and_bounds_both_dims(spark):
+    """The entry on the REAL sf0.001 orders must equal a pure-Python
+    twin of the normalize→interleave→bucket→span pipeline, bucket for
+    bucket — and the measurement must prove the layout claim: every
+    z-order bucket bounds BOTH dimensions (≤ 1/4 of each range for a
+    64-cell curve, vs the theoretical 1/8 plus edge slack), while the
+    linear layout leaves the non-sort dimension effectively unbounded
+    (max date span ≥ 1/2 of the range)."""
+    import datetime as dt
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    epoch = dt.date(1970, 1, 1)
+    raw = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    rows = [
+        (r.o_custkey, (r.o_orderdate.date() - epoch).days) for r in raw
+    ]
+    expected = _py_zorder_stats(rows)
+    got = ENTRIES["orders_zorder_layout"].spark(spark, SF).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.n, r.ck_span, r.date_span) == expected[(r.layout, r.bucket)]
+
+    ck_range = max(r[0] for r in rows) - min(r[0] for r in rows)
+    d_range = max(r[1] for r in rows) - min(r[1] for r in rows)
+    z = [r for r in got if r.layout == "zorder"]
+    lin = [r for r in got if r.layout == "linear"]
+    assert max(r.ck_span for r in z) <= ck_range / 4
+    assert max(r.date_span for r in z) <= d_range / 4
+    assert max(r.date_span for r in lin) >= d_range / 2
+    assert max(r.ck_span for r in lin) <= ck_range / 16

@@ -58,6 +58,7 @@ PICKS = {
     "embedding_matryoshka_rerank": "funnel retrieval: the prefix-16 scan ranks via ONE per-query window; the |Q|·25 shortlist broadcasts back onto the corpus vector stream for the exact-64 stage — corpus vectors never shuffle",
     "events_kmv_set_ops": "KMV set ops: member distinct + hash distinct collapse the corpus to 8-byte digests; two-phase bottom-k windows ((type, bucket) then type) bound the final sort at k·buckets rows; everything past the sketches is |types|²·k-sized on broadcasts",
     "doc_suffix_dup_audit": "SA-adjacency duplication: the prefix-doubled suffix array is a frozen checkpoint scan; gh8 hashes join it id-keyed, the sa_rank±1 neighbor joins carry 16-byte hashes — document text appears in ONE scan and never shuffles",
+    "orders_zorder_layout": "Z-order layout stats: 1-row extrema agg broadcast onto the scan, the 32-term Morton interleave as a pure projection, two 64-key map-side-combined groupBys (exchange-reused scan) + presentation sort",
 }
 
 
