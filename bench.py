@@ -148,6 +148,9 @@ HEADLINE = [
     "doc_suffix_dup_audit",
     # late round 9: Z-order layout clustering stats
     "orders_zorder_layout",
+    # late round 9: per-group OLS + integer PageRank
+    "customer_price_trend",
+    "doc_dup_pagerank",
 ]
 
 

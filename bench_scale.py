@@ -263,6 +263,15 @@ PROBES = [
     # is constant work per row; shifted o_custkey widens the key range
     # but the normalize-to-16-bits step is range-invariant)
     "orders_zorder_layout",
+    # late round-9 per-group OLS: one map-side-combined groupBy of five
+    # integer sums — the ratio must track the orders scan
+    "customer_price_trend",
+    # late round-9 integer PageRank is NOT probed: its edge source is
+    # the banded simhash chain whose 10× behavior doc_simhash60's
+    # family already carries (bucket occupancy grows with text-varied
+    # copies — the hot-bucket story, not the rank iteration's); the
+    # Pregel steps themselves are |edges|-linear joins + aggs, the
+    # shape the winnow/decontamination probes already track
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -962,3 +962,208 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     zb = stats(keyed, "zorder", F.expr(f"z div {zdiv}"))
     lb = stats(keyed, "linear", F.expr(f"nx div {ldiv}"))
     return zb.unionAll(lb).orderBy("layout", "bucket")
+
+
+# ===========================================================================
+# Per-group OLS regression in exact cents — in-engine feature computation
+# ===========================================================================
+
+
+@query(
+    "customer_price_trend",
+    """
+    with src as (
+      select o_custkey,
+             datediff('day', timestamp '1970-01-01', o_orderdate) as x,
+             cast(round(o_totalprice * 100, 0) as bigint) as y
+      from orders
+    ),
+    sums as (
+      select o_custkey,
+             count(*)::bigint as n,
+             sum(x)::bigint as sx, sum(y)::bigint as sy,
+             sum(x * x)::bigint as sxx, sum(x * y)::bigint as sxy
+      from src group by o_custkey
+    )
+    select o_custkey, n,
+           case when n * sxx - sx * sx = 0 then null
+                else cast(n * sxy - sx * sy as double)
+                     / cast(n * sxx - sx * sx as double)
+           end as slope_cents_per_day,
+           case when n * sxx - sx * sx = 0 then null
+                else (cast(sy as double)
+                      - (cast(n * sxy - sx * sy as double)
+                         / cast(n * sxx - sx * sx as double))
+                        * cast(sx as double))
+                     / cast(n as double)
+           end as intercept_cents
+    from sums
+    order by o_custkey
+    """,
+)
+def customer_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer ordinary-least-squares price trend — in-engine
+    feature computation (the grouped-regression primitive feature
+    pipelines run at scale, e.g. Spark MLlib's summarizer path, done
+    here as pure SQL aggregation): slope and intercept of total price
+    (in CENTS — ``round(price·100)`` is the repo's ×10⁴-quantization
+    argument at ×100) over order day, from the closed-form normal
+    equations
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+
+    with every sum an exact int64 (n·Σxy ≤ ~7·10¹³ on this data, well
+    under 2⁵³ — the BM25 bound-checking discipline applies), so the
+    two divisions are single-rounding doubles with identical
+    association order in both engines: bit-exact slopes. Degenerate
+    groups (all orders the same day) yield NULL in both engines.
+
+    Scale shape: ONE map-side-combined groupBy over (custkey) carrying
+    five integer sums — the regression never sees individual rows
+    after the partial aggregate, exactly how a 100 TB feature job
+    should compute per-entity trends. No window, no join, no second
+    pass."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.repartition(spark.sparkContext.defaultParallelism).select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    sums = src.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num.cast("double") / den.cast("double")
+    return sums.select(
+        "o_custkey",
+        "n",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(slope)
+        .alias("slope_cents_per_day"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        )
+        .alias("intercept_cents"),
+    ).orderBy("o_custkey")
+
+
+# ===========================================================================
+# Integer PageRank over the near-dup candidate graph — link analysis
+# ===========================================================================
+#
+# Floating-point PageRank cannot gate against an oracle (cross-row sum
+# order differs between engines), so this is the DETERMINISTIC integer
+# variant: ranks in millionths, damping 0.85 applied as one floor
+# division per edge contribution —
+#
+#     r_{t+1}(v) = 150_000 + Σ_{u ∈ N(v)} (850 · r_t(u)) // (1000 · deg(u))
+#
+# Integer sums are order-independent, so both engines agree exactly.
+# Two unrolled iterations (the embedding_kmeans_2iter convention) over
+# the UNDIRECTED simhash-60 near-dup graph (the catalog's densest dup
+# graph — degrees 1..146 at sf0.01, so ranks genuinely spread): high
+# rank = a document similar to many well-connected documents — the
+# template/boilerplate HUBS of a duplication cluster, which a
+# keep-one-per-cluster policy should prefer to drop first.
+
+_PR_BASE = 150_000  # (1 − d) · 10⁶
+_PR_DAMP = 850  # d · 10³
+
+
+def _pagerank_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _simhash_cte
+
+    return f"""
+    with {_simhash_cte(bits=60)},
+    cand as (
+      select a.doc_id as id_a, b.doc_id as id_b
+      from sims a join sims b on a.doc_id < b.doc_id
+      where bit_count(xor(a.simhash, b.simhash)) <= 5
+    ),
+    edges as (
+      select id_a as src, id_b as dst from cand
+      union all
+      select id_b as src, id_a as dst from cand
+    ),
+    deg as (select src as node, count(*)::bigint as deg from edges group by src),
+    in1 as (
+      select e.dst as node,
+             sum(({_PR_DAMP} * 1000000) // (1000 * d.deg))::bigint as inflow
+      from edges e join deg d on d.node = e.src
+      group by e.dst
+    ),
+    rank1 as (
+      select doc_id, coalesce(d.deg, 0) as deg,
+             {_PR_BASE} + coalesce(i.inflow, 0) as r1
+      from documents
+      left join deg d on d.node = doc_id
+      left join in1 i on i.node = doc_id
+    ),
+    in2 as (
+      select e.dst as node,
+             sum(({_PR_DAMP} * rk.r1) // (1000 * d.deg))::bigint as inflow
+      from edges e
+      join deg d on d.node = e.src
+      join rank1 rk on rk.doc_id = e.src
+      group by e.dst
+    )
+    select rk.doc_id, rk.deg, cast(rk.r1 as bigint) as r1,
+           cast({_PR_BASE} + coalesce(i.inflow, 0) as bigint) as r2
+    from rank1 rk left join in2 i on i.node = rk.doc_id
+    order by rk.doc_id
+    """
+
+
+@query("doc_dup_pagerank", _pagerank_sql())
+def doc_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (2 unrolled iterations, damping 0.85 as floor
+    divisions — see module comment) over the simhash-60 near-dup
+    graph: link-analysis centrality joining the dup-graph family
+    (components, k-core, triangles, 4-cliques) with the measure that
+    ranks WITHIN a component — boilerplate hubs score high, leaf
+    near-dups stay near the 150000 base. Isolated documents keep rank
+    150000 with degree 0 at every step, in both engines. (The
+    MinHash+LSH candidate graph was the first edge source tried; at
+    the test SFs it is all disjoint pairs — every ranked node lands on
+    one value. The simhash-60 graph's 1..146 degree spread makes the
+    centrality measurement real; the property test pins the hub
+    ordering on a constructed star graph too.)
+
+    Engine parity: integer edge contributions ((850·r) // (1000·deg),
+    all positive — DuckDB's floor // and Spark's `div` agree) make the
+    per-node sums order-independent, which is exactly why this variant
+    exists: double-precision PageRank cannot hash-gate across engines.
+
+    Scale shape: edges come from the banded simhash operator (the
+    Manku 6-block pigeonhole — never all-pairs; the oracle's brute
+    join is oracle-only); each iteration is one edge-keyed equi-join
+    plus a map-side-combined groupBy on dst — the textbook Pregel step
+    as DataFrames, unrolled twice so the plan stays static (the
+    iterative form would checkpoint per round like the CC fixpoint).
+    Rank values stay ~10⁶-scale under mass conservation; 850·r ≤
+    ~10¹² keeps int64 headroom of a thousand even on degree-million
+    graphs."""
+    from idh_etl_demo_spark.operators.dedup import simhash_hamming_pairs
+    from idh_etl_demo_spark.operators.graph import integer_pagerank
+
+    cand = simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), bits=60, blocks=6, max_hamming=5
+    ).select("id_a", "id_b")
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    ranked = integer_pagerank(
+        nodes, cand, iterations=2, base=_PR_BASE, damp=_PR_DAMP
+    )
+    return ranked.select(
+        F.col("id").alias("doc_id"), "deg", "r1", "r2"
+    ).orderBy("doc_id")

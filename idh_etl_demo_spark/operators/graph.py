@@ -229,3 +229,82 @@ def k_core(
                 .select(F.col("node").alias("id"), "degree")
             )
     raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")
+
+
+def integer_pagerank(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    iterations: int = 2,
+    base: int = 150_000,
+    damp: int = 850,
+) -> DataFrame:
+    """Deterministic INTEGER PageRank over an undirected graph.
+
+    ``nodes``: one column ``id`` (every ranked entity, isolated ones
+    included). ``pairs``: columns ``id_a``/``id_b``, one row per
+    undirected edge. Ranks live in millionths; each iteration is
+
+        r'(v) = base + Σ_{u ∈ N(v)} (damp · r(u)) // (1000 · deg(u))
+
+    with r₀ = 1_000_000. Floor-divided integer contributions make the
+    per-node sums order-independent — double-precision PageRank cannot
+    hash-gate across engines, this variant does (see
+    catalog_r9b.doc_dup_pagerank's oracle). Output: (id, deg,
+    r1..r{iterations}) with isolated nodes at ``base`` every round.
+
+    Scale shape: the Pregel step as DataFrames — per iteration one
+    equi-join of the edge list onto the current rank table plus a
+    map-side-combined groupBy on the destination; iterations are
+    statically unrolled by the caller's count, so the plan stays
+    lazy (no checkpoint loop needed at the catalog's fixed depth)."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+    )
+    ranked = (
+        nodes.join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.lit(1_000_000).cast("long").alias("r"),
+        )
+    )
+    out_cols = []
+    for it in range(1, iterations + 1):
+        inflow = (
+            edges.join(
+                ranked.select(
+                    F.col("id").alias("src"),
+                    F.col("deg").alias("sdeg"),
+                    F.col("r").alias("sr"),
+                ),
+                "src",
+            )
+            .select(
+                "dst",
+                F.expr(f"({damp} * sr) div (1000 * sdeg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranked = (
+            ranked.join(inflow.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                "deg",
+                (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+        out_cols.append(ranked.select("id", F.col("r").alias(f"r{it}")))
+    out = ranked.select("id", "deg")
+    for frame in out_cols:
+        out = out.join(frame, "id")
+    return out

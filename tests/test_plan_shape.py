@@ -526,6 +526,14 @@ SHUFFLE_BUDGETS = {
     # scan (exchange-reused at runtime), and the tail is the
     # presentation sort. Nothing is keyed wider than 64 buckets.
     "orders_zorder_layout": 7,
+    # integer PageRank (measured 10): the banded simhash pair chain
+    # (fingerprint projection + one (block, value) bucket shuffle +
+    # pair dedup — doc_simhash60_neardup's audited shape), the degree
+    # agg, then per unrolled iteration one edge→rank equi-join + one
+    # dst groupBy (the Pregel step), and the id joins assembling
+    # (deg, r1, r2) + the presentation sort. Every post-pair exchange
+    # carries id-width rows.
+    "doc_dup_pagerank": 10,
 }
 
 

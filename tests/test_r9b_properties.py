@@ -516,3 +516,180 @@ def test_zorder_layout_matches_python_and_bounds_both_dims(spark):
     assert max(r.date_span for r in z) <= d_range / 4
     assert max(r.date_span for r in lin) >= d_range / 2
     assert max(r.ck_span for r in lin) <= ck_range / 16
+
+
+# ---------------------------------------------------------------------------
+# customer_price_trend — per-group OLS vs pure Python
+# ---------------------------------------------------------------------------
+
+
+def _py_ols(points):
+    n = len(points)
+    sx = sum(x for x, _ in points); sy = sum(y for _, y in points)
+    sxx = sum(x * x for x, _ in points)
+    sxy = sum(x * y for x, y in points)
+    den = n * sxx - sx * sx
+    if den == 0:
+        return (n, None, None)
+    slope = float(n * sxy - sx * sy) / float(den)
+    return (n, slope, (float(sy) - slope * float(sx)) / float(n))
+
+
+def test_price_trend_matches_python_reference(spark):
+    """Per-customer OLS on the REAL sf0.001 orders must equal the
+    pure-Python normal-equations twin computed over exact integer
+    sums (cents × days), slope and intercept bit-for-bit."""
+    import datetime as dt
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    epoch = dt.date(1970, 1, 1)
+    raw = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    pts = {}
+    for r in raw:
+        x = (r.o_orderdate.date() - epoch).days
+        y = round(r.o_totalprice * 100)
+        pts.setdefault(r.o_custkey, []).append((x, y))
+    got = ENTRIES["customer_price_trend"].spark(spark, SF).collect()
+    assert len(got) == len(pts)
+    for r in got:
+        n, slope, intercept = _py_ols(pts[r.o_custkey])
+        assert r.n == n
+        assert r.slope_cents_per_day == slope, r.o_custkey
+        assert r.intercept_cents == intercept, r.o_custkey
+    # non-vacuous: trends exist in both directions on this data
+    slopes = [r.slope_cents_per_day for r in got if r.slope_cents_per_day]
+    assert any(s > 0 for s in slopes) and any(s < 0 for s in slopes)
+
+
+def test_price_trend_degenerate_group_is_null(spark, tmp_path):
+    """A customer whose orders all land on one day has zero x-variance:
+    the normal equations are singular and BOTH engines must return
+    NULL (full oracle parity on the constructed input)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    day = dt.datetime(2024, 5, 5)
+    dates = [day] * 3 + [
+        day, day + dt.timedelta(days=3), day + dt.timedelta(days=9)
+    ]
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(6), type=pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 6),
+            "o_totalprice": pa.array(
+                [10.5, 20.25, 30.0, 11.0, 12.0, 13.0], type=pa.float64()
+            ),
+            "o_orderdate": pa.array(dates, type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 6),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    sf = str(tmp_path)
+    sdf = ENTRIES["customer_price_trend"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view orders as select * from "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["customer_price_trend"].oracle).df()
+    )
+    r1 = sdf[sdf.o_custkey == 1].iloc[0]
+    r2 = sdf[sdf.o_custkey == 2].iloc[0]
+    import math as m
+
+    assert m.isnan(r1.slope_cents_per_day) or r1.slope_cents_per_day is None
+    assert r2.slope_cents_per_day is not None and not m.isnan(
+        r2.slope_cents_per_day
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_dup_pagerank / operators.graph.integer_pagerank
+# ---------------------------------------------------------------------------
+
+
+def _py_int_pagerank(node_ids, pairs, iterations=2, base=150_000, damp=850):
+    from collections import defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in pairs:
+        nbrs[a].append(b); nbrs[b].append(a)
+    deg = {v: len(nbrs[v]) for v in node_ids}
+    r = {v: 1_000_000 for v in node_ids}
+    hist = []
+    for _ in range(iterations):
+        nr = {}
+        for v in node_ids:
+            nr[v] = base + sum(
+                (damp * r[u]) // (1000 * deg[u]) for u in nbrs[v]
+            )
+        r = nr
+        hist.append(dict(r))
+    return deg, hist
+
+
+def test_integer_pagerank_operator_ranks_hubs(spark):
+    """The operator on a constructed star-plus-path graph must equal
+    the pure-Python twin exactly AND rank the hub above every leaf —
+    the centrality claim on a graph whose answer is known by eye.
+    Star: 0–{1..5}; path: 10–11–12; isolated: 99."""
+    from idh_etl_demo_spark.operators.graph import integer_pagerank
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    pairs = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12)]
+    node_ids = [0, 1, 2, 3, 4, 5, 10, 11, 12, 99]
+    nodes = spark.createDataFrame([(v,) for v in node_ids], ["id"])
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r.id: (r.deg, r.r1, r.r2)
+        for r in integer_pagerank(nodes, edges, iterations=2).collect()
+    }
+    deg, hist = _py_int_pagerank(node_ids, pairs)
+    for v in node_ids:
+        assert got[v] == (deg[v], hist[0][v], hist[1][v]), v
+    hub, leaves = got[0][2], [got[i][2] for i in range(1, 6)]
+    assert all(hub > l for l in leaves)
+    assert got[99] == (0, 150_000, 150_000)
+    assert got[11][2] > got[10][2]  # path middle beats endpoints
+
+
+def test_dup_pagerank_matches_python_on_real_graph(spark):
+    """The catalog entry on the REAL sf0.001 corpus must equal the twin
+    run over the (independently oracle-gated) simhash-60 edge list —
+    and the centrality must genuinely spread (hundreds of distinct
+    ranks, hubs far above the 150000 base)."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r3  # noqa: F401
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in ENTRIES["doc_simhash60_neardup"].spark(spark, SF).collect()
+    ]
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    deg, hist = _py_int_pagerank(docs, pairs)
+    got = ENTRIES["doc_dup_pagerank"].spark(spark, SF).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        assert (r.deg, r.r1, r.r2) == (
+            deg[r.doc_id], hist[0][r.doc_id], hist[1][r.doc_id]
+        ), r.doc_id
+    r2s = {r.r2 for r in got}
+    assert len(r2s) > 100
+    assert max(r2s) > 1_000_000
