@@ -1,5 +1,9 @@
 """Late round-9 catalog entries: Matryoshka (prefix-dimension) adaptive
-retrieval and KMV sketch SET OPERATIONS.
+retrieval, KMV sketch SET OPERATIONS, the distributed SUFFIX ARRAY
+(prefix doubling) with its adjacency dedup audit, Z-ORDER layout
+clustering, per-group OLS regression, and integer PAGERANK over the
+near-dup graph. Sections in file order; the first two documented here,
+the rest at their section banners.
 
 Matryoshka representation learning (Kusupati et al. 2022) trains
 embeddings whose leading dimensions carry a usable coarse
