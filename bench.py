@@ -152,6 +152,8 @@ HEADLINE = [
     # late round 9: per-group OLS + integer PageRank
     "customer_price_trend",
     "doc_dup_pagerank",
+    # late round 9: Manber–Myers LCP consumer of the suffix array
+    "doc_longest_dup_run",
 ]
 
 
@@ -193,6 +195,7 @@ SESSION_CACHED = {
     # doubling loop
     "doc_suffix_array",
     "doc_suffix_dup_audit",
+    "doc_longest_dup_run",
 }
 
 

@@ -273,6 +273,10 @@ PROBES = [
     # copies — the hot-bucket story, not the rank iteration's); the
     # Pregel steps themselves are |edges|-linear joins + aggs, the
     # shape the winnow/decontamination probes already track
+    # late round-9 doc_longest_dup_run is NOT probed: its build is the
+    # probed doc_suffix_dup_audit's doubling loop verbatim (shared
+    # memo), and the LCP walk on top is 8 |pairs|-linear id joins —
+    # the 10× ratio would re-measure the suffix probe plus linear work
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

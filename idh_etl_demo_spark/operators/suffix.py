@@ -86,13 +86,27 @@ def _bucketed_rank(
     )
 
 
-def suffix_ranks(base: DataFrame) -> DataFrame:
+def suffix_ranks(
+    base: DataFrame,
+) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame]:
     """Token-level suffix array of the corpus.
 
-    ``base``: (doc_id, toks array<string>). Returns (doc_id, pos,
-    sa_rank) — pos 0-based, sa_rank the 1-based position of suffix
-    toks[pos:] in the lexicographic order of ALL corpus suffixes, ties
-    between identical suffixes broken by (doc_id, pos).
+    ``base``: (doc_id, toks array<string>). Returns (final, history,
+    pos):
+
+    - final: (doc_id, pos, sa_rank) — pos 0-based, sa_rank the 1-based
+      position of suffix toks[pos:] in the lexicographic order of ALL
+      corpus suffixes, ties between identical suffixes broken by
+      (doc_id, pos);
+    - history: [(L, frame(doc_id, pos, r))] — every doubling round's
+      CHECKPOINTED dense-rank table, L the prefix length it resolves
+      (2, 4, 8, …). Two suffixes share ``r`` at level L iff their
+      first L tokens agree (end-of-doc included in the class). This is
+      the Manber–Myers LCP structure: lcp(u, v) is recovered greedily
+      from the highest L down plus one single-token step — the
+      ``suffix_lcp_adjacent`` consumer;
+    - pos: the lazy (doc_id, pos, token) projection for that final
+      single-token step.
 
     Runs the prefix-doubling loop EAGERLY (each round localCheckpoints
     its rank table — the CC-fixpoint convention); callers should
@@ -145,10 +159,12 @@ def suffix_ranks(base: DataFrame) -> DataFrame:
     ).collect()[0]
     npos, maxlen = int(stats.npos or 0), int(stats.maxpos or -1) + 1
     if npos == 0:
-        return cur.select(
+        empty = cur.select(
             "doc_id", "pos", F.lit(0).cast("long").alias("sa_rank")
         )
+        return empty, [], pos
     bwidth = max(1, math.ceil(npos / _NBUCKETS))
+    history: list[tuple[int, DataFrame]] = [(2, cur)]
 
     h = 2
     while h < maxlen:
@@ -169,6 +185,7 @@ def suffix_ranks(base: DataFrame) -> DataFrame:
             "doc_id", "pos", F.col("gr").alias("r")
         ).localCheckpoint(eager=True)
         h *= 2
+        history.append((h, cur))
         # early exit: all ranks distinct → no pair can refine further
         top = cur.agg(F.max("r")).collect()[0][0]
         if top == npos - 1:
@@ -180,6 +197,118 @@ def suffix_ranks(base: DataFrame) -> DataFrame:
     final = _bucketed_rank(
         cur, ["r", "doc_id", "pos"], "r", bwidth, dense=False
     )
-    return final.select(
+    final = final.select(
         "doc_id", "pos", F.col("gr").alias("sa_rank")
     ).localCheckpoint(eager=True)
+    return final, history, pos
+
+
+def suffix_lcp_adjacent(
+    final: DataFrame,
+    history: list[tuple[int, DataFrame]],
+    pos: DataFrame,
+    lens: DataFrame,
+) -> DataFrame:
+    """LCP of every ADJACENT suffix pair in the array — the
+    Manber–Myers companion structure, recovered from the doubling
+    rounds instead of comparing token arrays (suffixes are never
+    materialized; every refinement join carries id-width rows).
+
+    For the pair at ranks (k, k+1): walk the rank history from the
+    highest prefix length L down — if both sides share the level-L
+    class at their current offset, the suffixes agree on L more
+    tokens, so advance the accumulator by L (every integer is a sum
+    of distinct available Ls plus the final single-token step, so the
+    greedy walk is exact). A level-L class can also mean "both tails
+    end identically within L", which may overshoot — the final
+    least(acc, remaining lengths) cap restores the true value (the
+    identical-cross-document-suffix case, where lcp = the full tail).
+
+    ``lens``: (doc_id, n_tokens). Output: (d1, p1, d2, p2, lcp) — one
+    row per adjacent pair, both orientations available by reading
+    either side.
+
+    Scale shape: log(max_len) + 1 equi-joins per pair row against the
+    CHECKPOINTED rank tables (keys (doc_id, pos + acc) — computed,
+    still hash equi-joins), then the single-token step against the
+    position projection; |pairs| = |positions| − 1. No token arrays
+    shuffle anywhere."""
+    a = final.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "sa_rank"
+    )
+    b = final.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+    )
+    cur = a.join(b, "sa_rank").select(
+        "d1", "p1", "d2", "p2", F.lit(0).cast("long").alias("acc")
+    )
+    for L, fr in sorted(history, key=lambda t: -t[0]):
+        r1 = fr.select(
+            F.col("doc_id").alias("d1"),
+            F.col("pos").alias("q1"),
+            F.col("r").alias("ra"),
+        )
+        r2 = fr.select(
+            F.col("doc_id").alias("d2"),
+            F.col("pos").alias("q2"),
+            F.col("r").alias("rb"),
+        )
+        cur = (
+            cur.withColumn("q1", F.col("p1") + F.col("acc"))
+            .withColumn("q2", F.col("p2") + F.col("acc"))
+            .join(r1, ["d1", "q1"], "left")
+            .join(r2, ["d2", "q2"], "left")
+            .withColumn(
+                "acc",
+                F.when(
+                    F.col("ra").isNotNull() & (F.col("ra") == F.col("rb")),
+                    F.col("acc") + L,
+                ).otherwise(F.col("acc")),
+            )
+            .drop("q1", "q2", "ra", "rb")
+        )
+    t1 = pos.select(
+        F.col("doc_id").alias("d1"),
+        F.col("pos").alias("q1"),
+        F.col("token").alias("ta"),
+    )
+    t2 = pos.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("q2"),
+        F.col("token").alias("tb"),
+    )
+    cur = (
+        cur.withColumn("q1", F.col("p1") + F.col("acc"))
+        .withColumn("q2", F.col("p2") + F.col("acc"))
+        .join(t1, ["d1", "q1"], "left")
+        .join(t2, ["d2", "q2"], "left")
+        .withColumn(
+            "acc",
+            F.when(
+                F.col("ta").isNotNull() & (F.col("ta") == F.col("tb")),
+                F.col("acc") + 1,
+            ).otherwise(F.col("acc")),
+        )
+        .drop("q1", "q2", "ta", "tb")
+    )
+    l1 = lens.select(F.col("doc_id").alias("d1"), F.col("n_tokens").alias("n1"))
+    l2 = lens.select(F.col("doc_id").alias("d2"), F.col("n_tokens").alias("n2"))
+    return (
+        cur.join(F.broadcast(l1), "d1")
+        .join(F.broadcast(l2), "d2")
+        .select(
+            "d1",
+            "p1",
+            "d2",
+            "p2",
+            F.least(
+                F.col("acc"),
+                F.col("n1") - F.col("p1"),
+                F.col("n2") - F.col("p2"),
+            )
+            .cast("long")
+            .alias("lcp"),
+        )
+    )

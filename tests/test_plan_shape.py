@@ -534,6 +534,16 @@ SHUFFLE_BUDGETS = {
     # (deg, r1, r2) + the presentation sort. Every post-pair exchange
     # carries id-width rows.
     "doc_dup_pagerank": 10,
+    # longest-dup-run (measured 25): the Manber–Myers LCP walk is
+    # log(max_len)+1 = 8 refinement joins of the |pairs| id-row frame
+    # against the CHECKPOINTED doubling-level tables (each join pays
+    # the pair-side exchange on its computed (doc, pos+acc) key; the
+    # checkpointed level sides ride their own single exchange each),
+    # plus the adjacent-pair self-join on sa_rank, the per-doc max
+    # agg, and the presentation sort. Depth is log-bounded by MAX DOC
+    # LENGTH — at 100 TB the count stays 8 while every join remains
+    # id-width; suffixes and token arrays never shuffle.
+    "doc_longest_dup_run": 25,
 }
 
 
@@ -626,6 +636,7 @@ EAGER_EXEMPT = {
     # (session, sf) in catalog_r9b._SA_MODELS, cleared per bench rep
     "doc_suffix_array",
     "doc_suffix_dup_audit",
+    "doc_longest_dup_run",
 }
 
 

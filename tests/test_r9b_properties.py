@@ -693,3 +693,58 @@ def test_dup_pagerank_matches_python_on_real_graph(spark):
     r2s = {r.r2 for r in got}
     assert len(r2s) > 100
     assert max(r2s) > 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# doc_longest_dup_run — Manber–Myers LCP walk vs direct suffix sorting
+# ---------------------------------------------------------------------------
+
+
+def test_longest_dup_run_matches_python_and_audit(spark):
+    """The LCP entry on the REAL sf0.001 corpus must equal a
+    pure-Python twin (sort all suffixes, LCP of adjacent pairs by
+    direct comparison, per-doc max over both sides) — a third
+    independent algorithm beyond the rank-history walk (Spark) and
+    the list-comparison oracle (DuckDB). And the family must be
+    self-consistent: longest_dup_run ≥ 8 exactly on the docs the
+    SA-adjacency audit flags (dup_starts > 0)."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    docs = {r.doc_id: _py_toks(r.text) for r in rows}
+    sufs = sorted(
+        (tuple(t[p:]), d, p) for d, t in docs.items() for p in range(len(t))
+    )
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    best = {d: 0 for d in docs}
+    for i in range(len(sufs) - 1):
+        l = lcp(sufs[i][0], sufs[i + 1][0])
+        for side in (sufs[i], sufs[i + 1]):
+            best[side[1]] = max(best[side[1]], l)
+
+    got = ENTRIES["doc_longest_dup_run"].spark(spark, SF).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        assert (r.n_tokens, r.longest_dup_run) == (
+            len(docs[r.doc_id]), best[r.doc_id]
+        ), r.doc_id
+    # non-vacuous: full-doc duplicates exist (run == doc length) and
+    # so do partial runs strictly between 0 and the doc length
+    assert any(r.longest_dup_run == r.n_tokens for r in got)
+    assert any(0 < r.longest_dup_run < r.n_tokens for r in got)
+
+    audit = {
+        r.doc_id: r.dup_starts
+        for r in ENTRIES["doc_suffix_dup_audit"].spark(spark, SF).collect()
+    }
+    for r in got:
+        assert (r.longest_dup_run >= 8) == (audit[r.doc_id] > 0), r.doc_id
