@@ -154,6 +154,8 @@ HEADLINE = [
     "doc_dup_pagerank",
     # late round 9: Manber–Myers LCP consumer of the suffix array
     "doc_longest_dup_run",
+    # late round 9: deterministic bottom-k priority quantile sketch
+    "lineitem_quantile_sketch",
 ]
 
 

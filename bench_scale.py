@@ -277,6 +277,11 @@ PROBES = [
     # probed doc_suffix_dup_audit's doubling loop verbatim (shared
     # memo), and the LCP walk on top is 8 |pairs|-linear id joins —
     # the 10× ratio would re-measure the suffix probe plus linear work
+    # late round-9 quantile sketch: the sketch side is a TakeOrdered
+    # over 8-byte priorities (corpus-linear, 256-row tail); the exact
+    # audit's two-phase rank is linear in rows per bucket — the 10×
+    # ratio must track the lineitem scan
+    "lineitem_quantile_sketch",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

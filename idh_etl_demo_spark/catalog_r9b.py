@@ -1268,3 +1268,144 @@ def doc_longest_dup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Deterministic quantile sketch — bottom-k priority sampling
+# ===========================================================================
+#
+# The sketch family's last member: cardinality (KMV/HLL), frequency
+# (CMS), membership (Bloom), set ops (KMV merge) — and now QUANTILES.
+# approx_percentile / t-digest / Greenwald-Khanna are all
+# order-of-arrival dependent, so they can never hash-gate against an
+# independent engine. A bottom-k PRIORITY sample can: keep the k rows
+# with the smallest md5 row-key priority (a deterministic uniform
+# sample — the same rows in any engine, any partitioning, any order),
+# estimate nearest-rank quantiles from the sorted sample, and the
+# summary is mergeable exactly like KMV (union two samples, keep the
+# k smallest priorities).
+
+_QSK_K = 256
+_QSK_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "lineitem_quantile_sketch",
+    f"""
+    with src as (
+      select cast(round(l_extendedprice * 100, 0) as bigint) as cents,
+             ('0x' || substring(md5(cast(l_orderkey as varchar) || '|' ||
+                                    cast(l_linenumber as varchar)), 1, 15))::bigint as rk
+      from lineitem
+    ),
+    nn as (select count(*)::bigint as n from src),
+    qs as (select unnest(cast({list(_QSK_QS)} as double[])) as q),
+    samp as (select cents from src order by rk limit {_QSK_K}),
+    sn as (select count(*)::bigint as sample_n from samp),
+    sranked as (
+      select cents, row_number() over (order by cents) as rn from samp
+    ),
+    est as (
+      select q, sample_n, s.cents as est_cents
+      from (select q, sample_n from qs cross join sn) t
+      join sranked s
+        on s.rn = cast(floor(q * (sample_n - 1)) as bigint) + 1
+    ),
+    eranked as (
+      select cents, row_number() over (order by cents) as rn from src
+    ),
+    ex as (
+      select q, e.cents as exact_cents
+      from (select q, n from qs cross join nn) t
+      join eranked e on e.rn = cast(floor(q * (n - 1)) as bigint) + 1
+    )
+    select est.q, sample_n, est_cents, exact_cents,
+           est_cents - exact_cents as err_cents
+    from est join ex on est.q = ex.q
+    order by est.q
+    """,
+)
+def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a DETERMINISTIC bottom-k priority
+    sample (k=256): every engine keeps exactly the same k rows — the
+    smallest md5 row-key priorities — so unlike approx_percentile /
+    t-digest / GK (all arrival-order dependent) the estimates
+    hash-gate bit-for-bit against the DuckDB oracle. Nearest-rank
+    quantiles (index floor(q·(n−1))) over price CENTS; the exact
+    nearest-rank quantile over the full table rides along as the
+    audit column with the signed error — the measurement IS the
+    sample-size/accuracy trade (expected relative rank error
+    ~1/√k ≈ 6%).
+
+    Scale shape: the sample is a TakeOrdered over 8-byte priorities
+    (no global sort; mergeable like KMV — union two samples, keep the
+    k smallest); the estimate side then works on 256 rows. The exact
+    audit column ranks the full table with the TWO-PHASE bucketed
+    row_number built for the suffix array
+    (operators/suffix.py:_bucketed_rank — value-range buckets, local
+    windows, |buckets|-row offsets; no single-partition funnel), and
+    swaps out at 100 TB leaving the sketch. Quantile targets join by
+    computed rank — no collect anywhere; N flows as a 1-row broadcast."""
+    from idh_etl_demo_spark.operators.suffix import _bucketed_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.repartition(spark.sparkContext.defaultParallelism).select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        md5_long(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("rk"),
+    )
+    qs = spark.createDataFrame(
+        [(float(q),) for q in _QSK_QS], ["q"]
+    )
+    samp = src.orderBy("rk").limit(_QSK_K).select("cents")
+    sn = samp.agg(F.count(F.lit(1)).alias("sample_n"))
+    sranked = samp.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cents")).cast("long")
+    )
+    est = (
+        qs.crossJoin(F.broadcast(sn))
+        .withColumn(
+            "target",
+            F.floor(F.col("q") * (F.col("sample_n") - 1)).cast("long") + 1,
+        )
+        .join(
+            F.broadcast(sranked),
+            F.col("rn") == F.col("target"),
+        )
+        .select("q", "sample_n", F.col("cents").alias("est_cents"))
+    )
+    nn = src.agg(F.count(F.lit(1)).alias("n"))
+    # exact audit: global nearest-rank values via the two-phase rank
+    # (bucket width from the price domain: cents ≤ ~2^24, 256 buckets)
+    eranked = _bucketed_rank(
+        src.select("cents", "rk"), ["cents", "rk"], "cents",
+        bucket_width=65536, dense=False,
+    )
+    targets = (
+        qs.crossJoin(F.broadcast(nn))
+        .select(
+            "q",
+            (F.floor(F.col("q") * (F.col("n") - 1)).cast("long") + 1).alias(
+                "gr"
+            ),
+        )
+    )
+    ex = eranked.join(F.broadcast(targets), "gr").select(
+        "q", F.col("cents").alias("exact_cents")
+    )
+    return (
+        est.join(ex, "q")
+        .select(
+            "q",
+            "sample_n",
+            "est_cents",
+            "exact_cents",
+            (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+        )
+        .orderBy("q")
+    )

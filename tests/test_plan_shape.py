@@ -544,6 +544,15 @@ SHUFFLE_BUDGETS = {
     # LENGTH — at 100 TB the count stays 8 while every join remains
     # id-width; suffixes and token arrays never shuffle.
     "doc_longest_dup_run": 25,
+    # quantile sketch (measured 11): the input round-robin spread, the
+    # sample's TakeOrdered (a SinglePartition exchange over 8-byte
+    # priorities), its 256-row ranking window and 1-row count, the
+    # exact-audit side's two-phase bucketed rank (bucket window + the
+    # |buckets|-row offset cumsum + its broadcast-back join) over the
+    # full cents stream, the two 1-row count aggs, and the
+    # presentation sort. The audit side swaps out at 100 TB leaving
+    # the sketch: one TakeOrdered + 256-row arithmetic.
+    "lineitem_quantile_sketch": 11,
 }
 
 

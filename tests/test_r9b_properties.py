@@ -748,3 +748,103 @@ def test_longest_dup_run_matches_python_and_audit(spark):
     }
     for r in got:
         assert (r.longest_dup_run >= 8) == (audit[r.doc_id] > 0), r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# lineitem_quantile_sketch — deterministic priority sample vs Python
+# ---------------------------------------------------------------------------
+
+
+def _py_quantile_sketch(rows, k=256, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """rows: (orderkey, linenumber, extendedprice)."""
+    import math as m
+
+    pts = [
+        (
+            int(
+                hashlib.md5(f"{ok}|{ln}".encode()).hexdigest()[:15], 16
+            ),
+            round(px * 100),
+        )
+        for ok, ln, px in rows
+    ]
+    samp = sorted(c for _, c in sorted(pts)[:k])
+    full = sorted(c for _, c in pts)
+    out = []
+    for q in qs:
+        est = samp[m.floor(q * (len(samp) - 1))]
+        exact = full[m.floor(q * (len(full) - 1))]
+        out.append((q, len(samp), est, exact, est - exact))
+    return out
+
+
+def test_quantile_sketch_matches_python_reference(spark):
+    """The sketch on the REAL sf0.001 lineitem must equal the
+    pure-Python twin — the same 256 sampled rows (md5 priorities are
+    engine-independent), the same nearest-rank picks, the same exact
+    audit values — row for row. And the error column must be a real
+    measurement: nonzero somewhere, zero nowhere near ±N."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    raw = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    rows = [(r.l_orderkey, r.l_linenumber, r.l_extendedprice) for r in raw]
+    expected = _py_quantile_sketch(rows)
+    got = ENTRIES["lineitem_quantile_sketch"].spark(spark, SF).collect()
+    assert [
+        (r.q, r.sample_n, r.est_cents, r.exact_cents, r.err_cents)
+        for r in got
+    ] == expected
+    assert any(r.err_cents != 0 for r in got)
+    # the 1/sqrt(k) regime: every estimate lands within 25% of exact
+    for r in got:
+        assert abs(r.err_cents) < 0.25 * r.exact_cents
+
+
+def test_quantile_sketch_exact_when_sample_covers_table(spark, tmp_path):
+    """Degenerate branch: with fewer rows than k the priority sample IS
+    the table, so every estimate equals the exact quantile
+    (err_cents == 0 across the board) — with full DuckDB-oracle parity
+    on the constructed input."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    n = 100
+    table = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), type=pa.int64()),
+            "l_partkey": pa.array([1] * n, type=pa.int64()),
+            "l_suppkey": pa.array([1] * n, type=pa.int64()),
+            "l_linenumber": pa.array([1] * n, type=pa.int64()),
+            "l_quantity": pa.array([1.0] * n, type=pa.float64()),
+            "l_extendedprice": pa.array(
+                [100.0 + 7.25 * i for i in range(n)], type=pa.float64()
+            ),
+            "l_discount": pa.array([0.0] * n, type=pa.float64()),
+            "l_tax": pa.array([0.0] * n, type=pa.float64()),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array(
+                [__import__("datetime").datetime(2024, 1, 1)] * n,
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+    sf = str(tmp_path)
+    sdf = ENTRIES["lineitem_quantile_sketch"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view lineitem as select * from "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["lineitem_quantile_sketch"].oracle).df()
+    )
+    assert list(sdf.sample_n) == [n] * 6
+    assert list(sdf.err_cents) == [0] * 6
