@@ -238,12 +238,12 @@ DRIVER_PRIORITY: list[str] = [
     "doc_suffix_array",
     "doc_suffix_dup_audit",
     "orders_zorder_layout",
-    # customer_price_trend, doc_dup_pagerank, doc_longest_dup_run, and
-    # lineitem_quantile_sketch (the final late-round-9 batch) are NOT
-    # windowed this round: every remaining in-window row is a
-    # verdict-mandated recall, a family-minimum holder, or an r9-new
-    # first-green, so rotating them in would only trade one
-    # never-green for another. All four are sweep-gated +
+    # customer_price_trend, doc_dup_pagerank, doc_longest_dup_run,
+    # lineitem_quantile_sketch, and doc_bm25_rrf (the final
+    # late-round-9 batch) are NOT windowed this round: every remaining
+    # in-window row is a verdict-mandated recall, a family-minimum
+    # holder, or an r9-new first-green, so rotating them in would only
+    # trade one never-green for another. All five are sweep-gated +
     # property-pinned and are named first-green candidates for the
     # r10 rotation with embedding_nndescent_recall_audit and
     # embedding_ivfpq_residual_recall_audit.

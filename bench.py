@@ -156,6 +156,8 @@ HEADLINE = [
     "doc_longest_dup_run",
     # late round 9: deterministic bottom-k priority quantile sketch
     "lineitem_quantile_sketch",
+    # late round 9: RRF hybrid retrieval fusion
+    "doc_bm25_rrf",
 ]
 
 

@@ -282,6 +282,11 @@ PROBES = [
     # audit's two-phase rank is linear in rows per bucket — the 10×
     # ratio must track the lineitem scan
     "lineitem_quantile_sketch",
+    # late round-9 doc_bm25_rrf is NOT probed: its corpus-side stages
+    # are doc_bm25_topk's probed token-explode shape (twice: matched
+    # terms + the distinct-token count, both map-side combined); the
+    # fusion works on |Q|·40 rows — a 10× ratio would re-measure the
+    # BM25 probe
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -1409,3 +1409,228 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ===========================================================================
+# Reciprocal Rank Fusion — hybrid retrieval serving
+# ===========================================================================
+#
+# Production retrieval rarely serves ONE ranker: hybrid search fuses a
+# lexical ranking with a second signal, and Reciprocal Rank Fusion
+# (Cormack, Clarke & Büttcher 2009) is the standard scoreless
+# combiner — every vector database ships it. RRF needs only RANKS
+# (k=60 damping), which is exactly why it can hash-gate across
+# engines: score(d) = Σ_rankers 1/(60 + rank_r(d)) is a fixed-arity
+# expression per row (one rounding per term, one addition — no
+# order-dependent aggregation), unlike fusing raw scores from
+# incommensurable rankers.
+
+_RRF_K = 60
+_RRF_DEPTH = 20  # per-ranker candidate depth feeding the fusion
+_RRF_TOPN = 10
+
+
+def _rrf_sql() -> str:
+    from idh_etl_demo_spark.catalog_r9 import _bm25_multi_ctes
+
+    return f"""
+    with {_bm25_multi_ctes()},
+    bmr as (
+      select query_id, doc_id,
+             row_number() over (partition by query_id
+                                order by bm25 desc, doc_id asc) as r1
+      from perdoc
+    ),
+    bm20 as (select * from bmr where r1 <= {_RRF_DEPTH}),
+    dlen as (
+      select doc_id, count(distinct tok)::bigint as nd
+      from (select doc_id, unnest(toks) as tok from base)
+      group by doc_id
+    ),
+    qsz as (select query_id, count(*)::bigint as nq from qt group by query_id),
+    inter as (
+      select qt.query_id, t.doc_id, count(*)::bigint as inter
+      from terms t join qt on t.token = qt.token
+      group by 1, 2
+    ),
+    jac as (
+      select i.query_id, i.doc_id,
+             cast(i.inter as double) / (q.nq + d.nd - i.inter) as jaccard
+      from inter i
+      join qsz q on q.query_id = i.query_id
+      join dlen d on d.doc_id = i.doc_id
+    ),
+    jr as (
+      select query_id, doc_id,
+             row_number() over (partition by query_id
+                                order by jaccard desc, doc_id asc) as r2
+      from jac
+    ),
+    j20 as (select * from jr where r2 <= {_RRF_DEPTH}),
+    cand as (
+      select query_id, doc_id from bm20
+      union
+      select query_id, doc_id from j20
+    ),
+    fused as (
+      select c.query_id, c.doc_id,
+             cast(b.r1 as bigint) as bm25_rank,
+             cast(j.r2 as bigint) as jaccard_rank,
+             coalesce(1.0::double / ({_RRF_K} + b.r1), 0.0::double)
+               + coalesce(1.0::double / ({_RRF_K} + j.r2), 0.0::double) as rrf
+      from cand c
+      left join bm20 b on b.query_id = c.query_id and b.doc_id = c.doc_id
+      left join j20 j on j.query_id = c.query_id and j.doc_id = c.doc_id
+    )
+    select query_id, doc_id, bm25_rank, jaccard_rank, rrf, fused_rank from (
+      select *, row_number() over (partition by query_id
+                                   order by rrf desc, doc_id asc) as fused_rank
+      from fused
+    ) where fused_rank <= {_RRF_TOPN}
+    order by query_id, fused_rank
+    """
+
+
+@query("doc_bm25_rrf", _rrf_sql())
+def doc_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the BM25 multiquery ranking with a query-token Jaccard
+    ranking (set overlap over each doc's distinct vocabulary — a
+    length-normalized signal BM25's tf saturation treats differently),
+    taking each ranker's top-20 and scoring candidates by
+    1/(60+rank_bm25) + 1/(60+rank_jaccard), absent ranks contributing
+    zero. Output: fused top-10 per query with both source ranks
+    exposed — docs ranked by only ONE ranker can and do win over docs
+    ranked low by both, which is the behavior RRF exists for (the
+    property test pins a fused winner outside one ranker's list on
+    the real corpus).
+
+    Engine parity: RRF needs only ranks, so the fusion is a
+    fixed-arity expression per candidate row — one rounding per
+    reciprocal, one addition, never an order-dependent sum over a
+    variable ranker set; Jaccard is one double division of exact
+    integers. Everything gates bit-for-bit.
+
+    Scale shape: the BM25 side is doc_bm25_multiquery's chain (corpus
+    collapses once to query-term tf rows); the Jaccard side adds ONE
+    distinct-token count per doc (map-side combined) and reuses the
+    same matched-term rows for the intersection; both rankers are
+    per-query window top-20s, the fusion joins |Q|·40 candidate rows
+    against two |Q|·20 broadcast lists, and the final window ranks
+    |Q|·40 rows."""
+    from idh_etl_demo_spark.catalog_r9 import (
+        _BM25_QUERIES,
+        _bm25_term_score,
+    )
+    from idh_etl_demo_spark.operators.text import tokens
+
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id long, token string",
+    )
+    all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    stats = base.agg(
+        F.sum(F.size("toks")).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .filter(F.col("token").isin(*all_terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    terms = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token")).cast("long")
+    )
+    scored = (
+        terms.join(F.broadcast(qt), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "dl", "token",
+            _bm25_term_score().alias("term_score"),
+        )
+    )
+    parts = F.array_sort(F.collect_list(F.struct("token", "term_score")))
+    perdoc = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            parts, F.lit(0.0), lambda acc, x: acc + x["term_score"]
+        ).alias("bm25"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm20 = (
+        perdoc.withColumn("r1", F.row_number().over(w1).cast("long"))
+        .filter(F.col("r1") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "r1")
+    )
+    dlen = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").cast("long").alias("nd"))
+    )
+    qsz = qt.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("nq"))
+    inter = (
+        terms.join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    jac = (
+        inter.join(F.broadcast(qsz), "query_id")
+        .join(dlen, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("nq") + F.col("nd") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("doc_id")
+    )
+    j20 = (
+        jac.withColumn("r2", F.row_number().over(w2).cast("long"))
+        .filter(F.col("r2") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "r2")
+    )
+    cand = (
+        bm20.select("query_id", "doc_id")
+        .union(j20.select("query_id", "doc_id"))
+        .distinct()
+    )
+    fused = (
+        cand.join(F.broadcast(bm20), ["query_id", "doc_id"], "left")
+        .join(F.broadcast(j20), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("r1").alias("bm25_rank"),
+            F.col("r2").alias("jaccard_rank"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r1")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r2")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_TOPN)
+        .select(
+            "query_id", "doc_id", "bm25_rank", "jaccard_rank", "rrf",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

@@ -553,6 +553,16 @@ SHUFFLE_BUDGETS = {
     # presentation sort. The audit side swaps out at 100 TB leaving
     # the sketch: one TakeOrdered + 256-row arithmetic.
     "lineitem_quantile_sketch": 11,
+    # RRF hybrid fusion (measured 17): the BM25 side is
+    # doc_bm25_multiquery's budgeted chain (input spread, the stats
+    # pack, tf agg, token-partition df window, per-(query, doc) fold
+    # agg, ranking window); the Jaccard side adds the per-doc
+    # distinct-token explode+agg, the intersection agg, and its
+    # ranking window; the fusion itself is one candidate-union
+    # distinct + two broadcast joins + the |Q|·40-row final window
+    # and presentation sort. Rankers share the matched-term rows —
+    # the corpus is exploded once per side, never per query.
+    "doc_bm25_rrf": 17,
 }
 
 

@@ -848,3 +848,93 @@ def test_quantile_sketch_exact_when_sample_covers_table(spark, tmp_path):
     )
     assert list(sdf.sample_n) == [n] * 6
     assert list(sdf.err_cents) == [0] * 6
+
+
+# ---------------------------------------------------------------------------
+# doc_bm25_rrf — reciprocal rank fusion vs pure Python
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_rrf_matches_python_reference(spark):
+    """The fusion on the REAL sf0.001 corpus must equal a pure-Python
+    twin that recomputes BOTH rankers (BM25 via the repo's exact
+    cleared-denominator scoring, Jaccard over distinct doc tokens)
+    and the RRF combination with the same tie-breaks — and the fused
+    list must contain winners absent from one ranker's top-20 (the
+    behavior RRF exists for)."""
+    import math as m
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r9 import _BM25_QUERIES
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+
+    K, DEPTH, TOPN = 60, 20, 10
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    docs = {r.doc_id: _py_toks(r.text) for r in rows}
+    s = sum(len(t) for t in docs.values())
+    n = len(docs)
+    all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in all_terms
+    }
+
+    def term_score(tf, dl, t):
+        num = (2 * (n - df[t]) + 1) * 22 * tf * s
+        den = (2 * df[t] + 1) * (10 * s * tf + 3 * s + 9 * dl * n)
+        return num / den
+
+    expected = []
+    for qid, terms in _BM25_QUERIES:
+        bm = {}
+        for d, toks in docs.items():
+            matched = [t for t in sorted(set(terms)) if t in toks]
+            if not matched:
+                continue
+            bm[d] = sum(
+                term_score(toks.count(t), len(toks), t) for t in matched
+            )
+        r1 = {
+            d: i + 1
+            for i, (_, d) in enumerate(
+                sorted(((-v, d) for d, v in bm.items()))[:DEPTH]
+            )
+        }
+        qset = set(terms)
+        jac = {}
+        for d, toks in docs.items():
+            inter = len(qset & set(toks))
+            if inter == 0:
+                continue
+            jac[d] = inter / (len(qset) + len(set(toks)) - inter)
+        r2 = {
+            d: i + 1
+            for i, (_, d) in enumerate(
+                sorted(((-v, d) for d, v in jac.items()))[:DEPTH]
+            )
+        }
+        fused = []
+        for d in set(r1) | set(r2):
+            score = (1.0 / (K + r1[d]) if d in r1 else 0.0) + (
+                1.0 / (K + r2[d]) if d in r2 else 0.0
+            )
+            fused.append((-score, d))
+        for i, (negs, d) in enumerate(sorted(fused)[:TOPN]):
+            expected.append(
+                (qid, d, r1.get(d), r2.get(d), -negs, i + 1)
+            )
+
+    got = ENTRIES["doc_bm25_rrf"].spark(spark, SF).collect()
+    assert [
+        (r.query_id, r.doc_id, r.bm25_rank, r.jaccard_rank, r.rrf,
+         r.fused_rank)
+        for r in got
+    ] == expected
+    assert any(r.bm25_rank is None or r.jaccard_rank is None for r in got)
+    # the two rankers genuinely disagree: some fused winner is ranked
+    # by both but at different positions
+    assert any(
+        r.bm25_rank is not None
+        and r.jaccard_rank is not None
+        and r.bm25_rank != r.jaccard_rank
+        for r in got
+    )
