@@ -37,7 +37,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then the most operator-diverse TPC-H entries. Everything not named here
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
-# ROUND-9 ROTATION (the round-8 verdict's asks #1 and #7). Rotating IN:
+#
+# ROUND-10 ROTATION (the round-9 verdict's ask #3). Rotating IN the
+# seven never-driver-green entries, all named candidates in NOTES_r9 §7
+# / the r9 verdict: embedding_ivfpq_residual_recall_audit,
+# embedding_nndescent_recall_audit, doc_dup_pagerank,
+# doc_longest_dup_run, lineitem_quantile_sketch, customer_price_trend,
+# doc_bm25_rrf. Rotating OUT seven multi-green rows, each above its
+# family minimum after the swap (annotated in place below):
+# embedding_kcenter_seeds, embedding_dup_clusters (both r5+r9 green),
+# doc_hash_sample, doc_word_histogram, doc_length_histogram (all
+# twice+ green incl. r9), ztm_stop_dim, ztm_vehicle_dim (both r5+r9
+# green — ztm lands at 3, exactly its minimum; the full star stays
+# driver-gated via line dim + delay fact + weather dim, and both
+# rotated dims keep their star-oracle + sweep gates).
+# doc_unimax_allocation STAYS for its post-oracle-fix green (ask #1).
+#
+# ROUND-9 ROTATION (the round-8 verdict's asks #1 and #7). Rotated IN:
 #  - embedding_pq_recall_audit — the only never-driver-green entry
 #    (landed in the r8 snapshot commit; now budgeted + property-pinned)
 #  - the verdict's named stale recalls (last driver-green r5):
@@ -84,25 +100,29 @@ DRIVER_PRIORITY: list[str] = [
     "doc_streaming_snapshot_curation",
     # --- round-9: the never-driver-green r8 audit (verdict ask #1) ---
     "embedding_pq_recall_audit",
-    # --- round-9 rotation-in: the verdict's named r5-stale recalls ---
-    "doc_hash_sample",
+    # --- round-10 rotation-in: the seven never-driver-green entries ---
+    # (each displaced row is named in the ROUND-10 header above)
+    "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
+    "embedding_nndescent_recall_audit",       # displaced embedding_dup_clusters
+    "doc_dup_pagerank",                       # displaced doc_hash_sample
+    "doc_longest_dup_run",                    # displaced doc_word_histogram
+    "doc_bm25_rrf",                           # displaced doc_length_histogram
+    "lineitem_quantile_sketch",               # displaced ztm_stop_dim
+    "customer_price_trend",                   # displaced ztm_vehicle_dim
+    # --- r9 recalls keeping a second-signal slot ---
     "doc_ngram_novelty",
-    "embedding_kcenter_seeds",
     "doc_dup_4cliques",
     "doc_decontamination",
-    "embedding_dup_clusters",
     "doc_lsh_audit",
     "doc_vocab_topk",
-    "doc_length_histogram",
-    # --- round-9 rotation-in: stalest remaining rows per family ---
-    "doc_word_histogram",
     "doc_fingerprint_tokens",
     "doc_lang_id",
     # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th
     # round-9 entry gets first-round driver signal — doc_ family stays
     # at 20 in-window, above its minimum of 18)
-    "ztm_stop_dim",
-    "ztm_vehicle_dim",
+    # (ztm_stop_dim and ztm_vehicle_dim were slotted here through r9;
+    # rotated out in r10 after their second green — see the ROUND-10
+    # header)
     # (embedding_ann_hyperplane was slotted here as a stale recall;
     # displaced by the late round-9 doc_winnow_fingerprints when doc
     # hit its family minimum of 21 — hyperplane stays green in the

@@ -1635,8 +1635,9 @@ _UNIMAX_EPOCHS = 2  # per-language epoch cap E
              end as allocation
       from g
     )
-    select lang, n_docs, cap, saturated, allocation,
-           (allocation * 1000000) // n_docs as epochs_micro
+    select lang, n_docs, cap, saturated,
+           cast(allocation as bigint) as allocation,
+           cast((allocation * 1000000) // n_docs as bigint) as epochs_micro
     from a
     order by lang
     """,
