@@ -256,7 +256,11 @@ def integer_pagerank(
     equi-join of the edge list onto the current rank table plus a
     map-side-combined groupBy on the destination; iterations are
     statically unrolled by the caller's count, so the plan stays
-    lazy (no checkpoint loop needed at the catalog's fixed depth)."""
+    lazy (no checkpoint loop needed at the catalog's fixed depth).
+    Per-iteration ranks ACCUMULATE as columns on the one rank frame —
+    joining per-iteration snapshots back at the end would replay the
+    full edge/degree lineage once per iteration (the round-9 ADVICE
+    finding: ~3× recompute at iterations=2)."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
@@ -272,17 +276,18 @@ def integer_pagerank(
         .select(
             "id",
             F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
-            F.lit(1_000_000).cast("long").alias("r"),
+            F.lit(1_000_000).cast("long").alias("r0"),
         )
     )
-    out_cols = []
+    cur = "r0"
+    hist: list[str] = []
     for it in range(1, iterations + 1):
         inflow = (
             edges.join(
                 ranked.select(
                     F.col("id").alias("src"),
                     F.col("deg").alias("sdeg"),
-                    F.col("r").alias("sr"),
+                    F.col(cur).alias("sr"),
                 ),
                 "src",
             )
@@ -293,18 +298,17 @@ def integer_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        cur = f"r{it}"
         ranked = (
             ranked.join(inflow.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
                 "deg",
+                *hist,
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
                 .cast("long")
-                .alias("r"),
+                .alias(cur),
             )
         )
-        out_cols.append(ranked.select("id", F.col("r").alias(f"r{it}")))
-    out = ranked.select("id", "deg")
-    for frame in out_cols:
-        out = out.join(frame, "id")
-    return out
+        hist.append(cur)
+    return ranked.select("id", "deg", *hist)

@@ -526,14 +526,16 @@ SHUFFLE_BUDGETS = {
     # scan (exchange-reused at runtime), and the tail is the
     # presentation sort. Nothing is keyed wider than 64 buckets.
     "orders_zorder_layout": 7,
-    # integer PageRank (measured 10): the banded simhash pair chain
+    # integer PageRank (served plan measured 6): the pair chain
     # (fingerprint projection + one (block, value) bucket shuffle +
-    # pair dedup — doc_simhash60_neardup's audited shape), the degree
-    # agg, then per unrolled iteration one edge→rank equi-join + one
-    # dst groupBy (the Pregel step), and the id joins assembling
-    # (deg, r1, r2) + the presentation sort. Every post-pair exchange
-    # carries id-width rows.
-    "doc_dup_pagerank": 10,
+    # pair dedup — doc_simhash60_neardup's audited shape) runs at
+    # BUILD time and is frozen per (session, sf) via _SIM60_PAIRS
+    # (EAGER_EXEMPT), so the served plan is the degree agg over the
+    # checkpointed pair scan, per unrolled iteration one edge→rank
+    # equi-join + one dst groupBy (the Pregel step, ranks accumulated
+    # as columns — no end-of-loop re-joins), and the presentation
+    # sort. Every exchange carries id-width rows.
+    "doc_dup_pagerank": 6,
     # longest-dup-run (measured 25): the Manber–Myers LCP walk is
     # log(max_len)+1 = 8 refinement joins of the |pairs| id-row frame
     # against the CHECKPOINTED doubling-level tables (each join pays
@@ -580,6 +582,10 @@ def test_shuffle_budgets(spark):
 # the catalog must stay action-free at build. A new entry that runs eager
 # work lands in the assertion below unless it is added here DELIBERATELY.
 EAGER_EXEMPT = {
+    # round-10: the simhash-60 dup-graph pair table is built and
+    # frozen at construction (_SIM60_PAIRS — the index build the
+    # centrality entry serves from; r9 verdict ask #4)
+    "doc_dup_pagerank",
     # streaming: these builders drain an availableNow stream to expose
     # their final state (result cached per session+sf)
     "doc_streaming_snapshot_curation",
