@@ -26,6 +26,7 @@ import idh_etl_demo_spark.catalog_r7  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r8  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r9  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r10  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -109,12 +110,16 @@ DRIVER_PRIORITY: list[str] = [
     "doc_bm25_rrf",                           # displaced doc_length_histogram
     "lineitem_quantile_sketch",               # displaced ztm_stop_dim
     "customer_price_trend",                   # displaced ztm_vehicle_dim
+    # --- round-10 NEW entries (first-green slots; the ExactSubstr cut,
+    # r9 verdict ask #5) — displacing doc_ngram_novelty and
+    # doc_vocab_topk, both twice-green (r5 + r9) sweep-gated recalls;
+    # doc family stays at 21, above its minimum of 18 ---
+    "doc_exact_substr_spans",
+    "doc_exact_substr_cleaned",
     # --- r9 recalls keeping a second-signal slot ---
-    "doc_ngram_novelty",
     "doc_dup_4cliques",
     "doc_decontamination",
     "doc_lsh_audit",
-    "doc_vocab_topk",
     "doc_fingerprint_tokens",
     "doc_lang_id",
     # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th

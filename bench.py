@@ -158,6 +158,10 @@ HEADLINE = [
     "lineitem_quantile_sketch",
     # late round 9: RRF hybrid retrieval fusion
     "doc_bm25_rrf",
+    # round 10: the Lee et al. ExactSubstr cut — removal spans +
+    # cleaned corpus composed over the shared suffix-array build
+    "doc_exact_substr_spans",
+    "doc_exact_substr_cleaned",
 ]
 
 
@@ -200,6 +204,9 @@ SESSION_CACHED = {
     "doc_suffix_array",
     "doc_suffix_dup_audit",
     "doc_longest_dup_run",
+    # round-10 ExactSubstr entries share the same memoized SA build
+    "doc_exact_substr_spans",
+    "doc_exact_substr_cleaned",
     # doc_dup_pagerank is deliberately NOT here (round-9 verdict ask
     # #4): its frozen simhash-60 pair table (_SIM60_PAIRS) is a
     # dup-graph INDEX — built once, served many — so rep 1 pays the

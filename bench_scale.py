@@ -287,6 +287,16 @@ PROBES = [
     # terms + the distinct-token count, both map-side combined); the
     # fusion works on |Q|·40 rows — a 10× ratio would re-measure the
     # BM25 probe
+    # round-10 doc_exact_substr_spans is NOT probed: its build is the
+    # probed doc_suffix_dup_audit's doubling loop verbatim (shared
+    # memo) and its serving side is doc_longest_dup_run's LCP walk
+    # (8 |pairs|-linear id joins) plus a sparse filter and two
+    # per-doc windows — a 10× ratio would re-measure the suffix probe
+    # round-10 doc_exact_substr_cleaned IS probed: on top of the walk
+    # it adds the one token-bearing reassembly shuffle (output-sized
+    # by definition) — the 10× ratio must track the token scan, which
+    # is exactly the claim worth measuring
+    "doc_exact_substr_cleaned",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -203,6 +203,89 @@ def suffix_ranks(
     return final, history, pos
 
 
+def dup_len_per_position(pairs: DataFrame) -> DataFrame:
+    """Per-position duplicated-prefix length from the adjacent-pair LCP
+    table: m(doc, pos) = max LCP against the previous- and next-rank
+    neighbor. Because suffixes sharing a prefix are CONTIGUOUS in the
+    array, this equals the longest prefix of the suffix occurring
+    anywhere else in the corpus (Lee et al. 2021 §4.1's per-position
+    match length). Input: ``suffix_lcp_adjacent`` output. Output:
+    (doc_id, pos, m) — one map-side-combined groupBy over id-width
+    rows."""
+    sides = pairs.select(
+        F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
+    ).unionAll(
+        pairs.select(F.col("d2").alias("doc_id"), F.col("p2").alias("pos"), "lcp")
+    )
+    return sides.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
+
+
+def merge_intervals(iv: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Merge overlapping or ADJACENT half-open intervals [s, e) into
+    maximal spans per ``id_col`` — the gaps-and-islands operator over
+    interval algebra: order by (s, e), break an island where a start
+    strictly clears the running max of every preceding end, number
+    islands by the running break count, then min/max per island.
+
+    Scale shape: two windows and one groupBy, all partitioned by the
+    id — interval rows are id-width and per-document interval counts
+    are bounded by document length, so no partition ever holds more
+    than one document's intervals times its ordering window."""
+    wprev = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "brk",
+        (F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)))
+        .cast("long"),
+    )
+    return (
+        flagged.withColumn("g", F.sum("brk").over(wrun))
+        .groupBy(id_col, "g")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .drop("g")
+    )
+
+
+def covered_positions(tok: DataFrame, m: DataFrame, threshold: int) -> DataFrame:
+    """Mark every token position covered by SOME qualifying duplicated
+    interval: position q is removed iff a p ≤ q exists with
+    m(p) ≥ threshold and p + m(p) > q. One running-max window over the
+    per-document position stream — linear, no range join: cum(q) =
+    max over p ≤ q of (p + m(p) when m(p) ≥ threshold), removed ⇔
+    cum(q) > q.
+
+    ``tok``: (doc_id, pos, token); ``m``: ``dup_len_per_position``
+    output. Output: tok's columns plus boolean ``removed``."""
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = tok.join(m, ["doc_id", "pos"], "left")
+    cum = F.max(
+        F.when(F.col("m") >= threshold, F.col("pos") + F.col("m"))
+    ).over(wcum)
+    return (
+        j.withColumn("cum", cum)
+        .withColumn(
+            "removed",
+            F.col("cum").isNotNull() & (F.col("cum") > F.col("pos")),
+        )
+        .drop("m", "cum")
+    )
+
+
 def suffix_lcp_adjacent(
     final: DataFrame,
     history: list[tuple[int, DataFrame]],

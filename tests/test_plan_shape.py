@@ -19,6 +19,8 @@ import idh_etl_demo_spark.catalog_r6  # noqa: F401
 import idh_etl_demo_spark.catalog_r7  # noqa: F401
 import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_r9  # noqa: F401
+import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -546,6 +548,19 @@ SHUFFLE_BUDGETS = {
     # LENGTH — at 100 TB the count stays 8 while every join remains
     # id-width; suffixes and token arrays never shuffle.
     "doc_longest_dup_run": 25,
+    # ExactSubstr removal spans (measured 25): the same Manber–Myers
+    # LCP walk as doc_longest_dup_run (log(max_len)+1 = 8 id-width
+    # refinement joins against checkpointed level tables + the
+    # adjacent-pair self-join), then the per-position max groupBy, the
+    # sparse threshold filter, the two gaps-and-islands windows (both
+    # per-doc partitions), the merge groupBy and presentation sort.
+    # Depth is log-bounded by max DOC length — corpus-size-invariant.
+    "doc_exact_substr_spans": 25,
+    # cleaned corpus (measured 28): spans' walk + m-frame, plus the
+    # token-stream join on (doc_id, pos), the per-doc coverage window,
+    # and the per-doc kept-token reassembly groupBy — the one
+    # token-bearing shuffle, which IS the output.
+    "doc_exact_substr_cleaned": 28,
     # quantile sketch (measured 11): the input round-robin spread, the
     # sample's TakeOrdered (a SinglePartition exchange over 8-byte
     # priorities), its 256-row ranking window and 1-row count, the
@@ -662,6 +677,9 @@ EAGER_EXEMPT = {
     "doc_suffix_array",
     "doc_suffix_dup_audit",
     "doc_longest_dup_run",
+    # round-10 ExactSubstr entries compose the same shared SA build
+    "doc_exact_substr_spans",
+    "doc_exact_substr_cleaned",
 }
 
 
