@@ -1410,11 +1410,29 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "sample_n", F.col("cents").alias("est_cents"))
     )
     nn = src.agg(F.count(F.lit(1)).alias("n"))
-    # exact audit: global nearest-rank values via the two-phase rank
-    # (bucket width from the price domain: cents ≤ ~2^24, 256 buckets)
+    # exact audit: global nearest-rank values via the two-phase rank.
+    # Bucket boundaries derive from the MEASURED extrema (a 1-row
+    # broadcast), not a hard-coded domain constant — a price-domain
+    # change now re-balances the 256 value-range buckets instead of
+    # silently funneling everything into one hot bucket (r9 ADVICE).
+    # The bucket key floor((cents−min)·256/range) is monotone in cents
+    # and equal values never straddle, preserving the _bucketed_rank
+    # leading-order invariant.
+    ext = src.agg(F.min("cents").alias("minc"), F.max("cents").alias("maxc"))
+    srcb = (
+        src.crossJoin(F.broadcast(ext))
+        .withColumn(
+            "bk",
+            F.floor(
+                (F.col("cents") - F.col("minc"))
+                * 256
+                / (F.col("maxc") - F.col("minc") + 1)
+            ).cast("long"),
+        )
+        .select("cents", "rk", "bk")
+    )
     eranked = _bucketed_rank(
-        src.select("cents", "rk"), ["cents", "rk"], "cents",
-        bucket_width=65536, dense=False,
+        srcb, ["cents", "rk"], "bk", bucket_width=1, dense=False,
     )
     targets = (
         qs.crossJoin(F.broadcast(nn))

@@ -566,10 +566,13 @@ SHUFFLE_BUDGETS = {
     # priorities), its 256-row ranking window and 1-row count, the
     # exact-audit side's two-phase bucketed rank (bucket window + the
     # |buckets|-row offset cumsum + its broadcast-back join) over the
-    # full cents stream, the two 1-row count aggs, and the
-    # presentation sort. The audit side swaps out at 100 TB leaving
-    # the sketch: one TakeOrdered + 256-row arithmetic.
-    "lineitem_quantile_sketch": 11,
+    # full cents stream, the 1-row extrema agg that derives the bucket
+    # boundaries from the MEASURED price domain (r10: replaces the
+    # hard-coded 65536 width — +1 exchange for range robustness), the
+    # two 1-row count aggs, and the presentation sort. The audit side
+    # swaps out at 100 TB leaving the sketch: one TakeOrdered +
+    # 256-row arithmetic.
+    "lineitem_quantile_sketch": 12,
     # RRF hybrid fusion (measured 17): the BM25 side is
     # doc_bm25_multiquery's budgeted chain (input spread, the stats
     # pack, tf agg, token-partition df window, per-(query, doc) fold
