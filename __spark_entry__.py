@@ -116,10 +116,16 @@ DRIVER_PRIORITY: list[str] = [
     # doc family stays at 21, above its minimum of 18 ---
     "doc_exact_substr_spans",
     "doc_exact_substr_cleaned",
+    # --- round-10 NEW entries (first-green slots; the Kneser-Ney LM
+    # family) — displacing doc_dup_4cliques and doc_lsh_audit, both
+    # twice-green (r5 + r9); the clique-mining shape stays sweep-gated
+    # plus graph property tests, the LSH-audit shape stays in-window
+    # via doc_decontamination's gram-membership machinery; doc family
+    # stays at 21, above its minimum of 18 ---
+    "doc_kn_bigram_lm",
+    "doc_kn_surprisal_rate",
     # --- r9 recalls keeping a second-signal slot ---
-    "doc_dup_4cliques",
     "doc_decontamination",
-    "doc_lsh_audit",
     "doc_fingerprint_tokens",
     "doc_lang_id",
     # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th

@@ -162,6 +162,10 @@ HEADLINE = [
     # cleaned corpus composed over the shared suffix-array build
     "doc_exact_substr_spans",
     "doc_exact_substr_cleaned",
+    # round 10: interpolated Kneser-Ney bigram LM (the KenLM/CCNet
+    # estimator) + held-out surprisal scoring
+    "doc_kn_bigram_lm",
+    "doc_kn_surprisal_rate",
 ]
 
 

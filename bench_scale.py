@@ -297,6 +297,12 @@ PROBES = [
     # by definition) — the 10× ratio must track the token scan, which
     # is exactly the claim worth measuring
     "doc_exact_substr_cleaned",
+    # round-10 KN scoring IS probed (it subsumes doc_kn_bigram_lm's
+    # count chain and adds the held-out join fan): the claim is that
+    # every stage is bounded by the token scan or the distinct-bigram
+    # vocabulary — both linear-or-sublinear in corpus size on
+    # repetitive text, so the 10× ratio must stay well under 10
+    "doc_kn_surprisal_rate",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -58,6 +58,27 @@ from idh_etl_demo_spark.catalog_r9b import _SA_TOKS_SQL, _sa_base, _sa_parts
 
 _XS_T = 50  # Lee et al. 2021's ExactSubstr length threshold
 
+
+def _bigram_stream(base: DataFrame) -> DataFrame:
+    """(…, w1, w2) — one row per adjacent token pair per document;
+    documents shorter than 2 tokens contribute nothing. A map-side
+    transform+explode over the token arrays (the sequence is guarded:
+    Spark's sequence(1, 0) counts DOWN, so short docs must short-
+    circuit to an empty array)."""
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return base.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", "g.w1", "g.w2"
+    )
+
 # Shared oracle prelude: suffix array by direct list sort, adjacent
 # LCPs by first elementwise mismatch, per-position max — the
 # independent re-derivation the round-9 verdict's ask #5 requires.
@@ -265,6 +286,347 @@ def doc_exact_substr_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.coalesce(F.col("removed"), F.lit(0)).cast("long").alias("removed_tokens"),
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Interpolated Kneser-Ney bigram LM — the KenLM/CCNet estimator
+# ===========================================================================
+#
+# CCNet (Wenzek et al. 2020) filters CommonCrawl by KenLM perplexity; the
+# repo's doc_bigram_familiarity approximates that signal with RAW corpus
+# frequencies, which cannot price an UNSEEN transition at all. This
+# section estimates the real thing at bigram order: interpolated
+# Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999 §2.7), the
+# smoothing KenLM defaults to —
+#
+#     P(w2|w1) = max(c(w1 w2) − D, 0) / c(w1)
+#              + (D · N1+(w1 ·) / c(w1)) · (N1+(· w2) / N1+(· ·))
+#
+# with the count-of-counts discount D = n1 / (n1 + 2·n2). The LM is
+# trained on the doc_id % 10 != 0 split and scored on the held-out 10%,
+# so unseen bigrams — the case smoothing exists for — genuinely occur
+# and back off through the CONTINUATION term (how many distinct left
+# contexts a word has, not how often it occurs: "francisco" is frequent
+# but nearly always follows "san", so its continuation mass is tiny).
+#
+# Engine parity: with D = Dn/Dd kept RATIONAL, every term clears to
+# exact int64 —
+#     a  = max(c12·Dd − Dn, 0)      (discounted count, cleared by Dd)
+#     b  = Dn · N1+(w1 ·) · N1+(· w2)
+#     dc = Dd · c(w1)
+#     P  = a/dc + (b/dc)/Ntot
+# three IEEE double divisions and one add, evaluated in the identical
+# tree shape by both engines, so scores hash-gate bit-for-bit. The
+# BM25-style exactness guard (catalog_r8._bm25_term_score) enforces the
+# <2^52 operand bound on Spark's wrapping int64 products; DuckDB raises
+# on int64 overflow natively. At 100 TB the counts need the disclosed
+# rescale (divide c12/c1 by a common sample rate) or 128-bit sums.
+
+_KN_TAU = 0.025  # improbable-transition threshold, ~p10 of held-out P
+_KN_TOP = 100
+
+_KN_ORACLE_PRELUDE = f"""
+    base as (select doc_id, {_SA_TOKS_SQL} as toks from documents),
+    tr as (select * from base where doc_id % 10 != 0),
+    ho as (select * from base where doc_id % 10 = 0),
+    tg as (
+      select toks[u.i] as w1, toks[u.i + 1] as w2
+      from tr cross join lateral (
+        select unnest(generate_series(1, greatest(len(toks) - 1, 0))) as i
+      ) u
+    ),
+    c12 as (select w1, w2, count(*)::bigint as c12 from tg group by w1, w2),
+    c1 as (select w1, sum(c12)::bigint as c1, count(*)::bigint as n1p
+           from c12 group by w1),
+    cont as (select w2, count(*)::bigint as ncont from c12 group by w2),
+    tot as (select count(*)::bigint as ntot,
+                   coalesce(sum(case when c12 = 1 then 1 else 0 end), 0)::bigint as nn1,
+                   coalesce(sum(case when c12 = 2 then 1 else 0 end), 0)::bigint as nn2
+            from c12),
+    disc as (select case when nn1 + 2 * nn2 = 0 then 1 else nn1 end as dn,
+                    case when nn1 + 2 * nn2 = 0 then 2 else nn1 + 2 * nn2 end as dd,
+                    ntot from tot)
+"""
+
+
+def _kn_parts(spark: SparkSession, sf_dir: str):
+    """(c12, c1, cont, disc) count tables of the train-split bigram LM;
+    disc is the 1-row (dn, dd, ntot) discount frame."""
+    base = _sa_base(spark, sf_dir)
+    tr = base.filter(F.col("doc_id") % 10 != 0)
+    c12 = (
+        _bigram_stream(tr)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("ncont"))
+    tot = c12.agg(
+        F.count(F.lit(1)).cast("long").alias("ntot"),
+        F.coalesce(
+            F.sum(F.when(F.col("c12") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("nn1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c12") == 2, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("nn2"),
+    )
+    disc = tot.select(
+        F.when(F.col("nn1") + 2 * F.col("nn2") == 0, F.lit(1))
+        .otherwise(F.col("nn1"))
+        .cast("long")
+        .alias("dn"),
+        F.when(F.col("nn1") + 2 * F.col("nn2") == 0, F.lit(2))
+        .otherwise(F.col("nn1") + 2 * F.col("nn2"))
+        .cast("long")
+        .alias("dd"),
+        "ntot",
+    )
+    return c12, c1, cont, disc
+
+
+def _kn_guarded_p() -> F.Column:
+    """P(w2|w1) for a SEEN context: a/dc + (b/dc)/ntot over exact int64
+    a, b, dc, ntot columns, with the BM25-style wrap guard — Spark long
+    products wrap silently past int64 and the double divisions are only
+    bit-identical across engines while operands stay < 2^52."""
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    bound = F.lit(float(2**52))
+    return F.when(
+        (d("a") < bound) & (d("b") < bound) & (d("dc") < bound),
+        d("a") / d("dc") + (d("b") / d("dc")) / d("ntot"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "kneser-ney exactness bound exceeded: an operand reached "
+                "2^52; rescale the cleared-discount counts (catalog_r10)"
+            )
+        ).cast("double")
+    )
+
+
+@query(
+    "doc_kn_bigram_lm",
+    f"""
+    with {_KN_ORACLE_PRELUDE},
+    lm as (
+      select g.w1, g.w2, g.c12, c.c1, c.n1p, k.ncont,
+             greatest(g.c12 * d.dd - d.dn, 0) as a,
+             d.dn * c.n1p * k.ncont as b,
+             d.dd * c.c1 as dc,
+             d.ntot as ntot
+      from c12 g join c1 c using (w1) join cont k using (w2) cross join disc d
+    )
+    select w1, w2, c12, c1, n1p, ncont,
+           a * 1.0 / dc + (b * 1.0 / dc) / ntot as pkn
+    from lm
+    order by c12 desc, w1, w2
+    limit {_KN_TOP}
+    """,
+)
+def doc_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the train split — the
+    KenLM estimator CCNet filters CommonCrawl with, as count tables +
+    smoothed probabilities (section comment: the cleared-rational form
+    that hash-gates across engines). Output: the {top} most frequent
+    bigrams (ties by words) with c(w1 w2), c(w1), the two continuation
+    counts and P_KN(w2|w1).
+
+    Scale shape: three map-side-combined groupBys over the bigram
+    stream (pair counts, left-context rollup, right-continuation
+    rollup) + one 1-row count-of-counts aggregate for the discount;
+    the probability is a projection over the joined count tables (both
+    joins keyed on a word — vocabulary-sized, far below the token
+    stream on repetitive text); the top-{top} is a TakeOrdered. The
+    property test pins Σ_w2 P(w2|w1) = 1 per context against a
+    pure-Python KN twin — the normalization smoothing exists to
+    preserve."""
+    c12, c1, cont, disc = _kn_parts(spark, sf_dir)
+    lm = (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1p",
+            "ncont",
+            F.greatest(
+                F.col("c12") * F.col("dd") - F.col("dn"), F.lit(0)
+            ).cast("long").alias("a"),
+            (F.col("dn") * F.col("n1p") * F.col("ncont")).alias("b"),
+            (F.col("dd") * F.col("c1")).alias("dc"),
+            "ntot",
+        )
+    )
+    return (
+        lm.select(
+            "w1", "w2", "c12", "c1", "n1p", "ncont",
+            _kn_guarded_p().alias("pkn"),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(_KN_TOP)
+    )
+
+
+@query(
+    "doc_kn_surprisal_rate",
+    f"""
+    with {_KN_ORACLE_PRELUDE},
+    hg as (
+      select doc_id, toks[u.i] as w1, toks[u.i + 1] as w2
+      from ho cross join lateral (
+        select unnest(generate_series(1, greatest(len(toks) - 1, 0))) as i
+      ) u
+    ),
+    sc as (
+      select h.doc_id,
+             case when c.c1 is null then coalesce(k.ncont, 0) * 1.0 / d.ntot
+                  when k.ncont is null then 0.0
+                  else greatest(coalesce(g.c12, 0) * d.dd - d.dn, 0) * 1.0
+                         / (d.dd * c.c1)
+                       + ((d.dn * c.n1p * k.ncont) * 1.0 / (d.dd * c.c1))
+                         / d.ntot
+             end as pkn,
+             g.c12 is null as unseen
+      from hg h
+      left join c12 g on g.w1 = h.w1 and g.w2 = h.w2
+      left join c1 c on c.w1 = h.w1
+      left join cont k on k.w2 = h.w2
+      cross join disc d
+    ),
+    perdoc as (
+      select doc_id, count(*)::bigint as n_bigrams,
+             cast(sum(case when unseen then 1 else 0 end) as bigint) as n_unseen,
+             cast(sum(case when pkn < {_KN_TAU} then 1 else 0 end) as bigint)
+               as n_improbable
+      from sc group by doc_id
+    )
+    select h.doc_id,
+           coalesce(p.n_bigrams, 0) as n_bigrams,
+           coalesce(p.n_unseen, 0) as n_unseen,
+           coalesce(p.n_improbable, 0) as n_improbable,
+           case when coalesce(p.n_bigrams, 0) > 0
+                then p.n_improbable * 1.0 / p.n_bigrams else 0.0 end
+             as improbable_rate
+    from (select doc_id from ho) h
+    left join perdoc p using (doc_id)
+    order by h.doc_id
+    """,
+)
+def doc_kn_surprisal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring — the CCNet quality signal from a properly
+    SMOOTHED model: every doc_id % 10 == 0 document's transitions are
+    priced under the train-split Kneser-Ney LM, and the doc is
+    summarized by its improbable-transition rate (P_KN < {tau}, ~the
+    held-out 10th percentile). Unseen bigrams back off through the
+    continuation term: unseen (w1, w2) with a known context prices at
+    λ(w1)·P_cont(w2); an unseen CONTEXT prices at the continuation
+    unigram N1+(·w2)/N1+(··); an unseen word at 0 — the three-branch
+    case both engines evaluate in the same order. A true perplexity
+    needs ln() (last-ulp engine divergence — the BM25 idf lesson), so
+    the gate-able summary is the threshold RATE, not the log-sum; the
+    property test computes real perplexity in the pure-Python twin and
+    pins the rate ordering against it on a planted corpus.
+
+    Scale shape: the held-out stream left-joins the three count tables
+    (word-keyed, vocabulary-bounded) + the broadcast 1-row discount;
+    scoring is a projection; the summary is one per-doc groupBy. Train
+    and held-out sides never cross-shuffle beyond those joins."""
+    c12, c1, cont, disc = _kn_parts(spark, sf_dir)
+    base = _sa_base(spark, sf_dir)
+    ho = base.filter(F.col("doc_id") % 10 == 0)
+    hg = _bigram_stream(ho)
+    scored = (
+        hg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "doc_id",
+            F.col("c12").isNull().alias("unseen"),
+            F.when(
+                F.col("c1").isNull(),
+                F.coalesce(F.col("ncont"), F.lit(0)).cast("double")
+                / F.col("ntot").cast("double"),
+            )
+            .when(F.col("ncont").isNull(), F.lit(0.0))
+            .otherwise(
+                F.when(
+                    (
+                        F.greatest(
+                            F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
+                            - F.col("dn"),
+                            F.lit(0),
+                        ).cast("double")
+                        < F.lit(float(2**52))
+                    )
+                    & (
+                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
+                            "double"
+                        )
+                        < F.lit(float(2**52))
+                    )
+                    & (
+                        (F.col("dd") * F.col("c1")).cast("double")
+                        < F.lit(float(2**52))
+                    ),
+                    F.greatest(
+                        F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
+                        - F.col("dn"),
+                        F.lit(0),
+                    ).cast("double")
+                    / (F.col("dd") * F.col("c1")).cast("double")
+                    + (
+                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
+                            "double"
+                        )
+                        / (F.col("dd") * F.col("c1")).cast("double")
+                    )
+                    / F.col("ntot").cast("double"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "kneser-ney exactness bound exceeded (scoring): "
+                            "rescale the cleared-discount counts"
+                        )
+                    ).cast("double")
+                )
+            )
+            .alias("pkn"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.col("unseen").cast("long")).cast("long").alias("n_unseen"),
+        F.sum((F.col("pkn") < F.lit(_KN_TAU)).cast("long"))
+        .cast("long")
+        .alias("n_improbable"),
+    )
+    return (
+        ho.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).cast("long").alias("n_unseen"),
+            F.coalesce(F.col("n_improbable"), F.lit(0))
+            .cast("long")
+            .alias("n_improbable"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("n_improbable").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("improbable_rate"),
         )
         .orderBy("doc_id")
     )

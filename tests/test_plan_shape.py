@@ -561,6 +561,19 @@ SHUFFLE_BUDGETS = {
     # and the per-doc kept-token reassembly groupBy — the one
     # token-bearing shuffle, which IS the output.
     "doc_exact_substr_cleaned": 28,
+    # Kneser-Ney bigram LM (measured 8): three map-side-combined count
+    # groupBys over the train bigram stream (pair counts; the w1
+    # rollup; the w2 continuation rollup), the 1-row count-of-counts
+    # agg for the discount, the two word-keyed LM joins (vocabulary-
+    # sized sides), and the top-100 TakeOrdered. Every exchange past
+    # the pair counts carries (word, counts) rows.
+    "doc_kn_bigram_lm": 8,
+    # held-out KN scoring (measured 12): the LM's count chain as above,
+    # plus the held-out bigram stream's three left joins against the
+    # count tables (word-keyed) and the per-doc summary groupBy + the
+    # doc-list join and presentation sort. Train and held-out sides
+    # only meet at those word-keyed joins.
+    "doc_kn_surprisal_rate": 12,
     # quantile sketch (measured 11): the input round-robin spread, the
     # sample's TakeOrdered (a SinglePartition exchange over 8-byte
     # priorities), its 256-row ranking window and 1-row count, the

@@ -197,3 +197,154 @@ def test_compare_skips_kind_check_on_all_null_columns():
     a = pd.DataFrame({"v": pd.Series([None, None], dtype="object")})
     b = pd.DataFrame({"v": pd.Series([float("nan"), float("nan")], dtype="float64")})
     assert_frames_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM — pure-Python twin, normalization, continuation
+# semantics, and full oracle parity on a planted corpus
+# ---------------------------------------------------------------------------
+
+
+def _py_kn(train_docs: dict[int, list[str]]):
+    """Pure-Python interpolated KN twin computing the IDENTICAL cleared
+    -rational expression tree as catalog_r10 (a/dc + (b/dc)/ntot), so
+    doubles match bit-for-bit."""
+    from collections import Counter
+
+    c12: Counter = Counter()
+    for toks in train_docs.values():
+        for i in range(len(toks) - 1):
+            c12[(toks[i], toks[i + 1])] += 1
+    c1: Counter = Counter()
+    n1p: Counter = Counter()
+    ncont: Counter = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p[w1] += 1
+        ncont[w2] += 1
+    ntot = len(c12)
+    nn1 = sum(1 for c in c12.values() if c == 1)
+    nn2 = sum(1 for c in c12.values() if c == 2)
+    dn, dd = (1, 2) if nn1 + 2 * nn2 == 0 else (nn1, nn1 + 2 * nn2)
+
+    def p(w1: str, w2: str) -> float:
+        if w1 not in c1:
+            return ncont.get(w2, 0) * 1.0 / ntot
+        if w2 not in ncont:
+            return 0.0
+        a = max(c12.get((w1, w2), 0) * dd - dn, 0)
+        dc = dd * c1[w1]
+        b = dn * n1p[w1] * ncont[w2]
+        return a / dc + (b / dc) / ntot
+
+    vocab_right = set(ncont)
+    return p, c1, ncont, vocab_right
+
+
+def _kn_planted_texts():
+    """Planted corpus. Key geometry: 'francisco' is FREQUENT but always
+    follows 'san' (one left context); 'cat' is rarer but follows many
+    distinct words — the continuation asymmetry KN exists to model and
+    a raw-frequency LM cannot express. doc_ids 10..: train split
+    (doc_id % 10 != 0); doc 0 and 20 are held out."""
+    texts = {}
+    # held-out docs (scored): doc 0 is all-seen transitions (a train
+    # doc verbatim), doc 20 mixes unseen pairs and an unseen context
+    texts[0] = "san francisco visit"
+    texts[20] = "zz9 francisco zz9 cat san francisco"
+    # train: 12 'san francisco' repetitions across docs
+    idx = 11
+    for _ in range(12):
+        if idx % 10 == 0:
+            idx += 1
+        texts[idx] = "san francisco visit"
+        idx += 1
+    idx = 41
+    # 'cat' after 8 distinct left words
+    for i in range(8):
+        texts[idx] = f"left{i} cat sits"
+        idx += 1
+        if idx % 10 == 0:
+            idx += 1
+    # filler bigram diversity so count-of-counts is non-degenerate
+    for i in range(6):
+        texts[idx] = f"alpha{i} beta{i} gamma{i} beta{i}"
+        idx += 1
+        if idx % 10 == 0:
+            idx += 1
+    return texts
+
+
+def _write_documents(tmp_path, texts: dict[int, str]) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = sorted(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_kn_normalization_and_continuation_semantics():
+    """Σ_{w2 ∈ vocab} P_KN(w2|w1) = 1 for every seen context (the
+    invariant smoothing must preserve), and the continuation asymmetry:
+    under an UNSEEN context, 'cat' (8 left contexts) outprices
+    'francisco' (1 left context) despite francisco's higher raw count."""
+    import math
+
+    texts = _kn_planted_texts()
+    train = {
+        d: t.split() for d, t in texts.items() if d % 10 != 0
+    }
+    p, c1, ncont, vocab_right = _py_kn(train)
+    for w1 in c1:
+        total = sum(p(w1, w2) for w2 in vocab_right)
+        assert math.isclose(total, 1.0, rel_tol=1e-9), (w1, total)
+    # raw frequency says francisco >> cat; continuation says the opposite
+    assert ncont["francisco"] == 1 and ncont["cat"] == 8
+    assert p("neverseen", "cat") > p("neverseen", "francisco") > 0.0
+
+
+def test_kn_entries_oracle_parity_and_backoff_on_planted_corpus(spark, tmp_path):
+    """Both KN entries gate against their DuckDB oracles on the planted
+    corpus (dtype-strict compare), the model probabilities equal the
+    pure-Python twin bit-for-bit, and the held-out docs exercise the
+    backoff branches: doc 20's 'zz9' context is unseen in train."""
+    import duckdb
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    texts = _kn_planted_texts()
+    sf = _write_documents(tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    train = {d: t.split() for d, t in texts.items() if d % 10 != 0}
+    p, _, _, _ = _py_kn(train)
+
+    lm = ENTRIES["doc_kn_bigram_lm"].spark(spark, sf).toPandas()
+    assert_frames_equal(lm, con.execute(ENTRIES["doc_kn_bigram_lm"].oracle).df())
+    for row in lm.itertuples():
+        assert row.pkn == p(row.w1, row.w2), (row.w1, row.w2)
+
+    rate = ENTRIES["doc_kn_surprisal_rate"].spark(spark, sf).toPandas()
+    assert_frames_equal(
+        rate, con.execute(ENTRIES["doc_kn_surprisal_rate"].oracle).df()
+    )
+    by_doc = {int(r.doc_id): r for r in rate.itertuples()}
+    assert set(by_doc) == {0, 20}
+    # doc 20 has unseen bigrams (zz9-context rows); doc 0 has none
+    assert by_doc[20].n_unseen >= 2
+    assert by_doc[0].n_unseen == 0
+    # rates are the exact count ratio
+    for d, r in by_doc.items():
+        assert r.improbable_rate == r.n_improbable / r.n_bigrams
