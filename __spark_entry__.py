@@ -124,8 +124,13 @@ DRIVER_PRIORITY: list[str] = [
     # stays at 21, above its minimum of 18 ---
     "doc_kn_bigram_lm",
     "doc_kn_surprisal_rate",
+    # --- round-10 NEW entry (first-green slot; contrastive
+    # hard-negative mining) — displacing doc_decontamination (twice-
+    # green r5 + r9; its gram-membership shape stays in-window via
+    # doc_decontamination_passages); doc family lands at 20, above its
+    # minimum of 18, embedding rises to 14 ---
+    "embedding_hard_negatives",
     # --- r9 recalls keeping a second-signal slot ---
-    "doc_decontamination",
     "doc_fingerprint_tokens",
     "doc_lang_id",
     # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th

@@ -166,6 +166,8 @@ HEADLINE = [
     # estimator) + held-out surprisal scoring
     "doc_kn_bigram_lm",
     "doc_kn_surprisal_rate",
+    # round 10: contrastive hard-negative mining (near-dup band excluded)
+    "embedding_hard_negatives",
 ]
 
 

@@ -303,6 +303,11 @@ PROBES = [
     # vocabulary — both linear-or-sublinear in corpus size on
     # repetitive text, so the 10× ratio must stay well under 10
     "doc_kn_surprisal_rate",
+    # round-10 embedding_hard_negatives is NOT probed — the
+    # cosine_topk exclusion applies verbatim: its query set is a fixed
+    # fraction of the corpus, so the brute-force side is deliberately
+    # quadratic at 10× (at prod scale the candidate generator swaps to
+    # the IVF/PQ serving entries and the query set is sampled)
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

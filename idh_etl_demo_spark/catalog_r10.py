@@ -51,7 +51,7 @@ exclusion, and property tests vs a pure-Python reference on a PLANTED
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from idh_etl_demo_spark.catalog import _t, query
 from idh_etl_demo_spark.catalog_r9b import _SA_TOKS_SQL, _sa_base, _sa_parts
@@ -629,4 +629,125 @@ def doc_kn_surprisal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("improbable_rate"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Contrastive hard-negative mining — embedding-training data op
+# ===========================================================================
+#
+# Contrastive/embedding-model training (SimCSE, E5, GTE recipes) needs
+# HARD negatives: the highest-similarity candidates that are NOT
+# positives — mining them is a corpus-scale retrieval pass, and mining
+# them WRONG (letting an unlabeled near-duplicate through as a
+# "negative") is the classic false-negative failure that collapses
+# contrastive training. This entry composes the repo's exact-cosine
+# retrieval with the SemDeDup near-dup threshold as the positive
+# filter: per query, candidates at cosine ≥ 0.40 (the corpus's
+# near-duplicate band, catalog_r7._SEMDEDUP_THRESHOLD) are EXCLUDED —
+# and counted, so the exclusion is auditable — and the top-5 below the
+# band are the mined hard negatives.
+
+_HN_POS = 0.40  # = catalog_r7._SEMDEDUP_THRESHOLD: the near-dup band
+_HN_K = 5
+
+
+@query(
+    "embedding_hard_negatives",
+    """
+    with q as (
+      select vec_id as query_id, {quant} as qv from embeddings where vec_id % 25 = 0
+    ),
+    c as (select vec_id as neighbor_id, {quant} as cv from embeddings),
+    scored as (
+      select query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))
+               * sqrt(list_dot_product(cv, cv))) as cosine_sim
+      from q, c
+      where neighbor_id != query_id
+    ),
+    marked as (
+      select *,
+             cast(sum(case when cosine_sim >= {pos} then 1 else 0 end)
+                  over (partition by query_id) as bigint) as n_excluded
+      from scored
+    )
+    select query_id, neighbor_id, cosine_sim, rank, n_excluded from (
+      select *, row_number() over (partition by query_id
+                                   order by cosine_sim desc, neighbor_id asc) as rank
+      from marked where cosine_sim < {pos}
+    ) where rank <= {k}
+    order by query_id, rank
+    """.format(
+        quant="list_transform(embedding, x -> cast(round(cast(x as double) * 10000, 0) as bigint))",
+        pos=_HN_POS,
+        k=_HN_K,
+    ),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    (vec_id % 25 == 0), the top-{k} most-similar corpus vectors BELOW
+    the near-duplicate band (cosine < {pos} — candidates at or above it
+    are presumed unlabeled positives and excluded, with the per-query
+    exclusion count emitted for audit). Output: (query_id, neighbor_id,
+    cosine_sim, rank, n_excluded).
+
+    Engine parity: the integer-quantized exact dot products and the
+    identical sqrt/division tree as embedding_cosine_topk; the
+    positive-band cut compares the SAME double in both engines, so the
+    boundary is deterministic. The property test plants a synthetic
+    near-duplicate (must be excluded and counted) and a just-below-band
+    hard negative (must surface at rank 1), with full oracle parity on
+    the planted table.
+
+    Scale shape: |Q| queries broadcast against an embarrassingly
+    parallel corpus scan (the brute-force baseline — swap the candidate
+    generator for the IVF/PQ serving entries at 100 TB and keep this
+    entry's exclusion/rank tail verbatim); the band count rides the
+    same per-query window partition as the ranking, so no second
+    corpus pass."""
+    from idh_etl_demo_spark.catalog_llm import _spark_int_dot, _spark_quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _spark_quant(F.col("embedding")).alias("qv"),
+    )
+    c = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _spark_quant(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _spark_int_dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_spark_int_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_spark_int_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    marked = scored.withColumn(
+        "n_excluded",
+        F.sum(
+            F.when(F.col("cosine_sim") >= F.lit(_HN_POS), 1).otherwise(0)
+        )
+        .over(wq)
+        .cast("long"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        marked.filter(F.col("cosine_sim") < F.lit(_HN_POS))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HN_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank", "n_excluded")
+        .orderBy("query_id", "rank")
     )

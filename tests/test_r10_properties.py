@@ -348,3 +348,84 @@ def test_kn_entries_oracle_parity_and_backoff_on_planted_corpus(spark, tmp_path)
     # rates are the exact count ratio
     for d, r in by_doc.items():
         assert r.improbable_rate == r.n_improbable / r.n_bigrams
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — planted positive/negative geometry + oracle parity
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_planted_positive(spark, tmp_path):
+    """A planted near-duplicate (cosine 1.0 to the query) must be
+    EXCLUDED and counted in n_excluded; the planted just-below-band
+    candidate (cosine ≈ 0.39) must surface at rank 1 — with full
+    DuckDB-oracle parity on the planted table, and the Spark scores
+    matching a pure-Python twin computing the identical quantized
+    expression."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    dim = 64
+
+    def vec(coords: dict[int, float]) -> list[float]:
+        v = [0.0] * dim
+        for i, x in coords.items():
+            v[i] = x
+        return v
+
+    hard_x = 0.39
+    hard_y = math.sqrt(1 - hard_x * hard_x)
+    rows = {
+        0: vec({0: 1.0}),                      # the query (0 % 25 == 0)
+        1: vec({0: 2.0}),                      # near-dup: cosine 1.0 → excluded
+        2: vec({0: hard_x, 1: hard_y}),        # hard negative: 0.39 < 0.40
+        3: vec({2: 1.0}),                      # easy negative: cosine 0
+        4: vec({3: 1.0, 0: 0.1}),              # mild negative
+    }
+    table = pa.table(
+        {
+            "vec_id": pa.array(sorted(rows), type=pa.int64()),
+            "embedding": pa.array(
+                [rows[i] for i in sorted(rows)], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(rows), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    sdf = ENTRIES["embedding_hard_negatives"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from read_parquet('{sf}/embeddings.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["embedding_hard_negatives"].oracle).df()
+    )
+
+    assert set(sdf.query_id) == {0}
+    assert list(sdf.n_excluded) == [1] * len(sdf)      # exactly the near-dup
+    assert 1 not in set(sdf.neighbor_id)               # and it never surfaces
+    assert int(sdf[sdf["rank"] == 1].neighbor_id.iloc[0]) == 2
+
+    # pure-Python twin of the quantized cosine, identical op tree
+    def q(v):
+        return [round(float(x) * 10000) for x in v]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(q(a), q(b)))
+        return num / (
+            math.sqrt(sum(x * x for x in q(a)))
+            * math.sqrt(sum(x * x for x in q(b)))
+        )
+
+    for r in sdf.itertuples():
+        want = cos(rows[0], rows[int(r.neighbor_id)])
+        assert math.isclose(r.cosine_sim, want, rel_tol=1e-12)
