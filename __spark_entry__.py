@@ -130,8 +130,14 @@ DRIVER_PRIORITY: list[str] = [
     # doc_decontamination_passages); doc family lands at 20, above its
     # minimum of 18, embedding rises to 14 ---
     "embedding_hard_negatives",
+    # --- round-10 NEW entry (first-green slot; native streaming
+    # session_window under watermark — the second streaming driver
+    # surface) — displacing doc_fingerprint_tokens (twice-green r5 +
+    # r9; its rolling-hash shape stays in-window via
+    # doc_winnow_fingerprints); doc family lands at 19, above its
+    # minimum of 18, event family rises to 6 ---
+    "events_streaming_sessions",
     # --- r9 recalls keeping a second-signal slot ---
-    "doc_fingerprint_tokens",
     "doc_lang_id",
     # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th
     # round-9 entry gets first-round driver signal — doc_ family stays

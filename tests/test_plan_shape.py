@@ -621,6 +621,7 @@ EAGER_EXEMPT = {
     # their final state (result cached per session+sf)
     "doc_streaming_snapshot_curation",
     "events_stateful_running_totals",
+    "events_streaming_sessions",
     "doc_dup_clusters",
     "doc_dup_triangles",
     "doc_dup_4cliques",

@@ -429,3 +429,72 @@ def test_hard_negatives_excludes_planted_positive(spark, tmp_path):
     for r in sdf.itertuples():
         want = cos(rows[0], rows[int(r.neighbor_id)])
         assert math.isclose(r.cosine_sim, want, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows — planted cross-batch session merge
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_sessions_merge_across_batch_cut(spark, tmp_path):
+    """A session STRADDLING the replay's time-range batch cut must come
+    back as ONE merged session (the merging-session state store's whole
+    job), and a gap of exactly the 30-minute timeout starts a new
+    session (the session_window boundary convention) — with full oracle
+    parity on the planted table."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes: float) -> dt.datetime:
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # total span 0..90 min → batch cuts at 30 and 60 min.
+    # user 1: events at 25, 35, 55, 65 min — gaps < 30 min, the session
+    #   spans BOTH cuts → must merge into one 4-event session.
+    # user 2: events at 0 and exactly 30 min → boundary gap → ONE
+    #   session (touching windows MERGE — measured in both batch and
+    #   streaming session_window; the strict-> oracle convention).
+    # user 3: anchors the span ends so the cuts land where planted.
+    rows = [
+        (1, 1, at(25), 1.0),
+        (2, 1, at(35), 1.0),
+        (3, 1, at(55), 1.0),
+        (4, 1, at(65), 1.0),
+        (5, 2, at(0), 2.0),
+        (6, 2, at(30), 2.0),
+        (7, 3, at(0), 3.0),
+        (8, 3, at(90), 3.0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    sdf = ENTRIES["events_streaming_sessions"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{sf}/events.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["events_streaming_sessions"].oracle).df()
+    )
+
+    u1 = sdf[sdf.user_id == 1]
+    assert len(u1) == 1 and int(u1.n_events.iloc[0]) == 4  # merged across cuts
+    u2 = sdf[sdf.user_id == 2]
+    assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 2  # boundary gap merges
