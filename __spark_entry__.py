@@ -137,8 +137,11 @@ DRIVER_PRIORITY: list[str] = [
     # doc_winnow_fingerprints); doc family lands at 19, above its
     # minimum of 18, event family rises to 6 ---
     "events_streaming_sessions",
-    # --- r9 recalls keeping a second-signal slot ---
-    "doc_lang_id",
+    # --- round-10 NEW entry (first-green slot; per-language tokenizer
+    # fertility) — displacing doc_lang_id (twice-green r5 + r9; the
+    # per-language axis stays driver-exercised by this entry +
+    # doc_unimax_allocation); doc family count unchanged ---
+    "doc_tokenizer_fertility",
     # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th
     # round-9 entry gets first-round driver signal — doc_ family stays
     # at 20 in-window, above its minimum of 18)

@@ -168,6 +168,8 @@ HEADLINE = [
     "doc_kn_surprisal_rate",
     # round 10: contrastive hard-negative mining (near-dup band excluded)
     "embedding_hard_negatives",
+    # round 10: per-language tokenizer fertility audit
+    "doc_tokenizer_fertility",
 ]
 
 

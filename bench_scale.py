@@ -308,6 +308,10 @@ PROBES = [
     # fraction of the corpus, so the brute-force side is deliberately
     # quadratic at 10× (at prod scale the candidate generator swaps to
     # the IVF/PQ serving entries and the query set is sampled)
+    # round-10 doc_tokenizer_fertility is NOT probed: its plan is the
+    # probed doc_bpe_token_counts' chain with the per-doc agg swapped
+    # for a 5-row language rollup — a second probe would re-measure
+    # the same token scan
     # round-10 events_streaming_sessions is NOT probed: its wall time
     # is dominated by driver-orchestrated file landing + stream
     # startup (a latency surface, the same reason streaming entries

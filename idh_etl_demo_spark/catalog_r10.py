@@ -952,3 +952,117 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ===========================================================================
+# Per-language tokenizer fertility — the multilingual-equity audit
+# ===========================================================================
+#
+# A tokenizer trained on a mixed corpus segments some languages into
+# more pieces per word than others; FERTILITY (BPE tokens per word) and
+# its inverse compression (characters per token) are the standard
+# equity metrics (the XLM-R/BLOOM tokenizer analyses; NLLB §8.1.2) —
+# and the unit that converts doc_unimax_allocation's per-language doc
+# budgets into actual TOKEN budgets. This entry prices the repo's own
+# trained BPE (the doc_bpe_* chain, 3 merge rounds — shallow by
+# parameter choice, the depth claim carries PROBE_BPE_DEEP.json) per
+# language over the documents table.
+
+
+def _fertility_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _WORDS
+    from idh_etl_demo_spark.catalog_r7 import _BPE_STEPS, _bpe_ctes
+
+    return f"""
+    with {','.join(_bpe_ctes())},
+    seg as (select word, len(syms) as n_syms, length(word) as n_chars
+            from w{_BPE_STEPS}),
+    doc_words as (
+      select lang, word
+      from (select lang, unnest({_WORDS}) as word from documents)
+      where word <> ''
+    ),
+    per_lang as (
+      select dw.lang,
+             count(*) as n_words,
+             sum(seg.n_syms) as n_bpe_tokens,
+             sum(seg.n_chars) as n_chars
+      from doc_words dw join seg using (word)
+      group by dw.lang
+    ),
+    langs as (select lang, count(*) as n_docs from documents group by lang)
+    select l.lang,
+           cast(l.n_docs as bigint) as n_docs,
+           cast(coalesce(p.n_words, 0) as bigint) as n_words,
+           cast(coalesce(p.n_bpe_tokens, 0) as bigint) as n_bpe_tokens,
+           cast(coalesce(p.n_chars, 0) as bigint) as n_chars,
+           case when coalesce(p.n_words, 0) > 0
+                then p.n_bpe_tokens * 1.0 / p.n_words else 0.0 end as fertility,
+           case when coalesce(p.n_bpe_tokens, 0) > 0
+                then p.n_chars * 1.0 / p.n_bpe_tokens else 0.0 end
+             as chars_per_token
+    from langs l left join per_lang p using (lang)
+    order by l.lang
+    """
+
+
+@query("doc_tokenizer_fertility", _fertility_sql())
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the trained BPE tokenizer: BPE tokens
+    per word and characters per token, weighted by actual word
+    occurrences — the multilingual-equity audit (a language whose
+    fertility runs high pays more sequence budget per sentence, and a
+    doc-count mixture like doc_unimax_allocation's under-allocates it
+    in TOKEN terms). Composes doc_bpe_segmentation's symbol table
+    verbatim; both ratios are single IEEE divisions of exact int64
+    sums, so the frame hash-gates.
+
+    Scale shape: identical to doc_bpe_token_counts — one corpus word
+    explode + one broadcast join against the |types|-row segmentation
+    table + one 5-row language rollup (map-side combined); the
+    tokenizer artifact never shuffles the corpus."""
+    from idh_etl_demo_spark.catalog_r7 import _bpe_frames
+    from idh_etl_demo_spark.operators.text import tokens
+
+    _, words = _bpe_frames(spark, sf_dir)
+    seg = words.select(
+        "word",
+        F.size("syms").alias("n_syms"),
+        F.length("word").alias("n_chars"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    dw = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    per_lang = (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    langs = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        langs.join(per_lang, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.when(
+                F.coalesce(F.col("n_words"), F.lit(0)) > 0,
+                d("n_bpe_tokens") / d("n_words"),
+            ).otherwise(F.lit(0.0)).alias("fertility"),
+            F.when(
+                F.coalesce(F.col("n_bpe_tokens"), F.lit(0)) > 0,
+                d("n_chars") / d("n_bpe_tokens"),
+            ).otherwise(F.lit(0.0)).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

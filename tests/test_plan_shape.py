@@ -568,6 +568,12 @@ SHUFFLE_BUDGETS = {
     # sized sides), and the top-100 TakeOrdered. Every exchange past
     # the pair counts carries (word, counts) rows.
     "doc_kn_bigram_lm": 8,
+    # per-language tokenizer fertility (measured 8): doc_bpe_token_
+    # counts' exact chain (the unrolled 3-merge training over the one
+    # corpus word groupBy + the broadcast segmentation join) with the
+    # per-doc agg swapped for a 5-row language rollup + the n_docs agg
+    # and presentation sort.
+    "doc_tokenizer_fertility": 8,
     # held-out KN scoring (measured 12): the LM's count chain as above,
     # plus the held-out bigram stream's three left joins against the
     # count tables (word-keyed) and the per-doc summary groupBy + the

@@ -498,3 +498,70 @@ def test_streaming_sessions_merge_across_batch_cut(spark, tmp_path):
     assert len(u1) == 1 and int(u1.n_events.iloc[0]) == 4  # merged across cuts
     u2 = sdf[sdf.user_id == 2]
     assert len(u2) == 1 and int(u2.n_events.iloc[0]) == 2  # boundary gap merges
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — occurrence-weighted rollup pinned independently
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_is_occurrence_weighted(spark, tmp_path):
+    """Fertility must weight by word OCCURRENCES, not word types: a
+    language dominated by a repeated high-fertility word must price
+    near that word's fertility. Planted corpus where lang 'hi' repeats
+    one multi-symbol word and lang 'lo' repeats one single-symbol word;
+    verified against an independent Python rollup built from the
+    entry's own segmentation table (doc_bpe_segmentation), plus full
+    oracle parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    texts = {
+        # 'hi': the word 'qwxyz' repeated — no repeated adjacent pair
+        # inside it dominates training, so it stays multi-symbol
+        0: ("qwxyz " * 8).strip(),
+        1: ("qwxyz " * 6).strip(),
+        # 'lo': single-char word 'k' repeated — always 1 symbol
+        2: ("k " * 10).strip(),
+        3: ("k " * 4).strip(),
+    }
+    langs = {0: "hi", 1: "hi", 2: "lo", 3: "lo"}
+    ids = sorted(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array([langs[i] for i in ids]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    fert = ENTRIES["doc_tokenizer_fertility"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        fert, con.execute(ENTRIES["doc_tokenizer_fertility"].oracle).df()
+    )
+
+    # independent rollup from the entry's own segmentation table
+    seg = {
+        r.word: r.n_symbols
+        for r in ENTRIES["doc_bpe_segmentation"].spark(spark, sf).collect()
+    }
+    counts = {"hi": ("qwxyz", 14), "lo": ("k", 14)}
+    by_lang = {r.lang: r for r in fert.itertuples()}
+    for lang, (word, n) in counts.items():
+        row = by_lang[lang]
+        assert row.n_words == n
+        assert row.n_bpe_tokens == n * seg[word]
+        assert row.fertility == (n * seg[word]) / n
+    # the equity signal: 'hi' prices strictly above 'lo'
+    assert by_lang["hi"].fertility > by_lang["lo"].fertility == 1.0
