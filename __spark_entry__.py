@@ -162,7 +162,11 @@ DRIVER_PRIORITY: list[str] = [
     # 8th round-9 entry gets first-round driver signal — multimodal
     # stays at 4 in-window, exactly its minimum)
     "events_stateful_running_totals",
-    "event_props_map",
+    # (event_props_map was slotted here through r9; displaced in r10
+    # by events_streaming_attribution after its second green (r7 + r9)
+    # — the map-typed ingestion shape stays sweep-gated alongside
+    # user_event_type_map and event_props_variant)
+    "events_streaming_attribution",
     "event_type_transitions",
     # (events_distinct_users_hll was slotted here as an r7-stale
     # recall; displaced by the late round-9 events_kmv_set_ops — the

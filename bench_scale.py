@@ -313,6 +313,9 @@ PROBES = [
     # probed doc_bpe_token_counts' chain with the per-doc agg swapped
     # for a 5-row language rollup — a second probe would re-measure
     # the same token scan
+    # round-10 events_streaming_attribution is NOT probed — same
+    # latency-surface rationale as the next entry; the join state is
+    # watermark+bound-pruned by construction
     # round-10 events_streaming_sessions is NOT probed: its wall time
     # is dominated by driver-orchestrated file landing + stream
     # startup (a latency surface, the same reason streaming entries

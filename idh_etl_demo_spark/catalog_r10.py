@@ -1066,3 +1066,172 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ===========================================================================
+# Stream-stream interval join — the third streaming state machine
+# ===========================================================================
+#
+# The repo's streaming surface now covers watermark dedup + foreachBatch
+# merges, custom per-key state, and merging session windows; the
+# remaining native state machine is the STREAM-STREAM JOIN — a
+# symmetric hash join whose two state stores buffer each side until the
+# watermark plus the join's time bound prove no further match can
+# arrive. This entry runs the canonical attribution shape (every view
+# within 6 hours BEFORE a purchase, per user) as a genuine two-source
+# stream-stream inner join over the time-range replay, and gates the
+# emitted match set against the plain batch interval join: inner
+# stream-stream joins emit eagerly on match, and the matched SET is
+# invariant to how the two streams were micro-batched — which is
+# exactly what oracle equality proves (no match lost to premature
+# state eviction, none duplicated across batches).
+#
+# The batch twin of this shape is purchase_view_attribution's AS-OF
+# join (top-1 most recent view); the streaming state machine has no
+# native as-of, so the entry keeps the full interval-match semantics —
+# the as-of reduction is a per-purchase max over THIS output.
+
+_SSJ_HOURS = 6
+_SSJ_RESULTS: dict[tuple, str] = {}
+
+
+@query(
+    "events_streaming_attribution",
+    f"""
+    with p as (
+      select event_id, user_id, ts from events where event_type = 'purchase'
+    ),
+    v as (
+      select event_id as view_event_id, user_id, ts as view_ts
+      from events where event_type = 'view'
+    )
+    select p.event_id, p.user_id, p.ts, v.view_event_id, v.view_ts
+    from p join v
+      on p.user_id = v.user_id
+     and v.view_ts between p.ts - interval {_SSJ_HOURS} hours and p.ts
+    order by p.event_id, v.view_event_id
+    """,
+)
+def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase↔view attribution as a NATIVE stream-stream inner join:
+    two file streams over the same time-range replay (the session-
+    window entry's landing layout without the sentinels — inner joins
+    emit on match, no eviction pass needed), watermarked 1 minute each,
+    joined on user_id with the view bounded to the 6 hours before the
+    purchase. The time bound plus both watermarks let the engine PRUNE
+    buffered state (a view older than watermark − 6h can never match a
+    future purchase); without them the symmetric hash join's stores
+    grow forever — the property the docstring exists to teach.
+
+    Oracle: the identical interval join in batch SQL — the matched set
+    is micro-batching-invariant for an inner join, so equality proves
+    no match was lost to state cleanup or duplicated across batches.
+    The property test plants a purchase whose qualifying views arrive
+    in an EARLIER batch than the purchase (the buffered-state path) and
+    a view outside the 6-hour bound (must not match).
+
+    Scale shape: both state stores shard by the join key across
+    executors; state is bounded by (watermark + 6h) of per-user
+    events. EAGER by streaming nature (cached per session+sf,
+    EAGER_EXEMPT; excluded from HEADLINE/probes like the other
+    streaming entries — wall time is stream startup + file landing)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _SSJ_RESULTS.get(key)
+    if out is None:
+        work = tempfile.mkdtemp(prefix="ssj_replay_")
+        landing = os.path.join(work, "landing")
+        out = os.path.join(work, "emissions")
+        events = _t(spark, sf_dir, "events")
+        os.makedirs(landing, exist_ok=True)
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span_us = int((hi - lo).total_seconds() * 1_000_000) + 1
+        cuts = [lo] + [
+            lo + __import__("datetime").timedelta(microseconds=span_us * i // 3)
+            for i in (1, 2)
+        ]
+        for b in range(3):
+            cond = F.col("ts") >= F.lit(cuts[b])
+            if b < 2:
+                cond = cond & (F.col("ts") < F.lit(cuts[b + 1]))
+            part_df = events.filter(cond).select(
+                "event_id", "user_id", "ts", "event_type"
+            )
+            tmp = os.path.join(landing, f"_stage_{b}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            dest = os.path.join(landing, f"batch-{b}.parquet")
+            shutil.move(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dest, (1700000000 + b * 60, 1700000000 + b * 60))
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        )
+
+        def src() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+
+        purchases = (
+            src()
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+        views = (
+            src()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 minute")
+        )
+        joined = purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("ts") - F.expr(f"interval {_SSJ_HOURS} hours")
+            ),
+            "inner",
+        ).select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SSJ_RESULTS[key] = out
+
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+        .orderBy("event_id", "view_event_id")
+    )

@@ -628,6 +628,7 @@ EAGER_EXEMPT = {
     "doc_streaming_snapshot_curation",
     "events_stateful_running_totals",
     "events_streaming_sessions",
+    "events_streaming_attribution",
     "doc_dup_clusters",
     "doc_dup_triangles",
     "doc_dup_4cliques",

@@ -565,3 +565,69 @@ def test_fertility_is_occurrence_weighted(spark, tmp_path):
         assert row.fertility == (n * seg[word]) / n
     # the equity signal: 'hi' prices strictly above 'lo'
     assert by_lang["hi"].fertility > by_lang["lo"].fertility == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join — buffered cross-batch match + bound check
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_attribution_buffers_across_batches(spark, tmp_path):
+    """Views that arrive in an EARLIER micro-batch than their purchase
+    must still match (the symmetric hash join's buffered state), and a
+    view outside the 6-hour bound must not — with full oracle parity on
+    the planted table."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(hours: float) -> dt.datetime:
+        return t0 + dt.timedelta(hours=hours)
+
+    # span 0..30h → batch cuts at 10h and 20h.
+    # user 1: views at 5h and 7h (batch 0), purchase at 11h (batch 1):
+    #   both views are within 6h → TWO cross-batch matches.
+    # user 2: view at 1h, purchase at 25h (> 6h later) → NO match.
+    # user 3: view and purchase both at 21-22h (same batch) → 1 match.
+    rows = [
+        (1, 1, at(5), "view"),
+        (2, 1, at(7), "view"),
+        (3, 1, at(11), "purchase"),
+        (4, 2, at(1), "view"),
+        (5, 2, at(25), "purchase"),
+        (6, 3, at(21), "view"),
+        (7, 3, at(22), "purchase"),
+        (8, 4, at(0), "click"),
+        (9, 4, at(30), "click"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    sdf = ENTRIES["events_streaming_attribution"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{sf}/events.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["events_streaming_attribution"].oracle).df()
+    )
+
+    pairs = {(int(r.event_id), int(r.view_event_id)) for r in sdf.itertuples()}
+    assert pairs == {(3, 1), (3, 2), (7, 6)}
