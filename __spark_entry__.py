@@ -167,7 +167,11 @@ DRIVER_PRIORITY: list[str] = [
     # — the map-typed ingestion shape stays sweep-gated alongside
     # user_event_type_map and event_props_variant)
     "events_streaming_attribution",
-    "event_type_transitions",
+    # (event_type_transitions was slotted here through r9; displaced
+    # in r10 by doc_kn_trigram_lm after its second green (r7 + r9) —
+    # the lag-window Markov shape stays sweep-gated; event family
+    # lands at 5, exactly its minimum)
+    "doc_kn_trigram_lm",
     # (events_distinct_users_hll was slotted here as an r7-stale
     # recall; displaced by the late round-9 events_kmv_set_ops — the
     # distinct-count-sketch niche stays driver-exercised by the KMV

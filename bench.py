@@ -171,6 +171,8 @@ HEADLINE = [
     "embedding_hard_negatives",
     # round 10: per-language tokenizer fertility audit
     "doc_tokenizer_fertility",
+    # round 10: recursive trigram Kneser-Ney
+    "doc_kn_trigram_lm",
 ]
 
 

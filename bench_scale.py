@@ -304,6 +304,11 @@ PROBES = [
     # vocabulary — both linear-or-sublinear in corpus size on
     # repetitive text, so the 10× ratio must stay well under 10
     "doc_kn_surprisal_rate",
+    # round-10 doc_kn_trigram_lm is NOT probed: its corpus-side stage
+    # is the same token-scan-bounded n-gram groupBy the (probed)
+    # surprisal entry's chain runs; everything after is distinct-type
+    # table work
+
     # round-10 embedding_hard_negatives is NOT probed — the
     # cosine_topk exclusion applies verbatim: its query set is a fixed
     # fraction of the corpus, so the brute-force side is deliberately

@@ -1235,3 +1235,204 @@ def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
         .orderBy("event_id", "view_event_id")
     )
+
+
+# ===========================================================================
+# Trigram Kneser-Ney — the RECURSIVE interpolation (Chen & Goodman §2.7)
+# ===========================================================================
+#
+# The bigram entry demonstrates the estimator; real KenLM models are
+# order-3..5, where the defining structure is RECURSION: the trigram
+# distribution interpolates toward a bigram distribution built from
+# CONTINUATION counts (how many distinct left contexts extend a
+# bigram), which itself interpolates toward the continuation unigram —
+#
+#   P3(w3|w1w2) = max(c(w1w2w3) − D3, 0)/c(w1w2·)
+#               + (D3·N1+(w1w2·)/c(w1w2·)) · P2(w3|w2)
+#   P2(w3|w2)   = max(N1+(·w2w3) − D2, 0)/N1+(·w2·)
+#               + (D2·N1+tri(w2·)/N1+(·w2·)) · P1(w3)
+#   P1(w3)      = N1+(·2 w3)/N1+(·2 ·)          (distinct-w2 counts)
+#
+# with each level's discount from ITS OWN count-of-counts (D3 over raw
+# trigram counts, D2 over the bigram continuation counts). All counts
+# derive from the distinct-trigram TYPE table: N1+(·w2w3) is the
+# per-(w2,w3) row count (rows are distinct triples), N1+(·w2·) the
+# per-w2 row count, and the lower-order fan-outs N1+tri(w2·) /
+# N1+(·2 w3) use the trigram-derived definitions so each level's
+# distribution sums EXACTLY to 1 over its continuation vocabulary
+# (the property test pins this; the doc-final-bigram difference from
+# raw-bigram fan-outs is the standard Chen & Goodman construction).
+# Probabilities are the cleared-rational chains of the bigram entry,
+# evaluated in the identical tree shape by both engines.
+
+_KN3_TOP = 100
+
+
+def _kn3_parts(spark: SparkSession, sf_dir: str):
+    """Count tables of the train-split trigram KN: (tri type table t,
+    ctx12, mid2, cont3, disc3, disc2) — see section comment."""
+    base = _sa_base(spark, sf_dir)
+    tr = base.filter(F.col("doc_id") % 10 != 0)
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+                F.element_at(F.col("toks"), i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    t = (
+        tr.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2", "g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ctx12 = t.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("c12"),
+        F.count(F.lit(1)).cast("long").alias("n1p12"),
+    )
+    # continuation counts: rows of t are distinct triples, so per-group
+    # row counts ARE distinct-extension counts
+    n23 = t.groupBy("w2", "w3").agg(F.count(F.lit(1)).cast("long").alias("n23"))
+    mid2 = t.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nmid2"),
+        F.countDistinct("w3").cast("long").alias("n1pw2"),
+    )
+    cont3 = n23.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("long").alias("ncont3")
+    )
+    def disc(frame: DataFrame, col: str, dn_name: str, dd_name: str) -> DataFrame:
+        tot = frame.agg(
+            F.coalesce(F.sum(F.when(F.col(col) == 1, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias("nn1"),
+            F.coalesce(F.sum(F.when(F.col(col) == 2, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias("nn2"),
+            F.count(F.lit(1)).cast("long").alias("ntot"),
+        )
+        return tot.select(
+            F.when(F.col("nn1") + 2 * F.col("nn2") == 0, F.lit(1))
+            .otherwise(F.col("nn1")).cast("long").alias(dn_name),
+            F.when(F.col("nn1") + 2 * F.col("nn2") == 0, F.lit(2))
+            .otherwise(F.col("nn1") + 2 * F.col("nn2")).cast("long").alias(dd_name),
+            F.col("ntot").alias(dd_name + "_ntot"),
+        )
+    disc3 = disc(t, "c", "dn3", "dd3")
+    disc2 = disc(n23, "n23", "dn2", "dd2")
+    return t, ctx12, n23, mid2, cont3, disc3, disc2
+
+
+_KN3_ORACLE = f"""
+    with base as (select doc_id, {_SA_TOKS_SQL} as toks from documents),
+    tr as (select * from base where doc_id % 10 != 0),
+    tg as (
+      select toks[u.i] as w1, toks[u.i + 1] as w2, toks[u.i + 2] as w3
+      from tr cross join lateral (
+        select unnest(generate_series(1, greatest(len(toks) - 2, 0))) as i
+      ) u
+    ),
+    t as (select w1, w2, w3, count(*)::bigint as c from tg group by w1, w2, w3),
+    ctx12 as (select w1, w2, sum(c)::bigint as c12, count(*)::bigint as n1p12
+              from t group by w1, w2),
+    n23 as (select w2, w3, count(*)::bigint as n23 from t group by w2, w3),
+    mid2 as (select w2, count(*)::bigint as nmid2,
+                    count(distinct w3)::bigint as n1pw2
+             from t group by w2),
+    cont3 as (select w3, count(*)::bigint as ncont3 from n23 group by w3),
+    d3 as (select case when sum(case when c = 1 then 1 else 0 end)
+                         + 2 * sum(case when c = 2 then 1 else 0 end) = 0
+                       then 1 else sum(case when c = 1 then 1 else 0 end) end::bigint as dn3,
+                  case when sum(case when c = 1 then 1 else 0 end)
+                         + 2 * sum(case when c = 2 then 1 else 0 end) = 0
+                       then 2 else sum(case when c = 1 then 1 else 0 end)
+                         + 2 * sum(case when c = 2 then 1 else 0 end) end::bigint as dd3
+           from t),
+    d2 as (select case when sum(case when n23 = 1 then 1 else 0 end)
+                         + 2 * sum(case when n23 = 2 then 1 else 0 end) = 0
+                       then 1 else sum(case when n23 = 1 then 1 else 0 end) end::bigint as dn2,
+                  case when sum(case when n23 = 1 then 1 else 0 end)
+                         + 2 * sum(case when n23 = 2 then 1 else 0 end) = 0
+                       then 2 else sum(case when n23 = 1 then 1 else 0 end)
+                         + 2 * sum(case when n23 = 2 then 1 else 0 end) end::bigint as dd2,
+                  count(*)::bigint as ntot2
+           from n23)
+    select g.w1, g.w2, g.w3, g.c, x.c12, n.n23, m.nmid2, k.ncont3,
+           greatest(g.c * d3.dd3 - d3.dn3, 0) * 1.0 / (d3.dd3 * x.c12)
+           + ((d3.dn3 * x.n1p12) * 1.0 / (d3.dd3 * x.c12))
+             * (greatest(n.n23 * d2.dd2 - d2.dn2, 0) * 1.0 / (d2.dd2 * m.nmid2)
+                + ((d2.dn2 * m.n1pw2) * 1.0 / (d2.dd2 * m.nmid2))
+                  * (k.ncont3 * 1.0 / d2.ntot2)) as pkn3
+    from t g
+    join ctx12 x using (w1, w2)
+    join n23 n using (w2, w3)
+    join mid2 m using (w2)
+    join cont3 k using (w3)
+    cross join d3 cross join d2
+    order by g.c desc, g.w1, g.w2, g.w3
+    limit {_KN3_TOP}
+"""
+
+
+@query("doc_kn_trigram_lm", _KN3_ORACLE)
+def doc_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram Kneser-Ney over the train split — the
+    RECURSIVE backoff that makes KN an n-gram estimator rather than a
+    bigram trick (section comment): the trigram level discounts raw
+    counts, the bigram level discounts CONTINUATION counts, the
+    unigram level is pure continuation mass. Output: the {top} most
+    frequent trigrams with every count the recursion consumes and
+    P_KN3(w3|w1w2).
+
+    Engine parity: the nested cleared-rational chain evaluated in the
+    identical tree shape (every operand an exact int64 well under the
+    2^52 bound at catalog SFs — counts here are sums over DISTINCT
+    type tables, an order of magnitude smaller than the bigram entry's
+    raw counts); the pure-Python twin matches pkn3 bit-for-bit and
+    pins per-context normalization Σ_w3 P3 = 1.
+
+    Scale shape: one trigram-type groupBy over the token stream (the
+    only corpus-sized exchange — map-side combined), five type-table
+    rollups, two 1-row discount aggregates, and word-keyed joins whose
+    sides are all bounded by distinct n-gram types; the top-{top} is a
+    TakeOrdered."""
+    t, ctx12, n23, mid2, cont3, disc3, disc2 = _kn3_parts(spark, sf_dir)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    lm = (
+        t.join(ctx12, ["w1", "w2"])
+        .join(n23, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(disc3))
+        .crossJoin(F.broadcast(disc2))
+        .select(
+            "w1", "w2", "w3", "c", "c12", "n23", "nmid2", "ncont3",
+            (
+                F.greatest(F.col("c") * F.col("dd3") - F.col("dn3"), F.lit(0))
+                .cast("double")
+                / (F.col("dd3") * F.col("c12")).cast("double")
+                + (
+                    (F.col("dn3") * F.col("n1p12")).cast("double")
+                    / (F.col("dd3") * F.col("c12")).cast("double")
+                )
+                * (
+                    F.greatest(
+                        F.col("n23") * F.col("dd2") - F.col("dn2"), F.lit(0)
+                    ).cast("double")
+                    / (F.col("dd2") * F.col("nmid2")).cast("double")
+                    + (
+                        (F.col("dn2") * F.col("n1pw2")).cast("double")
+                        / (F.col("dd2") * F.col("nmid2")).cast("double")
+                    )
+                    * (
+                        F.col("ncont3").cast("double")
+                        / F.col("dd2_ntot").cast("double")
+                    )
+                )
+            ).alias("pkn3"),
+        )
+    )
+    return lm.orderBy(
+        F.desc("c"), F.asc("w1"), F.asc("w2"), F.asc("w3")
+    ).limit(_KN3_TOP)

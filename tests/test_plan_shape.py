@@ -568,6 +568,13 @@ SHUFFLE_BUDGETS = {
     # sized sides), and the top-100 TakeOrdered. Every exchange past
     # the pair counts carries (word, counts) rows.
     "doc_kn_bigram_lm": 8,
+    # trigram Kneser-Ney (measured 16): one corpus-sized trigram-type
+    # groupBy (map-side combined), five type-table rollups (ctx12,
+    # n23, mid2 incl. its countDistinct expand, cont3), two 1-row
+    # count-of-counts discount aggs, the four word-keyed LM joins
+    # (every side bounded by distinct n-gram types), and the top-100
+    # TakeOrdered. Nothing past the first groupBy sees the corpus.
+    "doc_kn_trigram_lm": 16,
     # per-language tokenizer fertility (measured 8): doc_bpe_token_
     # counts' exact chain (the unrolled 3-merge training over the one
     # corpus word groupBy + the broadcast segmentation join) with the

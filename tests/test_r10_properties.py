@@ -631,3 +631,95 @@ def test_streaming_attribution_buffers_across_batches(spark, tmp_path):
 
     pairs = {(int(r.event_id), int(r.view_event_id)) for r in sdf.itertuples()}
     assert pairs == {(3, 1), (3, 2), (7, 6)}
+
+
+# ---------------------------------------------------------------------------
+# Trigram Kneser-Ney — recursive-backoff twin, normalization, parity
+# ---------------------------------------------------------------------------
+
+
+def _py_kn3(train_docs: dict[int, list[str]]):
+    """Pure-Python trigram KN twin — the identical nested
+    cleared-rational tree as catalog_r10.doc_kn_trigram_lm."""
+    from collections import Counter
+
+    t: Counter = Counter()
+    for toks in train_docs.values():
+        for i in range(len(toks) - 2):
+            t[(toks[i], toks[i + 1], toks[i + 2])] += 1
+    c12: Counter = Counter()
+    n1p12: Counter = Counter()
+    n23: Counter = Counter()
+    mid2: Counter = Counter()
+    n1pw2: dict = {}
+    for (w1, w2, w3), c in t.items():
+        c12[(w1, w2)] += c
+        n1p12[(w1, w2)] += 1
+        n23[(w2, w3)] += 1
+        mid2[w2] += 1
+        n1pw2.setdefault(w2, set()).add(w3)
+    cont3: Counter = Counter()
+    for (w2, w3) in n23:
+        cont3[w3] += 1
+    ntot2 = len(n23)
+
+    def disc(vals):
+        nn1 = sum(1 for v in vals if v == 1)
+        nn2 = sum(1 for v in vals if v == 2)
+        return (1, 2) if nn1 + 2 * nn2 == 0 else (nn1, nn1 + 2 * nn2)
+
+    dn3, dd3 = disc(t.values())
+    dn2, dd2 = disc(n23.values())
+
+    def p3(w1, w2, w3):
+        p1 = cont3[w3] * 1.0 / ntot2
+        p2 = (
+            max(n23[(w2, w3)] * dd2 - dn2, 0) * 1.0 / (dd2 * mid2[w2])
+            + ((dn2 * len(n1pw2[w2])) * 1.0 / (dd2 * mid2[w2])) * p1
+        )
+        return (
+            max(t[(w1, w2, w3)] * dd3 - dn3, 0) * 1.0 / (dd3 * c12[(w1, w2)])
+            + ((dn3 * n1p12[(w1, w2)]) * 1.0 / (dd3 * c12[(w1, w2)])) * p2
+        )
+
+    return p3, t, c12, cont3
+
+
+def test_kn3_normalization_and_recursion():
+    """Σ_{w3 ∈ continuation vocab} P3(w3|w1w2) = 1 for every seen
+    context — the invariant the recursive interpolation must preserve
+    at every order."""
+    import math
+
+    texts = _kn_planted_texts()
+    train = {d: tx.split() for d, tx in texts.items() if d % 10 != 0}
+    p3, t, c12, cont3 = _py_kn3(train)
+    vocab3 = set(cont3)
+    for (w1, w2) in c12:
+        total = sum(p3(w1, w2, w3) for w3 in vocab3)
+        assert math.isclose(total, 1.0, rel_tol=1e-9), ((w1, w2), total)
+
+
+def test_kn3_entry_matches_python_twin_bitwise(spark, tmp_path):
+    """doc_kn_trigram_lm gates against its oracle on the planted corpus
+    AND every emitted pkn3 equals the pure-Python twin bit-for-bit."""
+    import duckdb
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    texts = _kn_planted_texts()
+    sf = _write_documents(tmp_path, texts)
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    train = {d: tx.split() for d, tx in texts.items() if d % 10 != 0}
+    p3, _, _, _ = _py_kn3(train)
+
+    lm = ENTRIES["doc_kn_trigram_lm"].spark(spark, sf).toPandas()
+    assert_frames_equal(lm, con.execute(ENTRIES["doc_kn_trigram_lm"].oracle).df())
+    assert len(lm) > 0
+    for row in lm.itertuples():
+        assert row.pkn3 == p3(row.w1, row.w2, row.w3), (row.w1, row.w2, row.w3)
