@@ -265,9 +265,20 @@ DRIVER_PRIORITY: list[str] = [
     "doc_duplicated_spans",
     "doc_leakage_safe_split",
     "doc_split_leakage_audit",
-    "embedding_prototype_pruning",
+    # (embedding_prototype_pruning was slotted here for its r9 second
+    # signal; displaced by the round-10 customer_scd2_history — its
+    # pruning chain is fully composed by the in-window
+    # embedding_d4_curation (D4 = SemDeDup → prototype pruning over
+    # the same frozen quantizer), so the driver still executes the
+    # shape; embedding family stays far above its minimum of 8)
+    "customer_scd2_history",
     "doc_unimax_allocation",
-    "embedding_nndescent_round",
+    # (embedding_nndescent_round was slotted here for its r9 second
+    # signal; displaced by the round-10 orders_cdc_apply — its plan IS
+    # the candidate side of the in-window
+    # embedding_nndescent_recall_audit, so the driver still executes
+    # the NN-descent shape)
+    "orders_cdc_apply",
     # (embedding_nndescent_recall_audit was slotted here with the
     # round-9 batch; displaced by the late round-9
     # embedding_matryoshka_rerank — both of the audit's sides stay

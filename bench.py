@@ -173,6 +173,9 @@ HEADLINE = [
     "doc_tokenizer_fertility",
     # round 10: recursive trigram Kneser-Ney
     "doc_kn_trigram_lm",
+    # round 10: lakehouse table maintenance — SCD2 history + CDC apply
+    "customer_scd2_history",
+    "orders_cdc_apply",
 ]
 
 

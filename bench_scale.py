@@ -293,6 +293,11 @@ PROBES = [
     # memo) and its serving side is doc_longest_dup_run's LCP walk
     # (8 |pairs|-linear id joins) plus a sparse filter and two
     # per-doc windows — a 10× ratio would re-measure the suffix probe
+    # round-10 CDC changelog apply IS probed: one (key)-partitioned
+    # window over the orders scan — the ratio must track the scan
+    # (customer_scd2_history shares the identical single-exchange
+    # shape and is NOT probed separately)
+    "orders_cdc_apply",
     # round-10 doc_exact_substr_cleaned IS probed: on top of the walk
     # it adds the one token-bearing reassembly shuffle (output-sized
     # by definition) — the 10× ratio must track the token scan, which

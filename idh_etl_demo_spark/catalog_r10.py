@@ -1436,3 +1436,186 @@ def doc_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.orderBy(
         F.desc("c"), F.asc("w1"), F.asc("w2"), F.asc("w3")
     ).limit(_KN3_TOP)
+
+
+# ===========================================================================
+# Slowly Changing Dimension Type 2 + CDC changelog apply — the lakehouse
+# table-maintenance pair
+# ===========================================================================
+#
+# Two classic warehouse/lakehouse maintenance operators the catalog did
+# not yet cover as first-class gated entries:
+#
+# - SCD TYPE 2: turn an ordered stream of attribute observations into
+#   VALIDITY INTERVALS — compact consecutive repeats, open a new
+#   version at every change, close it at the next change's timestamp
+#   (lag for change detection, lead for interval close; the
+#   consecutive-dedup is what separates SCD2 from a raw snapshot log).
+# - CDC APPLY: reconstruct final table state from an ordered
+#   insert/update/delete changelog — last-writer-wins per key with
+#   DELETE tombstones (a delete as the last op removes the key; any
+#   later upsert resurrects it). This is the semantic core of Delta/
+#   Iceberg MERGE pipelines and of applying Debezium streams.
+#
+# Both derive their change streams deterministically from orders, so
+# the oracles are plain SQL over the same table.
+
+
+@query(
+    "customer_scd2_history",
+    """
+    with obs as (
+      select o_custkey, o_orderdate as ts, o_orderkey, o_orderpriority as attr
+      from orders
+    ),
+    marked as (
+      select o_custkey, ts, o_orderkey, attr,
+             case when lag(attr) over w is null or lag(attr) over w != attr
+                  then 1 else 0 end as chg
+      from obs
+      window w as (partition by o_custkey order by ts asc, o_orderkey asc)
+    ),
+    changes as (
+      select o_custkey, ts, o_orderkey, attr from marked where chg = 1
+    ),
+    versioned as (
+      select o_custkey,
+             cast(row_number() over w as bigint) as version,
+             attr,
+             ts as valid_from,
+             lead(ts) over w as valid_to,
+             lead(ts) over w is null as is_current
+      from changes
+      window w as (partition by o_custkey order by ts asc, o_orderkey asc)
+    )
+    select o_custkey, version, attr, valid_from, valid_to, is_current
+    from versioned
+    order by o_custkey, version
+    """,
+)
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: each customer's order stream is an
+    ordered feed of priority observations; consecutive repeats compact
+    away (no spurious versions), every CHANGE opens a version row with
+    [valid_from, valid_to) and the open version carries is_current —
+    the standard warehouse history table, built with two windows over
+    one partitioning (lag detects the change, lead closes the
+    interval) and zero joins.
+
+    Scale shape: both windows and the row_number share ONE
+    (o_custkey)-partitioned sort — a single exchange over id-width
+    rows; compaction happens before versioning, so the versioned frame
+    is bounded by actual changes, not observations. Deterministic
+    same-day ordering via the o_orderkey tie-break."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("ts"), F.asc("o_orderkey")
+    )
+    obs = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("attr"),
+    )
+    changes = obs.withColumn(
+        "chg",
+        F.when(
+            F.lag("attr").over(w).isNull()
+            | (F.lag("attr").over(w) != F.col("attr")),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("chg") == 1)
+    wv = Window.partitionBy("o_custkey").orderBy(
+        F.asc("ts"), F.asc("o_orderkey")
+    )
+    return (
+        changes.select(
+            "o_custkey",
+            F.row_number().over(wv).cast("long").alias("version"),
+            "attr",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wv).alias("valid_to"),
+            F.lead("ts").over(wv).isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+@query(
+    "orders_cdc_apply",
+    """
+    with log as (
+      select o_custkey as key,
+             o_orderdate as ts,
+             o_orderkey as seq,
+             case when o_orderkey % 7 = 0 then 'delete' else 'upsert' end as op,
+             cast(round(o_totalprice * 100, 0) as bigint) as payload_cents
+      from orders
+    ),
+    latest as (
+      select key, ts, seq, op, payload_cents,
+             row_number() over (partition by key
+                                order by ts desc, seq desc) as rn,
+             cast(count(*) over (partition by key) as bigint) as n_ops,
+             cast(sum(case when op = 'delete' then 1 else 0 end)
+                  over (partition by key) as bigint) as n_deletes
+      from log
+    )
+    select key, payload_cents, ts as last_ts, n_ops, n_deletes
+    from latest
+    where rn = 1 and op != 'delete'
+    order by key
+    """,
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: orders become a per-customer ordered
+    insert/update/delete log (op derived from the order key, payload
+    the order's cents); final state is LAST-WRITER-WINS per key with
+    DELETE tombstones — a key whose newest op is a delete is absent
+    from the result, while older deletes are overridden by later
+    upserts (resurrection, the semantics Debezium→MERGE pipelines must
+    preserve and a naive "filter deletes then dedup" gets wrong).
+    Output: surviving keys with final payload, last change ts, and
+    per-key op/delete audit counts.
+
+    Scale shape: one (key)-partitioned window shared by the ranking
+    and both audit counts — a single id-width exchange; the changelog
+    never joins the snapshot because last-writer-wins over the full
+    log IS the snapshot (the incremental form is the repo's keyed
+    merge sink; this entry gates the REPLAY semantics that make that
+    sink idempotent)."""
+    log = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("payload_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("seq"))
+    wk = Window.partitionBy("key")
+    latest = log.select(
+        "key",
+        "ts",
+        "op",
+        "payload_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0))
+        .over(wk)
+        .cast("long")
+        .alias("n_deletes"),
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "key",
+            "payload_cents",
+            F.col("ts").alias("last_ts"),
+            "n_ops",
+            "n_deletes",
+        )
+        .orderBy("key")
+    )

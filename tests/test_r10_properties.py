@@ -723,3 +723,117 @@ def test_kn3_entry_matches_python_twin_bitwise(spark, tmp_path):
     assert len(lm) > 0
     for row in lm.itertuples():
         assert row.pkn3 == p3(row.w1, row.w2, row.w3), (row.w1, row.w2, row.w3)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 + CDC apply — planted-log semantics
+# ---------------------------------------------------------------------------
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+    o_totalprice)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows)),
+            "o_totalprice": pa.array([r[4] for r in rows], type=pa.float64()),
+            "o_orderdate": pa.array(
+                [__import__("datetime").datetime.combine(r[2], __import__("datetime").time()) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array([r[3] for r in rows]),
+            "o_clerk": pa.array(["c"] * len(rows)),
+            "o_shippriority": pa.array([0] * len(rows), type=pa.int32()),
+            "o_comment": pa.array([""] * len(rows)),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_scd2_compacts_repeats_and_chains_intervals(spark, tmp_path):
+    """Consecutive identical observations must NOT open versions; each
+    version's valid_to equals the next version's valid_from; only the
+    last version is current — plus oracle parity on the planted log."""
+    import datetime as dt
+
+    import duckdb
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    d = lambda n: dt.date(2024, 1, n)  # noqa: E731
+    rows = [
+        # customer 1: HIGH, HIGH (repeat — compacts), LOW, LOW, HIGH
+        (1, 1, d(1), "1-HIGH", 10.0),
+        (2, 1, d(2), "1-HIGH", 10.0),
+        (3, 1, d(3), "3-LOW", 10.0),
+        (4, 1, d(4), "3-LOW", 10.0),
+        (5, 1, d(5), "1-HIGH", 10.0),
+        # customer 2: single observation → one open version
+        (6, 2, d(1), "2-MED", 10.0),
+    ]
+    sf = _write_orders(tmp_path, rows)
+    sdf = ENTRIES["customer_scd2_history"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view orders as select * from read_parquet('{sf}/orders.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["customer_scd2_history"].oracle).df()
+    )
+
+    c1 = sdf[sdf.o_custkey == 1].sort_values("version")
+    assert list(c1.attr) == ["1-HIGH", "3-LOW", "1-HIGH"]  # repeats compacted
+    # intervals chain: valid_to[i] == valid_from[i+1]
+    assert list(c1.valid_to)[:-1] == list(c1.valid_from)[1:]
+    assert list(c1.is_current) == [False, False, True]
+    c2 = sdf[sdf.o_custkey == 2]
+    assert len(c2) == 1 and bool(c2.is_current.iloc[0])
+    assert pd.isna(c2.valid_to.iloc[0])
+
+
+def test_cdc_apply_tombstone_and_resurrection(spark, tmp_path):
+    """A key whose NEWEST op is a delete is absent; a delete overridden
+    by a later upsert is resurrected with the later payload; last
+    writer wins among upserts — plus oracle parity. Op derivation:
+    o_orderkey %% 7 == 0 → delete."""
+    import datetime as dt
+
+    import duckdb
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    d = lambda n: dt.date(2024, 2, n)  # noqa: E731
+    rows = [
+        # key 10: upsert(1.0), upsert(2.0) → survives with 2.0
+        (1, 10, d(1), "x", 1.0),
+        (2, 10, d(2), "x", 2.0),
+        # key 20: upsert(5.0) then DELETE (orderkey 7) as last → absent
+        (3, 20, d(1), "x", 5.0),
+        (7, 20, d(2), "x", 0.0),
+        # key 30: DELETE (orderkey 14) then upsert(9.0) → resurrected
+        (14, 30, d(1), "x", 0.0),
+        (15, 30, d(2), "x", 9.0),
+    ]
+    sf = _write_orders(tmp_path, rows)
+    sdf = ENTRIES["orders_cdc_apply"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view orders as select * from read_parquet('{sf}/orders.parquet')"
+    )
+    assert_frames_equal(sdf, con.execute(ENTRIES["orders_cdc_apply"].oracle).df())
+
+    state = {int(r.key): r for r in sdf.itertuples()}
+    assert set(state) == {10, 30}              # 20 tombstoned
+    assert state[10].payload_cents == 200      # last writer wins
+    assert state[30].payload_cents == 900      # resurrected
+    assert state[30].n_deletes == 1 and state[30].n_ops == 2
