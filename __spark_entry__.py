@@ -297,7 +297,14 @@ DRIVER_PRIORITY: list[str] = [
     # embedding_nndescent_recall_audit, doc_bpe_token_counts,
     # doc_contamination_fraction) ---
     "embedding_matryoshka_recall_audit",
-    "embedding_matryoshka_rerank",
+    # (embedding_matryoshka_rerank was slotted here for its r9 second
+    # signal; displaced by the round-10 doc_temperature_mixture — its
+    # funnel composes the in-window embedding_matryoshka_recall_audit's
+    # prefix scan with the exact-rerank tail the in-window
+    # embedding_ivfpq_rerank executes, so both halves stay
+    # driver-exercised; embedding family stays at 12, above its
+    # minimum of 8)
+    "doc_temperature_mixture",
     "events_kmv_set_ops",
     "doc_suffix_array",
     "doc_suffix_dup_audit",

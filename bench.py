@@ -176,6 +176,8 @@ HEADLINE = [
     # round 10: lakehouse table maintenance — SCD2 history + CDC apply
     "customer_scd2_history",
     "orders_cdc_apply",
+    # round 10: temperature-scaled language mixture
+    "doc_temperature_mixture",
 ]
 
 

@@ -293,6 +293,9 @@ PROBES = [
     # memo) and its serving side is doc_longest_dup_run's LCP walk
     # (8 |pairs|-linear id joins) plus a sparse filter and two
     # per-doc windows — a 10× ratio would re-measure the suffix probe
+    # round-10 doc_temperature_mixture is NOT probed: one 5-row
+    # language count over the scan — the unimax probe already carries
+    # the per-language-count shape
     # round-10 CDC changelog apply IS probed: one (key)-partitioned
     # window over the orders scan — the ratio must track the scan
     # (customer_scd2_history shares the identical single-exchange

@@ -1619,3 +1619,83 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ===========================================================================
+# Temperature-scaled language mixture — the smooth counterpart to UniMax
+# ===========================================================================
+#
+# The other standard multilingual mixing rule: sample language l with
+# probability ∝ n_l^α (mBERT/XLM-R exponential smoothing; mT5 uses the
+# same family) — a smooth power-law reweighting, versus UniMax's
+# epoch-capped waterfill (doc_unimax_allocation). α is pinned at 1/2
+# because n^0.5 = sqrt(n) is the one fractional power with bit-exact
+# cross-engine evaluation (IEEE-754 requires correctly-rounded sqrt;
+# pow(x, 0.3) may differ in the last ulp between libm builds — the
+# same determinism reasoning as the BM25 log-free idf). The share
+# denominator is a SEQUENTIAL fold of the per-language sqrt terms in
+# language order (Spark F.aggregate over the sorted collect_list;
+# DuckDB list_reduce over list(... order by lang)) — an unordered
+# SUM() of doubles would be association-order-dependent and could not
+# hash-gate.
+
+
+@query(
+    "doc_temperature_mixture",
+    """
+    with c as (select lang, count(*)::bigint as n_docs from documents group by lang),
+    w as (select lang, n_docs, sqrt(n_docs) as s from c),
+    tot as (select sum(n_docs)::bigint as n_total from c),
+    d as (select list_reduce(list(s order by lang), (a, b) -> a + b) as den from w)
+    select lang, n_docs,
+           s / den as p,
+           cast(floor(s / den * 1000000) as bigint) as share_ppm,
+           cast(floor(n_docs * 1000000.0 / n_total) as bigint) as prop_ppm
+    from w cross join d cross join tot
+    order by lang
+    """,
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling shares per language: p_l =
+    sqrt(n_l) / Σ_m sqrt(n_m) (α = 1/2 — section comment on why that
+    exponent is the deterministic one), with the plain proportional
+    share alongside so the smoothing is auditable in one frame: the
+    power law compresses the head and lifts the tail, so for every
+    language pair the share ratio sits strictly between proportional
+    and uniform (the property test pins this against a pure-Python
+    twin computing the identical fold).
+
+    Scale shape: one 5-row language count (map-side combined), a 5-row
+    sqrt projection, the ordered 5-element fold, and a broadcast of
+    the 1-row denominator — nothing past the count sees the corpus."""
+    c = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = c.withColumn("s", F.sqrt(F.col("n_docs").cast("double")))
+    den = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("den"),
+        F.sum("n_docs").cast("long").alias("n_total"),
+    )
+    return (
+        w.crossJoin(F.broadcast(den))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("s") / F.col("den")).alias("p"),
+            F.floor(F.col("s") / F.col("den") * 1000000)
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(
+                F.col("n_docs").cast("double")
+                * 1000000.0
+                / F.col("n_total").cast("double")
+            )
+            .cast("long")
+            .alias("prop_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -837,3 +837,60 @@ def test_cdc_apply_tombstone_and_resurrection(spark, tmp_path):
     assert state[10].payload_cents == 200      # last writer wins
     assert state[30].payload_cents == 900      # resurrected
     assert state[30].n_deletes == 1 and state[30].n_ops == 2
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture — twin parity + head-compression property
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_compresses_head(spark, tmp_path):
+    """sqrt-temperature shares sit strictly between proportional and
+    uniform: the rare language's share rises vs proportional, the
+    dominant one's falls, ordering is preserved — and p matches a
+    pure-Python twin computing the identical lang-ordered fold
+    bit-for-bit, with full oracle parity."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    counts = {"aa": 64, "bb": 16, "cc": 4}
+    docs, langs = [], []
+    for lang, n in counts.items():
+        for i in range(n):
+            docs.append(f"text {lang} {i}")
+            langs.append(lang)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(langs),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    sdf = ENTRIES["doc_temperature_mixture"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_temperature_mixture"].oracle).df()
+    )
+
+    den = sum(math.sqrt(counts[lang]) for lang in sorted(counts))
+    n_total = sum(counts.values())
+    by = {r.lang: r for r in sdf.itertuples()}
+    for lang, n in counts.items():
+        assert by[lang].p == math.sqrt(n) / den  # bit-exact twin
+    # head compressed, tail lifted, order preserved
+    assert by["aa"].p > by["bb"].p > by["cc"].p
+    assert by["aa"].p < counts["aa"] / n_total
+    assert by["cc"].p > counts["cc"] / n_total
