@@ -126,9 +126,11 @@ DRIVER_PRIORITY: list[str] = [
     "doc_kn_surprisal_rate",
     # --- round-10 NEW entry (first-green slot; contrastive
     # hard-negative mining) — displacing doc_decontamination (twice-
-    # green r5 + r9; its gram-membership shape stays in-window via
-    # doc_decontamination_passages); doc family lands at 20, above its
-    # minimum of 18, embedding rises to 14 ---
+    # green r5 + r9; the whole decontamination family — entry, bloom,
+    # passages, contamination fraction — is multi-green and rotates to
+    # the sweep tail this round, a deliberate family-level rest after
+    # r8+r9 driver greens); doc family lands at 20, above its minimum
+    # of 18, embedding rises to 14 ---
     "embedding_hard_negatives",
     # --- round-10 NEW entry (first-green slot; native streaming
     # session_window under watermark — the second streaming driver
@@ -197,7 +199,11 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
-    "doc_decontamination_passages",
+    # (doc_decontamination_passages was slotted here through r9;
+    # displaced in r10 by doc_setsim_prefix_join after its second
+    # green (r8 + r9) — the broadcast gram-membership shape stays
+    # sweep-gated with doc_decontamination/doc_contamination_fraction)
+    "doc_setsim_prefix_join",
     # (doc_simhash was slotted here for its r8 second signal; displaced
     # by the late round-9 embedding_prototype_pruning — it is
     # thrice-green (r1/r4/r8) and doc_simhash60_neardup keeps the
@@ -262,7 +268,13 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivfpq_adc_lut",
     "embedding_ivfpq_rerank",
     "doc_bm25_multiquery",
-    "doc_duplicated_spans",
+    # (doc_duplicated_spans was slotted here with the r9 batch;
+    # displaced in r10 by doc_setsim_prefix_audit — duplicated-window
+    # detection stays driver-exercised three ways (doc_suffix_dup_audit,
+    # the two exact_substr entries) and the rolling-hash window shape
+    # via doc_winnow_fingerprints; its r9 green stands and the second
+    # signal defers, the r9 precedent)
+    "doc_setsim_prefix_audit",
     "doc_leakage_safe_split",
     "doc_split_leakage_audit",
     # (embedding_prototype_pruning was slotted here for its r9 second

@@ -178,6 +178,9 @@ HEADLINE = [
     "orders_cdc_apply",
     # round 10: temperature-scaled language mixture
     "doc_temperature_mixture",
+    # round 10: exact Jaccard self-join via prefix filtering + audit
+    "doc_setsim_prefix_join",
+    "doc_setsim_prefix_audit",
 ]
 
 

@@ -293,6 +293,14 @@ PROBES = [
     # memo) and its serving side is doc_longest_dup_run's LCP walk
     # (8 |pairs|-linear id joins) plus a sparse filter and two
     # per-doc windows — a 10× ratio would re-measure the suffix probe
+    # round-10 doc_setsim_prefix_join IS probed: the claim is that
+    # candidate work is Σ C(prefix_df, 2) over rarest-shingle buckets
+    # (sub-scan growth on near-dup-rich data) while verification is
+    # candidate-pair-sized — a hot prefix bucket would surface as a
+    # super-linear ratio here before it hurts production
+    "doc_setsim_prefix_join",
+    # the audit entry is NOT probed: it composes the probed join plus
+    # scalar slot sums (its brute-force half lives only in the oracle)
     # round-10 doc_temperature_mixture is NOT probed: one 5-row
     # language count over the scan — the unimax probe already carries
     # the per-language-count shape

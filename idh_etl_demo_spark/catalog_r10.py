@@ -1699,3 +1699,265 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ===========================================================================
+# Prefix-filtered set-similarity self-join (SSJoin / PPJoin family)
+# ===========================================================================
+#
+# The exact Jaccard-threshold join is the workhorse of near-dup mining,
+# and the PREFIX FILTER (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008
+# PPJoin) is what makes it feasible without MinHash's approximation:
+# order every set's elements by one GLOBAL order (rarest-first: df asc,
+# value asc) and index only each set's first p = s − ⌈t·s⌉ + 1
+# elements. Two sets with Jaccard ≥ t must share ≥ ⌈t·s⌉ elements of
+# the smaller, so by pigeonhole they must collide on at least one
+# PREFIX element — candidates come from tiny rarest-element buckets,
+# COMPLETE by theorem (the oracle is the all-pairs brute force, so the
+# gate verifies completeness corpus-wide every run, and the audit
+# entry prices the candidate-work reduction vs the naive inverted
+# index). Sets here are the distinct 5-token shingles per document
+# (raw token VOCABULARIES are degenerate on templated text: measured
+# 54k of 125k all-pairs at Jaccard ≥ 0.7 on token sets at sf0.001,
+# vs 28 pairs on shingle sets — sequences, not vocabularies, carry
+# near-duplication).
+
+_SSIM_T_NUM, _SSIM_T_DEN = 7, 10  # Jaccard threshold t = 0.7, rational
+_SSIM_W = 5  # shingle width, = doc_ngram_jaccard's family convention
+
+_SSIM_SETS_SQL = f"""
+    base as (select doc_id, {_SA_TOKS_SQL} as toks from documents),
+    sets as (
+      select doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - {_SSIM_W - 1}, 0)),
+        i -> md5(array_to_string(list_slice(toks, i, i + {_SSIM_W - 1}), ' ')))) as ts
+      from base
+    ),
+    ne as (select doc_id, ts, len(ts) as s from sets where len(ts) > 0)
+"""
+
+
+def _ssim_streams(spark: SparkSession, sf_dir: str):
+    """(gh stream (doc_id, gh) distinct per doc, sizes (doc_id, s))."""
+    base = _sa_base(spark, sf_dir)
+    sh = F.when(
+        F.size("toks") >= _SSIM_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_SSIM_W - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, _SSIM_W))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = base.select("doc_id", F.explode(sh).alias("gh"))
+    sizes = (
+        base.select("doc_id", F.size(F.array_distinct(
+            F.when(
+                F.size("toks") >= _SSIM_W,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SSIM_W - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, _SSIM_W))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )).cast("long").alias("s"))
+        .filter(F.col("s") > 0)
+    )
+    return stream, sizes
+
+
+def _ssim_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct candidate pairs from the prefix index: per doc keep the
+    p = s − ⌈t·s⌉ + 1 rarest shingles (global (df, gh) order — ties on
+    df broken by the hash value so both engines pick identical
+    prefixes), bucket by shingle, expand in-bucket pairs."""
+    from idh_etl_demo_spark.operators.dedup import blocked_pairs
+
+    stream, sizes = _ssim_streams(spark, sf_dir)
+    df_tab = stream.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    ranked = (
+        stream.join(df_tab, "gh")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
+            ),
+        )
+        .withColumn(
+            "p",
+            F.col("s")
+            - F.expr(f"({_SSIM_T_NUM} * s + {_SSIM_T_DEN - 1}) div {_SSIM_T_DEN}")
+            + 1,
+        )
+        .filter(F.col("rn") <= F.col("p"))
+    )
+    return (
+        blocked_pairs(ranked.select("doc_id", "gh"), "doc_id", "gh")
+        .select(
+            F.col("value_a").alias("id_a"), F.col("value_b").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "doc_setsim_prefix_join",
+    f"""
+    with {_SSIM_SETS_SQL},
+    pairs as (
+      select a.doc_id as id_a, b.doc_id as id_b,
+             cast(len(list_intersect(a.ts, b.ts)) as bigint) as inter,
+             cast(a.s + b.s - len(list_intersect(a.ts, b.ts)) as bigint) as union_sz
+      from ne a join ne b on a.doc_id < b.doc_id
+    )
+    select id_a, id_b, inter, union_sz,
+           inter * 1.0 / union_sz as jaccard
+    from pairs
+    where {_SSIM_T_DEN} * inter >= {_SSIM_T_NUM} * union_sz
+    order by id_a, id_b
+    """,
+)
+def doc_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.7 self-join over 5-shingle sets via PREFIX
+    FILTERING (section comment): candidates from rarest-shingle prefix
+    buckets, verified by exact intersection counting on candidate
+    pairs only; the threshold test is the INTEGER cross-multiplication
+    10·inter ≥ 7·union (no float boundary), jaccard emitted as one
+    exact division. The oracle is the ALL-PAIRS brute force, so every
+    run re-proves the prefix filter's completeness theorem on the real
+    corpus — the same independent-algorithm gating as the banding
+    entries.
+
+    Scale shape: the df table and prefix selection are one groupBy +
+    one per-doc window over id+16-byte-hash rows; candidate expansion
+    is Σ B²/2 over PREFIX-bucket sizes (rarest-first makes buckets
+    small by construction — the audit entry measures the reduction vs
+    the naive inverted index); verification joins only candidate pairs
+    against the shingle stream (two hash joins + one count agg). Full
+    sets never shuffle; text never leaves the scan."""
+    stream, sizes = _ssim_streams(spark, sf_dir)
+    cand = _ssim_candidates(spark, sf_dir)
+    ta = stream.select(F.col("doc_id").alias("id_a"), "gh")
+    tb = stream.select(F.col("doc_id").alias("id_b"), "gh")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "gh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "union_sz", (F.col("sa") + F.col("sb") - F.col("inter")).cast("long")
+        )
+        .filter(
+            _SSIM_T_DEN * F.col("inter") >= _SSIM_T_NUM * F.col("union_sz")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "union_sz",
+            (F.col("inter").cast("double") / F.col("union_sz").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "doc_setsim_prefix_audit",
+    f"""
+    with {_SSIM_SETS_SQL},
+    stream as (select doc_id, unnest(ts) as gh from ne),
+    dft as (select gh, count(*)::bigint as df from stream group by gh),
+    ranked as (
+      select s.doc_id, s.gh, d.df, n.s,
+             row_number() over (partition by s.doc_id order by d.df asc, s.gh asc) as rn,
+             n.s - ({_SSIM_T_NUM} * n.s + {_SSIM_T_DEN - 1}) // {_SSIM_T_DEN} + 1 as p
+      from stream s join dft d using (gh) join ne n on n.doc_id = s.doc_id
+    ),
+    pdf as (select gh, count(*)::bigint as pdf from ranked where rn <= p group by gh),
+    pairs as (
+      select cast(len(list_intersect(a.ts, b.ts)) as bigint) as inter,
+             cast(a.s + b.s - len(list_intersect(a.ts, b.ts)) as bigint) as union_sz
+      from ne a join ne b on a.doc_id < b.doc_id
+    )
+    select (select count(*) from ne) as n_sets,
+           cast((select coalesce(sum(df * (df - 1) // 2), 0) from dft) as bigint)
+             as full_pair_slots,
+           cast((select coalesce(sum(pdf * (pdf - 1) // 2), 0) from pdf) as bigint)
+             as prefix_pair_slots,
+           cast((select count(*) from pairs
+                 where {_SSIM_T_DEN} * inter >= {_SSIM_T_NUM} * union_sz) as bigint)
+             as n_qualifying
+    """,
+)
+def doc_setsim_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix filter's work reduction, MEASURED (1 row):
+    full_pair_slots = Σ C(df, 2) over all shingles (the in-bucket pair
+    expansions a naive shared-element inverted index performs) vs
+    prefix_pair_slots = Σ C(prefix_df, 2) over prefix postings only,
+    alongside the set count and the number of qualifying pairs. The
+    reduction IS the algorithm's value; emitting it per corpus makes a
+    hot-bucket regression (a prefix landing on a common shingle)
+    visible as a number instead of a slow run.
+
+    Scale shape: two token-keyed groupBys and four scalar aggregates;
+    the oracle re-derives the same slots in SQL and the brute-force
+    qualifying count."""
+    stream, sizes = _ssim_streams(spark, sf_dir)
+    df_tab = stream.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    full_slots = df_tab.agg(
+        F.coalesce(
+            F.sum(F.expr("df * (df - 1) div 2")), F.lit(0)
+        ).cast("long").alias("full_pair_slots")
+    )
+    ranked = (
+        stream.join(df_tab, "gh")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
+            ),
+        )
+        .withColumn(
+            "p",
+            F.col("s")
+            - F.expr(f"({_SSIM_T_NUM} * s + {_SSIM_T_DEN - 1}) div {_SSIM_T_DEN}")
+            + 1,
+        )
+        .filter(F.col("rn") <= F.col("p"))
+    )
+    prefix_slots = (
+        ranked.groupBy("gh")
+        .agg(F.count(F.lit(1)).cast("long").alias("pdf"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("pdf * (pdf - 1) div 2")), F.lit(0)
+            ).cast("long").alias("prefix_pair_slots")
+        )
+    )
+    n_sets = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_sets"))
+    n_q = doc_setsim_prefix_join(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_qualifying")
+    )
+    return (
+        n_sets.crossJoin(F.broadcast(full_slots))
+        .crossJoin(F.broadcast(prefix_slots))
+        .crossJoin(F.broadcast(n_q))
+        .select("n_sets", "full_pair_slots", "prefix_pair_slots", "n_qualifying")
+    )

@@ -568,6 +568,19 @@ SHUFFLE_BUDGETS = {
     # sized sides), and the top-100 TakeOrdered. Every exchange past
     # the pair counts carries (word, counts) rows.
     "doc_kn_bigram_lm": 8,
+    # prefix-filtered set-similarity join (measured 9): the shingle
+    # stream's df groupBy, the per-doc prefix window (one doc-keyed
+    # exchange shared with the sizes join), the prefix-bucket groupBy
+    # + in-bucket pair expand + candidate distinct, the two
+    # candidate-keyed verification joins' exchanges + the intersection
+    # count agg, and the presentation sort. Full sets never shuffle —
+    # the verification side is candidate-pair-sized.
+    "doc_setsim_prefix_join": 9,
+    # its work audit (measured 15): the same chain plus the two
+    # slot-sum scalar aggregates and the qualifying count over the
+    # composed join plan (exchange reuse covers the shared prefix
+    # chain at runtime).
+    "doc_setsim_prefix_audit": 15,
     # trigram Kneser-Ney (measured 16): one corpus-sized trigram-type
     # groupBy (map-side combined), five type-table rollups (ctx12,
     # n23, mid2 incl. its countDistinct expand, cont3), two 1-row

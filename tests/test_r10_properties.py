@@ -894,3 +894,89 @@ def test_temperature_mixture_compresses_head(spark, tmp_path):
     assert by["aa"].p > by["bb"].p > by["cc"].p
     assert by["aa"].p < counts["aa"] / n_total
     assert by["cc"].p > counts["cc"] / n_total
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join — completeness + boundary
+# ---------------------------------------------------------------------------
+
+
+def test_setsim_prefix_join_completeness_and_boundary(spark, tmp_path):
+    """Planted near-dup pairs straddling the Jaccard-0.7 boundary: the
+    qualifying pair must surface with the exact intersection/union
+    integers, the just-below pair must not, and the result equals a
+    pure-Python brute force over the same shingle sets — with full
+    oracle parity (the oracle itself is an independent brute force)."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    # docs built from token streams with controlled 5-shingle overlap:
+    # doc 0 and 1 share a long run (high Jaccard); doc 2 shares a short
+    # run with doc 0 (below threshold); doc 3 is disjoint.
+    run = [f"r{i}" for i in range(40)]
+    texts = {
+        0: " ".join(run),
+        1: " ".join(run + ["extra0", "extra1"]),       # Jaccard 36/38 ≈ 0.95
+        2: " ".join(run[:12] + [f"z{i}" for i in range(30)]),  # small overlap
+        3: " ".join(f"q{i}" for i in range(40)),
+    }
+    ids = sorted(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    sdf = ENTRIES["doc_setsim_prefix_join"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_setsim_prefix_join"].oracle).df()
+    )
+
+    # pure-Python brute force over the identical shingle definition
+    def shingles(text: str) -> set:
+        toks = text.split()
+        return {
+            hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()
+            for i in range(len(toks) - 4)
+        }
+
+    sets = {d: shingles(t) for d, t in texts.items()}
+    want = set()
+    for a in ids:
+        for b in ids:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 10 * inter >= 7 * union:
+                    want.add((a, b, inter, union))
+    got = {
+        (int(r.id_a), int(r.id_b), int(r.inter), int(r.union_sz))
+        for r in sdf.itertuples()
+    }
+    assert got == want
+    assert {(p[0], p[1]) for p in want} == {(0, 1)}  # exactly the planted pair
+
+    # the audit's invariants on the same corpus: prefix work never
+    # exceeds full-index work, and every qualifying pair was found
+    audit = ENTRIES["doc_setsim_prefix_audit"].spark(spark, sf).toPandas()
+    assert_frames_equal(
+        audit, con.execute(ENTRIES["doc_setsim_prefix_audit"].oracle).df()
+    )
+    row = audit.iloc[0]
+    assert row.prefix_pair_slots <= row.full_pair_slots
+    assert row.n_qualifying == len(want)
