@@ -20,6 +20,7 @@ import idh_etl_demo_spark.catalog_r7  # noqa: F401
 import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -59,6 +60,14 @@ PICKS = {
     "events_kmv_set_ops": "KMV set ops: member distinct + hash distinct collapse the corpus to 8-byte digests; two-phase bottom-k windows ((type, bucket) then type) bound the final sort at k·buckets rows; everything past the sketches is |types|²·k-sized on broadcasts",
     "doc_suffix_dup_audit": "SA-adjacency duplication: the prefix-doubled suffix array is a frozen checkpoint scan; gh8 hashes join it id-keyed, the sa_rank±1 neighbor joins carry 16-byte hashes — document text appears in ONE scan and never shuffles",
     "orders_zorder_layout": "Z-order layout stats: 1-row extrema agg broadcast onto the scan, the 32-term Morton interleave as a pure projection, two 64-key map-side-combined groupBys (exchange-reused scan) + presentation sort",
+    "doc_exact_substr_spans": "ExactSubstr removal spans: the Manber-Myers LCP walk joins id-width pair rows against FROZEN checkpointed rank tables (log(max_len)+1 levels), per-position max agg, sparse >=50 filter, then the two per-doc gaps-and-islands windows — token arrays never shuffle",
+    "doc_exact_substr_cleaned": "ExactSubstr cleaned corpus: the coverage verdict is ONE per-doc running-max window over the (doc, pos)-joined m frame — never a position-by-interval range join; the per-doc kept-token reassembly groupBy is the plan's only token-bearing shuffle and IS the output",
+    "doc_kn_surprisal_rate": "held-out KN scoring: train-side count tables (three map-side-combined groupBys + 1-row discount agg) join the held-out bigram stream word-keyed; the probability is a pure projection of exact int64 rationals; per-doc summary is one groupBy",
+    "doc_kn_trigram_lm": "recursive trigram KN: ONE corpus-sized trigram-type groupBy; ctx/continuation/discount rollups and the four LM joins are all bounded by distinct n-gram types; top-100 as TakeOrdered",
+    "embedding_hard_negatives": "hard-negative mining: queries broadcast onto an embarrassingly parallel corpus scan; the positive-band exclusion count rides the SAME per-query window partition as the ranking — no second corpus pass",
+    "doc_setsim_prefix_join": "prefix-filtered SSJoin: df groupBy + per-doc prefix window over id+hash rows; candidates expand inside rarest-shingle buckets (group-then-expand); verification joins are candidate-pair-sized; full sets never shuffle",
+    "customer_scd2_history": "SCD2 build: lag (change detection), lead (interval close) and row_number all share ONE (custkey)-partitioned sort — a single id-width exchange, zero joins",
+    "orders_cdc_apply": "CDC apply: last-writer-wins ranking and both audit counts share one key-partitioned window; the changelog never joins a snapshot because the full-log winner IS the snapshot",
 }
 
 
