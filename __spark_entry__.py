@@ -318,7 +318,14 @@ DRIVER_PRIORITY: list[str] = [
     # minimum of 8)
     "doc_temperature_mixture",
     "events_kmv_set_ops",
-    "doc_suffix_array",
+    # (doc_suffix_array was slotted here with the r9 batch; displaced
+    # in r10 by lineitem_mad_outliers — the prefix-doubling build it
+    # gates stays driver-exercised by FOUR in-window consumers
+    # (doc_suffix_dup_audit, doc_longest_dup_run, both exact_substr
+    # entries, all sharing the memoized build), its own serving plan
+    # is a checkpoint scan, and its r9 green stands with the second
+    # signal deferring — the r9 precedent)
+    "lineitem_mad_outliers",
     "doc_suffix_dup_audit",
     "orders_zorder_layout",
     # customer_price_trend, doc_dup_pagerank, doc_longest_dup_run,

@@ -181,6 +181,8 @@ HEADLINE = [
     # round 10: exact Jaccard self-join via prefix filtering + audit
     "doc_setsim_prefix_join",
     "doc_setsim_prefix_audit",
+    # round 10: robust MAD outlier audit
+    "lineitem_mad_outliers",
 ]
 
 

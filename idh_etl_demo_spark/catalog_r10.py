@@ -1961,3 +1961,115 @@ def doc_setsim_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_q))
         .select("n_sets", "full_pair_slots", "prefix_pair_slots", "n_qualifying")
     )
+
+
+# ===========================================================================
+# Median-absolute-deviation outlier audit — robust data-quality stats
+# ===========================================================================
+#
+# events_hourly_anomalies z-scores against mean/std — both of which an
+# outlier itself corrupts (masking). The robust pair is the MEDIAN and
+# the MAD (median absolute deviation), with the standard |x − med| >
+# 3·MAD cut. Exact nearest-rank medians (index (n+1)//2 of the sorted
+# group, the lower median — a VALUE from the data, so it hash-gates
+# where interpolated percentiles cannot) over integer cents; the flag
+# test is the integer comparison |dev| > 3·mad. Two ranking passes per
+# group (values, then deviations) sharing the group partitioning.
+
+
+@query(
+    "lineitem_mad_outliers",
+    """
+    with src as (
+      select l_returnflag as flag,
+             cast(round(l_extendedprice * 100, 0) as bigint) as cents
+      from lineitem
+    ),
+    r1 as (
+      select flag, cents,
+             row_number() over (partition by flag order by cents) as rn,
+             count(*) over (partition by flag) as n
+      from src
+    ),
+    med as (select flag, cents as med, n from r1 where rn = (n + 1) // 2),
+    dev as (
+      select s.flag, abs(s.cents - m.med) as dev, m.med, m.n
+      from src s join med m using (flag)
+    ),
+    r2 as (
+      select flag, dev, med, n,
+             row_number() over (partition by flag order by dev) as rn
+      from dev
+    ),
+    mad as (select flag, dev as mad, med, n from r2 where rn = (n + 1) // 2)
+    select d.flag,
+           cast(a.n as bigint) as n,
+           cast(a.med as bigint) as median_cents,
+           cast(a.mad as bigint) as mad_cents,
+           cast(sum(case when d.dev > 3 * a.mad then 1 else 0 end) as bigint)
+             as n_outliers
+    from dev d join mad a using (flag)
+    group by d.flag, a.n, a.med, a.mad
+    order by d.flag
+    """,
+)
+def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier audit: exact lower-median of price
+    cents per return flag, MAD about it, and the count beyond the
+    3·MAD fence — the estimator breakdown point is 50%, so unlike the
+    mean/std z-score (events_hourly_anomalies) the fence itself cannot
+    be dragged by the outliers it hunts. Output: (flag, n,
+    median_cents, mad_cents, n_outliers).
+
+    Engine parity: nearest-rank medians are integer VALUES from the
+    data (no interpolation), the fence test is an integer comparison —
+    the whole frame is int64.
+
+    Scale shape: two ranking windows per group over (flag, int64)
+    rows + one broadcast of the 3-row median/MAD tables back onto the
+    value stream; at true scale the per-group row_number swaps for the
+    two-phase bucketed rank (the quantile-sketch entry's audit path)
+    while this plan keeps the semantics gate."""
+    src = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w1 = Window.partitionBy("flag").orderBy("cents")
+    wn = Window.partitionBy("flag")
+    r1 = src.select(
+        "flag",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # lower median: rank (n + 1) // 2, integer div in both engines
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "flag", F.col("cents").alias("med"), "n"
+    )
+    dev = src.join(F.broadcast(med), "flag").select(
+        "flag", F.abs(F.col("cents") - F.col("med")).alias("dev"), "med", "n"
+    )
+    w2 = Window.partitionBy("flag").orderBy("dev")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("flag", F.col("dev").alias("mad"), "med", "n")
+    )
+    return (
+        dev.select("flag", "dev")
+        .join(F.broadcast(mad), "flag")
+        .groupBy("flag", "n", "med", "mad")
+        .agg(
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "flag",
+            F.col("n").cast("long").alias("n"),
+            F.col("med").cast("long").alias("median_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+            "n_outliers",
+        )
+        .orderBy("flag")
+    )

@@ -980,3 +980,74 @@ def test_setsim_prefix_join_completeness_and_boundary(spark, tmp_path):
     row = audit.iloc[0]
     assert row.prefix_pair_slots <= row.full_pair_slots
     assert row.n_qualifying == len(want)
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier audit — planted outliers, robustness vs the mean
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_planted_and_robust(spark, tmp_path):
+    """Planted group: 98 inliers in a tight band + 2 extreme points.
+    The MAD fence flags exactly the 2 planted outliers, the median/MAD
+    equal the pure-Python nearest-rank values, and the BREAKDOWN
+    property holds: making the outliers 100x more extreme leaves the
+    median and MAD bit-identical (a mean/std fence scales with the
+    contamination). Full oracle parity on the planted table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from tests.compare import assert_frames_equal
+
+    inliers = [1000.0 + i for i in range(98)]          # cents: 100000..109700
+    outliers = [90000.0, 95000.0]                      # 9,000,000+ cents
+    prices = inliers + outliers
+    n = len(prices)
+    table = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), type=pa.int64()),
+            "l_partkey": pa.array([1] * n, type=pa.int64()),
+            "l_suppkey": pa.array([1] * n, type=pa.int64()),
+            "l_linenumber": pa.array([1] * n, type=pa.int64()),
+            "l_quantity": pa.array([1.0] * n, type=pa.float64()),
+            "l_extendedprice": pa.array(prices, type=pa.float64()),
+            "l_discount": pa.array([0.0] * n, type=pa.float64()),
+            "l_tax": pa.array([0.0] * n, type=pa.float64()),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array(
+                [__import__("datetime").datetime(2024, 1, 1)] * n,
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+    sf = str(tmp_path)
+
+    sdf = ENTRIES["lineitem_mad_outliers"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view lineitem as select * from read_parquet('{sf}/lineitem.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["lineitem_mad_outliers"].oracle).df()
+    )
+
+    cents = sorted(round(p * 100) for p in prices)
+    med = cents[(n + 1) // 2 - 1]
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[(n + 1) // 2 - 1]
+    row = sdf.iloc[0]
+    assert row.median_cents == med and row.mad_cents == mad
+    assert row.n_outliers == 2                      # exactly the planted pair
+    # breakdown property: 100x more extreme outliers leave the fence
+    # untouched (the estimators never see the tail's magnitude)
+    cents2 = sorted(round(p * 100) for p in inliers) + [
+        round(o * 100) * 100 for o in outliers
+    ]
+    med2 = sorted(cents2)[(n + 1) // 2 - 1]
+    mad2 = sorted(abs(c - med2) for c in cents2)[(n + 1) // 2 - 1]
+    assert (med2, mad2) == (med, mad)
