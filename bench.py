@@ -264,6 +264,7 @@ def _clear_session_caches() -> None:
     from idh_etl_demo_spark.catalog_r8 import _PQ_MODELS
     from idh_etl_demo_spark.catalog_r9 import _RES_MODELS
     from idh_etl_demo_spark.catalog_r9b import _SA_MODELS, _SIM60_PAIRS
+    from idh_etl_demo_spark.catalog_r10 import release_stream_workdirs
 
     for memo in (
         _CURATION_RESULTS,
@@ -276,6 +277,9 @@ def _clear_session_caches() -> None:
         for v in memo.values():
             _release_memo_value(v)
         memo.clear()
+    # streaming replay scratch dirs: the memos cache PATHS, so clearing
+    # must also delete the landed parquet copies (round-10 ADVICE)
+    release_stream_workdirs()
 
 
 def main() -> None:

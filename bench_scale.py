@@ -293,9 +293,12 @@ PROBES = [
     # memo) and its serving side is doc_longest_dup_run's LCP walk
     # (8 |pairs|-linear id joins) plus a sparse filter and two
     # per-doc windows — a 10× ratio would re-measure the suffix probe
-    # round-10 lineitem_mad_outliers IS probed: two per-group ranking
-    # windows over (flag, int64) rows — the ratio must track the
-    # lineitem scan (three groups at any corpus size)
+    # round-10/11 lineitem_mad_outliers IS probed: two per-flag
+    # TWO-PHASE bucketed ranking passes (r11 swapped the 3-value
+    # partitionBy(flag) windows out — the r10 verdict's scale-killer)
+    # over (flag, int64) rows — the ratio must track the lineitem scan
+    # (bucket-local sorts; offset state is 3×256 rows at any corpus
+    # size)
     "lineitem_mad_outliers",
     # round-10 doc_setsim_prefix_join IS probed: the claim is that
     # candidate work is Σ C(prefix_df, 2) over rarest-shingle buckets

@@ -791,12 +791,41 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSW_RESULTS: dict[tuple, str] = {}
 _SSW_SENTINEL_USER = 10**12
 
+# Replay/emission scratch dirs created by the streaming entries. The
+# memo maps above cache PATHS, so dict.clear() alone would strand full
+# parquet copies of the events table under /tmp across sessions
+# (round-10 ADVICE) — every work dir registers here, an atexit hook
+# removes them at interpreter exit, and release_stream_workdirs() lets
+# bench.py's cache clearing free them (with the memos) mid-process.
+_STREAM_WORKDIRS: list[str] = []
+
+
+def _register_stream_workdir(path: str) -> None:
+    import atexit
+
+    if not _STREAM_WORKDIRS:
+        atexit.register(release_stream_workdirs)
+    _STREAM_WORKDIRS.append(path)
+
+
+def release_stream_workdirs() -> None:
+    """Remove every registered streaming scratch dir and drop the memo
+    entries that point into them."""
+    import shutil
+
+    for d in _STREAM_WORKDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_WORKDIRS.clear()
+    _SSW_RESULTS.clear()
+    _SSJ_RESULTS.clear()
+
 
 @query(
     "events_streaming_sessions",
     """
     with ordered as (
-      select user_id, ts, value,
+      select user_id, ts, event_id,
+             cast(round(value * 1000000, 0) as bigint) as value_micros,
              case when lag(ts) over w is null
                     or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
                   then 1 else 0 end as new_session
@@ -804,9 +833,9 @@ _SSW_SENTINEL_USER = 10**12
       window w as (partition by user_id order by ts asc, event_id asc)
     ),
     sessions as (
-      select user_id, ts, value,
+      select user_id, ts, value_micros,
              sum(new_session) over (partition by user_id
-                                    order by ts asc
+                                    order by ts asc, event_id asc
                                     rows unbounded preceding) as sno
       from ordered
     )
@@ -814,7 +843,7 @@ _SSW_SENTINEL_USER = 10**12
            min(ts) as session_start,
            max(ts) + interval 30 minutes as session_end,
            cast(count(*) as bigint) as n_events,
-           round(sum(value), 4) as sum_value
+           cast(sum(value_micros) as bigint) as sum_value_micros
     from sessions
     group by user_id, sno
     order by user_id, session_start
@@ -831,8 +860,11 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     nor leaks events across users — final sessions are invariant to
     how the stream was batched.
 
-    sum_value rounds to 4 dp on both sides: the state store merges
-    partial double sums in arrival order, the oracle in scan order.
+    Values are quantized to integer MICROS before summing (the repo's
+    exact-integer parity recipe): the state store merges partial sums
+    in arrival order, the oracle in scan order — int64 addition is
+    associative where rounding a differently-associated double sum is
+    not (a 0.00005-straddling residual flake, round-10 ADVICE).
 
     EAGER by streaming nature (cached per session+sf, like the other
     streaming entries; EAGER_EXEMPT). At 100 TB the session state
@@ -850,6 +882,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _SSW_RESULTS.get(key)
     if out is None:
         work = tempfile.mkdtemp(prefix="ssw_replay_")
+        _register_stream_workdir(work)
         landing = os.path.join(work, "landing")
         out = os.path.join(work, "emissions")
         events = _t(spark, sf_dir, "events")
@@ -867,7 +900,13 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = F.col("ts") >= F.lit(lo_b)
             if b < 2:
                 cond = cond & (F.col("ts") < F.lit(cuts[b + 1]))
-            part_df = events.filter(cond).select("user_id", "ts", "value")
+            part_df = events.filter(cond).select(
+                "user_id",
+                "ts",
+                F.round(F.col("value") * 1000000, 0)
+                .cast("long")
+                .alias("value_micros"),
+            )
             tmp = os.path.join(landing, f"_stage_{b}")
             part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = next(
@@ -884,12 +923,12 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_ts = hi
         for b, days in ((3, 30), (4, 31)):
             sent = spark.createDataFrame(
-                [(_SSW_SENTINEL_USER, max_ts, 0.0)],
-                "user_id long, ts timestamp, value double",
+                [(_SSW_SENTINEL_USER, max_ts, 0)],
+                "user_id long, ts timestamp, value_micros long",
             ).select(
                 "user_id",
                 (F.col("ts") + F.expr(f"interval {days} days")).alias("ts"),
-                "value",
+                "value_micros",
             )
             tmp = os.path.join(landing, f"_stage_{b}")
             sent.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -907,7 +946,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 T.StructField("user_id", T.LongType()),
                 T.StructField("ts", T.TimestampType()),
-                T.StructField("value", T.DoubleType()),
+                T.StructField("value_micros", T.LongType()),
             ]
         )
         stream = (
@@ -923,7 +962,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.sum("value_micros").cast("long").alias("sum_value_micros"),
             )
         )
 
@@ -948,7 +987,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_value_micros",
         )
         .orderBy("user_id", "session_start")
     )
@@ -1145,6 +1184,7 @@ def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _SSJ_RESULTS.get(key)
     if out is None:
         work = tempfile.mkdtemp(prefix="ssj_replay_")
+        _register_stream_workdir(work)
         landing = os.path.join(work, "landing")
         out = os.path.join(work, "emissions")
         events = _t(spark, sf_dir, "events")
@@ -1386,11 +1426,13 @@ def doc_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     P_KN3(w3|w1w2).
 
     Engine parity: the nested cleared-rational chain evaluated in the
-    identical tree shape (every operand an exact int64 well under the
-    2^52 bound at catalog SFs — counts here are sums over DISTINCT
-    type tables, an order of magnitude smaller than the bigram entry's
-    raw counts); the pure-Python twin matches pkn3 bit-for-bit and
-    pins per-context normalization Σ_w3 P3 = 1.
+    identical tree shape, with every int64 operand behind the same
+    guarded-when/raise_error exactness bound as the bigram entries
+    (past 2^52 the entry ERRORS instead of emitting silently-wrapped
+    pkn3 — round-10 ADVICE; counts here are sums over DISTINCT type
+    tables, an order of magnitude smaller than the bigram entry's raw
+    counts); the pure-Python twin matches pkn3 bit-for-bit and pins
+    per-context normalization Σ_w3 P3 = 1.
 
     Scale shape: one trigram-type groupBy over the token stream (the
     only corpus-sized exchange — map-side combined), five type-table
@@ -1399,7 +1441,11 @@ def doc_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered."""
     t, ctx12, n23, mid2, cont3, disc3, disc2 = _kn3_parts(spark, sf_dir)
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    lm = (
+    # cleared-rational operands as named columns so the exactness guard
+    # can test every int64 product before the division tree consumes it
+    # (round-10 ADVICE: the bigram entries guard via _kn_guarded_p; the
+    # trigram products wrapped silently past 2^52 instead of raising)
+    ops = (
         t.join(ctx12, ["w1", "w2"])
         .join(n23, ["w2", "w3"])
         .join(mid2, "w2")
@@ -1408,30 +1454,48 @@ def doc_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(disc2))
         .select(
             "w1", "w2", "w3", "c", "c12", "n23", "nmid2", "ncont3",
-            (
-                F.greatest(F.col("c") * F.col("dd3") - F.col("dn3"), F.lit(0))
-                .cast("double")
-                / (F.col("dd3") * F.col("c12")).cast("double")
-                + (
-                    (F.col("dn3") * F.col("n1p12")).cast("double")
-                    / (F.col("dd3") * F.col("c12")).cast("double")
-                )
-                * (
-                    F.greatest(
-                        F.col("n23") * F.col("dd2") - F.col("dn2"), F.lit(0)
-                    ).cast("double")
-                    / (F.col("dd2") * F.col("nmid2")).cast("double")
-                    + (
-                        (F.col("dn2") * F.col("n1pw2")).cast("double")
-                        / (F.col("dd2") * F.col("nmid2")).cast("double")
-                    )
-                    * (
-                        F.col("ncont3").cast("double")
-                        / F.col("dd2_ntot").cast("double")
-                    )
-                )
-            ).alias("pkn3"),
+            F.greatest(F.col("c") * F.col("dd3") - F.col("dn3"), F.lit(0))
+            .cast("long")
+            .alias("a3"),
+            (F.col("dn3") * F.col("n1p12")).alias("l3"),
+            (F.col("dd3") * F.col("c12")).alias("dc3"),
+            F.greatest(F.col("n23") * F.col("dd2") - F.col("dn2"), F.lit(0))
+            .cast("long")
+            .alias("a2"),
+            (F.col("dn2") * F.col("n1pw2")).alias("l2"),
+            (F.col("dd2") * F.col("nmid2")).alias("dc2"),
+            "dd2_ntot",
         )
+    )
+    bound = F.lit(float(2**52))
+    guard = (
+        (d("a3") < bound)
+        & (d("l3") < bound)
+        & (d("dc3") < bound)
+        & (d("a2") < bound)
+        & (d("l2") < bound)
+        & (d("dc2") < bound)
+    )
+    pkn3 = F.when(
+        guard,
+        d("a3") / d("dc3")
+        + (d("l3") / d("dc3"))
+        * (
+            d("a2") / d("dc2")
+            + (d("l2") / d("dc2")) * (d("ncont3") / d("dd2_ntot"))
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "kneser-ney exactness bound exceeded (trigram): an operand "
+                "reached 2^52; rescale the cleared-discount counts "
+                "(catalog_r10)"
+            )
+        ).cast("double")
+    )
+    lm = ops.select(
+        "w1", "w2", "w3", "c", "c12", "n23", "nmid2", "ncont3",
+        pkn3.alias("pkn3"),
     )
     return lm.orderBy(
         F.desc("c"), F.asc("w1"), F.asc("w2"), F.asc("w3")
@@ -1738,7 +1802,15 @@ _SSIM_SETS_SQL = f"""
 
 
 def _ssim_streams(spark: SparkSession, sf_dir: str):
-    """(gh stream (doc_id, gh) distinct per doc, sizes (doc_id, s))."""
+    """(gh stream (doc_id, gh) distinct per doc, sizes (doc_id, s)).
+
+    Sizes are DERIVED from the exploded stream (one doc-keyed groupBy
+    count) instead of re-evaluating the md5 shingle transform in a
+    second corpus-cardinality frame — and callers join them with plain
+    hash joins, never broadcast hints: a per-document table is
+    corpus-sized, so broadcasting it contradicts the documented scale
+    shape and risks broadcast-size failures at 100 TB (round-10
+    ADVICE)."""
     base = _sa_base(spark, sf_dir)
     sh = F.when(
         F.size("toks") >= _SSIM_W,
@@ -1752,19 +1824,8 @@ def _ssim_streams(spark: SparkSession, sf_dir: str):
         ),
     ).otherwise(F.array().cast("array<string>"))
     stream = base.select("doc_id", F.explode(sh).alias("gh"))
-    sizes = (
-        base.select("doc_id", F.size(F.array_distinct(
-            F.when(
-                F.size("toks") >= _SSIM_W,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (_SSIM_W - 1)),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(F.col("toks"), i, _SSIM_W))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )).cast("long").alias("s"))
-        .filter(F.col("s") > 0)
+    sizes = stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
     )
     return stream, sizes
 
@@ -1782,7 +1843,7 @@ def _ssim_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         stream.join(df_tab, "gh")
-        .join(F.broadcast(sizes), "doc_id")
+        .join(sizes, "doc_id")
         .withColumn(
             "rn",
             F.row_number().over(
@@ -1839,7 +1900,10 @@ def doc_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Σ B²/2 over PREFIX-bucket sizes (rarest-first makes buckets
     small by construction — the audit entry measures the reduction vs
     the naive inverted index); verification joins only candidate pairs
-    against the shingle stream (two hash joins + one count agg). Full
+    against the shingle stream (two hash joins + one count agg). The
+    per-doc size table is derived from the exploded stream and joined
+    with PLAIN hash joins — it is corpus-cardinality, so broadcasting
+    it would cap the operator at driver memory (round-10 ADVICE). Full
     sets never shuffle; text never leaves the scan."""
     stream, sizes = _ssim_streams(spark, sf_dir)
     cand = _ssim_candidates(spark, sf_dir)
@@ -1854,8 +1918,8 @@ def doc_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "union_sz", (F.col("sa") + F.col("sb") - F.col("inter")).cast("long")
         )
@@ -1927,7 +1991,7 @@ def doc_setsim_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         stream.join(df_tab, "gh")
-        .join(F.broadcast(sizes), "doc_id")
+        .join(sizes, "doc_id")
         .withColumn(
             "rn",
             F.row_number().over(
@@ -1974,7 +2038,52 @@ def doc_setsim_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group, the lower median — a VALUE from the data, so it hash-gates
 # where interpolated percentiles cannot) over integer cents; the flag
 # test is the integer comparison |dev| > 3·mad. Two ranking passes per
-# group (values, then deviations) sharing the group partitioning.
+# group (values, then deviations), each a per-flag two-phase bucketed
+# rank so no flag ever funnels through a single sort task.
+
+
+def _flag_bucketed_rank(df: DataFrame, val: str) -> DataFrame:
+    """Per-flag row_number over ``val`` (1-based, column ``gr``) without
+    a per-flag single-partition sort: operators/suffix._bucketed_rank
+    generalized to a grouped key. Buckets derive from each flag's
+    MEASURED extrema (a |flags|-row broadcast — the quantile-sketch
+    convention, r9 ADVICE): the key floor((v − min)·256/range) is
+    monotone in ``v`` and equal values never straddle buckets, so
+    per-(flag, bucket) local row_numbers plus a per-flag cumulative
+    bucket-count offset reproduce the exact per-flag rank. Phase-2
+    state is |flags|×256 offset rows; the value stream shuffles once
+    (the bucket-local window)."""
+    ext = df.groupBy("flag").agg(
+        F.min(val).alias("_minv"), F.max(val).alias("_maxv")
+    )
+    b = (
+        df.join(F.broadcast(ext), "flag")
+        .withColumn(
+            "_bk",
+            F.floor(
+                (F.col(val) - F.col("_minv"))
+                * 256
+                / (F.col("_maxv") - F.col("_minv") + 1)
+            ).cast("long"),
+        )
+        .drop("_minv", "_maxv")
+    )
+    wloc = Window.partitionBy("flag", "_bk").orderBy(F.asc(val))
+    ranked = b.withColumn("_lr", F.row_number().over(wloc).cast("long"))
+    counts = ranked.groupBy("flag", "_bk").agg(F.max("_lr").alias("_n"))
+    woff = Window.partitionBy("flag").orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "flag",
+        "_bk",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).cast("long").alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["flag", "_bk"])
+        .withColumn("gr", (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_bk", "_lr", "_off")
+    )
 
 
 @query(
@@ -2023,41 +2132,41 @@ def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine parity: nearest-rank medians are integer VALUES from the
     data (no interpolation), the fence test is an integer comparison —
-    the whole frame is int64.
+    the whole frame is int64. Ties need no tie-break: equal values are
+    adjacent under any rank order, so the value AT a rank is unique.
 
-    Scale shape: two ranking windows per group over (flag, int64)
-    rows + one broadcast of the 3-row median/MAD tables back onto the
-    value stream; at true scale the per-group row_number swaps for the
-    two-phase bucketed rank (the quantile-sketch entry's audit path)
-    while this plan keeps the semantics gate."""
+    Scale shape: both ranking passes use the per-flag TWO-PHASE
+    bucketed rank (r10 verdict ask #1 — `l_returnflag` has 3 distinct
+    values, so a plain partitionBy(flag) window funnels a third of a
+    100 TB fact table through ONE task's sort): value-range buckets
+    within flag from the measured extrema (3-row broadcast),
+    per-(flag, bucket) local windows, and a 3×256-row offset cumsum
+    added back — the same invariant as operators/suffix._bucketed_rank
+    with a grouped key. The 3-row median/MAD tables broadcast back
+    onto the value stream."""
     src = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
     )
-    w1 = Window.partitionBy("flag").orderBy("cents")
-    wn = Window.partitionBy("flag")
-    r1 = src.select(
-        "flag",
-        "cents",
-        F.row_number().over(w1).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    n_tab = src.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
     # lower median: rank (n + 1) // 2, integer div in both engines
-    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "flag", F.col("cents").alias("med"), "n"
+    med = (
+        _flag_bucketed_rank(src, "cents")
+        .join(F.broadcast(n_tab), "flag")
+        .filter(F.col("gr") == F.expr("(n + 1) div 2"))
+        .select("flag", F.col("cents").alias("med"), "n")
     )
     dev = src.join(F.broadcast(med), "flag").select(
         "flag", F.abs(F.col("cents") - F.col("med")).alias("dev"), "med", "n"
     )
-    w2 = Window.partitionBy("flag").orderBy("dev")
     mad = (
-        dev.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("flag", F.col("dev").alias("mad"), "med", "n")
+        _flag_bucketed_rank(dev.select("flag", "dev"), "dev")
+        .join(F.broadcast(n_tab), "flag")
+        .filter(F.col("gr") == F.expr("(n + 1) div 2"))
+        .select("flag", F.col("dev").alias("mad"))
     )
     return (
-        dev.select("flag", "dev")
-        .join(F.broadcast(mad), "flag")
+        dev.join(F.broadcast(mad), "flag")
         .groupBy("flag", "n", "med", "mad")
         .agg(
             F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))

@@ -570,17 +570,23 @@ SHUFFLE_BUDGETS = {
     "doc_kn_bigram_lm": 8,
     # prefix-filtered set-similarity join (measured 9): the shingle
     # stream's df groupBy, the per-doc prefix window (one doc-keyed
-    # exchange shared with the sizes join), the prefix-bucket groupBy
-    # + in-bucket pair expand + candidate distinct, the two
+    # exchange SHARED with the sizes rollup and its plain hash joins —
+    # r11 replaced the round-10 corpus-cardinality size broadcasts; the
+    # count is unchanged because the new sizes groupBy rides the same
+    # doc-keyed exchange the window already paid), the prefix-bucket
+    # groupBy + in-bucket pair expand + candidate distinct, the two
     # candidate-keyed verification joins' exchanges + the intersection
     # count agg, and the presentation sort. Full sets never shuffle —
     # the verification side is candidate-pair-sized.
     "doc_setsim_prefix_join": 9,
-    # its work audit (measured 15): the same chain plus the two
+    # its work audit (measured 16): the same chain plus the two
     # slot-sum scalar aggregates and the qualifying count over the
     # composed join plan (exchange reuse covers the shared prefix
-    # chain at runtime).
-    "doc_setsim_prefix_audit": 15,
+    # chain at runtime). +1 in r11: the per-doc size table is now a
+    # doc-keyed groupBy over the exploded stream joined with a PLAIN
+    # hash join — the broadcast of a corpus-cardinality frame it
+    # replaces was the round-10 ADVICE scale hazard.
+    "doc_setsim_prefix_audit": 16,
     # trigram Kneser-Ney (measured 16): one corpus-sized trigram-type
     # groupBy (map-side combined), five type-table rollups (ctx12,
     # n23, mid2 incl. its countDistinct expand, cont3), two 1-row
@@ -612,6 +618,16 @@ SHUFFLE_BUDGETS = {
     # swaps out at 100 TB leaving the sketch: one TakeOrdered +
     # 256-row arithmetic.
     "lineitem_quantile_sketch": 12,
+    # robust MAD outlier audit (measured 11): TWO per-flag two-phase
+    # bucketed ranking passes (r11 — the r10 verdict's ask #1: a plain
+    # partitionBy(flag) window funnels a third of the fact table
+    # through one sort task at 3 distinct flags), each paying a 3-row
+    # extrema agg, the per-(flag, bucket) local window's exchange, and
+    # the 3×256-row offset cumsum window; plus the 3-row n agg, the
+    # final fence groupBy, and the presentation sort. Every exchange
+    # past the scans carries (flag, int64) rows; no single task ever
+    # sorts more than a bucket.
+    "lineitem_mad_outliers": 11,
     # RRF hybrid fusion (measured 17): the BM25 side is
     # doc_bm25_multiquery's budgeted chain (input spread, the stats
     # pack, tf agg, token-partition df window, per-(query, doc) fold
