@@ -27,6 +27,7 @@ import idh_etl_demo_spark.catalog_r8  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r9  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r10  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r11  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -38,6 +39,28 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then the most operator-diverse TPC-H entries. Everything not named here
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
+#
+# ROUND-11 ROTATION (the round-10 verdict's asks #3 and #8). The 15
+# round-10 first-greens and the 7 r10 rotation-in first-greens all STAY
+# for their second hard signal (ask #3's named list). Rotating IN:
+#  - the three round-11 NEW entries (doc_ccnet_kn_buckets,
+#    doc_exact_substr_incremental, doc_url_bloom_dedup — first-green
+#    slots; asks #2, #5, #6)
+#  - ztm_stop_dim (ask #8's named stale recall — last green r9; ztm
+#    family rises to 4, above its minimum of 3)
+# Rotating OUT four twice+-green rows (annotated in place below):
+#  - doc_bm25_multiquery (r9+r10; its chain IS doc_bm25_rrf's BM25
+#    side and doc_bm25_mmr's shortlist builder, both in-window)
+#  - doc_split_leakage_audit (r9+r10; the split + CC-fixpoint shape
+#    stays in-window via doc_leakage_safe_split)
+#  - embedding_ivfpq_adc_lut (r9+r10; IVFPQ serving stays in-window
+#    via residual_search/multiprobe/nprobe_audit/rerank, and the
+#    separable-LUT claim carries PROBE_ADCSHAPE.json)
+#  - embedding_pq_recall_audit (r9+r10; the recall-audit shape stays
+#    in-window via embedding_ivfpq_residual_recall_audit and
+#    embedding_nndescent_recall_audit — same brute-truth side)
+# Families after the swap: ztm 4, doc 21, embedding 9, multimodal 4,
+# event 5 — all at or above minimums; window stays exactly 50.
 #
 # ROUND-10 ROTATION (the round-9 verdict's ask #3). Rotating IN the
 # seven never-driver-green entries, all named candidates in NOTES_r9 §7
@@ -99,8 +122,14 @@ DRIVER_PRIORITY: list[str] = [
     "pricing_summary",
     # --- streaming representative ---
     "doc_streaming_snapshot_curation",
-    # --- round-9: the never-driver-green r8 audit (verdict ask #1) ---
-    "embedding_pq_recall_audit",
+    # (embedding_pq_recall_audit was slotted here r9-r10; rotated out
+    # in r11 after its second green — see the ROUND-11 header)
+    # --- round-11 NEW entries (first-green slots; r10 verdict asks
+    # #2, #5, #6) and the ask-#8 ztm stale recall ---
+    "doc_ccnet_kn_buckets",            # displaced embedding_pq_recall_audit
+    "doc_exact_substr_incremental",    # displaced doc_bm25_multiquery
+    "doc_url_bloom_dedup",             # displaced doc_split_leakage_audit
+    "ztm_stop_dim",                    # displaced embedding_ivfpq_adc_lut
     # --- round-10 rotation-in: the seven never-driver-green entries ---
     # (each displaced row is named in the ROUND-10 header above)
     "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
@@ -265,9 +294,11 @@ DRIVER_PRIORITY: list[str] = [
     # embedding_nndescent_recall_audit; embedding family stays at 13
     # in-window, far above its minimum of 8)
     "embedding_ivfpq_nprobe_audit",
-    "embedding_ivfpq_adc_lut",
+    # (embedding_ivfpq_adc_lut was slotted here r9-r10; rotated out in
+    # r11 after its second green — see the ROUND-11 header)
     "embedding_ivfpq_rerank",
-    "doc_bm25_multiquery",
+    # (doc_bm25_multiquery was slotted here r9-r10; rotated out in r11
+    # after its second green — see the ROUND-11 header)
     # (doc_duplicated_spans was slotted here with the r9 batch;
     # displaced in r10 by doc_setsim_prefix_audit — duplicated-window
     # detection stays driver-exercised three ways (doc_suffix_dup_audit,
@@ -276,7 +307,8 @@ DRIVER_PRIORITY: list[str] = [
     # signal defers, the r9 precedent)
     "doc_setsim_prefix_audit",
     "doc_leakage_safe_split",
-    "doc_split_leakage_audit",
+    # (doc_split_leakage_audit was slotted here r9-r10; rotated out in
+    # r11 after its second green — see the ROUND-11 header)
     # (embedding_prototype_pruning was slotted here for its r9 second
     # signal; displaced by the round-10 customer_scd2_history — its
     # pruning chain is fully composed by the in-window

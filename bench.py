@@ -36,6 +36,7 @@ import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
+import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -183,6 +184,13 @@ HEADLINE = [
     "doc_setsim_prefix_audit",
     # round 10: robust MAD outlier audit
     "lineitem_mad_outliers",
+    # round 11: CCNet buckets over the KN LM (threshold-comparison cut)
+    "doc_ccnet_kn_buckets",
+    # round 11: incremental ExactSubstr over base+delta (own SA build —
+    # each rep pays it in full, the suffix family's honest-cold rule)
+    "doc_exact_substr_incremental",
+    # round 11: URL-level bloom dedup with the counting FP audit
+    "doc_url_bloom_dedup",
 ]
 
 
@@ -228,6 +236,8 @@ SESSION_CACHED = {
     # round-10 ExactSubstr entries share the same memoized SA build
     "doc_exact_substr_spans",
     "doc_exact_substr_cleaned",
+    # round-11 incremental ExactSubstr memoizes its own base+delta SA
+    "doc_exact_substr_incremental",
     # doc_dup_pagerank is deliberately NOT here (round-9 verdict ask
     # #4): its frozen simhash-60 pair table (_SIM60_PAIRS) is a
     # dup-graph INDEX — built once, served many — so rep 1 pays the
@@ -265,6 +275,7 @@ def _clear_session_caches() -> None:
     from idh_etl_demo_spark.catalog_r9 import _RES_MODELS
     from idh_etl_demo_spark.catalog_r9b import _SA_MODELS, _SIM60_PAIRS
     from idh_etl_demo_spark.catalog_r10 import release_stream_workdirs
+    from idh_etl_demo_spark.catalog_r11 import _XSI_MODELS
 
     for memo in (
         _CURATION_RESULTS,
@@ -273,6 +284,7 @@ def _clear_session_caches() -> None:
         _KM_MODELS,
         _SA_MODELS,
         _SIM60_PAIRS,
+        _XSI_MODELS,
     ):
         for v in memo.values():
             _release_memo_value(v)

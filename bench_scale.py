@@ -37,6 +37,7 @@ import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
+import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -350,6 +351,26 @@ PROBES = [
     # stay out of bench.py HEADLINE); the streaming-at-10× story is
     # carried by doc_streaming_snapshot_curation's probe, and the
     # session operator's state is watermark-bounded by construction
+
+    # round-11 CCNet-over-KN buckets IS probed: the KN chain rides the
+    # (probed) surprisal entry's token-scan-bounded stages, and the
+    # NEW stage — the two-phase bucketed-rank tercile cut over the
+    # one-row-per-doc score table — is exactly the thing that replaced
+    # the r7 entry's global ntile sort; its 10× ratio vs
+    # doc_ccnet_buckets' isolates the cut cost at scale
+    "doc_ccnet_kn_buckets",
+    # round-11 incremental ExactSubstr IS probed: the claim is that
+    # the LCP walk processes only delta-touching pairs (the delta
+    # fraction is constant under the union, so the walk scales with
+    # the delta token scan) while the combined-corpus build carries
+    # the suffix family's probed log-round story — a super-linear
+    # ratio here would mean the pair filter stopped pruning
+    "doc_exact_substr_incremental",
+    # round-11 doc_url_bloom_dedup is NOT probed: its stages are the
+    # probed doc_snapshot_dedup's url-keyed hash-join shape plus the
+    # one-row-broadcast membership projection whose 10× behavior
+    # doc_decontamination_bloom's probe already carries; a separate
+    # probe would re-measure both
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

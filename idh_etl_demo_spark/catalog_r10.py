@@ -82,8 +82,11 @@ def _bigram_stream(base: DataFrame) -> DataFrame:
 # Shared oracle prelude: suffix array by direct list sort, adjacent
 # LCPs by first elementwise mismatch, per-position max — the
 # independent re-derivation the round-9 verdict's ask #5 requires.
-_XS_ORACLE_M = f"""
-    base as (select doc_id, {_SA_TOKS_SQL} as toks from documents),
+# Parametrized over the corpus source so the round-11 incremental
+# (base+delta) entry re-derives against ITS combined corpus.
+def _xs_oracle_m(src: str) -> str:
+    return f"""
+    base as (select doc_id, {_SA_TOKS_SQL} as toks from {src}),
     tot as (select doc_id, len(toks) as n_tokens from base),
     pos as (
       select doc_id, u.i - 1 as pos, list_slice(toks, u.i, len(toks)) as suffix
@@ -118,6 +121,9 @@ _XS_ORACLE_M = f"""
     ),
     m as (select doc_id, pos, max(lcp) as m from lcps group by doc_id, pos)
 """
+
+
+_XS_ORACLE_M = _xs_oracle_m("documents")
 
 
 def _xs_m_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,660 @@
+"""Round-11 catalog entries — the r10 verdict's compositions:
+
+- ``doc_ccnet_kn_buckets``: the CCNet head/middle/tail corpus split
+  REWIRED to the Kneser-Ney LM (r10 verdict ask #2). The r7
+  ``doc_ccnet_buckets`` ranks by RAW bigram familiarity, which cannot
+  price an unseen transition (the exact gap the r10 KN family was
+  built to close), and cuts terciles with a GLOBAL ntile(3) sort. This
+  entry scores every document under the train-split KN bigram LM
+  (improbable-transition rate — the gateable stand-in for KenLM
+  perplexity, catalog_r10's convention) and assigns buckets by
+  THRESHOLD COMPARISON against a broadcast 1-row boundary frame found
+  with the two-phase bucketed rank — no global sort anywhere. The raw
+  entry stays registered for the A/B.
+
+- ``doc_exact_substr_incremental``: the ExactSubstr cut extended to a
+  base+delta corpus (r10 verdict ask #5). Real pipelines dedup an
+  incoming snapshot against yesterday's corpus (the reference's own
+  idempotent-merge pattern, dags/idh_etl.py:242-253, applied to
+  text): removal spans are computed for DELTA documents against
+  base+delta, and the Manber–Myers LCP walk — the expensive
+  log(max_len) join chain — processes only adjacent pairs TOUCHING a
+  delta position (operators/suffix.suffix_lcp_adjacent's pair_filter
+  hook), never re-walking base-only pairs.
+
+- ``doc_url_bloom_dedup``: approximate-membership dedup at the
+  URL/document level with a COUNTING audit (r10 verdict ask #6): an
+  incoming snapshot's URLs probe a bloom filter built over the seen
+  registry; the bloom verdict per URL is gated against the exact
+  anti-join, and the false-positive rate — genuinely-new URLs the
+  filter would wrongly drop — is a measured output column, the same
+  audit pattern as doc_minhash_estimate_audit.
+
+Entry contract per repo convention: @query registration with a DuckDB
+oracle, a shuffle budget with a why-comment (tests/test_plan_shape.py),
+bench.py HEADLINE rows, a bench_scale probe or documented exclusion,
+property tests vs pure-Python twins on planted data
+(tests/test_r11_properties.py), and driver-window first-green slots.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from idh_etl_demo_spark.catalog import _t, query
+from idh_etl_demo_spark.catalog_r10 import (
+    _KN_ORACLE_PRELUDE,
+    _KN_TAU,
+    _XS_T,
+    _bigram_stream,
+    _kn_parts,
+    _xs_oracle_m,
+)
+
+# ===========================================================================
+# CCNet buckets over the Kneser-Ney LM — threshold-comparison terciles
+# ===========================================================================
+#
+# CCNet (Wenzek et al. 2020) buckets CommonCrawl by KenLM perplexity
+# under an LM trained on reference text. Here the LM is the repo's
+# interpolated KN bigram estimator trained on the doc_id % 10 != 0
+# split (catalog_r10._kn_parts), and EVERY document is scored — the
+# train split under its own model, like CCNet scoring a crawl that
+# overlaps the LM corpus; the per-doc signal is the improbable-
+# transition rate (P_KN < tau), the engine-exact stand-in for a log-sum
+# perplexity (ln() diverges in the last ulp across engines — the BM25
+# idf lesson). Docs with < 2 tokens have no transitions and score 0.0
+# (maximally familiar by convention; deterministic either way).
+#
+# The tercile CUT is where the 100 TB story changed (r10 verdict ask
+# #2): the r7 entry's ntile(3) is a single global sort of the per-doc
+# score table. Here the two boundary rows — the (rate, doc_id) pairs at
+# ntile ranks k1 = n//3 + min(n%3, 1) and k2 = 2*(n//3) + min(n%3, 2) —
+# are FOUND with the two-phase bucketed rank (rate-range buckets,
+# per-bucket local windows, 256-row offset cumsum; no single-partition
+# sort), broadcast as ONE row, and every document's bucket is a pure
+# lexicographic threshold COMPARISON against them. Identical output
+# contract to ntile because the (rate asc, doc_id asc) order is total:
+# rank ≤ k  ⟺  (rate, doc_id) ≤ boundary-row-at-k.
+
+
+def _kn_scored_stream(hg: DataFrame, c12, c1, cont, disc) -> DataFrame:
+    """(doc_id, unseen, pkn) for a bigram stream ``hg`` under the
+    trained KN tables — the three-branch backoff case of
+    catalog_r10.doc_kn_surprisal_rate with its 2^52 exactness guard,
+    shared so the all-docs scorer prices transitions IDENTICALLY."""
+    bound = F.lit(float(2**52))
+    return (
+        hg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "doc_id",
+            F.col("c12").isNull().alias("unseen"),
+            F.when(
+                F.col("c1").isNull(),
+                F.coalesce(F.col("ncont"), F.lit(0)).cast("double")
+                / F.col("ntot").cast("double"),
+            )
+            .when(F.col("ncont").isNull(), F.lit(0.0))
+            .otherwise(
+                F.when(
+                    (
+                        F.greatest(
+                            F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
+                            - F.col("dn"),
+                            F.lit(0),
+                        ).cast("double")
+                        < bound
+                    )
+                    & (
+                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
+                            "double"
+                        )
+                        < bound
+                    )
+                    & ((F.col("dd") * F.col("c1")).cast("double") < bound),
+                    F.greatest(
+                        F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
+                        - F.col("dn"),
+                        F.lit(0),
+                    ).cast("double")
+                    / (F.col("dd") * F.col("c1")).cast("double")
+                    + (
+                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
+                            "double"
+                        )
+                        / (F.col("dd") * F.col("c1")).cast("double")
+                    )
+                    / F.col("ntot").cast("double"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "kneser-ney exactness bound exceeded (ccnet "
+                            "scoring): rescale the cleared-discount counts"
+                        )
+                    ).cast("double")
+                )
+            )
+            .alias("pkn"),
+        )
+    )
+
+
+@query(
+    "doc_ccnet_kn_buckets",
+    f"""
+    with {_KN_ORACLE_PRELUDE},
+    hg as (
+      select doc_id, toks[u.i] as w1, toks[u.i + 1] as w2
+      from base cross join lateral (
+        select unnest(generate_series(1, greatest(len(toks) - 1, 0))) as i
+      ) u
+    ),
+    sc as (
+      select h.doc_id,
+             case when c.c1 is null then coalesce(k.ncont, 0) * 1.0 / d.ntot
+                  when k.ncont is null then 0.0
+                  else greatest(coalesce(g.c12, 0) * d.dd - d.dn, 0) * 1.0
+                         / (d.dd * c.c1)
+                       + ((d.dn * c.n1p * k.ncont) * 1.0 / (d.dd * c.c1))
+                         / d.ntot
+             end as pkn
+      from hg h
+      left join c12 g on g.w1 = h.w1 and g.w2 = h.w2
+      left join c1 c on c.w1 = h.w1
+      left join cont k on k.w2 = h.w2
+      cross join disc d
+    ),
+    perdoc as (
+      select doc_id, count(*)::bigint as n_bigrams,
+             cast(sum(case when pkn < {_KN_TAU} then 1 else 0 end) as bigint)
+               as n_improbable
+      from sc group by doc_id
+    ),
+    scored as (
+      select b.doc_id,
+             coalesce(p.n_bigrams, 0) as n_bigrams,
+             coalesce(p.n_improbable, 0) as n_improbable,
+             case when coalesce(p.n_bigrams, 0) > 0
+                  then p.n_improbable * 1.0 / p.n_bigrams else 0.0 end
+               as improbable_rate
+      from (select doc_id from base) b
+      left join perdoc p using (doc_id)
+    ),
+    r as (
+      select *,
+             row_number() over (order by improbable_rate asc, doc_id asc) as rn,
+             count(*) over () as n
+      from scored
+    )
+    select doc_id, n_bigrams, n_improbable, improbable_rate,
+           case when rn <= n // 3 + least(n % 3, 1) then 'head'
+                when rn <= 2 * (n // 3) + least(n % 3, 2) then 'middle'
+                else 'tail' end as bucket
+    from r
+    order by doc_id
+    """,
+)
+def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split under the Kneser-Ney LM
+    (section comment): every document scored by its improbable-
+    transition rate under the train-split KN bigram model — a signal
+    that, unlike raw bigram familiarity (doc_ccnet_buckets, kept for
+    the A/B), prices UNSEEN transitions through the continuation
+    backoff. Output: (doc_id, n_bigrams, n_improbable,
+    improbable_rate, bucket), ntile-identical tercile buckets.
+
+    Bucket assignment is a threshold COMPARISON, not a global sort
+    (the r10 verdict's ask): the two ntile boundary rows are found via
+    the two-phase bucketed rank over the per-doc score table and
+    broadcast as one row; each document compares (rate, doc_id)
+    lexicographically against them. The oracle derives the same
+    buckets from an explicit row_number — two independent cuts that
+    agree exactly because the order is total.
+
+    Scale shape: the KN count chain is word-keyed (vocabulary-
+    bounded); scoring is the bigram stream's three left joins + one
+    per-doc groupBy; the rank pass sees ONE ROW PER DOCUMENT in
+    rate-range buckets (no single-partition sort), boundary targets
+    are a 1-row broadcast, and assignment is a projection. At 100 TB
+    nothing sorts globally and nothing corpus-sized broadcasts."""
+    from idh_etl_demo_spark.catalog_r9b import _sa_base
+    from idh_etl_demo_spark.operators.suffix import _bucketed_rank
+
+    c12, c1, cont, disc = _kn_parts(spark, sf_dir)
+    base = _sa_base(spark, sf_dir)
+    hg = _bigram_stream(base)
+    perdoc = (
+        _kn_scored_stream(hg, c12, c1, cont, disc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum((F.col("pkn") < F.lit(_KN_TAU)).cast("long"))
+            .cast("long")
+            .alias("n_improbable"),
+        )
+    )
+    scored = (
+        base.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_improbable", F.lit(0))
+            .cast("long")
+            .alias("n_improbable"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("n_improbable").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("improbable_rate"),
+        )
+    )
+    ranked = _bucketed_rank(
+        scored.withColumn(
+            "bk", F.floor(F.col("improbable_rate") * 256).cast("long")
+        ),
+        ["improbable_rate", "doc_id"],
+        "bk",
+        1,
+        dense=False,
+    )
+    nn = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = nn.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("which"),
+                    (
+                        F.expr("n div 3") + F.least(F.expr("n % 3"), F.lit(1))
+                    ).cast("long").alias("k"),
+                ),
+                F.struct(
+                    F.lit(2).alias("which"),
+                    (
+                        F.lit(2) * F.expr("n div 3")
+                        + F.least(F.expr("n % 3"), F.lit(2))
+                    ).cast("long").alias("k"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.which", "t.k")
+    bounds = (
+        ranked.join(F.broadcast(targets), F.col("gr") == F.col("k"))
+        .groupBy()
+        .agg(
+            F.max(
+                F.when(F.col("which") == 1, F.col("improbable_rate"))
+            ).alias("t1_rate"),
+            F.max(F.when(F.col("which") == 1, F.col("doc_id"))).alias(
+                "t1_doc"
+            ),
+            F.max(
+                F.when(F.col("which") == 2, F.col("improbable_rate"))
+            ).alias("t2_rate"),
+            F.max(F.when(F.col("which") == 2, F.col("doc_id"))).alias(
+                "t2_doc"
+            ),
+        )
+    )
+    rate, doc = F.col("improbable_rate"), F.col("doc_id")
+    head = (rate < F.col("t1_rate")) | (
+        (rate == F.col("t1_rate")) & (doc <= F.col("t1_doc"))
+    )
+    middle = (rate < F.col("t2_rate")) | (
+        (rate == F.col("t2_rate")) & (doc <= F.col("t2_doc"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_improbable",
+            "improbable_rate",
+            F.when(head, "head")
+            .when(middle, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Incremental ExactSubstr — base+delta spans without re-walking base
+# ===========================================================================
+#
+# The delta batch mirrors doc_snapshot_dedup's framing: the corpus is
+# yesterday's base (doc_id % 5 != 4), today's fresh documents
+# (doc_id % 5 == 4), and verbatim re-crawls of every doc_id % 25 == 0
+# base document re-submitted under doc_id + 1,000,000 — so
+# cross-snapshot duplication genuinely occurs at every catalog SF
+# (a re-crawl of a ≥50-token doc is a full-length removal span).
+# delta(d) ⟺ d % 5 == 4 or d ≥ 1,000,000.
+#
+# The suffix array is built over base+delta (a combined-corpus build —
+# a true merged-SA update is out of scope and disclosed; the build is
+# memoized per session+sf and cleared per bench rep like the r9 SA).
+# The INCREMENTAL claim lives in the walk: adjacent-pair LCP rows are
+# filtered to pairs touching a delta position BEFORE the log(max_len)
+# refinement chain, so the walk processes O(|delta positions|) pairs —
+# for a delta position, BOTH its array neighbors survive the filter,
+# so m(p) (the max over the two) is exact; base-only pairs are never
+# re-walked. Spans then emit for delta documents only.
+
+_XSI_MODELS: dict[tuple, tuple] = {}
+
+_XSI_CORPUS_SQL = """
+      select doc_id, text from documents
+      union all
+      select doc_id + 1000000 as doc_id, text from documents
+      where doc_id % 25 = 0
+"""
+
+
+def _xsi_delta(c: F.Column) -> F.Column:
+    return (c % 5 == 4) | (c >= 1000000)
+
+
+def _xsi_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return corpus.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+
+
+def _xsi_parts(spark: SparkSession, sf_dir: str) -> tuple:
+    from idh_etl_demo_spark.operators.suffix import suffix_ranks
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _XSI_MODELS:
+        _XSI_MODELS[key] = suffix_ranks(_xsi_base(spark, sf_dir))
+    return _XSI_MODELS[key]
+
+
+@query(
+    "doc_exact_substr_incremental",
+    f"""
+    with corpus as ({_XSI_CORPUS_SQL}),
+    {_xs_oracle_m("corpus")},
+    iv as (
+      select doc_id, pos as s, pos + m as e from m
+      where m >= {_XS_T} and (doc_id % 5 = 4 or doc_id >= 1000000)
+    ),
+    flagged as (
+      select doc_id, s, e,
+             case when s > coalesce(max(e) over (
+                    partition by doc_id order by s, e
+                    rows between unbounded preceding and 1 preceding), -1)
+                  then 1 else 0 end as brk
+      from iv
+    ),
+    isl as (
+      select doc_id, s, e,
+             sum(brk) over (partition by doc_id order by s, e
+                            rows between unbounded preceding and current row) as g
+      from flagged
+    )
+    select doc_id,
+           cast(min(s) as bigint) as span_start,
+           cast(max(e) as bigint) as span_end,
+           cast(max(e) - min(s) as bigint) as span_len
+    from isl group by doc_id, g
+    order by doc_id, span_start
+    """,
+)
+def doc_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr cut (section comment): maximal removal
+    spans for the DELTA snapshot only, where a span is any ≥{T}-token
+    run occurring anywhere else in base+delta — a re-crawled document
+    duplicates its base original end to end, a fresh document can
+    duplicate base text, other delta text, or itself. Output:
+    (doc_id, span_start, span_end, span_len) over delta doc_ids;
+    base documents never appear and their positions are never
+    re-walked (suffix_lcp_adjacent's pair_filter drops base-only
+    adjacent pairs before the refinement chain).
+
+    The oracle re-derives the spans from the sorted-suffix-list array
+    over ITS OWN combined corpus (direct list comparison) and applies
+    the identical interval algebra — the independent-algorithm gate of
+    the whole suffix family.
+
+    Scale shape: the combined-corpus SA build is the r9 prefix-doubling
+    chain (log(max_len) id-width rounds); the walk is the SAME
+    log-bounded join chain over the FILTERED pair frame —
+    O(|delta positions|) rows, the incremental claim — then one m(p)
+    groupBy, a sparse ≥{T} filter, and two per-doc windows. Token
+    arrays never shuffle; the per-doc length table joins plain (never
+    broadcast — corpus-cardinality)."""
+    from idh_etl_demo_spark.operators.suffix import (
+        dup_len_per_position,
+        merge_intervals,
+        suffix_lcp_adjacent,
+    )
+
+    final, history, posf = _xsi_parts(spark, sf_dir)
+    lens = _xsi_base(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    pairs = suffix_lcp_adjacent(
+        final,
+        history,
+        posf,
+        lens,
+        pair_filter=_xsi_delta(F.col("d1")) | _xsi_delta(F.col("d2")),
+    )
+    m = dup_len_per_position(pairs).filter(_xsi_delta(F.col("doc_id")))
+    iv = m.filter(F.col("m") >= _XS_T).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.col("m")).alias("e"),
+    )
+    return (
+        merge_intervals(iv)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# ===========================================================================
+# URL-level bloom dedup with a counting false-positive audit
+# ===========================================================================
+#
+# Crawl pipelines dedup at the URL level before fetching or processing
+# content: the seen-URL registry is far too large to broadcast exactly,
+# so the standard shape is a bloom filter — membership says "probably
+# seen, drop it", non-membership says "definitely new, keep it". The
+# filter's false positives are GENUINELY NEW urls that get wrongly
+# dropped: lost fresh content, the operating cost of the m-bits sizing.
+# This entry makes that cost a measured output: every batch URL carries
+# its bloom verdict AND the exact-join truth, and the corpus-level
+# false-positive rate (FPs / exactly-new) rides every row — the same
+# measured-estimate-vs-exact audit pattern as doc_minhash_estimate_audit.
+#
+# The filter is DELIBERATELY fixed at m = 2^14 bits (k = 2) so the
+# audit shows the fill/fp trade as the registry grows: ~0.2% expected
+# fp at the 500-doc catalog SFs (400 seen urls), double-digit at
+# sf0.1's 4,000 — the number a production sizing review reads.
+# Positions/masks are the md5-slice arithmetic of operators/bloom.py,
+# replicated exactly in the DuckDB oracle ('0x' || hex-slice casts),
+# so the bitmap is bit-identical in both engines and every verdict
+# hash-gates.
+
+_UB_M = 16384
+_UB_K = 2
+_UB_URL = "https://corpus.example/doc/"
+
+
+@query(
+    "doc_url_bloom_dedup",
+    f"""
+    with seen as (
+      select distinct '{_UB_URL}' || cast(doc_id as varchar) as url
+      from documents where doc_id % 5 != 4
+    ),
+    batch as (
+      select doc_id, '{_UB_URL}' || cast(doc_id as varchar) as url
+      from documents where doc_id % 5 = 4
+      union all
+      select doc_id + 1000000 as doc_id,
+             '{_UB_URL}' || cast(doc_id as varchar) as url
+      from documents where doc_id % 25 = 0
+    ),
+    buildpos as (
+      select ('0x' || substring(md5(url), 1, 8))::bigint % {_UB_M} as p from seen
+      union all
+      select ('0x' || substring(md5(url), 9, 8))::bigint % {_UB_M} as p from seen
+    ),
+    words as (
+      select p // 32 as widx,
+             bit_or(cast(pow(2, p % 32) as bigint)) as bits
+      from buildpos group by p // 32
+    ),
+    probepos as (
+      select url, ('0x' || substring(md5(url), 1, 8))::bigint % {_UB_M} as p
+      from (select distinct url from batch)
+      union all
+      select url, ('0x' || substring(md5(url), 9, 8))::bigint % {_UB_M} as p
+      from (select distinct url from batch)
+    ),
+    member as (
+      select pp.url,
+             bool_and(coalesce(w.bits, 0) & cast(pow(2, pp.p % 32) as bigint)
+                      != 0) as bloom_seen
+      from probepos pp left join words w on w.widx = pp.p // 32
+      group by pp.url
+    ),
+    verdicts as (
+      select b.doc_id, b.url, m.bloom_seen,
+             s.url is not null as exact_seen,
+             m.bloom_seen and s.url is null as false_positive
+      from batch b
+      join member m using (url)
+      left join seen s using (url)
+    ),
+    summary as (
+      select cast(sum(case when not exact_seen then 1 else 0 end) as bigint)
+               as n_new_exact,
+             cast(sum(case when false_positive then 1 else 0 end) as bigint)
+               as n_false_positives
+      from verdicts
+    )
+    select v.doc_id, v.url, v.bloom_seen, v.exact_seen, v.false_positive,
+           s.n_new_exact, s.n_false_positives,
+           case when s.n_new_exact > 0
+                then s.n_false_positives * 1.0 / s.n_new_exact
+                else 0.0 end as fp_rate
+    from verdicts v cross join summary s
+    order by v.doc_id
+    """,
+)
+def doc_url_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level approximate-membership dedup of an incoming snapshot
+    against the seen-URL registry, with the counting audit (section
+    comment): per batch document the bloom verdict, the exact truth,
+    and the false-positive flag; every row also carries the measured
+    corpus-level n_new_exact / n_false_positives / fp_rate. A bloom
+    filter has NO false negatives, so every exact_seen row must be
+    bloom_seen — the property test pins it and the oracle hash-gate
+    re-proves it corpus-wide on every run.
+
+    Output: (doc_id, url, bloom_seen, exact_seen, false_positive,
+    n_new_exact, n_false_positives, fp_rate), ordered by doc_id.
+
+    Scale shape: the registry folds into an m/32-word bitmap ONCE
+    (bit_or aggregate — ≤ m/32 rows shuffle) and broadcasts ~2 KB per
+    executor; the batch side evaluates membership as a pure projection
+    and only the exact-truth join touches the registry again —
+    URL-keyed plain hash join (never broadcast: the registry is
+    corpus-cardinality). In the production shape that exact join runs
+    on the bloom SURVIVORS only; the audit joins every batch row
+    because measuring the fp rate IS this entry's job."""
+    from idh_etl_demo_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url_of = lambda c: F.concat(F.lit(_UB_URL), c.cast("string"))  # noqa: E731
+    seen = (
+        docs.filter(F.col("doc_id") % 5 != 4)
+        .select(url_of(F.col("doc_id")).alias("url"))
+        .distinct()
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", url_of(F.col("doc_id")).alias("url"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                url_of(F.col("doc_id")).alias("url"),
+            )
+        )
+    )
+    bf = bloom_build(seen, "url", m_bits=_UB_M, k=_UB_K)
+    verdicts = (
+        batch.crossJoin(F.broadcast(bf))
+        .withColumn(
+            "bloom_seen",
+            bloom_might_contain(F.col("url"), F.col("bf"), _UB_M, _UB_K),
+        )
+        .drop("bf")
+        .join(seen.withColumn("exact_seen", F.lit(True)), "url", "left")
+        .select(
+            "doc_id",
+            "url",
+            "bloom_seen",
+            F.coalesce(F.col("exact_seen"), F.lit(False)).alias("exact_seen"),
+            (
+                F.col("bloom_seen")
+                & ~F.coalesce(F.col("exact_seen"), F.lit(False))
+            ).alias("false_positive"),
+        )
+    )
+    summary = verdicts.agg(
+        F.sum((~F.col("exact_seen")).cast("long"))
+        .cast("long")
+        .alias("n_new_exact"),
+        F.sum(F.col("false_positive").cast("long"))
+        .cast("long")
+        .alias("n_false_positives"),
+    )
+    return (
+        verdicts.crossJoin(F.broadcast(summary))
+        .select(
+            "doc_id",
+            "url",
+            "bloom_seen",
+            "exact_seen",
+            "false_positive",
+            "n_new_exact",
+            "n_false_positives",
+            F.when(
+                F.col("n_new_exact") > 0,
+                F.col("n_false_positives").cast("double")
+                / F.col("n_new_exact").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fp_rate"),
+        )
+        .orderBy("doc_id")
+    )

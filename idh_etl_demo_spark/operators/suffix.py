@@ -291,6 +291,7 @@ def suffix_lcp_adjacent(
     history: list[tuple[int, DataFrame]],
     pos: DataFrame,
     lens: DataFrame,
+    pair_filter=None,
 ) -> DataFrame:
     """LCP of every ADJACENT suffix pair in the array — the
     Manber–Myers companion structure, recovered from the doubling
@@ -311,11 +312,20 @@ def suffix_lcp_adjacent(
     row per adjacent pair, both orientations available by reading
     either side.
 
+    ``pair_filter``: optional column predicate over (d1, p1, d2, p2),
+    applied to the adjacent-pair frame BEFORE the refinement walk —
+    the incremental-dedup hook: a base+delta caller that only needs
+    m(p) for delta positions keeps just the pairs touching a delta
+    side, so the log(max_len) join chain processes O(|delta|) rows
+    instead of re-walking every base-only pair.
+
     Scale shape: log(max_len) + 1 equi-joins per pair row against the
     CHECKPOINTED rank tables (keys (doc_id, pos + acc) — computed,
     still hash equi-joins), then the single-token step against the
-    position projection; |pairs| = |positions| − 1. No token arrays
-    shuffle anywhere."""
+    position projection; |pairs| = |positions| − 1 (before any
+    pair_filter). The per-doc length table joins as a PLAIN hash join
+    — it is corpus-cardinality, the frame class the round-10 setsim
+    ADVICE bans from broadcast. No token arrays shuffle anywhere."""
     a = final.select(
         F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "sa_rank"
     )
@@ -327,6 +337,8 @@ def suffix_lcp_adjacent(
     cur = a.join(b, "sa_rank").select(
         "d1", "p1", "d2", "p2", F.lit(0).cast("long").alias("acc")
     )
+    if pair_filter is not None:
+        cur = cur.filter(pair_filter)
     for L, fr in sorted(history, key=lambda t: -t[0]):
         r1 = fr.select(
             F.col("doc_id").alias("d1"),
@@ -379,8 +391,8 @@ def suffix_lcp_adjacent(
     l1 = lens.select(F.col("doc_id").alias("d1"), F.col("n_tokens").alias("n1"))
     l2 = lens.select(F.col("doc_id").alias("d2"), F.col("n_tokens").alias("n2"))
     return (
-        cur.join(F.broadcast(l1), "d1")
-        .join(F.broadcast(l2), "d2")
+        cur.join(l1, "d1")
+        .join(l2, "d2")
         .select(
             "d1",
             "p1",

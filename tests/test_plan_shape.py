@@ -21,6 +21,7 @@ import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
+import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -628,6 +629,33 @@ SHUFFLE_BUDGETS = {
     # past the scans carries (flag, int64) rows; no single task ever
     # sorts more than a bucket.
     "lineitem_mad_outliers": 11,
+    # round-11 CCNet-over-KN buckets (measured 18): the KN count chain
+    # (three word-keyed groupBys + the 1-row discount agg), the
+    # all-docs scoring stream's three word-keyed left joins, the
+    # per-doc summary groupBy + doc-list join, then the tercile CUT:
+    # the two-phase bucketed rank over the ONE-ROW-PER-DOC score table
+    # (rate-range bucket window + 256-row offset cumsum + bucket join),
+    # the 1-row n agg, the 2-row boundary pick, and the presentation
+    # sort. No global ntile sort anywhere — the r10 verdict's ask #2.
+    "doc_ccnet_kn_buckets": 18,
+    # round-11 incremental ExactSubstr (measured 47): the same
+    # Manber–Myers walk as doc_exact_substr_spans, but over the
+    # base+delta corpus whose VERBATIM re-crawl duplicates keep rank
+    # classes tied to full depth — the prefix-doubling loop cannot
+    # early-exit, so the walk carries ALL log2(max_len) rounds (the
+    # spans entry's plan early-exits around half of them). Every extra
+    # exchange is an id-width refinement join on the FILTERED
+    # (delta-touching) pair frame, plus the plain per-doc length joins
+    # (never broadcast — corpus-cardinality), the m(p) groupBy, two
+    # per-doc merge windows, and the presentation sort. Depth stays
+    # log-bounded by max DOC length — corpus-size-invariant.
+    "doc_exact_substr_incremental": 47,
+    # round-11 URL bloom dedup (measured 6): the registry's bit_or
+    # word agg + its one-row pack (two tiny exchanges), the batch-side
+    # union spread, the url-keyed exact-truth join's exchanges, the
+    # 1-row summary agg, and the presentation sort; membership itself
+    # is a one-row-broadcast projection.
+    "doc_url_bloom_dedup": 6,
     # RRF hybrid fusion (measured 17): the BM25 side is
     # doc_bm25_multiquery's budgeted chain (input spread, the stats
     # pack, tf agg, token-partition df window, per-(query, doc) fold
@@ -740,6 +768,10 @@ EAGER_EXEMPT = {
     # round-10 ExactSubstr entries compose the same shared SA build
     "doc_exact_substr_spans",
     "doc_exact_substr_cleaned",
+    # round-11 incremental ExactSubstr builds ITS OWN base+delta SA
+    # (catalog_r11._XSI_MODELS — same eager prefix-doubling loop,
+    # memoized per session+sf, cleared per bench rep)
+    "doc_exact_substr_incremental",
 }
 
 

@@ -1,0 +1,279 @@
+"""Round-11 property tests: every new entry pinned against a
+pure-Python twin on PLANTED data, plus full oracle parity on the
+planted tables (the per-entry checklist's hard gate).
+
+- CCNet-over-KN buckets: bucket labels and rates must match a twin
+  that computes the identical cleared-rational KN expression and cuts
+  ntile terciles by explicit rank — proving the threshold-comparison
+  assignment is ntile-identical.
+- Incremental ExactSubstr: a planted cross-snapshot duplicate (delta
+  copying base text) and a verbatim re-crawl must produce exact spans;
+  a base-only duplicate must NOT appear (base is never re-emitted).
+- URL bloom dedup: verdicts must match a hashlib twin bit-for-bit,
+  exact_seen ⇒ bloom_seen (no false negatives — the bloom theorem),
+  and a MINED colliding URL must surface as a counted false positive.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from tests.compare import assert_frames_equal
+from tests.test_r10_properties import (
+    _kn_planted_texts,
+    _py_exact_substr,
+    _py_kn,
+    _write_documents,
+)
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets over the KN LM — twin-exact rates, ntile-identical cut
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_kn_buckets_match_python_twin_and_ntile(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+
+    texts = _kn_planted_texts()
+    sf = _write_documents(tmp_path, texts)
+    sdf = (
+        ENTRIES["doc_ccnet_kn_buckets"].spark(spark, sf).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_ccnet_kn_buckets"].oracle).df()
+    )
+
+    # twin: identical KN expression over the train split, identical
+    # rate, explicit-rank ntile buckets
+    toks = {d: t.split() for d, t in texts.items()}
+    train = {d: t for d, t in toks.items() if d % 10 != 0}
+    p, _, _, _ = _py_kn(train)
+    rates = {}
+    for d, t in toks.items():
+        grams = list(zip(t, t[1:]))
+        n_imp = sum(1 for w1, w2 in grams if p(w1, w2) < 0.025)
+        rates[d] = (n_imp / len(grams)) if grams else 0.0
+    order = sorted(rates, key=lambda d: (rates[d], d))
+    n = len(order)
+    k1 = n // 3 + min(n % 3, 1)
+    k2 = 2 * (n // 3) + min(n % 3, 2)
+    want_bucket = {
+        d: ("head" if i < k1 else "middle" if i < k2 else "tail")
+        for i, d in enumerate(order)
+    }
+    got = {r.doc_id: r for r in sdf.itertuples()}
+    assert set(got) == set(rates)
+    for d in rates:
+        assert got[d].improbable_rate == rates[d], d  # bit-for-bit
+        assert got[d].bucket == want_bucket[d], d
+    # the semantic point: the all-seen held-out doc (a train doc
+    # verbatim, lowest doc_id at rate 0.0) is head
+    assert got[0].bucket == "head"
+    # and all three buckets are populated at ntile sizes
+    sizes = sdf.bucket.value_counts().to_dict()
+    assert sizes["head"] == k1 and sizes["middle"] == k2 - k1
+
+
+def test_ccnet_kn_buckets_tercile_edges(spark, tmp_path):
+    """n % 3 != 0 edge: ntile gives the first buckets the extra rows —
+    the threshold cut must reproduce that exactly (4 docs → 2/1/1)."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+
+    texts = {
+        # train docs establish 'a b' as the only frequent transition
+        1: "a b a b a b",
+        2: "a b a b",
+        3: "a b xx1 yy1",
+        # held-out doc of unseen-context transitions → highest rate
+        0: "zz1 zz2 zz3 zz4",
+    }
+    sf = _write_documents(tmp_path, texts)
+    sdf = ENTRIES["doc_ccnet_kn_buckets"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_ccnet_kn_buckets"].oracle).df()
+    )
+    sizes = sdf.bucket.value_counts().to_dict()
+    assert sizes == {"head": 2, "middle": 1, "tail": 1}
+
+
+# ---------------------------------------------------------------------------
+# Incremental ExactSubstr — cross-snapshot spans, base never re-walked out
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_exact_substr_cross_snapshot(spark, tmp_path):
+    """Planted base+delta geometry (doc_id % 5 / % 25 framing):
+    - doc 4 (delta) copies a 60-token run from base doc 1 → span [0,60)
+      — the cross-snapshot duplicate the entry exists for;
+    - doc 0 (base, % 25 == 0) is re-crawled verbatim as 1000000 → the
+      re-crawl gets a full-length span;
+    - base docs 2/3 share a 55-token run — a base-only duplicate that
+      must NOT appear (base is never re-emitted);
+    - all spans match the brute-force twin over the combined corpus,
+      filtered to delta ids; full oracle parity on the planted table."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+
+    run60 = [f"dup{i}" for i in range(60)]
+    run55 = [f"bb{i}" for i in range(55)]
+    u60 = [f"uu{i}" for i in range(60)]
+    toks = {
+        0: u60,  # base, re-crawled as 1000000
+        1: [f"f1x{i}" for i in range(4)] + run60,  # base source of the copy
+        2: run55 + [f"f2y{i}" for i in range(3)],  # base-only dup pair
+        3: [f"f3x{i}" for i in range(5)] + run55,
+        4: run60 + [f"f4y{i}" for i in range(6)],  # delta, copies doc 1
+    }
+    texts = {d: " ".join(t) for d, t in toks.items()}
+    sf = _write_documents(tmp_path, texts)
+
+    sdf = (
+        ENTRIES["doc_exact_substr_incremental"].spark(spark, sf).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_exact_substr_incremental"].oracle).df()
+    )
+
+    combined = dict(toks)
+    combined[1000000] = toks[0]  # the re-crawl
+    _, py_spans, _ = _py_exact_substr(combined, 50)
+    delta_ids = {4, 1000000}
+    want = {
+        (d, s, e) for d, sp in py_spans.items() if d in delta_ids for s, e in sp
+    }
+    got = {(r.doc_id, r.span_start, r.span_end) for r in sdf.itertuples()}
+    assert got == want
+    # the planted geometry, explicitly
+    assert (4, 0, 60) in got  # cross-snapshot copy of base text
+    assert (1000000, 0, 60) in got  # verbatim re-crawl, full-length span
+    assert not {d for d, _, _ in got} - delta_ids  # base never emitted
+    # the base-only 55-token duplicate produced no output at all
+    assert py_spans[2] and py_spans[3]  # the twin DOES see it on base…
+    assert {d for d, _, _ in got} == delta_ids  # …but the entry never emits it
+
+
+def test_incremental_walk_filters_base_only_pairs(spark):
+    """The pair_filter hook: with a delta predicate, the adjacent-pair
+    frame the LCP walk consumes contains ONLY pairs touching a delta
+    position — the O(|delta|) walk claim, asserted on the frame
+    itself."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.operators.suffix import (
+        suffix_lcp_adjacent,
+        suffix_ranks,
+    )
+
+    docs = {
+        0: [f"x{i}" for i in range(8)],
+        1: [f"y{i}" for i in range(8)],
+        9: [f"z{i}" for i in range(8)],  # the "delta" doc
+    }
+    base = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, toks array<string>"
+    )
+    final, history, pos = suffix_ranks(base)
+    lens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    delta = lambda c: c == 9  # noqa: E731
+    pairs = suffix_lcp_adjacent(
+        final, history, pos, lens,
+        pair_filter=delta(F.col("d1")) | delta(F.col("d2")),
+    ).collect()
+    assert pairs  # the delta doc has neighbors
+    assert all(r.d1 == 9 or r.d2 == 9 for r in pairs)
+    n_all = len(
+        suffix_lcp_adjacent(final, history, pos, lens).collect()
+    )
+    assert len(pairs) < n_all  # strictly fewer pairs walked
+
+
+# ---------------------------------------------------------------------------
+# URL bloom dedup — hashlib twin, no-false-negative theorem, mined FP
+# ---------------------------------------------------------------------------
+
+_UB_M, _UB_K = 16384, 2
+_UB_URL = "https://corpus.example/doc/"
+
+
+def _py_bloom_positions(url: str) -> list[int]:
+    h = hashlib.md5(url.encode()).hexdigest()
+    return [int(h[8 * j : 8 * j + 8], 16) % _UB_M for j in range(_UB_K)]
+
+
+def _mine_colliding_delta_id(seen_bits: set[int]) -> int:
+    """Smallest doc_id ≡ 4 (mod 5) whose url's bloom positions are all
+    already set by the seen registry — a deterministic true false
+    positive (the same id every run: the scan is ascending)."""
+    c = 4
+    while True:
+        if all(p in seen_bits for p in _py_bloom_positions(f"{_UB_URL}{c}")):
+            return c
+        c += 5
+        if c > 50_000_000:  # pragma: no cover - sizing makes this unreachable
+            pytest.fail("no colliding id found")
+
+
+def test_url_bloom_dedup_twin_and_fp_audit(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+
+    # registry: 40 base ids (doc_id % 5 != 4); ids divisible by 25
+    # (0, 25) are re-crawled into the batch as exact-seen rows
+    base_ids = [i for i in range(50) if i % 5 != 4]
+    seen_bits = {
+        p
+        for i in base_ids
+        for p in _py_bloom_positions(f"{_UB_URL}{i}")
+    }
+    fp_id = _mine_colliding_delta_id(seen_bits)
+    ids = sorted(set(base_ids) | {i for i in range(50) if i % 5 == 4} | {fp_id})
+    texts = {i: f"doc body {i}" for i in ids}
+    sf = _write_documents(tmp_path, texts)
+
+    sdf = ENTRIES["doc_url_bloom_dedup"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_url_bloom_dedup"].oracle).df()
+    )
+
+    seen_urls = {f"{_UB_URL}{i}" for i in base_ids}
+    n_fp = 0
+    for r in sdf.itertuples():
+        want_bloom = all(p in seen_bits for p in _py_bloom_positions(r.url))
+        want_exact = r.url in seen_urls
+        assert bool(r.bloom_seen) == want_bloom, r.url
+        assert bool(r.exact_seen) == want_exact, r.url
+        assert bool(r.false_positive) == (want_bloom and not want_exact)
+        if want_exact:
+            assert r.bloom_seen  # a bloom filter NEVER false-negatives
+        n_fp += int(r.false_positive)
+    assert n_fp >= 1  # the mined collision genuinely fired
+    mined = sdf[sdf.doc_id == fp_id]
+    assert bool(mined.false_positive.iloc[0])
+    row = sdf.iloc[0]
+    n_new = int(row.n_new_exact)
+    assert int(row.n_false_positives) == n_fp
+    assert row.fp_rate == n_fp / n_new  # one IEEE division, bit-exact

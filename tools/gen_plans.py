@@ -21,6 +21,7 @@ import idh_etl_demo_spark.catalog_r8  # noqa: F401
 import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
+import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
