@@ -59,7 +59,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #  - embedding_pq_recall_audit (r9+r10; the recall-audit shape stays
 #    in-window via embedding_ivfpq_residual_recall_audit and
 #    embedding_nndescent_recall_audit — same brute-truth side)
-# Families after the swap: ztm 4, doc 21, embedding 9, multimodal 4,
+# Late round-11: the two IVM entries (orders_ivm_agg / orders_ivm_join
+# — the aggregate and bilinear join delta rules) take first-green
+# slots, displacing two more twice+-green rows:
+#  - embedding_ivfpq_multiprobe (r9+r10; the IVFPQ multiprobe serving
+#    path stays in-window via embedding_ivfpq_residual_search /
+#    _nprobe_audit / _rerank — embedding lands at 8, exactly its
+#    minimum)
+#  - orders_zorder_layout (r9+r10; a layout-stats audit with no
+#    family minimum, sweep-gated + property-pinned; first recall
+#    candidate for r12)
+# Families after the swap: ztm 4, doc 21, embedding 8, multimodal 4,
 # event 5 — all at or above minimums; window stays exactly 50.
 #
 # ROUND-10 ROTATION (the round-9 verdict's ask #3). Rotating IN the
@@ -130,6 +140,9 @@ DRIVER_PRIORITY: list[str] = [
     "doc_exact_substr_incremental",    # displaced doc_bm25_multiquery
     "doc_url_bloom_dedup",             # displaced doc_split_leakage_audit
     "ztm_stop_dim",                    # displaced embedding_ivfpq_adc_lut
+    # --- late round-11 NEW entries (first-green slots; the IVM pair) ---
+    "orders_ivm_agg",                  # displaced embedding_ivfpq_multiprobe
+    "orders_ivm_join",                 # displaced orders_zorder_layout
     # --- round-10 rotation-in: the seven never-driver-green entries ---
     # (each displaced row is named in the ROUND-10 header above)
     "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
@@ -283,7 +296,8 @@ DRIVER_PRIORITY: list[str] = [
     # embedding_kmeans_2iter, doc_bottomk_sketch, doc_chunk_overlap,
     # multimodal_frame_sample, events_hourly_anomalies) ---
     "embedding_ivfpq_residual_search",
-    "embedding_ivfpq_multiprobe",
+    # (embedding_ivfpq_multiprobe was slotted here r9-r10; rotated out
+    # late in r11 after its second green — see the ROUND-11 header)
     # (embedding_ivfpq_residual_recall_audit was slotted here with the
     # round-9 batch; displaced by the late round-9 orders_zorder_layout
     # — every component it audits stays driver-executed (residual
@@ -359,7 +373,8 @@ DRIVER_PRIORITY: list[str] = [
     # signal deferring — the r9 precedent)
     "lineitem_mad_outliers",
     "doc_suffix_dup_audit",
-    "orders_zorder_layout",
+    # (orders_zorder_layout was slotted here r9-r10; rotated out late
+    # in r11 after its second green — see the ROUND-11 header)
     # customer_price_trend, doc_dup_pagerank, doc_longest_dup_run,
     # lineitem_quantile_sketch, and doc_bm25_rrf (the final
     # late-round-9 batch) are NOT windowed this round: every remaining

@@ -191,6 +191,9 @@ HEADLINE = [
     "doc_exact_substr_incremental",
     # round 11: URL-level bloom dedup with the counting FP audit
     "doc_url_bloom_dedup",
+    # round 11: incremental view maintenance — aggregate + join delta rules
+    "orders_ivm_agg",
+    "orders_ivm_join",
 ]
 
 

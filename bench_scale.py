@@ -371,6 +371,15 @@ PROBES = [
     # one-row-broadcast membership projection whose 10× behavior
     # doc_decontamination_bloom's probe already carries; a separate
     # probe would re-measure both
+    # round-11 orders_ivm_join IS probed: the bilinear delta terms
+    # must track the orders scan (ΔO-side joins are delta-sized;
+    # O₀⋈ΔC probes base with a |ΔC|-row build) — a super-linear ratio
+    # would mean a term degenerated into base⋈base
+    "orders_ivm_join",
+    # round-11 orders_ivm_agg is NOT probed: its corpus stages are two
+    # map-side-combined per-key groupBys (the probed
+    # customer_price_trend shape) and the merge join sees |keys|-row
+    # aggregate states — a probe would re-measure the groupBy scan
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -658,3 +658,184 @@ def doc_url_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Incremental view maintenance — the delta rules that keep a 100 TB
+# materialization fresh without rescanning it
+# ===========================================================================
+#
+# The SCD2/CDC pair (catalog_r10) gates CHANGELOG semantics; this pair
+# gates the other half of lakehouse table maintenance: INCREMENTAL VIEW
+# MAINTENANCE (Blakeley et al. 1986; the DBSP/Materialize delta
+# algebra). Two classic rules, each PROVED by the oracle being the full
+# recompute — a value-hash match shows the incremental plan equals
+# rescanning from scratch, which is the entire IVM contract:
+#
+# - AGGREGATE maintenance: new_state = merge(old_state, agg(delta)) for
+#   self-mergeable aggregates (count/sum/min/max — avg derives from
+#   sum/count). count(distinct) is deliberately NOT here: it is not
+#   mergeable from per-batch states, which is exactly why the sketch
+#   entries (events_distinct_users_hll, orderkey_distinct_kmv) exist.
+# - JOIN maintenance: Δ(O ⋈ C) = ΔO⋈C₀ ∪ O₀⋈ΔC ∪ ΔO⋈ΔC — the bilinear
+#   delta rule; the maintained view is the base view plus the three
+#   delta terms, disjoint by construction when deltas are inserts of
+#   NEW keys.
+#
+# Deltas derive deterministically from the tables: orders with
+# o_orderkey % 7 == 0 are "today's inserts", customers with
+# c_custkey % 9 == 0 are "today's new accounts" (their orders are
+# backdated inserts too, else the join view would orphan them).
+
+
+@query(
+    "orders_ivm_agg",
+    """
+    select o_custkey,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) as bigint)
+             as total_cents,
+           cast(max(cast(round(o_totalprice * 100, 0) as bigint)) as bigint)
+             as max_cents,
+           sum(cast(round(o_totalprice * 100, 0) as bigint)) * 1.0 / count(*)
+             as avg_cents
+    from orders
+    group by o_custkey
+    order by o_custkey
+    """,
+)
+def orders_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE maintenance (section comment): the
+    maintained per-customer state is merge(agg(base), agg(delta)) —
+    counts and sums add, max takes the greatest, avg derives from the
+    merged sum/count — while the ORACLE recomputes the aggregate over
+    the full table. The driver's value-hash equality IS the IVM
+    theorem instance: maintaining the state from the delta equals
+    rescanning 100 TB, so you never rescan. Output: (o_custkey,
+    n_orders, total_cents, max_cents, avg_cents).
+
+    Engine parity: integer cents end to end; avg is ONE IEEE division
+    of two exact int64 merges (never a running float mean).
+
+    Scale shape: in production the base state is a STORED |keys|-row
+    table (here derived in-plan from the base split — the derivation
+    stands in for the stored snapshot); only the DELTA shuffles raw
+    rows (one map-side-combined groupBy), and the merge is a key-keyed
+    outer join of two aggregate states. Nothing rescans the base fact
+    table at maintenance time."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.max("cents").cast("long").alias("mx"),
+        )
+
+    base_state = agg_state(orders.filter(F.col("k") % 7 != 0))
+    delta_state = agg_state(orders.filter(F.col("k") % 7 == 0))
+    b = base_state.select(
+        "o_custkey",
+        F.col("n").alias("bn"),
+        F.col("s").alias("bs"),
+        F.col("mx").alias("bmx"),
+    )
+    d = delta_state.select(
+        "o_custkey",
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+        F.col("mx").alias("dmx"),
+    )
+    merged = b.join(d, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce("bs", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+        .cast("long")
+        .alias("total_cents"),
+        F.greatest(
+            F.coalesce("bmx", F.lit(-(1 << 62))),
+            F.coalesce("dmx", F.lit(-(1 << 62))),
+        )
+        .cast("long")
+        .alias("max_cents"),
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "total_cents",
+        "max_cents",
+        (
+            F.col("total_cents").cast("double")
+            / F.col("n_orders").cast("double")
+        ).alias("avg_cents"),
+    ).orderBy("o_custkey")
+
+
+@query(
+    "orders_ivm_join",
+    """
+    select o.o_orderkey, o.o_custkey,
+           cast(c.c_nationkey as bigint) as c_nationkey,
+           c.c_mktsegment,
+           cast(round(o.o_totalprice * 100, 0) as bigint) as cents
+    from orders o join customer c on c.c_custkey = o.o_custkey
+    order by o.o_orderkey
+    """,
+)
+def orders_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (section comment): the
+    orders⋈customer view is maintained as base_view ∪ ΔO⋈C₀ ∪ O₀⋈ΔC ∪
+    ΔO⋈ΔC — the bilinear delta rule — while the oracle recomputes the
+    full join; value-hash equality proves the three delta terms
+    recover every new row exactly once. Deltas: ΔO = orders with
+    o_orderkey % 7 == 0 plus EVERY order of a new customer (a new
+    account's orders arrive with it); ΔC = customers with
+    c_custkey % 9 == 0. The terms are disjoint by construction (an
+    order row is base or delta, never both; a customer key is old or
+    new), pinned by the property test. Output: one row per joined
+    order, (o_orderkey, o_custkey, c_nationkey, c_mktsegment, cents).
+
+    Scale shape: the base view is STORED in production (here derived
+    in-plan as Ob⋈Cb — the stand-in for the materialization); at
+    maintenance time ΔO⋈C₀ and ΔO⋈ΔC shuffle only the delta orders
+    against the (bucketed/broadcastable) customer dimension, and
+    O₀⋈ΔC probes the base orders with a |ΔC|-row build side — no term
+    rescans base⋈base. The union is append-only, the Delta/Iceberg
+    incremental-refresh shape."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+    )
+    new_cust = F.col("c_custkey") % 9 == 0
+    c_base = cust.filter(~new_cust)
+    c_delta = cust.filter(new_cust)
+    # an order is delta if it is today's insert OR belongs to a new
+    # customer (whose whole history arrives with the account)
+    o_is_delta = (F.col("o_orderkey") % 7 == 0) | (
+        F.col("o_custkey") % 9 == 0
+    )
+    o_base = orders.filter(~o_is_delta)
+    o_delta = orders.filter(o_is_delta)
+
+    def term(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(
+            c, o["o_custkey"] == c["c_custkey"], "inner"
+        ).select("o_orderkey", "o_custkey", "c_nationkey", "c_mktsegment", "cents")
+
+    base_view = term(o_base, c_base)
+    view = (
+        base_view.unionByName(term(o_delta, c_base))
+        .unionByName(term(o_base, c_delta))
+        .unionByName(term(o_delta, c_delta))
+    )
+    return view.orderBy("o_orderkey")

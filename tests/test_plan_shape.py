@@ -656,6 +656,20 @@ SHUFFLE_BUDGETS = {
     # 1-row summary agg, and the presentation sort; membership itself
     # is a one-row-broadcast projection.
     "doc_url_bloom_dedup": 6,
+    # round-11 IVM aggregate maintenance (measured 3): two map-side-
+    # combined per-custkey groupBys (base state stand-in + delta) and
+    # the presentation sort; the state merge is a full_outer
+    # SortMergeJoin that REUSES the groupBys' key partitioning (both
+    # sides are |keys|-row aggregate states — a full outer join cannot
+    # broadcast, and at scale co-partitioned SMJ over two state tables
+    # is exactly the shape wanted).
+    "orders_ivm_agg": 3,
+    # round-11 IVM join maintenance (measured 1): the four bilinear
+    # terms are broadcast hash joins against the 1,500-row customer
+    # dimension at test SF (at scale ΔO⋈C terms shuffle only delta
+    # rows; O₀⋈ΔC probes with a |ΔC|-row build side); the one counted
+    # exchange is the presentation sort.
+    "orders_ivm_join": 1,
     # RRF hybrid fusion (measured 17): the BM25 side is
     # doc_bm25_multiquery's budgeted chain (input spread, the stats
     # pack, tf agg, token-partition df window, per-(query, doc) fold

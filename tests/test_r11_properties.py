@@ -277,3 +277,123 @@ def test_url_bloom_dedup_twin_and_fp_audit(spark, tmp_path):
     n_new = int(row.n_new_exact)
     assert int(row.n_false_positives) == n_fp
     assert row.fp_rate == n_fp / n_new  # one IEEE division, bit-exact
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance — delta rules proved against recompute
+# ---------------------------------------------------------------------------
+
+
+def _write_orders_customer(tmp_path, orders_rows, customer_rows):
+    """orders_rows: (o_orderkey, o_custkey, o_totalprice);
+    customer_rows: (c_custkey, c_nationkey, c_mktsegment)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(orders_rows)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders_rows], type=pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders_rows], type=pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array([r[2] for r in orders_rows], type=pa.float64()),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2024, 1, 1)] * n, type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+                "o_clerk": pa.array(["c"] * n),
+                "o_shippriority": pa.array([0] * n, type=pa.int32()),
+                "o_comment": pa.array([""] * n),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    m = len(customer_rows)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in customer_rows], type=pa.int64()),
+                "c_name": pa.array([f"cust{r[0]}" for r in customer_rows]),
+                "c_nationkey": pa.array([r[1] for r in customer_rows], type=pa.int32()),
+                "c_acctbal": pa.array([0.0] * m, type=pa.float64()),
+                "c_mktsegment": pa.array([r[2] for r in customer_rows]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_ivm_agg_merge_equals_recompute(spark, tmp_path):
+    """The merged (base ⊎ delta) aggregate state must equal a full
+    recompute — with both splits genuinely non-empty per key class:
+    a key with only base rows, only delta rows (o_orderkey % 7 == 0),
+    and a mix; avg must be the exact division of merged int64 sums."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+
+    orders = [
+        (1, 100, 10.00),   # base (1 % 7 != 0)
+        (2, 100, 20.00),   # base
+        (7, 100, 40.00),   # delta (7 % 7 == 0) → mixed key 100
+        (14, 200, 5.50),   # delta-only key 200
+        (3, 300, 7.25),    # base-only key 300
+        (21, 200, 4.50),   # second delta row for 200
+    ]
+    sf = _write_orders_customer(tmp_path, orders, [(100, 1, "SEG")])
+    sdf = ENTRIES["orders_ivm_agg"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view orders as select * from read_parquet('{sf}/orders.parquet')"
+    )
+    assert_frames_equal(sdf, con.execute(ENTRIES["orders_ivm_agg"].oracle).df())
+
+    got = {r.o_custkey: r for r in sdf.itertuples()}
+    assert (got[100].n_orders, got[100].total_cents, got[100].max_cents) == (
+        3, 7000, 4000,
+    )
+    assert (got[200].n_orders, got[200].total_cents) == (2, 1000)
+    assert got[300].n_orders == 1
+    assert got[100].avg_cents == 7000 / 3  # exact division of merged sums
+
+
+def test_ivm_join_terms_are_disjoint_and_complete(spark, tmp_path):
+    """The bilinear delta terms must recover the full join exactly once
+    per row: a new customer's BACKDATED orders (the ΔO-includes-new-
+    customers rule), an old customer's delta order, and an orphan order
+    with no customer row (inner join drops it)."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+
+    customers = [
+        (1, 10, "OLD"),    # base customer (1 % 9 != 0)
+        (9, 20, "NEW"),    # delta customer (9 % 9 == 0)
+    ]
+    orders = [
+        (1, 1, 10.00),     # base order, old customer  → Ob⋈Cb
+        (7, 1, 20.00),     # delta order, old customer → ΔO⋈Cb
+        (2, 9, 30.00),     # backdated order of the NEW customer → ΔO⋈ΔC
+        (7000, 9, 40.00),  # %7 delta order of the new customer  → ΔO⋈ΔC
+        (3, 555, 50.00),   # orphan: no customer row → dropped
+    ]
+    sf = _write_orders_customer(tmp_path, orders, customers)
+    sdf = ENTRIES["orders_ivm_join"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view orders as select * from read_parquet('{sf}/orders.parquet')"
+    )
+    con.execute(
+        f"create view customer as select * from read_parquet('{sf}/customer.parquet')"
+    )
+    assert_frames_equal(sdf, con.execute(ENTRIES["orders_ivm_join"].oracle).df())
+
+    # exactly-once recovery: every joined order appears once, no dupes
+    assert sorted(sdf.o_orderkey) == [1, 2, 7, 7000]
+    assert len(sdf.o_orderkey.unique()) == len(sdf)
+    # the orphan never joined
+    assert 3 not in set(sdf.o_orderkey)
+    # the new customer's backdated order came through the ΔO⋈ΔC term
+    assert set(sdf[sdf.o_custkey == 9].o_orderkey) == {2, 7000}
