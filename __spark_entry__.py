@@ -71,6 +71,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #    candidate for r12)
 # Families after the swap: ztm 4, doc 21, embedding 8, multimodal 4,
 # event 5 — all at or above minimums; window stays exactly 50.
+# Final round-11 batch: doc_lsh_tuning_audit (the S-curve banding
+# design table) and lineitem_winsorized_stats (nearest-rank percentile
+# clipping over the per-flag bucketed rank) take first-green slots,
+# displacing two more twice+-green rows:
+#  - doc_winnow_fingerprints (r9+r10; the rolling-hash gram window
+#    shape stays sweep-gated with its property tests, and the
+#    gram-hashing machinery stays driver-exercised via the in-window
+#    setsim/decontamination-family entries)
+#  - doc_suffix_dup_audit (r9+r10; the prefix-doubling SA build it
+#    gates stays driver-exercised by FOUR in-window consumers —
+#    doc_longest_dup_run, both exact_substr entries, and the
+#    incremental entry's own build)
+# doc family lands at 20, still above its minimum of 18.
 #
 # ROUND-10 ROTATION (the round-9 verdict's ask #3). Rotating IN the
 # seven never-driver-green entries, all named candidates in NOTES_r9 §7
@@ -143,6 +156,8 @@ DRIVER_PRIORITY: list[str] = [
     # --- late round-11 NEW entries (first-green slots; the IVM pair) ---
     "orders_ivm_agg",                  # displaced embedding_ivfpq_multiprobe
     "orders_ivm_join",                 # displaced orders_zorder_layout
+    "doc_lsh_tuning_audit",            # displaced doc_winnow_fingerprints
+    "lineitem_winsorized_stats",       # displaced doc_suffix_dup_audit
     # --- round-10 rotation-in: the seven never-driver-green entries ---
     # (each displaced row is named in the ROUND-10 header above)
     "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
@@ -348,7 +363,8 @@ DRIVER_PRIORITY: list[str] = [
     # embedding family stays at 14 in-window, far above its minimum
     # of 8)
     "embedding_d4_curation",
-    "doc_winnow_fingerprints",
+    # (doc_winnow_fingerprints was slotted here r9-r10; rotated out
+    # late in r11 after its second green — see the ROUND-11 header)
     "doc_bm25_mmr",
     # --- late round-9 entries (displacements annotated in place
     # above: doc_simhash60_neardup, events_distinct_users_hll,
@@ -372,7 +388,8 @@ DRIVER_PRIORITY: list[str] = [
     # is a checkpoint scan, and its r9 green stands with the second
     # signal deferring — the r9 precedent)
     "lineitem_mad_outliers",
-    "doc_suffix_dup_audit",
+    # (doc_suffix_dup_audit was slotted here r9-r10; rotated out late
+    # in r11 after its second green — see the ROUND-11 header)
     # (orders_zorder_layout was slotted here r9-r10; rotated out late
     # in r11 after its second green — see the ROUND-11 header)
     # customer_price_trend, doc_dup_pagerank, doc_longest_dup_run,

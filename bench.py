@@ -194,6 +194,9 @@ HEADLINE = [
     # round 11: incremental view maintenance — aggregate + join delta rules
     "orders_ivm_agg",
     "orders_ivm_join",
+    # round 11: LSH S-curve tuning audit + per-group winsorization
+    "doc_lsh_tuning_audit",
+    "lineitem_winsorized_stats",
 ]
 
 

@@ -380,6 +380,15 @@ PROBES = [
     # map-side-combined per-key groupBys (the probed
     # customer_price_trend shape) and the merge join sees |keys|-row
     # aggregate states — a probe would re-measure the groupBy scan
+    # round-11 doc_lsh_tuning_audit is NOT probed: its corpus stages
+    # are the probed doc_minhash_candidates banding (×4 configs) and
+    # the probed doc_ngram_jaccard truth chain; a probe would
+    # re-measure both — and its brute-force half lives only in the
+    # oracle
+    # round-11 lineitem_winsorized_stats is NOT probed: ONE per-flag
+    # bucketed ranking pass — exactly half of the probed
+    # lineitem_mad_outliers shape (ratio 1.8 this round) plus a
+    # map-side clip groupBy
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

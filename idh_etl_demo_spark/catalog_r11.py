@@ -839,3 +839,311 @@ def orders_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(term(o_delta, c_delta))
     )
     return view.orderBy("o_orderkey")
+
+
+# ===========================================================================
+# LSH parameter tuning — the S-curve, measured per configuration
+# ===========================================================================
+#
+# Banded MinHash's collision probability is the S-curve
+# P(candidate | jaccard j) = 1 − (1 − j^r)^b: rows-per-band r sets the
+# curve's steepness (precision), band count b its left shift (recall).
+# Choosing (b, r) is THE design decision of LSH dedup at 100 TB — too
+# loose and the verification join drowns in candidates, too strict and
+# near-dups survive. This audit MEASURES the trade on the real corpus:
+# for every (b, r) split of the same 12-hash signature it counts
+# candidates, hits against the exact-Jaccard truth set (the
+# doc_ngram_jaccard chain, threshold 0.5), misses, and the resulting
+# precision/recall — the table a production sizing review reads before
+# committing a banding. Uncapped buckets: the audit measures the pure
+# S-curve (the hot-bucket CAP is a separate production knob whose
+# recall loss doc_lsh_audit already measures).
+#
+# The 12-hash grid is nested so subset relations are THEOREMS the
+# property test pins: a (3,4) collision (4 aligned agreeing rows)
+# always contains a complete (6,2) band, and a (2,6) collision a
+# complete (4,3) band — so candidates(2,6) ⊆ candidates(4,3) ⊆
+# candidates(6,2) and candidates(3,4) ⊆ candidates(6,2); candidate
+# counts and recall are monotone along those chains.
+
+_LSH_GRID = [(2, 6), (3, 4), (4, 3), (6, 2)]  # (bands, rows) · 12 hashes
+
+
+def _lsh_tuning_sql() -> str:
+    import idh_etl_demo_spark.catalog_llm as llm
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.functions.hashing import (
+        MERSENNE_31,
+        MINHASH_PARAMS,
+    )
+
+    h = llm._MD5_LONG.format(x="s")
+    sig_cols = ", ".join(
+        f"coalesce(list_min(list_transform(sh, s -> ({a} * ({h} % {MERSENNE_31})"
+        f" + {b}) % {MERSENNE_31})), {MERSENNE_31}) as mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:12])
+    )
+    pair_cols = ", ".join(
+        f"a.mh{i} as a{i}, b.mh{i} as b{i}" for i in range(12)
+    )
+
+    def collide(bands: int, rows: int) -> str:
+        terms = []
+        for bidx in range(bands):
+            eqs = " and ".join(
+                f"a{bidx * rows + r} = b{bidx * rows + r}" for r in range(rows)
+            )
+            terms.append(f"({eqs})")
+        return " or ".join(terms)
+
+    legs = []
+    for bands, rows in _LSH_GRID:
+        c = collide(bands, rows)
+        legs.append(f"""
+    select {bands}::bigint as bands, {rows}::bigint as rows_per_band,
+           cast(sum(case when {c} then 1 else 0 end) as bigint) as n_candidates,
+           (select n_true from tc) as n_true_pairs,
+           cast(sum(case when ({c}) and is_true then 1 else 0 end) as bigint)
+             as n_hits,
+           (select n_true from tc)
+             - cast(sum(case when ({c}) and is_true then 1 else 0 end) as bigint)
+             as n_missed,
+           case when sum(case when {c} then 1 else 0 end) > 0
+                then sum(case when ({c}) and is_true then 1 else 0 end) * 1.0
+                     / sum(case when {c} then 1 else 0 end)
+                else 0.0 end as precision,
+           case when (select n_true from tc) > 0
+                then sum(case when ({c}) and is_true then 1 else 0 end) * 1.0
+                     / (select n_true from tc)
+                else 0.0 end as recall
+    from marked""")
+        # the ORACLE is the brute-force pair predicate (all doc pairs,
+        # band agreement evaluated directly on the signature columns) —
+        # the banding bucket-join lives only on the Spark side, so the
+        # hash gate proves banding ≡ the S-curve predicate corpus-wide
+    truth = ENTRIES["doc_ngram_jaccard"].oracle
+    return f"""
+    with truth0 as (select id_a, id_b from ({truth})),
+    tc as (select count(*)::bigint as n_true from truth0),
+    docs as (select doc_id, {llm._WORDS} as words from documents),
+    sets as (select doc_id, {llm._SHINGLES3} as sh from docs),
+    sigs as (select doc_id, {sig_cols} from sets),
+    pairs as (
+      select a.doc_id as id_a, b.doc_id as id_b, {pair_cols}
+      from sigs a join sigs b on a.doc_id < b.doc_id
+    ),
+    marked as (
+      select p.*, t.id_a is not null as is_true
+      from pairs p left join truth0 t
+        on t.id_a = p.id_a and t.id_b = p.id_b
+    )
+    select * from ({' union all '.join(legs)})
+    order by bands
+    """
+
+
+@query("doc_lsh_tuning_audit", _lsh_tuning_sql())
+def doc_lsh_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve measured per (bands, rows) configuration of the
+    same 12-hash MinHash signature (section comment): candidate count,
+    hits against the exact-Jaccard ≥ 0.5 truth set, misses, precision
+    and recall — one row per grid point, the banding-design table.
+    (4, 3) is doc_minhash_candidates' production configuration, so its
+    row prices the shipped choice against both neighbors.
+
+    The Spark side generates candidates with the REAL banding machinery
+    (bucket group-then-expand, operators/dedup.minhash_lsh_candidates,
+    uncapped); the oracle evaluates band agreement as a brute-force
+    predicate over all signature pairs — hash equality proves the
+    bucket join realizes exactly the S-curve predicate.
+
+    Scale shape: per configuration one banding pass (signature
+    projection + band-key groupBy + in-bucket expand — the probed
+    doc_minhash_candidates shape) and one candidate-keyed join against
+    the truth set; the truth chain is the probed doc_ngram_jaccard
+    shingle equi-join computed once (exchange reuse covers repeated
+    references). Counts are |pairs|-bounded; precision/recall are
+    single IEEE divisions of exact int64 counts."""
+    from idh_etl_demo_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.5, num_partitions=par
+    ).select("id_a", "id_b")
+    tc = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    legs = []
+    for bands, rows in _LSH_GRID:
+        cand = minhash_lsh_candidates(
+            docs, num_hashes=12, bands=bands, num_partitions=par,
+            max_bucket=None,
+        )
+        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        nh = (
+            cand.join(truth, ["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        legs.append(
+            nc.crossJoin(F.broadcast(nh)).select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_hits",
+            )
+        )
+    grid = legs[0]
+    for leg in legs[1:]:
+        grid = grid.unionByName(leg)
+    return (
+        grid.crossJoin(F.broadcast(tc))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            (F.col("n_true_pairs") - F.col("n_hits"))
+            .cast("long")
+            .alias("n_missed"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+        )
+        .orderBy("bands")
+    )
+
+
+# ===========================================================================
+# Robust winsorization — nearest-rank percentile clipping per group
+# ===========================================================================
+#
+# The MAD entry flags outliers; feature PREPROCESSING usually clips
+# them instead (winsorization at p01/p99) so a fat tail cannot dominate
+# a normalization or a loss. Exact nearest-rank percentiles — integer
+# ranks lo = (n−1)//100 + 1 and hi = (99·(n−1))//100 + 1 over sorted
+# cents, pure int64 arithmetic in both engines — found with the same
+# per-flag two-phase bucketed rank as lineitem_mad_outliers (no
+# 3-value partition key ever funnels a sort).
+
+
+@query(
+    "lineitem_winsorized_stats",
+    """
+    with src as (
+      select l_returnflag as flag,
+             cast(round(l_extendedprice * 100, 0) as bigint) as cents
+      from lineitem
+    ),
+    r as (
+      select flag, cents,
+             row_number() over (partition by flag order by cents) as rn,
+             count(*) over (partition by flag) as n
+      from src
+    ),
+    bounds as (
+      select flag, max(n) as n,
+             max(case when rn = (n - 1) // 100 + 1 then cents end) as lo,
+             max(case when rn = (99 * (n - 1)) // 100 + 1 then cents end) as hi
+      from r group by flag
+    )
+    select s.flag,
+           cast(b.n as bigint) as n,
+           cast(b.lo as bigint) as p01_cents,
+           cast(b.hi as bigint) as p99_cents,
+           cast(sum(case when s.cents < b.lo then 1 else 0 end) as bigint)
+             as n_clipped_low,
+           cast(sum(case when s.cents > b.hi then 1 else 0 end) as bigint)
+             as n_clipped_high,
+           cast(sum(s.cents) as bigint) as sum_cents,
+           cast(sum(least(greatest(s.cents, b.lo), b.hi)) as bigint)
+             as sum_winsorized_cents
+    from src s join bounds b using (flag)
+    group by s.flag, b.n, b.lo, b.hi
+    order by s.flag
+    """,
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag winsorization audit (section comment): exact
+    nearest-rank p01/p99 price-cents bounds, the clip counts on each
+    side, and the raw vs winsorized sums — the before/after a feature
+    pipeline records when it clips a fat tail. Output: (flag, n,
+    p01_cents, p99_cents, n_clipped_low, n_clipped_high, sum_cents,
+    sum_winsorized_cents), all int64.
+
+    Scale shape: ONE per-flag two-phase bucketed ranking pass
+    (lineitem_mad_outliers' shape — extrema-derived buckets,
+    per-(flag, bucket) local windows, 3×256-row offset cumsum) finds
+    both bounds; the clip pass is a projection + one map-side-combined
+    groupBy against the 3-row broadcast bounds. The oracle ranks with
+    a plain per-flag window — the independent (single-sort) derivation
+    of the same nearest-rank values."""
+    from idh_etl_demo_spark.catalog_r10 import _flag_bucketed_rank
+
+    src = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    n_tab = src.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = _flag_bucketed_rank(src, "cents").join(F.broadcast(n_tab), "flag")
+    bounds = (
+        ranked.filter(
+            (F.col("gr") == F.expr("(n - 1) div 100 + 1"))
+            | (F.col("gr") == F.expr("(99 * (n - 1)) div 100 + 1"))
+        )
+        .groupBy("flag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(
+                F.when(
+                    F.col("gr") == F.expr("(n - 1) div 100 + 1"),
+                    F.col("cents"),
+                )
+            ).cast("long").alias("lo"),
+            F.max(
+                F.when(
+                    F.col("gr") == F.expr("(99 * (n - 1)) div 100 + 1"),
+                    F.col("cents"),
+                )
+            ).cast("long").alias("hi"),
+        )
+    )
+    w = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        src.join(F.broadcast(bounds), "flag")
+        .groupBy("flag", "n", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum(w).cast("long").alias("sum_winsorized_cents"),
+        )
+        .select(
+            "flag",
+            "n",
+            F.col("lo").alias("p01_cents"),
+            F.col("hi").alias("p99_cents"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "sum_cents",
+            "sum_winsorized_cents",
+        )
+        .orderBy("flag")
+    )

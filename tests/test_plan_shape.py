@@ -670,6 +670,21 @@ SHUFFLE_BUDGETS = {
     # rows; O₀⋈ΔC probes with a |ΔC|-row build side); the one counted
     # exchange is the presentation sort.
     "orders_ivm_join": 1,
+    # round-11 LSH tuning audit (measured 25): four banding passes
+    # (per config: the 12-hash signature projection's input spread,
+    # the band-key groupBy, the candidate distinct — the probed
+    # doc_minhash_candidates shape) + the exact-Jaccard truth chain
+    # (shingle groupBy + pair agg, computed once — exchange reuse
+    # covers repeated references at runtime) + per-config hit joins
+    # and 1-row count aggs + the 4-row grid union and presentation
+    # sort. Everything past the scans is |pairs|-bounded.
+    "doc_lsh_tuning_audit": 25,
+    # round-11 winsorization (measured 8): ONE per-flag two-phase
+    # bucketed ranking pass (extrema agg + bucket-local window +
+    # 3×256-row offset cumsum — lineitem_mad_outliers' shape), the
+    # 3-row n agg, the clip groupBy against the broadcast bounds, and
+    # the presentation sort.
+    "lineitem_winsorized_stats": 8,
     # RRF hybrid fusion (measured 17): the BM25 side is
     # doc_bm25_multiquery's budgeted chain (input spread, the stats
     # pack, tf agg, token-partition df window, per-(query, doc) fold

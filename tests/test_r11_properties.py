@@ -397,3 +397,177 @@ def test_ivm_join_terms_are_disjoint_and_complete(spark, tmp_path):
     assert 3 not in set(sdf.o_orderkey)
     # the new customer's backdated order came through the ΔO⋈ΔC term
     assert set(sdf[sdf.o_custkey == 9].o_orderkey) == {2, 7000}
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning audit — hashlib twin, nested-grid monotonicity theorems
+# ---------------------------------------------------------------------------
+
+
+def _py_minhash_sigs(text: str):
+    from idh_etl_demo_spark.functions.hashing import (
+        MERSENNE_31,
+        MINHASH_PARAMS,
+    )
+
+    words = " ".join(text.lower().strip().split()).split(" ")
+    sh = sorted({" ".join(words[i : i + 3]) for i in range(len(words) - 2)})
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MERSENNE_31
+        for s in sh
+    ]
+    return [
+        min(((a * h + b) % MERSENNE_31 for h in hs), default=MERSENNE_31)
+        for a, b in MINHASH_PARAMS[:12]
+    ]
+
+
+def _py_jaccard(t1: str, t2: str) -> float:
+    def sh(t):
+        w = " ".join(t.lower().strip().split()).split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    a, b = sh(t1), sh(t2)
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_lsh_tuning_audit_twin_and_nested_monotonicity(spark, tmp_path):
+    """Every grid row must match a hashlib twin evaluating band
+    agreement directly on the signatures, and the nested-grid subset
+    THEOREMS must hold: candidates(2,6) ⊆ candidates(4,3) ⊆
+    candidates(6,2) and candidates(3,4) ⊆ candidates(6,2) — a 4-aligned
+    (or 6-aligned, 3-aligned) agreeing row block always contains a
+    complete finer band. Planted corpus: near-identical pairs at
+    graded overlap so configs genuinely differ."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+    from idh_etl_demo_spark.catalog_r11 import _LSH_GRID
+
+    base = [f"w{i}" for i in range(40)]
+    texts = {
+        0: " ".join(base),                                  # original
+        1: " ".join(base),                                  # exact dup
+        2: " ".join(base[:30] + [f"x{i}" for i in range(10)]),  # ~0.6 overlap
+        3: " ".join(base[:15] + [f"y{i}" for i in range(25)]),  # ~0.2 overlap
+        4: " ".join(f"z{i}" for i in range(40)),            # unrelated
+    }
+    sf = _write_documents(tmp_path, texts)
+    sdf = ENTRIES["doc_lsh_tuning_audit"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_lsh_tuning_audit"].oracle).df()
+    )
+
+    sigs = {d: _py_minhash_sigs(t) for d, t in texts.items()}
+    ids = sorted(texts)
+    pairs = [(a, b) for a in ids for b in ids if a < b]
+    true_pairs = {p for p in pairs if _py_jaccard(texts[p[0]], texts[p[1]]) >= 0.5}
+
+    def cands(bands, rows):
+        out = set()
+        for a, b in pairs:
+            for bi in range(bands):
+                seg = slice(bi * rows, (bi + 1) * rows)
+                if sigs[a][seg] == sigs[b][seg]:
+                    out.add((a, b))
+                    break
+        return out
+
+    got = {(r.bands, r.rows_per_band): r for r in sdf.itertuples()}
+    cand_sets = {}
+    for bands, rows in _LSH_GRID:
+        c = cands(bands, rows)
+        cand_sets[(bands, rows)] = c
+        r = got[(bands, rows)]
+        assert r.n_candidates == len(c), (bands, rows)
+        assert r.n_true_pairs == len(true_pairs)
+        assert r.n_hits == len(c & true_pairs)
+        assert r.n_missed == len(true_pairs - c)
+        want_p = len(c & true_pairs) / len(c) if c else 0.0
+        want_r = len(c & true_pairs) / len(true_pairs) if true_pairs else 0.0
+        assert r.precision == want_p and r.recall == want_r
+    # the exact dup must collide in EVERY config; the unrelated doc in none
+    for c in cand_sets.values():
+        assert (0, 1) in c
+        assert not any(4 in p for p in c)
+    # nested subset theorems
+    assert cand_sets[(2, 6)] <= cand_sets[(4, 3)] <= cand_sets[(6, 2)]
+    assert cand_sets[(3, 4)] <= cand_sets[(6, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — nearest-rank bounds, clip counts, sums vs a twin
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_stats_twin_and_edges(spark, tmp_path):
+    """Planted fat tail: bounds must be the exact nearest-rank VALUES,
+    clip counts must count strictly-outside rows, and the winsorized
+    sum must equal the twin's clipped sum; a small group (n < 100)
+    degenerates to lo = min (rank 1) without clipping the low side."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+
+    # flag A: 200 rows 1.00..2.99 plus one huge outlier; flag B: 5 rows
+    rows, k = [], 1
+    a_cents = []
+    for i in range(200):
+        price = 1.0 + i / 100.0
+        a_cents.append(round(price * 100))
+        rows.append((k, 1, "A", price)); k += 1
+    rows.append((k, 1, "A", 9999.99)); a_cents.append(999999); k += 1
+    b_prices = [5.0, 1.0, 3.0, 2.0, 4.0]
+    for p in b_prices:
+        rows.append((k, 2, "B", p)); k += 1
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                "l_linenumber": pa.array([r[1] for r in rows], type=pa.int32()),
+                "l_returnflag": pa.array([r[2] for r in rows]),
+                "l_extendedprice": pa.array([r[3] for r in rows], type=pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    sf = str(tmp_path)
+    sdf = ENTRIES["lineitem_winsorized_stats"].spark(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view lineitem as select * from read_parquet('{sf}/lineitem.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["lineitem_winsorized_stats"].oracle).df()
+    )
+
+    def twin(cents):
+        s = sorted(cents)
+        n = len(s)
+        lo = s[(n - 1) // 100]          # rank (n-1)//100 + 1, 0-indexed
+        hi = s[(99 * (n - 1)) // 100]
+        clipped = [min(max(c, lo), hi) for c in cents]
+        return (
+            n, lo, hi,
+            sum(1 for c in cents if c < lo),
+            sum(1 for c in cents if c > hi),
+            sum(cents), sum(clipped),
+        )
+
+    got = {r.flag: r for r in sdf.itertuples()}
+    for flag, cents in (("A", a_cents), ("B", [round(p * 100) for p in b_prices])):
+        n, lo, hi, ncl, nch, sc, sw = twin(cents)
+        r = got[flag]
+        assert (r.n, r.p01_cents, r.p99_cents) == (n, lo, hi), flag
+        assert (r.n_clipped_low, r.n_clipped_high) == (ncl, nch), flag
+        assert (r.sum_cents, r.sum_winsorized_cents) == (sc, sw), flag
+    # the fat tail was actually clipped: winsorized < raw for A
+    assert got["A"].sum_winsorized_cents < got["A"].sum_cents
+    # small group: lo is the minimum, nothing clips low
+    assert got["B"].p01_cents == 100 and got["B"].n_clipped_low == 0
