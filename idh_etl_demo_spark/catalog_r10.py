@@ -482,6 +482,74 @@ def doc_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kn_scored_stream(
+    hg: DataFrame, c12, c1, cont, disc, label: str = "scoring"
+) -> DataFrame:
+    """(doc_id, unseen, pkn) for a bigram stream ``hg`` under the
+    trained KN count tables — the three-branch backoff case (seen
+    context+word / unseen word / unseen context) with the 2^52
+    exactness guard, shared by the held-out surprisal entry and the
+    round-11 all-docs CCNet scorer so both price transitions through
+    the IDENTICAL expression tree."""
+    bound = F.lit(float(2**52))
+    return (
+        hg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(disc))
+        .select(
+            "doc_id",
+            F.col("c12").isNull().alias("unseen"),
+            F.when(
+                F.col("c1").isNull(),
+                F.coalesce(F.col("ncont"), F.lit(0)).cast("double")
+                / F.col("ntot").cast("double"),
+            )
+            .when(F.col("ncont").isNull(), F.lit(0.0))
+            .otherwise(
+                F.when(
+                    (
+                        F.greatest(
+                            F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
+                            - F.col("dn"),
+                            F.lit(0),
+                        ).cast("double")
+                        < bound
+                    )
+                    & (
+                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
+                            "double"
+                        )
+                        < bound
+                    )
+                    & ((F.col("dd") * F.col("c1")).cast("double") < bound),
+                    F.greatest(
+                        F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
+                        - F.col("dn"),
+                        F.lit(0),
+                    ).cast("double")
+                    / (F.col("dd") * F.col("c1")).cast("double")
+                    + (
+                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
+                            "double"
+                        )
+                        / (F.col("dd") * F.col("c1")).cast("double")
+                    )
+                    / F.col("ntot").cast("double"),
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"kneser-ney exactness bound exceeded ({label}): "
+                            "rescale the cleared-discount counts"
+                        )
+                    ).cast("double")
+                )
+            )
+            .alias("pkn"),
+        )
+    )
+
+
 @query(
     "doc_kn_surprisal_rate",
     f"""
@@ -550,65 +618,7 @@ def doc_kn_surprisal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _sa_base(spark, sf_dir)
     ho = base.filter(F.col("doc_id") % 10 == 0)
     hg = _bigram_stream(ho)
-    scored = (
-        hg.join(c12, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .join(cont, "w2", "left")
-        .crossJoin(F.broadcast(disc))
-        .select(
-            "doc_id",
-            F.col("c12").isNull().alias("unseen"),
-            F.when(
-                F.col("c1").isNull(),
-                F.coalesce(F.col("ncont"), F.lit(0)).cast("double")
-                / F.col("ntot").cast("double"),
-            )
-            .when(F.col("ncont").isNull(), F.lit(0.0))
-            .otherwise(
-                F.when(
-                    (
-                        F.greatest(
-                            F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
-                            - F.col("dn"),
-                            F.lit(0),
-                        ).cast("double")
-                        < F.lit(float(2**52))
-                    )
-                    & (
-                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
-                            "double"
-                        )
-                        < F.lit(float(2**52))
-                    )
-                    & (
-                        (F.col("dd") * F.col("c1")).cast("double")
-                        < F.lit(float(2**52))
-                    ),
-                    F.greatest(
-                        F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
-                        - F.col("dn"),
-                        F.lit(0),
-                    ).cast("double")
-                    / (F.col("dd") * F.col("c1")).cast("double")
-                    + (
-                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
-                            "double"
-                        )
-                        / (F.col("dd") * F.col("c1")).cast("double")
-                    )
-                    / F.col("ntot").cast("double"),
-                ).otherwise(
-                    F.raise_error(
-                        F.lit(
-                            "kneser-ney exactness bound exceeded (scoring): "
-                            "rescale the cleared-discount counts"
-                        )
-                    ).cast("double")
-                )
-            )
-            .alias("pkn"),
-        )
-    )
+    scored = _kn_scored_stream(hg, c12, c1, cont, disc)
     perdoc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum(F.col("unseen").cast("long")).cast("long").alias("n_unseen"),

@@ -49,6 +49,7 @@ from idh_etl_demo_spark.catalog_r10 import (
     _XS_T,
     _bigram_stream,
     _kn_parts,
+    _kn_scored_stream,
     _xs_oracle_m,
 )
 
@@ -77,70 +78,6 @@ from idh_etl_demo_spark.catalog_r10 import (
 # lexicographic threshold COMPARISON against them. Identical output
 # contract to ntile because the (rate asc, doc_id asc) order is total:
 # rank ≤ k  ⟺  (rate, doc_id) ≤ boundary-row-at-k.
-
-
-def _kn_scored_stream(hg: DataFrame, c12, c1, cont, disc) -> DataFrame:
-    """(doc_id, unseen, pkn) for a bigram stream ``hg`` under the
-    trained KN tables — the three-branch backoff case of
-    catalog_r10.doc_kn_surprisal_rate with its 2^52 exactness guard,
-    shared so the all-docs scorer prices transitions IDENTICALLY."""
-    bound = F.lit(float(2**52))
-    return (
-        hg.join(c12, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .join(cont, "w2", "left")
-        .crossJoin(F.broadcast(disc))
-        .select(
-            "doc_id",
-            F.col("c12").isNull().alias("unseen"),
-            F.when(
-                F.col("c1").isNull(),
-                F.coalesce(F.col("ncont"), F.lit(0)).cast("double")
-                / F.col("ntot").cast("double"),
-            )
-            .when(F.col("ncont").isNull(), F.lit(0.0))
-            .otherwise(
-                F.when(
-                    (
-                        F.greatest(
-                            F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
-                            - F.col("dn"),
-                            F.lit(0),
-                        ).cast("double")
-                        < bound
-                    )
-                    & (
-                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
-                            "double"
-                        )
-                        < bound
-                    )
-                    & ((F.col("dd") * F.col("c1")).cast("double") < bound),
-                    F.greatest(
-                        F.coalesce(F.col("c12"), F.lit(0)) * F.col("dd")
-                        - F.col("dn"),
-                        F.lit(0),
-                    ).cast("double")
-                    / (F.col("dd") * F.col("c1")).cast("double")
-                    + (
-                        (F.col("dn") * F.col("n1p") * F.col("ncont")).cast(
-                            "double"
-                        )
-                        / (F.col("dd") * F.col("c1")).cast("double")
-                    )
-                    / F.col("ntot").cast("double"),
-                ).otherwise(
-                    F.raise_error(
-                        F.lit(
-                            "kneser-ney exactness bound exceeded (ccnet "
-                            "scoring): rescale the cleared-discount counts"
-                        )
-                    ).cast("double")
-                )
-            )
-            .alias("pkn"),
-        )
-    )
 
 
 @query(
@@ -228,7 +165,7 @@ def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _sa_base(spark, sf_dir)
     hg = _bigram_stream(base)
     perdoc = (
-        _kn_scored_stream(hg, c12, c1, cont, disc)
+        _kn_scored_stream(hg, c12, c1, cont, disc, label="ccnet scoring")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
