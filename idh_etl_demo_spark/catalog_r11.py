@@ -889,20 +889,25 @@ def doc_lsh_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row prices the shipped choice against both neighbors.
 
     The Spark side generates candidates with the REAL banding machinery
-    (bucket group-then-expand, operators/dedup.minhash_lsh_candidates,
-    uncapped); the oracle evaluates band agreement as a brute-force
-    predicate over all signature pairs — hash equality proves the
-    bucket join realizes exactly the S-curve predicate.
+    (the operator's group-then-expand shape), run as ONE pass: every
+    configuration's band keys are prefixed with its config id and
+    exploded from the SAME signature frame, so the corpus is signed
+    once and one band-key groupBy serves all four grid points — per
+    config the keys (and therefore buckets, pairs, candidates) are
+    identical to a standalone minhash_lsh_candidates run, uncapped.
+    The oracle evaluates band agreement as a brute-force predicate
+    over all signature pairs — hash equality proves the bucket join
+    realizes exactly the S-curve predicate.
 
-    Scale shape: per configuration one banding pass (signature
-    projection + band-key groupBy + in-bucket expand — the probed
-    doc_minhash_candidates shape) and one candidate-keyed join against
-    the truth set; the truth chain is the probed doc_ngram_jaccard
-    shingle equi-join computed once (exchange reuse covers repeated
-    references). Counts are |pairs|-bounded; precision/recall are
-    single IEEE divisions of exact int64 counts."""
+    Scale shape: one signature projection over the corpus (not one
+    per config), one config-prefixed band-key groupBy + in-bucket
+    expand + per-config distinct, ONE candidate-keyed join against the
+    truth set (the probed doc_ngram_jaccard shingle equi-join), and
+    two 4-row config rollups. Counts are |pairs|-bounded;
+    precision/recall are single IEEE divisions of exact int64
+    counts."""
     from idh_etl_demo_spark.operators.dedup import (
-        minhash_lsh_candidates,
+        minhash_signature_cols,
         ngram_jaccard_pairs,
     )
 
@@ -912,30 +917,73 @@ def doc_lsh_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=0.5, num_partitions=par
     ).select("id_a", "id_b")
     tc = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    legs = []
+    sigs = minhash_signature_cols(docs.repartition(par), "text", 12)
+    band_cols = []
     for bands, rows in _LSH_GRID:
-        cand = minhash_lsh_candidates(
-            docs, num_hashes=12, bands=bands, num_partitions=par,
-            max_bucket=None,
-        )
-        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        nh = (
-            cand.join(truth, ["id_a", "id_b"])
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-        )
-        legs.append(
-            nc.crossJoin(F.broadcast(nh)).select(
-                F.lit(bands).cast("long").alias("bands"),
-                F.lit(rows).cast("long").alias("rows_per_band"),
-                "n_candidates",
-                "n_hits",
+        for b in range(bands):
+            band_cols.append(
+                F.concat_ws(
+                    "_",
+                    F.lit(f"{bands}x{rows}"),
+                    F.lit(b),
+                    *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+                )
             )
+    # explode_outer + filter, like the operator: explode's implicit
+    # non-empty filter would re-evaluate the signature expressions
+    # below the repartition exchange
+    banded = sigs.select(
+        "doc_id", F.explode_outer(F.array(*band_cols)).alias("band_key")
+    ).filter(F.col("band_key").isNotNull())
+    grouped = (
+        banded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda y: F.struct(
+                    F.get(ids, i - 1).alias("id_a"), y.alias("id_b")
+                ),
+            ),
         )
-    grid = legs[0]
-    for leg in legs[1:]:
-        grid = grid.unionByName(leg)
+    )
+    cand = (
+        grouped.select(
+            F.split(F.col("band_key"), "_").getItem(0).alias("cfg"),
+            F.explode(combos).alias("p"),
+        )
+        .select("cfg", "p.id_a", "p.id_b")
+        .distinct()
+    )
+    counts = cand.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hits = (
+        cand.join(truth, ["id_a", "id_b"])
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    grid = spark.createDataFrame(
+        [(f"{b}x{r}", b, r) for b, r in _LSH_GRID],
+        "cfg string, bands long, rows_per_band long",
+    )
     return (
-        grid.crossJoin(F.broadcast(tc))
+        grid.join(F.broadcast(counts), "cfg", "left")
+        .join(F.broadcast(hits), "cfg", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(tc))
         .select(
             "bands",
             "rows_per_band",

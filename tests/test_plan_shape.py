@@ -670,15 +670,15 @@ SHUFFLE_BUDGETS = {
     # rows; O₀⋈ΔC probes with a |ΔC|-row build side); the one counted
     # exchange is the presentation sort.
     "orders_ivm_join": 1,
-    # round-11 LSH tuning audit (measured 25): four banding passes
-    # (per config: the 12-hash signature projection's input spread,
-    # the band-key groupBy, the candidate distinct — the probed
-    # doc_minhash_candidates shape) + the exact-Jaccard truth chain
-    # (shingle groupBy + pair agg, computed once — exchange reuse
-    # covers repeated references at runtime) + per-config hit joins
-    # and 1-row count aggs + the 4-row grid union and presentation
-    # sort. Everything past the scans is |pairs|-bounded.
-    "doc_lsh_tuning_audit": 25,
+    # round-11 LSH tuning audit (measured 11, down from 25 when each
+    # config ran its own banding pass): ONE signature projection's
+    # input spread feeds a single config-prefixed band-key groupBy +
+    # per-config candidate distinct for all four grid points, then the
+    # exact-Jaccard truth chain (shingle groupBy + pair agg), ONE
+    # candidate-keyed hit join, two 4-row config rollups, and the
+    # presentation sort. Everything past the scans is |pairs|-bounded;
+    # the corpus is signed once, not once per config.
+    "doc_lsh_tuning_audit": 11,
     # round-11 winsorization (measured 8): ONE per-flag two-phase
     # bucketed ranking pass (extrema agg + bucket-local window +
     # 3×256-row offset cumsum — lineitem_mad_outliers' shape), the
