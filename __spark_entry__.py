@@ -28,6 +28,7 @@ import idh_etl_demo_spark.catalog_r9  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r10  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r11  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r11b  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -143,8 +144,15 @@ DRIVER_PRIORITY: list[str] = [
     "ztm_delay_fact",
     "ztm_weather_dim",
     "pricing_summary",
-    # --- streaming representative ---
-    "doc_streaming_snapshot_curation",
+    # (doc_streaming_snapshot_curation was slotted here r4-r11 as the
+    # streaming representative; displaced late in r11 by
+    # events_key_skew_audit after SEVEN driver greens — the r9 "only
+    # streaming driver surface" rationale is obsolete since r10 put
+    # three native streaming machines in-window
+    # (events_streaming_sessions, events_streaming_attribution,
+    # events_stateful_running_totals); the foreachBatch-MERGE +
+    # file-stream watermark-dedup shape stays sweep-gated with its
+    # property tests, and doc family lands at 18, exactly its minimum)
     # (embedding_pq_recall_audit was slotted here r9-r10; rotated out
     # in r11 after its second green — see the ROUND-11 header)
     # --- round-11 NEW entries (first-green slots; r10 verdict asks
@@ -158,6 +166,13 @@ DRIVER_PRIORITY: list[str] = [
     "orders_ivm_join",                 # displaced orders_zorder_layout
     "doc_lsh_tuning_audit",            # displaced doc_winnow_fingerprints
     "lineitem_winsorized_stats",       # displaced doc_suffix_dup_audit
+    # --- late round-11 NEW entries (first-green slots; the r11b
+    # batch: hierarchical rollup cascade, chi-square snapshot drift,
+    # key-skew/salting audit) — displacements annotated in place at
+    # the displaced rows ---
+    "events_rollup_cascade",           # displaced events_gap_fill
+    "orders_chisq_drift",              # displaced doc_bm25_mmr
+    "events_key_skew_audit",           # displaced doc_streaming_snapshot_curation
     # --- round-10 rotation-in: the seven never-driver-green entries ---
     # (each displaced row is named in the ROUND-10 header above)
     "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
@@ -238,7 +253,12 @@ DRIVER_PRIORITY: list[str] = [
     # events/user surface), HLL stays green in the oracle sweep, and
     # it is a named candidate for the r10 recall rotation; event
     # family stays at 5, exactly its minimum, counting the KMV entry)
-    "events_gap_fill",
+    # (events_gap_fill was slotted here r9-r11; displaced late in r11
+    # by events_rollup_cascade after its THIRD driver green (r7, r9,
+    # r10) — the calendar-spine time-bucketing shape stays
+    # driver-exercised by the rollup cascade itself (hour/day/week
+    # grains over the same events surface), and event family RISES to
+    # 6 with the r11b pair)
     # --- round-8 first-greens: second hard signal ---
     # (doc_bpe_token_counts was slotted here for its r8 second signal;
     # displaced by the late round-9 doc_suffix_array — its r8 driver
@@ -365,7 +385,11 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_d4_curation",
     # (doc_winnow_fingerprints was slotted here r9-r10; rotated out
     # late in r11 after its second green — see the ROUND-11 header)
-    "doc_bm25_mmr",
+    # (doc_bm25_mmr was slotted here r9-r11; displaced late in r11 by
+    # orders_chisq_drift after its second driver green (r9 + r10) —
+    # its BM25 scoring chain IS doc_bm25_rrf's BM25 side (in-window),
+    # the MMR diversity tail stays sweep- and property-gated, and doc
+    # family stays at its minimum of 18 counting the r11b swaps)
     # --- late round-9 entries (displacements annotated in place
     # above: doc_simhash60_neardup, events_distinct_users_hll,
     # embedding_nndescent_recall_audit, doc_bpe_token_counts,

@@ -37,6 +37,7 @@ import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
+import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -197,6 +198,10 @@ HEADLINE = [
     # round 11: LSH S-curve tuning audit + per-group winsorization
     "doc_lsh_tuning_audit",
     "lineitem_winsorized_stats",
+    # appended late round 11 (the r11b batch)
+    "events_rollup_cascade",
+    "orders_chisq_drift",
+    "events_key_skew_audit",
 ]
 
 

@@ -38,6 +38,7 @@ import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
+import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -389,6 +390,20 @@ PROBES = [
     # bucketed ranking pass — exactly half of the probed
     # lineitem_mad_outliers shape (ratio 1.8 this round) plus a
     # map-side clip groupBy
+    # round-11b events_rollup_cascade IS probed: the claim is that ONLY
+    # the hour groupBy sees raw and every coarser grain re-aggregates
+    # calendar-bounded partials — the 10× ratio must track the events
+    # scan; a super-linear ratio would mean a cascade step re-scanned
+    # event-cardinality data
+    "events_rollup_cascade",
+    # round-11b orders_chisq_drift IS probed: one map-side bin groupBy
+    # over the year-filtered scan with bounded (15-bin) everything
+    # after — the cheapest possible linearity check on a new scan shape
+    "orders_chisq_drift",
+    # round-11b events_key_skew_audit is NOT probed: its single
+    # raw-seeing exchange is the same composite-key map-side groupBy
+    # the probed customer_price_trend / rollup-cascade shapes carry;
+    # everything downstream is |keys|-bounded rollups of those partials
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

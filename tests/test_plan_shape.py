@@ -22,6 +22,7 @@ import idh_etl_demo_spark.catalog_r9  # noqa: F401
 import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
+import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -695,6 +696,23 @@ SHUFFLE_BUDGETS = {
     # and presentation sort. Rankers share the matched-term rows —
     # the corpus is exploded once per side, never per query.
     "doc_bm25_rrf": 17,
+    # round-11b hierarchical rollup cascade (measured 4): the hour
+    # groupBy is the ONLY raw-seeing exchange (map-side combined);
+    # the day and week groupBys re-shuffle the previous grain's
+    # calendar-bounded partials (|hours|·|types| then |days|·|types|
+    # rows), and the presentation sort sees the 3-grain union.
+    "events_rollup_cascade": 4,
+    # round-11b chi-square drift audit (measured 3): one map-side-
+    # combined bin groupBy over the year-filtered fact scan, the
+    # 15-row bin table's 1-row totals agg (attached back as a
+    # broadcast), and the presentation sort — totals never re-scan raw.
+    "orders_chisq_drift": 3,
+    # round-11b key-skew audit (measured 6): raw crosses ONE exchange
+    # (the composite (event_type, user_id) pre-agg); both per-key load
+    # rollups and the per-key-name totals agg reuse those partials
+    # (3 tiny exchanges), the hot filter joins the 2-row totals
+    # broadcast, and the union's presentation sort closes it out.
+    "events_key_skew_audit": 6,
 }
 
 
