@@ -173,6 +173,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_rollup_cascade",           # displaced events_gap_fill
     "orders_chisq_drift",              # displaced doc_bm25_mmr
     "events_key_skew_audit",           # displaced doc_streaming_snapshot_curation
+    "doc_containment_join",            # displaced doc_leakage_safe_split
+    "doc_langid_confusion",            # displaced events_kmv_set_ops
     # --- round-10 rotation-in: the seven never-driver-green entries ---
     # (each displaced row is named in the ROUND-10 header above)
     "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
@@ -355,7 +357,14 @@ DRIVER_PRIORITY: list[str] = [
     # via doc_winnow_fingerprints; its r9 green stands and the second
     # signal defers, the r9 precedent)
     "doc_setsim_prefix_audit",
-    "doc_leakage_safe_split",
+    # (doc_leakage_safe_split was slotted here r9-r11; displaced late
+    # in r11 by doc_containment_join after its second driver green
+    # (r9 + r10) — the deterministic base/delta hash-split framing
+    # stays driver-exercised by the in-window
+    # doc_exact_substr_incremental and doc_url_bloom_dedup, the
+    # leakage-overlap audit semantics stay sweep- and property-gated,
+    # and doc family lands at 19 counting the r11b swaps, above its
+    # minimum of 18)
     # (doc_split_leakage_audit was slotted here r9-r10; rotated out in
     # r11 after its second green — see the ROUND-11 header)
     # (embedding_prototype_pruning was slotted here for its r9 second
@@ -403,7 +412,14 @@ DRIVER_PRIORITY: list[str] = [
     # driver-exercised; embedding family stays at 12, above its
     # minimum of 8)
     "doc_temperature_mixture",
-    "events_kmv_set_ops",
+    # (events_kmv_set_ops was slotted here r9-r11; displaced late in
+    # r11 by doc_langid_confusion after its second driver green
+    # (r9 + r10) — the mergeable-sketch niche stays driver-exercised
+    # by the in-window lineitem_quantile_sketch, the bottom-k distinct
+    # path stays sweep-gated (orderkey_distinct_kmv,
+    # events_distinct_users_hll) with its exact-small-set property
+    # tests, and event family lands at 5, exactly its minimum,
+    # counting the r11b pair)
     # (doc_suffix_array was slotted here with the r9 batch; displaced
     # in r10 by lineitem_mad_outliers — the prefix-doubling build it
     # gates stays driver-exercised by FOUR in-window consumers

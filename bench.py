@@ -202,6 +202,8 @@ HEADLINE = [
     "events_rollup_cascade",
     "orders_chisq_drift",
     "events_key_skew_audit",
+    "doc_containment_join",
+    "doc_langid_confusion",
 ]
 
 

@@ -404,6 +404,15 @@ PROBES = [
     # raw-seeing exchange is the same composite-key map-side groupBy
     # the probed customer_price_trend / rollup-cascade shapes carry;
     # everything downstream is |keys|-bounded rollups of those partials
+    # round-11b doc_containment_join IS probed: the asymmetric filter
+    # joins prefix(A) against the FULL shingle stream, so candidate
+    # slots are Σ prefix_df·df — a hot full-side shingle is exactly
+    # the regression this probe exists to catch before production
+    "doc_containment_join",
+    # round-11b doc_langid_confusion is NOT probed: the classifier is
+    # a projection and the single corpus exchange is a ≤36-cell
+    # groupBy — the probed doc_lang_id-family scan shape with strictly
+    # less downstream work
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

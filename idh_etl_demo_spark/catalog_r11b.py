@@ -483,3 +483,252 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot.unionByName(summary).orderBy(
         "kind", "key_name", F.desc("n_events_key"), "key_value"
     )
+
+
+# ===========================================================================
+# Prefix-filtered set-CONTAINMENT self-join — asymmetric near-dup
+# ===========================================================================
+#
+# The Jaccard join (doc_setsim_prefix_join) is blind to INCLUSION: a
+# short document quoted wholesale inside a much larger one has
+# |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| — far under any symmetric
+# threshold. Containment C(A→B) = |A∩B| / |A| ≥ t is the predicate
+# dedup pipelines use for quote/boilerplate/inclusion mining (Broder's
+# original resemblance/containment pair, SSJoin §4), and it has its
+# own prefix-filter theorem: if C(A→B) ≥ t then A shares ≥ ⌈t·|A|⌉
+# elements with B, so at least one of A's p = |A| − ⌈t·|A|⌉ + 1
+# rarest-first prefix elements appears in B — candidates are
+# prefix(A) ⋈ FULL-stream(B) on the shingle (only the probe side is
+# prefix-truncated; the indexed side must stay complete because the
+# match may sit anywhere in B). The oracle is the all-ordered-pairs
+# brute force, so every run re-proves the asymmetric filter's
+# completeness corpus-wide.
+
+_CONT_T_NUM, _CONT_T_DEN = 4, 5  # containment threshold t = 0.8, rational
+
+
+def _cont_oracle_prelude() -> str:
+    from idh_etl_demo_spark.catalog_r10 import _SSIM_SETS_SQL
+
+    return _SSIM_SETS_SQL
+
+
+@query(
+    "doc_containment_join",
+    f"""
+    with {_cont_oracle_prelude()},
+    pairs as (
+      select a.doc_id as id_small, b.doc_id as id_big,
+             cast(len(list_intersect(a.ts, b.ts)) as bigint) as inter,
+             a.s as s_small, b.s as s_big
+      from ne a join ne b on a.doc_id != b.doc_id
+    )
+    select id_small, id_big, inter,
+           cast(s_small as bigint) as s_small,
+           cast(s_big as bigint) as s_big,
+           cast(inter as double) / cast(s_small as double) as containment
+    from pairs
+    where {_CONT_T_DEN} * inter >= {_CONT_T_NUM} * s_small
+    order by id_small, id_big
+    """,
+)
+def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment ≥ 0.8 self-join over 5-shingle sets (section
+    comment): ordered pairs (id_small ⊆~ id_big) where at least 80% of
+    the small document's shingles appear in the big one — the
+    asymmetric inclusion relation the symmetric Jaccard join cannot
+    see. Candidates come from the probe side's rarest-first prefix
+    (p = s − ⌈t·s⌉ + 1 shingles) joined against the FULL shingle
+    stream; verification counts exact intersections on candidate pairs
+    only; the threshold is the integer cross-multiplication
+    5·inter ≥ 4·s_small (no float boundary). The oracle is the
+    all-ordered-pairs brute force — the gate re-proves the asymmetric
+    prefix filter's completeness theorem on the real corpus every run.
+
+    Scale shape: same skeleton as doc_setsim_prefix_join — one df
+    groupBy, one per-doc prefix window over id+hash rows, and
+    candidate expansion Σ prefix_df(gh)·df(gh) (the full-side postings
+    are the price of asymmetry; rarest-first prefixes keep the probe
+    side of every bucket small, and a hot full-side shingle shows up
+    in the budget gate before it hurts). Sizes derive from the
+    exploded stream and join as PLAIN hash joins (corpus-cardinality,
+    never broadcast). Full sets never shuffle; text never leaves the
+    scan."""
+    from pyspark.sql import Window
+
+    from idh_etl_demo_spark.catalog_r10 import _ssim_streams
+
+    stream, sizes = _ssim_streams(spark, sf_dir)
+    df_tab = stream.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    prefix = (
+        stream.join(df_tab, "gh")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gh"))
+            ),
+        )
+        .withColumn(
+            "p",
+            F.col("s")
+            - F.expr(
+                f"({_CONT_T_NUM} * s + {_CONT_T_DEN - 1}) div {_CONT_T_DEN}"
+            )
+            + 1,
+        )
+        .filter(F.col("rn") <= F.col("p"))
+        .select(F.col("doc_id").alias("id_small"), "gh")
+    )
+    cand = (
+        prefix.join(stream.select(F.col("doc_id").alias("id_big"), "gh"), "gh")
+        .filter(F.col("id_small") != F.col("id_big"))
+        .select("id_small", "id_big")
+        .distinct()
+    )
+    ta = stream.select(F.col("doc_id").alias("id_small"), "gh")
+    tb = stream.select(F.col("doc_id").alias("id_big"), "gh")
+    inter = (
+        cand.join(ta, "id_small")
+        .join(tb, ["id_big", "gh"])
+        .groupBy("id_small", "id_big")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_small"), F.col("s").alias("s_small")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_big"), F.col("s").alias("s_big")
+    )
+    return (
+        inter.join(sa, "id_small")
+        .join(sb, "id_big")
+        .filter(
+            _CONT_T_DEN * F.col("inter") >= _CONT_T_NUM * F.col("s_small")
+        )
+        .select(
+            "id_small",
+            "id_big",
+            "inter",
+            F.col("s_small").cast("long").alias("s_small"),
+            F.col("s_big").cast("long").alias("s_big"),
+            (
+                F.col("inter").cast("double")
+                / F.col("s_small").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("id_small", "id_big")
+    )
+
+
+# ===========================================================================
+# Language-ID confusion matrix — classifier evaluation as a table
+# ===========================================================================
+#
+# The documents table carries GROUND-TRUTH language labels, and
+# doc_lang_id predicts from marker-token counts — so the corpus
+# supports the evaluation table every curation pipeline keeps next to
+# its classifier: the confusion matrix, normalized both ways. Each
+# (lang_true, lang_pred) cell carries its count, its row share
+# (n / n_true — per-class RECALL on the diagonal, miss distribution
+# off it) and its column share (n / n_pred — per-class PRECISION on
+# the diagonal, contamination off it). Both shares are one exact
+# int64→double division each, identical trees both engines.
+
+
+def _langid_confusion_sql() -> str:
+    from idh_etl_demo_spark.catalog_llm import _WORDS
+    from idh_etl_demo_spark.operators.text import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(toks, w -> w in ({inlist}))) as score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    label = "'und'"
+    for l in reversed(langs):
+        label = (
+            f"case when score_{l} = {best} and {best} > 0 "
+            f"then '{l}' else {label} end"
+        )
+    return f"""
+    with base as (
+      select lang, list_filter({_WORDS}, w -> w != '') as toks
+      from documents
+    ),
+    scored as (select lang, {", ".join(score_cols)} from base),
+    pred as (select lang as lang_true, {label} as lang_pred from scored),
+    conf as (
+      select lang_true, lang_pred, count(*)::bigint as n_docs
+      from pred group by 1, 2
+    ),
+    rt as (
+      select lang_true, cast(sum(n_docs) as bigint) as n_true
+      from conf group by 1
+    ),
+    ct as (
+      select lang_pred, cast(sum(n_docs) as bigint) as n_pred
+      from conf group by 1
+    )
+    select lang_true, lang_pred, n_docs, n_true, n_pred,
+           (lang_true = lang_pred) as is_correct,
+           cast(n_docs as double) / cast(n_true as double) as recall_share,
+           cast(n_docs as double) / cast(n_pred as double) as precision_share
+    from conf join rt using (lang_true) join ct using (lang_pred)
+    order by lang_true, lang_pred
+    """
+
+
+@query("doc_langid_confusion", _langid_confusion_sql())
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the doc_lang_id heuristic against the
+    documents table's ground-truth labels (section comment): per
+    (lang_true, lang_pred) cell, the count, the recall-normalized row
+    share and the precision-normalized column share — diagonal cells
+    read directly as per-class recall/precision, off-diagonal cells as
+    the miss/contamination distribution a curation pipeline uses to
+    decide whether the classifier is safe for a language split.
+
+    Scale shape: the classifier is a projection (marker-count argmax —
+    no shuffle); the corpus crosses ONE map-side-combined exchange
+    (the (true, pred) groupBy, cells bounded by (|langs|+1)²); row and
+    column totals re-aggregate the cell table and join back as
+    BROADCASTS (bounded by |langs|+1 rows — a legitimate broadcast,
+    unlike per-doc tables); the presentation sort sees cells only."""
+    from idh_etl_demo_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pred = language_id(docs).select(
+        F.col("lang").alias("lang_true"), "lang_pred"
+    )
+    conf = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rt = conf.groupBy("lang_true").agg(
+        F.sum("n_docs").cast("long").alias("n_true")
+    )
+    ct = conf.groupBy("lang_pred").agg(
+        F.sum("n_docs").cast("long").alias("n_pred")
+    )
+    return (
+        conf.join(F.broadcast(rt), "lang_true")
+        .join(F.broadcast(ct), "lang_pred")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            "n_true",
+            "n_pred",
+            (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
+            (F.col("n_docs").cast("double") / F.col("n_true").cast("double"))
+            .alias("recall_share"),
+            (F.col("n_docs").cast("double") / F.col("n_pred").cast("double"))
+            .alias("precision_share"),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )

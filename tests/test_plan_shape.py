@@ -713,6 +713,19 @@ SHUFFLE_BUDGETS = {
     # (3 tiny exchanges), the hot filter joins the 2-row totals
     # broadcast, and the union's presentation sort closes it out.
     "events_key_skew_audit": 6,
+    # round-11b containment join (measured 6): the setsim skeleton
+    # with the probe-side-only prefix — df groupBy, the per-doc prefix
+    # window's id+hash spread, the prefix×full-stream candidate
+    # distinct, the pair-keyed intersection agg (sizes ride the
+    # stream's own exchanges as plain hash joins, never broadcast),
+    # and the presentation sort.
+    "doc_containment_join": 6,
+    # round-11b language-ID confusion matrix (measured 5): the
+    # classifier is a pure projection; the corpus crosses ONE exchange
+    # (the (true, pred) cell groupBy), the row/column totals
+    # re-aggregate the ≤(|langs|+1)² cell table (two tiny exchanges,
+    # joined back as bounded broadcasts), and the presentation sort.
+    "doc_langid_confusion": 5,
 }
 
 

@@ -303,3 +303,148 @@ def test_key_skew_audit_twin_and_threshold_edge(spark, tmp_path):
     # divisibility)
     hot = got[got.kind == "hot_key"]
     assert (hot.post_salt_share_ppm <= 1_000_000 // P).all()
+
+
+# ---------------------------------------------------------------------------
+# Containment join
+# ---------------------------------------------------------------------------
+
+
+def _write_documents_lang(tmp_path, rows):
+    """rows: (doc_id, text, lang)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_containment_join_twin_asymmetry_and_boundary(spark, tmp_path):
+    """A short doc quoted wholesale inside a long one must surface here
+    (containment 1.0) while staying INVISIBLE to the symmetric Jaccard
+    ≥ 0.7 join (the asymmetry theorem); a pair at EXACTLY the 0.8
+    threshold is included (≥); everything matches a brute-force twin
+    over python shingle sets, plus full oracle parity."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    import idh_etl_demo_spark.catalog_r11b  # noqa: F401
+
+    big = [f"b{i}" for i in range(40)]          # doc 2: 36 shingles
+    small = big[10:25]                           # doc 1: 15 toks, 11 shingles ⊂ big
+    d_toks = [f"d{i}" for i in range(14)]        # doc 3: 10 shingles
+    # doc 4: D's first 12 tokens (8 of D's shingles) + unique junk —
+    # containment(D→E) = 8/10 = EXACTLY the threshold
+    e_toks = d_toks[:12] + [f"j{i}" for i in range(10)]
+    other = [f"x{i}" for i in range(20)]         # doc 5: unrelated
+    texts = {
+        1: " ".join(small),
+        2: " ".join(big),
+        3: " ".join(d_toks),
+        4: " ".join(e_toks),
+        5: " ".join(other),
+    }
+    sf = _write_documents_lang(
+        tmp_path, [(k, v, "en") for k, v in sorted(texts.items())]
+    )
+    entry = ENTRIES["doc_containment_join"]
+    got = entry.spark(spark, sf).toPandas()
+    assert_frames_equal(got, _oracle_df(sf, "documents", entry))
+
+    # twin: brute force over python 5-gram shingle sets
+    W = 5
+
+    def shingles(toks):
+        return {
+            tuple(toks[i : i + W]) for i in range(len(toks) - W + 1)
+        }
+
+    sets = {k: shingles(v.split()) for k, v in texts.items()}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if 5 * inter >= 4 * len(sets[a]):
+                expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    got_pairs = {
+        (r.id_small, r.id_big): (r.inter, r.s_small, r.s_big)
+        for r in got.itertuples(index=False)
+    }
+    assert got_pairs == expect
+    # the quote pair: containment 1.0, and the boundary pair at 0.8
+    assert got_pairs[(1, 2)] == (11, 11, 36)
+    # the boundary pair sits EXACTLY at 5·inter == 4·s_small
+    assert got_pairs[(3, 4)][0] * 5 == 4 * got_pairs[(3, 4)][1]
+    assert got_pairs[(3, 4)] == (8, 10, 18)
+    row = got[(got.id_small == 1) & (got.id_big == 2)].iloc[0]
+    assert row.containment == 1.0
+
+    # asymmetry: Jaccard(1,2) = 11/36 < 0.7 → the symmetric join is
+    # blind to the inclusion this entry exists to catch
+    jac = ENTRIES["doc_setsim_prefix_join"].spark(spark, sf).toPandas()
+    assert not (
+        ((jac.id_a == 1) & (jac.id_b == 2))
+        | ((jac.id_a == 2) & (jac.id_b == 1))
+    ).any()
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def test_langid_confusion_twin_and_shares(spark, tmp_path):
+    """Planted corpus with a known confusion structure: correct en/fr
+    docs, one fr-labeled doc written with English markers (an (fr, en)
+    cell), one marker-free doc (an 'und' column); counts and both
+    normalizations must match the hand twin, diagonal shares read as
+    per-class recall/precision."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11b  # noqa: F401
+
+    rows = [
+        (1, "the and of to in something", "en"),
+        (2, "the and of it is for", "en"),
+        (3, "le la les et est une", "fr"),
+        (4, "the and of to in borrowed", "fr"),   # mislabeled → (fr, en)
+        (5, "zzz qqq www eee rrr", "de"),          # no markers → und
+    ]
+    sf = _write_documents_lang(tmp_path, rows)
+    entry = ENTRIES["doc_langid_confusion"]
+    got = entry.spark(spark, sf).toPandas()
+    assert_frames_equal(got, _oracle_df(sf, "documents", entry))
+
+    twin_cells = {
+        ("de", "und"): 1,
+        ("en", "en"): 2,
+        ("fr", "en"): 1,
+        ("fr", "fr"): 1,
+    }
+    n_true = {"de": 1, "en": 2, "fr": 2}
+    n_pred = {"und": 1, "en": 3, "fr": 1}
+    assert len(got) == len(twin_cells)
+    for r in got.itertuples(index=False):
+        key = (r.lang_true, r.lang_pred)
+        assert r.n_docs == twin_cells[key]
+        assert r.n_true == n_true[r.lang_true]
+        assert r.n_pred == n_pred[r.lang_pred]
+        assert r.is_correct == (r.lang_true == r.lang_pred)
+        assert r.recall_share == float(r.n_docs) / float(r.n_true)
+        assert r.precision_share == float(r.n_docs) / float(r.n_pred)
+    # diagonal reads: en recall 1.0 but en precision 2/3 (polluted by
+    # the mislabeled fr doc); fr recall 0.5
+    diag = {
+        r.lang_true: (r.recall_share, r.precision_share)
+        for r in got.itertuples(index=False)
+        if r.is_correct
+    }
+    assert diag["en"] == (1.0, 2.0 / 3.0)
+    assert diag["fr"] == (0.5, 1.0)
