@@ -29,6 +29,7 @@ import idh_etl_demo_spark.catalog_r9b  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r10  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r11  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r11c  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -237,7 +238,19 @@ DRIVER_PRIORITY: list[str] = [
     # (multimodal_metadata was slotted here pre-spans; displaced so the
     # 8th round-9 entry gets first-round driver signal — multimodal
     # stays at 4 in-window, exactly its minimum)
-    "events_stateful_running_totals",
+    # (events_stateful_running_totals was slotted here r5-r11; displaced
+    # late in r11 by events_streaming_dedup after its FOURTH driver
+    # green (r5, r6, r9, r10) — the custom applyInPandasWithState shape
+    # stays sweep-gated with its property tests, and the streaming
+    # driver surface stays THREE machines wide in-window (sessions,
+    # attribution, dedup); event family lands at 6, above its minimum
+    # of 5. The other three r11c entries (events_user_ewma,
+    # orders_profile, doc_title_edit_neardup) are sweep-gated this
+    # round and are the FIRST named rotation-ins for r12: no further
+    # twice+-green rows can leave the window without breaking a family
+    # minimum (embedding sits at exactly 8, multimodal at exactly 4)
+    # or evicting a round-10/11 first-green owed its second signal.
+    "events_streaming_dedup",
     # (event_props_map was slotted here through r9; displaced in r10
     # by events_streaming_attribution after its second green (r7 + r9)
     # — the map-typed ingestion shape stays sweep-gated alongside

@@ -38,6 +38,7 @@ import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
+import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -204,6 +205,12 @@ HEADLINE = [
     "events_key_skew_audit",
     "doc_containment_join",
     "doc_langid_confusion",
+    # appended late round 11 (the r11c batch). events_streaming_dedup
+    # is deliberately absent — the standing streaming latency-surface
+    # exclusion (its wall time is stream startup + micro-batch drains)
+    "events_user_ewma",
+    "orders_profile",
+    "doc_title_edit_neardup",
 ]
 
 

@@ -39,6 +39,7 @@ import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
+import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -413,6 +414,28 @@ PROBES = [
     # a projection and the single corpus exchange is a ≤36-cell
     # groupBy — the probed doc_lang_id-family scan shape with strictly
     # less downstream work
+    # round-11c events_user_ewma IS probed: one user-keyed groupBy +
+    # per-key sort/fold. The 10× union shifts user_id (SHIFT_KEYS), so
+    # the ratio measures the key axis multiplying at constant per-key
+    # state — the claimed parallel-by-user shape must track the scan;
+    # per-key sequence GROWTH is bounded by per-user feed activity
+    # (the entry docstring's collect_list bound), not corpus size
+    "events_user_ewma",
+    # round-11c orders_profile IS probed: the exact multi-distinct
+    # Expand is a ×6 row amplification of the scan — the ratio must
+    # track the scan linearly or the exactness price is being
+    # understated
+    "orders_profile",
+    # round-11c doc_title_edit_neardup IS probed: candidate slots are
+    # Σ C(prefix_df, 2) over 25-rarest-gram buckets and verification
+    # is k-banded per pair — a hot gram bucket (templated titles)
+    # would surface here as a super-linear ratio, the same claim the
+    # setsim probe gates
+    "doc_title_edit_neardup",
+    # round-11c events_streaming_dedup is NOT probed: its wall time is
+    # stream startup + 4 micro-batch drains (the standing streaming
+    # latency-surface exclusion); the dedup state machine's scale
+    # story is watermark-bounded RocksDB state, not a batch plan shape
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

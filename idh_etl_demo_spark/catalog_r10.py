@@ -815,6 +815,13 @@ _SSW_SENTINEL_USER = 10**12
 # bench.py's cache clearing free them (with the memos) mid-process.
 _STREAM_WORKDIRS: list[str] = []
 
+# Path-caching memo dicts owned by OTHER modules' streaming entries
+# (e.g. catalog_r11c's _SDD_RESULTS) register here so
+# release_stream_workdirs() clears them together with the dirs their
+# values point into — a cleared dir with a live memo entry would serve
+# a dangling path on the next call.
+_STREAM_MEMOS: list[dict] = []
+
 
 def _register_stream_workdir(path: str) -> None:
     import atexit
@@ -834,6 +841,8 @@ def release_stream_workdirs() -> None:
     _STREAM_WORKDIRS.clear()
     _SSW_RESULTS.clear()
     _SSJ_RESULTS.clear()
+    for memo in _STREAM_MEMOS:
+        memo.clear()
 
 
 @query(

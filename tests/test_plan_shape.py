@@ -23,6 +23,7 @@ import idh_etl_demo_spark.catalog_r9b  # noqa: F401
 import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
+import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -726,6 +727,27 @@ SHUFFLE_BUDGETS = {
     # re-aggregate the ≤(|langs|+1)² cell table (two tiny exchanges,
     # joined back as bounded broadcasts), and the presentation sort.
     "doc_langid_confusion": 5,
+    # round-11c per-user EWMA (measured 2): ONE user-keyed groupBy
+    # (the collected per-user array is bounded by per-user activity;
+    # the fold itself is a projection over it) plus the presentation
+    # sort — nothing after the groupBy sees more than |users| rows.
+    "events_user_ewma": 2,
+    # round-11c column profile (measured 2): Spark plans the 6-column
+    # exact multi-distinct as ONE scan + ONE Expand exchange (column-
+    # tagged rows, map-side combined) + the final single-row agg's
+    # exchange; the stack/unpivot and ppm math are pure projections
+    # over the 1-row result.
+    "orders_profile": 2,
+    # round-11c edit-distance title join (measured 3): gram explode
+    # and the 25-rarest prefix ride the title projection; one gram df
+    # groupBy, the pair-keyed shared-gram agg, and the presentation
+    # sort — candidate/verify joins are pair- or doc-cardinality hash
+    # joins (64-char keys; document bodies never shuffle).
+    "doc_title_edit_neardup": 3,
+    # round-11c streaming dedup: the SERVED plan is the emissions
+    # parquet read + presentation sort (default budget); the dedup
+    # state machine runs inside the availableNow drain at build time
+    # (EAGER_EXEMPT below, like the other streaming entries).
 }
 
 
@@ -753,6 +775,7 @@ EAGER_EXEMPT = {
     "events_stateful_running_totals",
     "events_streaming_sessions",
     "events_streaming_attribution",
+    "events_streaming_dedup",
     "doc_dup_clusters",
     "doc_dup_triangles",
     "doc_dup_4cliques",

@@ -1,0 +1,328 @@
+"""Round-11c property tests: the feature/validation batch pinned
+against pure-Python twins on PLANTED data, plus full DuckDB-oracle
+parity on the planted tables.
+
+- EWMA: the sequential fold must match a Python twin computing the
+  identical IEEE steps in the identical (ts, event_id) order —
+  bit-for-bit (== on doubles, no tolerance), including a user whose
+  rows are written out of time order (the sort is load-bearing) and a
+  single-event user (seed-only fold).
+- Profile: every cell must match a pandas twin on a frame that
+  actually CONTAINS nulls and duplicate values (testdata is null-free,
+  so this planted frame is the null path's only exerciser).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+
+from tests.compare import assert_frames_equal
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate, o_orderpriority) — nullable columns stay nullable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], type=pa.string()),
+            "o_totalprice": pa.array(
+                [r[3] for r in rows], type=pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [r[4] for r in rows], type=pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                [r[5] for r in rows], type=pa.string()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def _oracle_df(sf, table, entry):
+    con = duckdb.connect()
+    con.execute(
+        f"create view {table} as select * from "
+        f"read_parquet('{sf}/{table}.parquet')"
+    )
+    return con.execute(entry.oracle).df()
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_user_ewma_twin_bit_exact(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    # user 1: five events WRITTEN out of time order — the fold must
+    # sort, not trust file order; values chosen so every step rounds
+    # (0.1 is inexact in binary: associativity errors would show)
+    rows = [
+        (4, base + dt.timedelta(minutes=40), 1, "view", 0.7),
+        (0, base + dt.timedelta(minutes=0), 1, "view", 0.1),
+        (3, base + dt.timedelta(minutes=30), 1, "click", 13.37),
+        (1, base + dt.timedelta(minutes=10), 1, "view", 0.3),
+        (2, base + dt.timedelta(minutes=20), 1, "view", 2.9),
+        # user 2: single event — seed-only fold, ewma == value
+        (5, base, 2, "view", 123.456),
+        # user 3: two events at DIFFERENT ts, reversed write order
+        (7, base + dt.timedelta(seconds=1), 3, "view", 1.0),
+        (6, base, 3, "view", 100.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    entry = ENTRIES["events_user_ewma"]
+    got = (
+        entry.spark(spark, sf).toPandas().set_index("user_id", drop=False)
+    )
+    assert_frames_equal(
+        got.reset_index(drop=True), _oracle_df(sf, "events", entry)
+    )
+
+    # Python twin: identical IEEE steps in identical order
+    seqs = {}
+    for eid, ts, uid, _, val in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        seqs.setdefault(uid, []).append(val)
+    for uid, vals in seqs.items():
+        s = None
+        for v in vals:
+            s = v if s is None else 0.5 * v + 0.5 * s
+        r = got.loc[uid]
+        assert r.ewma == s, uid  # bit-for-bit, no tolerance
+        assert r.last_value == vals[-1], uid
+        assert r.n_events == len(vals), uid
+        import math
+
+        assert r.ewma_upm == math.floor(s * 1000000), uid
+
+    assert got.loc[2].ewma == 123.456  # seed-only fold
+    # user 3: decay must weight the LATER event: 0.5*1.0 + 0.5*100.0
+    assert got.loc[3].ewma == 0.5 * 1.0 + 0.5 * 100.0
+
+
+# ---------------------------------------------------------------------------
+# Orders profile
+# ---------------------------------------------------------------------------
+
+
+def test_orders_profile_twin_with_nulls(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+    from idh_etl_demo_spark.catalog_r11c import _PROFILE_COLS
+
+    d = dt.datetime(1997, 6, 1)
+    rows = [
+        (1, 10, "O", 100.0, d, "1-URGENT"),
+        (2, 10, "O", 100.0, d, "2-HIGH"),  # dup custkey, price, date
+        (3, None, "F", 250.5, dt.datetime(1998, 1, 2), None),  # nulls
+        (4, 11, None, None, None, "2-HIGH"),  # more nulls
+        (5, None, "F", 250.5, d, "3-MEDIUM"),
+    ]
+    sf = _write_orders(tmp_path, rows)
+    entry = ENTRIES["orders_profile"]
+    got = entry.spark(spark, sf).toPandas()
+    assert_frames_equal(got, _oracle_df(sf, "orders", entry))
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=_PROFILE_COLS)
+    n = len(pdf)
+    g = got.set_index("col_name")
+    for c in _PROFILE_COLS:
+        nn = int(pdf[c].isna().sum())
+        nd = int(pdf[c].dropna().nunique())
+        r = g.loc[c]
+        assert r.n_rows == n, c
+        assert r.n_nulls == nn, c
+        assert r.n_distinct == nd, c
+        assert r.null_ppm == nn * 1000000 // n, c
+        assert r.distinct_ppm == nd * 1000000 // n, c
+    # the planted frame must actually exercise the null path
+    assert g.n_nulls.sum() >= 5
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance title near-dup
+# ---------------------------------------------------------------------------
+
+
+def _write_documents(tmp_path, rows):
+    """rows: (doc_id, text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array(["en"] * len(rows), type=pa.string()),
+            "source": pa.array(["web"] * len(rows), type=pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows],
+                type=pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _lev(a: str, b: str) -> int:
+    """Hand-rolled full DP twin (no banding — the independent route)."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def _norm_title(text: str) -> str:
+    import re
+
+    return re.sub(r"[ \t\n\f\r]+", " ", text.lower())[:64]
+
+
+def test_title_edit_neardup_twin_and_boundary(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+    from idh_etl_demo_spark.catalog_r11c import _ED_K, _ED_MINLEN, _ED_Q
+
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    assert len(base) == 62
+    e8 = list(base)
+    for idx, ch in zip((2, 9, 17, 25, 33, 41, 49, 57), "01234567"):
+        e8[idx] = ch
+    e9 = list(e8)
+    e9[60] = "8"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate → ed 0
+        (3, base[:30] + "x" + base[31:]),  # one substitution → ed 1
+        (4, "".join(e8)),  # exactly k edits → kept at the boundary
+        (5, "".join(e9)),  # k+1 edits → dropped
+        (6, "completely different content about spark shuffle partitions!!"),
+        (7, "tiny text"),  # below the domain length → excluded
+        # normalization: tabs/newlines/case collapse to EXACTLY base
+        (8, "The  QUICK\tbrown fox\n\njumps over the lazy dog near the old river"),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    entry = ENTRIES["doc_title_edit_neardup"]
+    got = entry.spark(spark, sf).toPandas()
+    assert_frames_equal(got, _oracle_df(sf, "documents", entry))
+
+    # twin: brute force over the normalized domain
+    titles = {i: _norm_title(t) for i, t in rows if t is not None}
+    titles = {i: t for i, t in titles.items() if len(t) >= _ED_MINLEN}
+    assert 7 not in titles  # the domain guard actually excluded it
+    ids = sorted(titles)
+    twin = {}
+    for ia in ids:
+        for ib in ids:
+            if ia >= ib:
+                continue
+            ed = _lev(titles[ia], titles[ib])
+            if ed <= _ED_K:
+                ga = {titles[ia][p : p + _ED_Q]
+                      for p in range(len(titles[ia]) - _ED_Q + 1)}
+                gb = {titles[ib][p : p + _ED_Q]
+                      for p in range(len(titles[ib]) - _ED_Q + 1)}
+                twin[(ia, ib)] = (len(ga & gb), ed)
+    got_rel = {
+        (r.id_a, r.id_b): (r.shared_grams, r.ed)
+        for r in got.itertuples(index=False)
+    }
+    assert got_rel == twin
+    # the planted geometry actually happened
+    assert twin[(1, 2)][1] == 0
+    assert twin[(1, 8)][1] == 0  # normalization equality
+    assert twin[(1, 3)][1] == 1
+    assert twin[(1, 4)][1] == _ED_K  # the kept boundary
+    assert (1, 5) not in twin  # k+1 dropped
+    assert _lev(titles[1], titles[5]) == _ED_K + 1
+    assert (1, 6) not in twin
+
+
+# ---------------------------------------------------------------------------
+# Streaming exactly-once dedup
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_recovers_exactly_once(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c as r11c
+
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+    # ids divisible by 7 and 11 guarantee both injection patterns fire,
+    # including the 77 overlap (doubled in-batch AND redelivered later)
+    rows = []
+    for eid in range(0, 100):
+        rows.append(
+            (
+                eid,
+                base + dt.timedelta(minutes=eid * 30),
+                eid % 5,
+                "view" if eid % 2 == 0 else "click",
+                float(eid) + 0.25,
+            )
+        )
+    sf = _write_events(tmp_path, rows)
+    entry = ENTRIES["events_streaming_dedup"]
+    got = entry.spark(spark, sf).toPandas()
+    assert_frames_equal(got, _oracle_df(sf, "events", entry))
+    assert len(got) == len(rows)  # exactly-once: nothing extra, nothing lost
+
+    # the replay genuinely contained duplicates: inspect the landing dir
+    import os
+
+    out = r11c._SDD_RESULTS[(spark.sparkContext.applicationId, sf)]
+    landing = os.path.join(os.path.dirname(out), "landing")
+    landed = spark.read.parquet(landing).toPandas()
+    n_doubled = sum(1 for eid, *_ in rows if eid % 11 == 0)
+    n_redelivered = sum(1 for eid, *_ in rows if eid % 7 == 0)
+    assert len(landed) == len(rows) + n_doubled + n_redelivered
+    dup_counts = landed.groupby("event_id").size()
+    assert (dup_counts[[e for e in range(100) if e % 77 == 0]] == 3).all()
+    assert (
+        dup_counts[[e for e in range(100) if e % 7 != 0 and e % 11 != 0]] == 1
+    ).all()
+    # the final landed file is all-duplicate (batch 2's redeliveries)
+    batch3 = spark.read.parquet(os.path.join(landing, "batch-3.parquet"))
+    b3 = batch3.toPandas()
+    assert len(b3) > 0 and (b3.event_id % 7 == 0).all()
