@@ -211,6 +211,8 @@ HEADLINE = [
     "events_user_ewma",
     "orders_profile",
     "doc_title_edit_neardup",
+    "doc_bigram_heavy_hitters",
+    "events_rolling_zscore",
 ]
 
 

@@ -436,6 +436,14 @@ PROBES = [
     # stream startup + 4 micro-batch drains (the standing streaming
     # latency-surface exclusion); the dedup state machine's scale
     # story is watermark-bounded RocksDB state, not a batch plan shape
+    # round-11c doc_bigram_heavy_hitters IS probed: the claim is that
+    # only the CANDIDATE-filtered counts shuffle (MG state is k
+    # counters per task; candidates <= tasks*k) — a ratio past the
+    # scan would mean the sketch stopped bounding the exchange
+    "doc_bigram_heavy_hitters",
+    # round-11c events_rolling_zscore IS probed: one user-keyed window
+    # with a constant 7-row frame — the ratio must track the scan
+    "events_rolling_zscore",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

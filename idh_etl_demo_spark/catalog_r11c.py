@@ -244,7 +244,14 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Verification runs Spark's THRESHOLDED levenshtein(a, b, k) — the
 # banded O(k*len) DP (returns -1 past k, the exact distance inside
-# it) — so the per-candidate cost is k-bounded, not len^2.
+# it) — DIRECTLY on every candidate, with zero per-pair fan-out: on a
+# templated corpus the gram distribution is so narrow (measured 377
+# distinct 3-grams at sf0.1) that the prefix filter passes ~all pairs,
+# and any verify step that expands the gram stream per pair multiplies
+# that near-quadratic candidate set by 62 (measured 350 s vs ~30 s at
+# sf0.1). The count-filter bound (shared >= max(n_a, n_b) - k*q, from
+# each edit destroying <= q distinct grams) is therefore NOT used as a
+# pre-prune; the shared-gram statistic is emitted for survivors only.
 
 _ED_K = 8
 _ED_Q = 3
@@ -285,21 +292,27 @@ _ED_TITLE_SQL = """
 def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Levenshtein <= 8 self-join over normalized 64-char titles
     (section comment): candidates from each title's 25 rarest distinct
-    3-grams (the Ed-Join prefix bound k*q + 1), pre-pruned by the
-    q-gram count filter shared >= max(n_a, n_b) - k*q, verified with
-    the k-banded thresholded levenshtein. The oracle is the all-pairs
-    brute force — the gate re-proves both filters' completeness
-    corpus-wide every run. The property test plants an exact pair, a
-    1-edit pair, both sides of the k = 8 boundary, and pins the full
-    relation against a hand-rolled DP twin.
+    3-grams (the Ed-Join prefix bound k*q + 1), verified with the
+    k-banded thresholded levenshtein applied DIRECTLY per candidate.
+    The oracle is the all-pairs brute force — the gate re-proves the
+    prefix filter's completeness corpus-wide every run. The property
+    test plants an exact pair, a 1-edit pair, both sides of the k = 8
+    boundary, and pins the full relation against a hand-rolled DP twin.
 
     Scale shape: grams explode from the title projection (64-char
     keys, never document bodies); candidate slots are
-    sum over gram buckets of C(prefix_df, 2) on RAREST-first grams;
-    verification touches candidate pairs only, k-banded. One df
-    groupBy, one doc-keyed prefix window, the candidate join, the
-    shared-gram count, and two title attach joins — every post-gram
-    frame is pair- or doc-cardinality."""
+    sum over gram buckets of C(prefix_df, 2) on RAREST-first grams,
+    and on LOW-GRAM-ENTROPY corpora (templated titles; this testdata
+    has ~377 distinct 3-grams at sf0.1) that degrades toward the
+    all-pairs relation — which is why per-candidate cost is kept at
+    O(k*len) with ZERO fan-out: two id-keyed title-attach hash joins
+    and one banded DP per pair (an earlier shared-gram pre-prune that
+    expanded 62 gram rows per candidate measured 350 s at sf0.1; this
+    shape measures ~30 s on the SAME 12.2M candidates). The count
+    filter's shared-gram statistic is computed for SURVIVORS only, as
+    an array_intersect projection. One df groupBy, one doc-keyed
+    prefix window, the candidate join + distinct, two title joins —
+    every post-gram frame is pair- or doc-cardinality."""
     from pyspark.sql import Window
 
     d = (
@@ -327,9 +340,6 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gs"),
     )
-    sizes = grams.select(
-        "doc_id", F.size("gs").cast("long").alias("n_grams")
-    )
     stream = grams.select("doc_id", F.explode("gs").alias("gram"))
     df_tab = stream.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -347,8 +357,14 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _ED_PREFIX)
         .select("doc_id", "gram")
     )
+    # spread the probe side before the self-join: the source is a few
+    # large splits (often ONE task), and the C(prefix_df, 2) expansion
+    # inherits the probe side's partitioning — round-robin keeps it
+    # balanced whatever the gram skew (measured: the unspread plan ran
+    # the 12.2M-pair expansion + DP on a single task, 140 s vs ~30 s)
     cand = (
-        prefix.alias("pa")
+        prefix.repartition(spark.sparkContext.defaultParallelism)
+        .alias("pa")
         .join(
             prefix.alias("pb"),
             (F.col("pa.gram") == F.col("pb.gram"))
@@ -360,26 +376,28 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = stream.select(F.col("doc_id").alias("id_a"), "gram")
-    sb = stream.select(F.col("doc_id").alias("id_b"), "gram")
-    shared = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    # Verification order matters on low-entropy corpora (the measured
+    # lesson: a templated title corpus has ~few hundred distinct grams,
+    # so the prefix filter degrades toward all-pairs — 12.2M of 12.5M
+    # pairs at sf0.1). The candidate set is whatever the theorem
+    # yields, but each candidate must cost O(k·len) and ZERO fan-out:
+    # attach the two 64-char titles (plain id-keyed hash joins) and run
+    # the k-banded levenshtein DIRECTLY; the per-pair gram-stream
+    # expansion (62 rows/pair) that a shared-gram pre-prune would need
+    # is deferred to SURVIVORS only (|output| pairs), where it becomes
+    # an array_intersect projection over the attached gram arrays.
+    ta = grams.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("title").alias("title_a"),
+        F.col("gs").alias("gs_a"),
     )
-    ta = d.select(F.col("doc_id").alias("id_a"), F.col("title").alias("title_a"))
-    tb = d.select(F.col("doc_id").alias("id_b"), F.col("title").alias("title_b"))
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b"))
-    verified = (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(
-            F.col("shared_grams")
-            >= F.greatest(F.col("n_a"), F.col("n_b")) - _ED_K * _ED_Q
-        )
-        .join(ta, "id_a")
+    tb = grams.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("title").alias("title_b"),
+        F.col("gs").alias("gs_b"),
+    )
+    survivors = (
+        cand.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn(
             "ed",
@@ -387,12 +405,14 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ed") >= 0)
     )
-    return verified.select(
+    return survivors.select(
         "id_a",
         "id_b",
         F.length("title_a").cast("long").alias("len_a"),
         F.length("title_b").cast("long").alias("len_b"),
-        "shared_grams",
+        F.size(F.array_intersect("gs_a", "gs_b"))
+        .cast("long")
+        .alias("shared_grams"),
         "ed",
     ).orderBy("id_a", "id_b")
 
@@ -561,3 +581,273 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value_micros")
         .orderBy("event_id")
     )
+
+
+# ===========================================================================
+# Misra-Gries heavy hitters — sketch candidates, exact verification
+# ===========================================================================
+#
+# The frequent-items question ("which n-grams exceed a 1/k share?") is
+# the other classic streaming sketch next to CMS/KMV/HLL — and
+# Misra-Gries (1982; the Space-Saving family) carries a DISTRIBUTED
+# completeness theorem that fits this repo's candidate→verify→oracle
+# pattern exactly:
+#   * per partition p, MG with k counters undercounts any item by at
+#     most n_p/(k+1) (each decrement event destroys k+1 occurrences of
+#     mass), so every item with local count > n_p/(k+1) SURVIVES;
+#   * pigeonhole: global count > n/k implies some partition has local
+#     count > n_p/k >= n_p/(k+1) — so the UNION of per-partition MG
+#     survivors is a SUPERSET of the global 1/k heavy hitters,
+#     whatever the partition layout.
+# The engine therefore: runs weighted MG per partition (an
+# Arrow-batched kernel — value_counts per batch, batch-decrement
+# eviction), broadcasts the bounded candidate set (≤ partitions·k
+# rows) as a semi-join runtime filter, exact-counts ONLY candidates,
+# and emits items passing the integer cross-multiplied threshold
+# cnt·k > n. The final output is partition-layout-INVARIANT (exact
+# verification decides), which is what makes the brute-force DuckDB
+# oracle a corpus-wide re-proof of the superset theorem on every run.
+#
+# Scale: the only corpus-sized exchange is the candidate-filtered
+# count groupBy — the full n-gram vocabulary never shuffles (the naive
+# plan's cost). Candidate state is k counters per task, n/k output.
+
+_HH_K = 640  # counters per partition AND the 1/k share threshold
+
+
+def _hh_mg_update(counters: dict, k: int, word: str, w: int) -> None:
+    """Weighted Misra-Gries update: add w occurrences of word to a
+    k-counter summary. Eviction subtracts d = min(w, min counter) from
+    EVERY counter and from the incoming weight — each unit of d
+    destroys k+1 units of stream mass, so total undercount per
+    partition is <= n_p/(k+1) (the module-comment theorem)."""
+    if word in counters:
+        counters[word] += w
+        return
+    while w > 0:
+        if len(counters) < k:
+            counters[word] = w
+            return
+        d = min(w, min(counters.values()))
+        for key in list(counters):
+            counters[key] -= d
+            if counters[key] <= 0:
+                del counters[key]
+        w -= d
+
+
+_HH_BIGRAM_SQL = """
+    with t as (
+      select string_split(lower(text), ' ') as ws
+      from documents where text is not null
+    ),
+    s as (
+      select ws[i] || ' ' || ws[i+1] as bigram
+      from t, unnest(generate_series(1, len(ws) - 1)) as u(i)
+      where len(ws) >= 2
+    ),
+    c as (select bigram, count(*)::bigint as cnt from s group by bigram),
+    tot as (select sum(cnt)::bigint as n_total from c)
+"""
+
+
+@query(
+    "doc_bigram_heavy_hitters",
+    _HH_BIGRAM_SQL
+    + f"""
+    select bigram, cnt, n_total,
+           (cnt * 1000000 // n_total)::bigint as share_ppm
+    from c cross join tot
+    where cnt * {_HH_K} > n_total
+    order by cnt desc, bigram
+    """,
+)
+def doc_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1/k heavy hitters over word bigrams (k = 640), computed
+    the sketch-first way: weighted Misra-Gries per partition (an
+    Arrow-batched mapInPandas kernel), union of survivors broadcast as
+    a semi-join runtime filter, exact counts for CANDIDATES ONLY, and
+    the integer cross-multiplied threshold cnt*k > n. The output is
+    partition-layout-invariant and the oracle is the full groupBy
+    brute force — the driver gate re-proves the MG superset theorem
+    (section comment) corpus-wide every run. The property test plants
+    a skewed corpus where MG genuinely evicts, pins the result against
+    an exact twin, and unit-tests the undercount bound.
+
+    Scale shape: the n-gram stream crosses ONE exchange (the
+    candidate-filtered count groupBy); the full vocabulary never
+    shuffles — candidate state is <= tasks*k rows, output <= k rows.
+    The 1-row total and the candidate set ride as broadcasts."""
+    import pandas as pd
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.split(F.lower(F.col("text")), " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    stream = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for word, w in pdf["bigram"].value_counts().items():
+                _hh_mg_update(counters, _HH_K, word, int(w))
+        yield pd.DataFrame({"bigram": list(counters.keys())})
+
+    cand = stream.mapInPandas(mg_partition, "bigram string").distinct()
+    counts = (
+        stream.join(F.broadcast(cand), "bigram")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = stream.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select(
+            "bigram",
+            "cnt",
+            "n_total",
+            F.expr("cnt * 1000000 div n_total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+    )
+
+
+# ===========================================================================
+# Rolling z-score anomaly flags — engine-exact windowed statistics
+# ===========================================================================
+#
+# The per-key rolling z-score (is this event unusual vs the key's last
+# W observations?) is the standard online anomaly feature. Everything
+# up to the final division is EXACT INT64: values land as centi-units
+# (2-dp data, lossless), the 7-row frame sums/sum-of-squares are
+# integer window aggregates (order-independent, so no fold recipe is
+# needed), and the z-score is assembled from the cleared-rational
+# identity
+#     z = (n*x - s) / sqrt( n*(n*q - s^2) / (n - 1) )
+# — one sqrt (bit-exact) and one division over an IDENTICAL tree on
+# both engines. Windows with n = 1 or zero variance emit NULL (no
+# defined z), identically gated on both sides. The int64 bound is
+# guarded: with |value_centi| <= 10^8 the worst product
+# n*(n*q - s^2) <= 7^3 * 10^16 < 2^63; beyond it the entry raises
+# instead of wrapping (the _kn_guarded_p discipline).
+
+_RZ_W = 6  # preceding rows in the frame (frame size = 7)
+_RZ_CENTI_BOUND = 10**8
+
+
+@query(
+    "events_rolling_zscore",
+    f"""
+    with e as (
+      select event_id, user_id, ts,
+             cast(round(value * 100, 0) as bigint) as value_centi
+      from events where value is not null
+    ),
+    g as (
+      select *,
+             case when value_centi > {_RZ_CENTI_BOUND}
+                  then error('rolling_zscore: centi bound exceeded')
+                  else value_centi end as guarded
+      from e
+    ),
+    w as (
+      select event_id, user_id, ts, value_centi,
+             count(*) over fr as win_n,
+             sum(value_centi) over fr as win_sum,
+             sum(value_centi * value_centi) over fr as win_sumsq
+      from g
+      window fr as (partition by user_id order by ts, event_id
+                    rows between {_RZ_W} preceding and current row)
+    )
+    select event_id, user_id, ts, value_centi,
+           cast(win_n as bigint) as win_n,
+           cast(win_sum as bigint) as win_sum,
+           cast(win_sumsq as bigint) as win_sumsq,
+           case when win_n > 1 and win_n * win_sumsq - win_sum * win_sum > 0
+                then cast(win_n * value_centi - win_sum as double)
+                     / sqrt(cast(win_n * (win_n * win_sumsq - win_sum * win_sum)
+                                 as double)
+                            / cast(win_n - 1 as double))
+                else null end as zscore
+    from w
+    order by event_id
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score over the trailing 7-event frame —
+    exact int64 window sums in centi-units with the cleared-rational
+    z identity (section comment): one sqrt + one division in an
+    identical IEEE tree, hash-gated bit-for-bit. n = 1 and
+    zero-variance frames emit NULL; values past the 10^8 centi bound
+    raise instead of wrapping int64.
+
+    Scale shape: ONE user-keyed window (sort within the user
+    partition); the frame is 7 rows whatever the corpus, so state per
+    task is constant and the stage tracks the scan."""
+    from pyspark.sql import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("value_centi"),
+        )
+        .withColumn(
+            "value_centi",
+            F.when(
+                F.col("value_centi") > _RZ_CENTI_BOUND,
+                F.raise_error("rolling_zscore: centi bound exceeded"),
+            ).otherwise(F.col("value_centi")),
+        )
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-_RZ_W, 0)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value_centi",
+        F.count(F.lit(1)).over(fr).cast("long").alias("win_n"),
+        F.sum("value_centi").over(fr).cast("long").alias("win_sum"),
+        F.sum(F.col("value_centi") * F.col("value_centi"))
+        .over(fr)
+        .cast("long")
+        .alias("win_sumsq"),
+    )
+    var_num = F.col("win_n") * F.col("win_sumsq") - F.col("win_sum") * F.col(
+        "win_sum"
+    )
+    z = (F.col("win_n") * F.col("value_centi") - F.col("win_sum")).cast(
+        "double"
+    ) / F.sqrt(
+        (F.col("win_n") * var_num).cast("double")
+        / (F.col("win_n") - 1).cast("double")
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value_centi",
+        "win_n",
+        "win_sum",
+        "win_sumsq",
+        F.when((F.col("win_n") > 1) & (var_num > 0), z)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("zscore"),
+    ).orderBy("event_id")

@@ -738,12 +738,25 @@ SHUFFLE_BUDGETS = {
     # exchange; the stack/unpivot and ppm math are pure projections
     # over the 1-row result.
     "orders_profile": 2,
-    # round-11c edit-distance title join (measured 3): gram explode
+    # round-11c edit-distance title join (measured 5): gram explode
     # and the 25-rarest prefix ride the title projection; one gram df
-    # groupBy, the pair-keyed shared-gram agg, and the presentation
-    # sort — candidate/verify joins are pair- or doc-cardinality hash
-    # joins (64-char keys; document bodies never shuffle).
-    "doc_title_edit_neardup": 3,
+    # groupBy, the probe-side round-robin spread (the C(prefix_df,2)
+    # expansion inherits its parallelism — measured 140 s single-task
+    # without it), the candidate-pair distinct, and the presentation
+    # sort — verification is per-pair banded DP with zero fan-out
+    # (64-char keys; document bodies never shuffle).
+    "doc_title_edit_neardup": 5,
+    # round-11c Misra-Gries heavy hitters (measured 4): the n-gram
+    # stream crosses ONE corpus-sized exchange (the candidate-filtered
+    # count groupBy); the MG kernel is a mapInPandas projection, the
+    # survivor-union distinct and the 1-row total are bounded
+    # exchanges, and the presentation sort closes it — the full
+    # vocabulary never shuffles.
+    "doc_bigram_heavy_hitters": 4,
+    # round-11c rolling z-score (measured 2): ONE user-keyed window
+    # sort (7-row frames — constant state per task) + the presentation
+    # sort; everything else is exact-int64 projection.
+    "events_rolling_zscore": 2,
     # round-11c streaming dedup: the SERVED plan is the emissions
     # parquet read + presentation sort (default budget); the dedup
     # state machine runs inside the availableNow drain at build time

@@ -326,3 +326,147 @@ def test_streaming_dedup_recovers_exactly_once(spark, tmp_path):
     batch3 = spark.read.parquet(os.path.join(landing, "batch-3.parquet"))
     b3 = batch3.toPandas()
     assert len(b3) > 0 and (b3.event_id % 7 == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_update_undercount_bound():
+    """Pure-python unit: weighted MG undercounts any item by at most
+    n/(k+1), and every item with count > n/(k+1) survives."""
+    from idh_etl_demo_spark.catalog_r11c import _hh_mg_update
+
+    import random
+
+    rng = random.Random(7)
+    k = 5
+    stream = []
+    # skewed: two heavy items + long rare tail (forces evictions)
+    for _ in range(60):
+        stream.append("hot1")
+    for _ in range(40):
+        stream.append("hot2")
+    for i in range(120):
+        stream.append(f"rare{i}")
+    rng.shuffle(stream)
+
+    counters: dict = {}
+    exact: dict = {}
+    for w in stream:
+        _hh_mg_update(counters, k, w, 1)
+        exact[w] = exact.get(w, 0) + 1
+    n = len(stream)
+    for item, c in exact.items():
+        est = counters.get(item, 0)
+        assert est <= c
+        assert c - est <= n // (k + 1) + 1, item
+        if c > n / (k + 1):
+            assert item in counters, item
+    assert len(counters) <= k
+
+
+def test_bigram_heavy_hitters_twin_skewed(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+    from idh_etl_demo_spark.catalog_r11c import _HH_K
+
+    # a hot phrase repeated far above 1/k share + >_HH_K distinct rare
+    # filler bigrams so per-partition MG genuinely evicts
+    hot = " ".join(["alpha beta"] * 300)  # 'alpha beta'+'beta alpha' hot
+    filler = " ".join(f"w{i}" for i in range(1500))  # 1499 rare bigrams
+    rows = [(1, hot), (2, filler), (3, "alpha beta gamma")]
+    sf = _write_documents(tmp_path, rows)
+    entry = ENTRIES["doc_bigram_heavy_hitters"]
+    got = entry.spark(spark, sf).toPandas()
+    assert_frames_equal(got, _oracle_df(sf, "documents", entry))
+
+    # exact twin
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for _, text in rows:
+        ws = text.lower().split(" ")
+        for a, b in zip(ws, ws[1:]):
+            cnt[f"{a} {b}"] += 1
+    n = sum(cnt.values())
+    twin = {w: c for w, c in cnt.items() if c * _HH_K > n}
+    assert dict(zip(got.bigram, got.cnt)) == twin
+    assert "alpha beta" in twin and len(twin) < 10
+    # the rare tail is genuinely wider than the counter budget
+    assert len(cnt) > _HH_K
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_twin_bit_exact(spark, tmp_path):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+    from idh_etl_demo_spark.catalog_r11c import _RZ_W
+
+    import math
+
+    base = dt.datetime(2024, 4, 1)
+    rows = []
+    eid = 0
+    # user 1: 12 events incl. a wild spike; user 2: constant values
+    # (zero variance -> NULL); user 3: a single event (n=1 -> NULL)
+    vals1 = [10.0, 10.5, 9.75, 10.25, 10.0, 55.5, 10.0, 9.5, 10.5, 10.0, 10.25, 9.75]
+    for i, v in enumerate(vals1):
+        rows.append((eid, base + dt.timedelta(minutes=5 * i), 1, "view", v))
+        eid += 1
+    for i in range(5):
+        rows.append((eid, base + dt.timedelta(minutes=7 * i), 2, "view", 3.5))
+        eid += 1
+    rows.append((eid, base, 3, "view", 42.0))
+    sf = _write_events(tmp_path, rows)
+    entry = ENTRIES["events_rolling_zscore"]
+    got = entry.spark(spark, sf).toPandas()
+    assert_frames_equal(got, _oracle_df(sf, "events", entry))
+
+    # python twin with the identical expression tree
+    by_user: dict = {}
+    for e, ts, u, _, v in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(u, []).append((e, round(v * 100)))
+    twin = {}
+    for u, seq in by_user.items():
+        for i, (e, x) in enumerate(seq):
+            win = [c for _, c in seq[max(0, i - _RZ_W) : i + 1]]
+            n, s, q = len(win), sum(win), sum(c * c for c in win)
+            if n > 1 and n * q - s * s > 0:
+                z = (n * x - s) / math.sqrt((n * (n * q - s * s)) / (n - 1))
+            else:
+                z = None
+            twin[e] = (n, s, q, z)
+    g = got.set_index("event_id")
+    for e, (n, s, q, z) in twin.items():
+        r = g.loc[e]
+        assert (r.win_n, r.win_sum, r.win_sumsq) == (n, s, q), e
+        if z is None:
+            assert r.zscore != r.zscore or r.zscore is None  # NaN/None
+        else:
+            assert r.zscore == z, e  # bit-for-bit
+    # the spike is flagged hard
+    spike_eid = 5
+    assert abs(g.loc[spike_eid].zscore) > 2.0
+    # zero-variance and single-event users emit NULL everywhere
+    for u, lo, hi in ((2, 12, 16), (3, 17, 17)):
+        for e in range(lo, hi + 1):
+            assert g.loc[e].zscore != g.loc[e].zscore or g.loc[e].zscore is None
+
+
+def test_rolling_zscore_bound_guard(spark, tmp_path):
+    import pytest
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+
+    rows = [(0, dt.datetime(2024, 4, 1), 1, "view", 2.0e6)]  # centi 2e8
+    sf = _write_events(tmp_path, rows)
+    entry = ENTRIES["events_rolling_zscore"]
+    with pytest.raises(Exception, match="centi bound exceeded"):
+        entry.spark(spark, sf).collect()
