@@ -426,12 +426,18 @@ PROBES = [
     # track the scan linearly or the exactness price is being
     # understated
     "orders_profile",
-    # round-11c doc_title_edit_neardup IS probed: candidate slots are
-    # Σ C(prefix_df, 2) over 25-rarest-gram buckets and verification
-    # is k-banded per pair — a hot gram bucket (templated titles)
-    # would surface here as a super-linear ratio, the same claim the
-    # setsim probe gates
-    "doc_title_edit_neardup",
+    # round-11c doc_title_edit_neardup is NOT probed — measured reason:
+    # the templated corpus has ~377 distinct 3-grams, so prefix
+    # candidates are ~all pairs (12.2M at sf0.1) and grow
+    # QUADRATICALLY under the union (~115k slots/doc at 10x — the
+    # first sweep attempt died of executor heap exhaustion inside this
+    # entry's candidate join). The entry now REFUSES past its linear
+    # candidate budget (slots <= 2^14 * docs, a lazy raise_error —
+    # pinned by test_title_edit_neardup_degeneracy_guard) instead of
+    # OOMing; a wall-clock ratio for a shape the entry refuses to run
+    # is not a measurement. On high-entropy keys (the operator's
+    # domain) the setsim probe already gates the identical
+    # prefix-bucket candidate shape.
     # round-11c events_streaming_dedup is NOT probed: its wall time is
     # stream startup + 4 micro-batch drains (the standing streaming
     # latency-surface exclusion); the dedup state machine's scale

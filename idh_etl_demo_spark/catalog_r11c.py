@@ -257,6 +257,7 @@ _ED_K = 8
 _ED_Q = 3
 _ED_PREFIX = _ED_K * _ED_Q + 1  # 25
 _ED_MINLEN = 32
+_ED_SLOT_FACTOR = 2**14  # linear candidate budget: slots <= factor*docs
 
 _ED_TITLE_SQL = """
     with t as (
@@ -362,6 +363,37 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inherits the probe side's partitioning — round-robin keeps it
     # balanced whatever the gram skew (measured: the unspread plan ran
     # the 12.2M-pair expansion + DP on a single task, 140 s vs ~30 s)
+    # Degeneracy guard — refuse, don't OOM (the ADC-LUT precedent:
+    # that entry refuses the 4.3e9-row combo table). Candidate slots
+    # are sum over gram buckets of C(prefix_df, 2); an exact edit join
+    # is only scale-sane while that stays LINEAR in the corpus (the
+    # prefix filter doing its job). On this templated corpus the
+    # measured slope is ~11.5k slots/doc at sf0.1 and ~115k/doc at the
+    # 10x union (quadratic growth — candidates are ~all pairs), so the
+    # budget slots <= 2^14 * n_docs admits every gated SF and REFUSES
+    # the 10x shape with a raise instead of a heap death. The guard is
+    # LAZY: a 1-row slot estimate cross-joined under every candidate
+    # row; the oracle does not replicate it (engine-resource refusal,
+    # not semantics — the KN 2^52 guard convention).
+    slot_guard = (
+        prefix.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("pdf"))
+        .agg(
+            F.sum(F.expr("pdf * (pdf - 1) div 2")).cast("long").alias("slots")
+        )
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs"))))
+        .select(
+            F.when(
+                F.col("slots") > _ED_SLOT_FACTOR * F.col("n_docs"),
+                F.raise_error(
+                    "doc_title_edit_neardup: prefix filter degenerated —"
+                    " candidate slots exceed the linear budget"
+                ),
+            )
+            .otherwise(F.lit(1))
+            .alias("guard_ok")
+        )
+    )
     cand = (
         prefix.repartition(spark.sparkContext.defaultParallelism)
         .alias("pa")
@@ -375,6 +407,11 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pb.doc_id").alias("id_b"),
         )
         .distinct()
+        # filter (not a bare drop) so column pruning cannot elide the
+        # raise_error projection
+        .crossJoin(F.broadcast(slot_guard))
+        .filter(F.col("guard_ok") == 1)
+        .drop("guard_ok")
     )
     # Verification order matters on low-entropy corpora (the measured
     # lesson: a templated title corpus has ~few hundred distinct grams,

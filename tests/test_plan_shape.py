@@ -738,14 +738,17 @@ SHUFFLE_BUDGETS = {
     # exchange; the stack/unpivot and ppm math are pure projections
     # over the 1-row result.
     "orders_profile": 2,
-    # round-11c edit-distance title join (measured 5): gram explode
+    # round-11c edit-distance title join (measured 9): gram explode
     # and the 25-rarest prefix ride the title projection; one gram df
     # groupBy, the probe-side round-robin spread (the C(prefix_df,2)
     # expansion inherits its parallelism — measured 140 s single-task
     # without it), the candidate-pair distinct, and the presentation
     # sort — verification is per-pair banded DP with zero fan-out
-    # (64-char keys; document bodies never shuffle).
-    "doc_title_edit_neardup": 5,
+    # (64-char keys; document bodies never shuffle). The extra 4 are
+    # the DEGENERACY GUARD's second prefix-chain reference (df groupBy,
+    # prefix window, gram rollup, 1-row slot agg) — every one
+    # gram-cardinality, the refuse-don't-OOM price.
+    "doc_title_edit_neardup": 9,
     # round-11c Misra-Gries heavy hitters (measured 4): the n-gram
     # stream crosses ONE corpus-sized exchange (the candidate-filtered
     # count groupBy); the MG kernel is a mapInPandas projection, the

@@ -470,3 +470,32 @@ def test_rolling_zscore_bound_guard(spark, tmp_path):
     entry = ENTRIES["events_rolling_zscore"]
     with pytest.raises(Exception, match="centi bound exceeded"):
         entry.spark(spark, sf).collect()
+
+
+def test_title_edit_neardup_degeneracy_guard(spark, tmp_path):
+    """The linear candidate budget refuses instead of OOMing: ~1400
+    identical titles put every doc in every prefix bucket, so slots =
+    C(n,2)*25 ~ 24.5M > 2^14*n ~ 22.9M — the entry must RAISE. A
+    smaller identical corpus stays under budget and runs the honest
+    all-pairs ed=0 relation."""
+    import pytest
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+
+    title = "the quick brown fox jumps over the lazy dog near the old river"
+    entry = ENTRIES["doc_title_edit_neardup"]
+
+    over = tmp_path / "over"
+    over.mkdir()
+    n_over = 1400  # C(n,2)*25 > 16384*n  <=>  n > 1311.5
+    sf = _write_documents(over, [(i, title) for i in range(n_over)])
+    with pytest.raises(Exception, match="prefix filter degenerated"):
+        entry.spark(spark, sf).write.format("noop").mode("overwrite").save()
+
+    under = tmp_path / "under"
+    under.mkdir()
+    n_under = 1200
+    sf2 = _write_documents(under, [(i, title) for i in range(n_under)])
+    got = entry.spark(spark, sf2)
+    assert got.count() == n_under * (n_under - 1) // 2

@@ -69,6 +69,10 @@ PICKS = {
     "doc_setsim_prefix_join": "prefix-filtered SSJoin: df groupBy + per-doc prefix window over id+hash rows; candidates expand inside rarest-shingle buckets (group-then-expand); verification joins are candidate-pair-sized; full sets never shuffle",
     "customer_scd2_history": "SCD2 build: lag (change detection), lead (interval close) and row_number all share ONE (custkey)-partitioned sort — a single id-width exchange, zero joins",
     "orders_cdc_apply": "CDC apply: last-writer-wins ranking and both audit counts share one key-partitioned window; the changelog never joins a snapshot because the full-log winner IS the snapshot",
+    "doc_title_edit_neardup": "Ed-Join title near-dup: df groupBy + per-doc 25-rarest prefix window; the candidate self-join expands on a round-robin-spread probe side (parallelism survives a one-split scan); verification is ONE banded levenshtein per pair with zero fan-out — the gram stream never expands per candidate",
+    "doc_bigram_heavy_hitters": "Misra-Gries heavy hitters: the bigram stream crosses ONE exchange (the candidate-filtered count groupBy); the MG kernel is a mapInPandas projection and the survivor union + 1-row total ride as broadcasts — the full vocabulary never shuffles",
+    "events_user_ewma": "sequential EWMA fold: one user-keyed groupBy collects per-user (ts,id,value) arrays; the alpha=0.5 fold and last-value extraction are array projections — nothing after the groupBy exceeds |users| rows",
+    "events_rolling_zscore": "rolling z-score: ONE user-partitioned sort serves count/sum/sumsq over the constant 7-row frame; the z identity is an exact-int64 projection with a single sqrt+division — state per task is constant at any corpus size",
 }
 
 
