@@ -244,9 +244,10 @@ DRIVER_PRIORITY: list[str] = [
     # stays sweep-gated with its property tests, and the streaming
     # driver surface stays THREE machines wide in-window (sessions,
     # attribution, dedup); event family lands at 6, above its minimum
-    # of 5. The other five r11c entries (events_user_ewma,
+    # of 5. The other eight r11c entries (events_user_ewma,
     # orders_profile, doc_title_edit_neardup, doc_bigram_heavy_hitters,
-    # events_rolling_zscore) are sweep-gated this round and are the
+    # events_rolling_zscore, orders_fk_integrity, events_user_gini,
+    # events_freshness_audit) are sweep-gated this round and are the
     # FIRST named rotation-ins for r12: no further
     # twice+-green rows can leave the window without breaking a family
     # minimum (embedding sits at exactly 8, multimodal at exactly 4)

@@ -213,6 +213,10 @@ HEADLINE = [
     "doc_title_edit_neardup",
     "doc_bigram_heavy_hitters",
     "events_rolling_zscore",
+    # appended late round 11 (the data-quality audit batch)
+    "orders_fk_integrity",
+    "events_user_gini",
+    "events_freshness_audit",
 ]
 
 

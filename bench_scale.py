@@ -450,6 +450,19 @@ PROBES = [
     # round-11c events_rolling_zscore IS probed: one user-keyed window
     # with a constant 7-row frame — the ratio must track the scan
     "events_rolling_zscore",
+    # round-11c orders_fk_integrity IS probed: two FK-keyed anti joins
+    # over corpus-cardinality sides — the ratio must track the scans
+    # (an orphan-check that degrades super-linearly is unusable as a
+    # per-snapshot data test)
+    "orders_fk_integrity",
+    # round-11c events_user_gini IS probed: two user-keyed
+    # map-side-combined groupBys — must ride the scan
+    "events_user_gini",
+    # round-11c events_freshness_audit IS probed: the claim is that
+    # gap audit costs the (type, day)-grain window, NOT a 5-value-key
+    # global sort — a super-linear ratio here means the bucket
+    # decomposition stopped bounding the sort
+    "events_freshness_audit",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

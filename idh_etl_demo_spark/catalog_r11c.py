@@ -888,3 +888,304 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("zscore"),
     ).orderBy("event_id")
+
+
+# ===========================================================================
+# Referential-integrity audit — the dbt-test primitive
+# ===========================================================================
+#
+# The most-run data test in every warehouse is the relationship test:
+# every child foreign key must resolve to a parent row (dbt's
+# `relationships`, Great Expectations'
+# expect_column_values_to_be_in_set over a lookup). The audit is two
+# LEFT ANTI joins (orders→customer, lineitem→orders) reduced to
+# per-relationship counts with exact int64 ppm rates; a NULL child key
+# never matches a parent (identical semantics in Spark's left_anti and
+# the oracle's NOT EXISTS) and is also counted separately so a
+# null-FK regression is distinguishable from a dangling-FK one.
+#
+# Scale: each anti join shuffles on the FK — the parent side is
+# corpus-cardinality, so no broadcast hints (Catalyst may still choose
+# broadcast at small SF; at scale it degrades gracefully to a shuffle
+# join). Everything after the joins is a handful of count rows.
+
+
+@query(
+    "orders_fk_integrity",
+    """
+    select 'orders.o_custkey->customer.c_custkey' as relationship,
+           (select count(*) from orders)::bigint as n_child,
+           (select count(*) from orders where o_custkey is null)::bigint
+             as n_null_fk,
+           (select count(*) from orders o where not exists
+             (select 1 from customer c where c.c_custkey = o.o_custkey)
+           )::bigint as n_orphans,
+           ((select count(*) from orders o where not exists
+             (select 1 from customer c where c.c_custkey = o.o_custkey))
+            * 1000000 // (select count(*) from orders))::bigint
+             as orphan_ppm
+    union all
+    select 'lineitem.l_orderkey->orders.o_orderkey' as relationship,
+           (select count(*) from lineitem)::bigint,
+           (select count(*) from lineitem where l_orderkey is null)::bigint,
+           (select count(*) from lineitem l where not exists
+             (select 1 from orders o where o.o_orderkey = l.l_orderkey)
+           )::bigint,
+           ((select count(*) from lineitem l where not exists
+             (select 1 from orders o where o.o_orderkey = l.l_orderkey))
+            * 1000000 // (select count(*) from lineitem))::bigint
+    order by relationship
+    """,
+)
+def orders_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (section comment): per FK
+    relationship, child count, NULL-key count, dangling-key count
+    (left anti join), and exact int64 orphan ppm. Testdata is
+    FK-consistent, so the orphan path is pinned by a planted property
+    frame (dangling keys + a NULL key), like the profile entry's null
+    path."""
+    rels = [
+        (
+            "orders.o_custkey->customer.c_custkey",
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("fk")
+            ),
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("pk")
+            ),
+        ),
+        (
+            "lineitem.l_orderkey->orders.o_orderkey",
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("fk")
+            ),
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("pk")
+            ),
+        ),
+    ]
+    parts = []
+    for name, child, parent in rels:
+        orphans = child.join(
+            parent, child["fk"] == parent["pk"], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        stats = child.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            (F.count(F.lit(1)) - F.count("fk"))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        parts.append(
+            stats.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                F.expr("n_orphans * 1000000 div n_child").alias(
+                    "orphan_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("relationship")
+
+
+# ===========================================================================
+# Per-user Gini impurity — engine-exact distribution diversity
+# ===========================================================================
+#
+# Entropy is the textbook diversity metric but ln() never gates
+# bit-identically across engines (the standing BM25-idf lesson); GINI
+# IMPURITY 1 − Σp² carries the same signal as an EXACT RATIONAL:
+# with per-user type counts c_i and n = Σc_i,
+#     gini = (n² − Σc_i²) / n²
+# — integer numerator and denominator, ONE IEEE division in an
+# identical tree, plus an exact int64 ppm. The 2·10^6 per-user event
+# bound keeps (n² − Σc²)·10^6 < 2^62 (guarded raise past it — the
+# _kn_guarded_p discipline; per-user activity is feed-bounded, never
+# corpus-bounded).
+
+_GINI_N_BOUND = 2 * 10**6
+
+
+@query(
+    "events_user_gini",
+    f"""
+    with c as (
+      select user_id, event_type, count(*)::bigint as c
+      from events group by user_id, event_type
+    ),
+    u as (
+      select user_id,
+             sum(c)::bigint as n_events,
+             count(*)::bigint as n_types,
+             sum(c * c)::bigint as sumsq
+      from c group by user_id
+    ),
+    g as (
+      select user_id,
+             case when n_events > {_GINI_N_BOUND}
+                  then error('events_user_gini: per-user bound exceeded')
+                  else n_events end as n_events,
+             n_types, sumsq
+      from u
+    )
+    select user_id, n_events, n_types, sumsq,
+           cast(n_events * n_events - sumsq as double)
+             / cast(n_events * n_events as double) as gini,
+           ((n_events * n_events - sumsq) * 1000000
+             // (n_events * n_events))::bigint as gini_ppm
+    from g
+    order by user_id
+    """,
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Gini impurity of the event-type mix — the
+    engine-exact diversity metric (section comment: entropy's ln()
+    cannot hash-gate; the Gini rational can). Counts are two
+    map-side-combined groupBys ((user, type) then user); the impurity
+    is one IEEE division over exact int64 operands plus an exact ppm;
+    past the 2e6 per-user bound the entry raises instead of wrapping.
+
+    Scale shape: both exchanges key on the corpus-cardinality user
+    axis; nothing after the first groupBy exceeds |user×type| rows."""
+    c = _t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    g = u.withColumn(
+        "n_events",
+        F.when(
+            F.col("n_events") > _GINI_N_BOUND,
+            F.raise_error("events_user_gini: per-user bound exceeded"),
+        ).otherwise(F.col("n_events")),
+    )
+    n2 = F.col("n_events") * F.col("n_events")
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "sumsq",
+        ((n2 - F.col("sumsq")).cast("double") / n2.cast("double")).alias(
+            "gini"
+        ),
+        F.expr(
+            "(n_events * n_events - sumsq) * 1000000"
+            " div (n_events * n_events)"
+        ).alias("gini_ppm"),
+    ).orderBy("user_id")
+
+
+# ===========================================================================
+# Freshness / gap audit — two-phase max-gap without a hot-key sort
+# ===========================================================================
+#
+# "When did this feed last stall?" is the standing freshness monitor:
+# per event_type, the maximum gap between consecutive events. The
+# naive plan is ONE window partitioned by event_type — a 5-value key
+# that funnels a fifth of a 100 TB stream through one sort task (the
+# exact shape the r10 verdict flagged in lineitem_mad_outliers). The
+# scale-safe decomposition is the grouped two-phase trick applied to
+# GAPS: consecutive-pair gaps are either WITHIN a (type, day) bucket
+# — a local window whose partition is the natural per-type-per-day
+# grain — or BETWEEN adjacent non-empty buckets, recovered from the
+# per-bucket first/last timestamps with a lag over the
+# calendar-bounded |types|·|days| bucket table. max(gap) is the max of
+# the two families; avg gap needs no window at all (span/(n−1), exact
+# int64 µs). The oracle derives everything from ONE per-type lag
+# window — the independent single-sort derivation.
+
+
+@query(
+    "events_freshness_audit",
+    """
+    with g as (
+      select event_type, ts,
+             epoch_us(ts) - epoch_us(lag(ts) over
+               (partition by event_type order by ts, event_id)) as gap_us
+      from events
+    ),
+    s as (
+      select event_type,
+             count(*)::bigint as n_events,
+             min(ts) as first_ts,
+             max(ts) as last_ts,
+             max(gap_us)::bigint as max_gap_us
+      from g group by event_type
+    )
+    select event_type, n_events, first_ts, last_ts, max_gap_us,
+           case when n_events > 1
+                then (epoch_us(last_ts) - epoch_us(first_ts))
+                       // (n_events - 1)
+                else null end::bigint as avg_gap_us
+    from s
+    order by event_type
+    """,
+)
+def events_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type feed-freshness audit: max and mean inter-event gap in
+    exact int64 microseconds, computed WITHOUT a low-cardinality-key
+    sort (section comment): within-(type, day) gaps ride a local
+    window at the natural daily grain; cross-bucket gaps come from a
+    lag over the |types|·|days| bucket rollup; the mean is the closed
+    form span/(n−1). The oracle is the single per-type lag window —
+    rank-free equality between the two derivations is the gate. The
+    property test plants a feed with its maximum gap ACROSS a day
+    boundary (the case the bucket decomposition must not miss) and an
+    intra-day stall."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        # ts arrives TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+        # cast is epoch-faithful and matches DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    )
+    wloc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    local = e.withColumn("gap_us", F.col("us") - F.lag("us").over(wloc))
+    bucket_stats = local.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max("gap_us").alias("local_max_gap"),
+    )
+    wbkt = Window.partitionBy("event_type").orderBy(F.asc("bucket"))
+    bridged = bucket_stats.withColumn(
+        "boundary_gap", F.col("first_us") - F.lag("last_us").over(wbkt)
+    )
+    s = bridged.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.greatest(
+            F.max("local_max_gap"), F.max("boundary_gap")
+        ).cast("long").alias("max_gap_us"),
+        F.min("first_us").alias("span_first"),
+        F.max("last_us").alias("span_last"),
+    )
+    return s.select(
+        "event_type",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        "max_gap_us",
+        F.when(
+            F.col("n_events") > 1,
+            F.expr("(span_last - span_first) div (n_events - 1)"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("avg_gap_us"),
+    ).orderBy("event_type")

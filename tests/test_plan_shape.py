@@ -760,6 +760,22 @@ SHUFFLE_BUDGETS = {
     # sort (7-row frames — constant state per task) + the presentation
     # sort; everything else is exact-int64 projection.
     "events_rolling_zscore": 2,
+    # round-11c FK-integrity audit (measured 4): two anti joins (each
+    # shuffles on its FK — the parent side is corpus-cardinality, no
+    # broadcast hints) reduced to 1-row counts; the union's
+    # presentation sort and count aggs are row-bounded.
+    "orders_fk_integrity": 4,
+    # round-11c per-user Gini (measured 3): two map-side-combined
+    # groupBys on the corpus-cardinality user axis ((user,type) then
+    # user) + the presentation sort; the impurity is a projection.
+    "events_user_gini": 3,
+    # round-11c freshness audit (measured 3): the within-(type,day)
+    # local gap window at the natural daily grain, the per-type rollup
+    # over the |types|*|days| bucket table (which also serves the
+    # boundary-gap lag), and the presentation sort — NO 5-value-key
+    # sort anywhere (the lineitem_mad_outliers lesson applied to
+    # gaps).
+    "events_freshness_audit": 3,
     # round-11c streaming dedup: the SERVED plan is the emissions
     # parquet read + presentation sort (default budget); the dedup
     # state machine runs inside the availableNow drain at build time

@@ -499,3 +499,146 @@ def test_title_edit_neardup_degeneracy_guard(spark, tmp_path):
     sf2 = _write_documents(under, [(i, title) for i in range(n_under)])
     got = entry.spark(spark, sf2)
     assert got.count() == n_under * (n_under - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits
+# ---------------------------------------------------------------------------
+
+
+def test_fk_integrity_planted_orphans(spark, tmp_path):
+    """Testdata is FK-consistent, so the orphan path lives here: plant
+    dangling custkeys, a NULL custkey, and dangling lineitem orderkeys
+    and pin every cell."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+
+    d = dt.datetime(1997, 6, 1)
+    orders = [
+        (1, 10, "O", 1.0, d, "1-URGENT"),
+        (2, 10, "O", 1.0, d, "1-URGENT"),
+        (3, 99, "F", 1.0, d, "2-HIGH"),  # dangling custkey
+        (4, None, "F", 1.0, d, "2-HIGH"),  # NULL custkey (also orphan)
+        (5, 11, "O", 1.0, d, "3-MEDIUM"),
+    ]
+    _write_orders(tmp_path, orders)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 11], type=pa.int64()),
+                "c_name": pa.array(["a", "b"]),
+                "c_nationkey": pa.array([0, 0], type=pa.int64()),
+                "c_acctbal": pa.array([0.0, 0.0], type=pa.float64()),
+                "c_mktsegment": pa.array(["x", "x"]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 77, None], type=pa.int64()),
+                "l_partkey": pa.array([1] * 5, type=pa.int64()),
+                "l_suppkey": pa.array([1] * 5, type=pa.int64()),
+                "l_linenumber": pa.array([1, 2, 1, 1, 1], type=pa.int64()),
+                "l_quantity": pa.array([1.0] * 5, type=pa.float64()),
+                "l_extendedprice": pa.array([1.0] * 5, type=pa.float64()),
+                "l_discount": pa.array([0.0] * 5, type=pa.float64()),
+                "l_tax": pa.array([0.0] * 5, type=pa.float64()),
+                "l_returnflag": pa.array(["N"] * 5),
+                "l_linestatus": pa.array(["O"] * 5),
+                "l_shipdate": pa.array([d] * 5, type=pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    entry = ENTRIES["orders_fk_integrity"]
+    got = entry.spark(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    assert_frames_equal(got, con.execute(entry.oracle).df())
+
+    g = got.set_index("relationship")
+    o = g.loc["orders.o_custkey->customer.c_custkey"]
+    assert (o.n_child, o.n_null_fk, o.n_orphans) == (5, 1, 2)
+    assert o.orphan_ppm == 2 * 1000000 // 5
+    li = g.loc["lineitem.l_orderkey->orders.o_orderkey"]
+    assert (li.n_child, li.n_null_fk, li.n_orphans) == (5, 1, 2)
+
+
+def test_user_gini_twin_and_guard(spark, tmp_path, monkeypatch):
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c as r11c
+
+    base = dt.datetime(2024, 6, 1)
+    rows, eid = [], 0
+    # user 1: pure (gini 0); user 2: 2+2 uniform (gini 0.5);
+    # user 3: 3+1 (gini = 1 - 10/16 = 0.375)
+    for uid, types in ((1, "aaaa"), (2, "aabb"), (3, "aaab")):
+        for t in types:
+            rows.append((eid, base + dt.timedelta(minutes=eid), uid, t, 1.0))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    entry = ENTRIES["events_user_gini"]
+    got = entry.spark(spark, sf).toPandas().set_index("user_id")
+    assert_frames_equal(
+        got.reset_index(), _oracle_df(sf, "events", entry)
+    )
+    assert got.loc[1].gini == 0.0 and got.loc[1].gini_ppm == 0
+    assert got.loc[2].gini == (16 - 8) / 16 and got.loc[2].gini_ppm == 500000
+    assert got.loc[3].gini == (16 - 10) / 16 and got.loc[3].gini_ppm == 375000
+    assert list(got.n_types) == [1, 2, 2]
+
+    # guard: shrink the bound and replant a user that exceeds it
+    import pytest
+
+    monkeypatch.setattr(r11c, "_GINI_N_BOUND", 3)
+    with pytest.raises(Exception, match="per-user bound exceeded"):
+        entry.spark(spark, sf).collect()
+
+
+def test_freshness_audit_day_boundary_twin(spark, tmp_path):
+    """The two-phase gap decomposition must recover a maximum gap that
+    straddles a day boundary (the case the bucket trick could miss),
+    and an intra-day stall when that is the max."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+    import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+
+    rows = [
+        # type A: max gap 26h ACROSS the midnight cut (23:00 -> next 01:00)
+        (0, dt.datetime(2024, 7, 1, 10, 0), 1, "A", 1.0),
+        (1, dt.datetime(2024, 7, 1, 23, 0), 1, "A", 1.0),
+        (2, dt.datetime(2024, 7, 3, 1, 0), 1, "A", 1.0),
+        (3, dt.datetime(2024, 7, 3, 2, 0), 1, "A", 1.0),
+        # type B: max gap 5h INSIDE a single day
+        (4, dt.datetime(2024, 7, 1, 0, 0), 1, "B", 1.0),
+        (5, dt.datetime(2024, 7, 1, 5, 0), 1, "B", 1.0),
+        (6, dt.datetime(2024, 7, 1, 6, 0), 1, "B", 1.0),
+        # type C: single event -> null gaps
+        (7, dt.datetime(2024, 7, 2, 12, 0), 1, "C", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    entry = ENTRIES["events_freshness_audit"]
+    got = entry.spark(spark, sf).toPandas().set_index("event_type")
+    assert_frames_equal(got.reset_index(), _oracle_df(sf, "events", entry))
+
+    h = 3600 * 1_000_000
+    a = got.loc["A"]
+    assert a.max_gap_us == 26 * h  # the cross-day gap won
+    assert a.avg_gap_us == (40 * h) // 3
+    b = got.loc["B"]
+    assert b.max_gap_us == 5 * h
+    assert b.avg_gap_us == 3 * h
+    c = got.loc["C"]
+    import pandas as pd
+
+    assert pd.isna(c.max_gap_us) and pd.isna(c.avg_gap_us)
+    assert c.n_events == 1
