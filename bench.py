@@ -217,6 +217,9 @@ HEADLINE = [
     "orders_fk_integrity",
     "events_user_gini",
     "events_freshness_audit",
+    # appended round 12: the containment-prune work-reduction audit
+    # (r11 verdict ask #1 — the measured candidate reduction lives here)
+    "doc_containment_audit",
 ]
 
 

@@ -409,7 +409,17 @@ PROBES = [
     # joins prefix(A) against the FULL shingle stream, so candidate
     # slots are Σ prefix_df·df — a hot full-side shingle is exactly
     # the regression this probe exists to catch before production
+    # round-12: the join now carries the LENGTH + POSITIONAL prunes in
+    # its candidate condition (same-session 10× A/B vs the unpruned
+    # plan: 15.5 → 11.2 s, NOTES_r12 §1). On THIS probe corpus the
+    # audit shows candidates ≈ true pairs (verbatim copies make the
+    # output itself quadratic in the duplication factor), so the
+    # remaining ratio is answer mass, not plan waste.
     "doc_containment_join",
+    # round-12 doc_containment_audit is NOT probed: it executes the
+    # probed join's own pruned candidate expansion plus 1-row scalar
+    # aggs — the probed entry already carries the shape; the audit's
+    # job is the per-corpus reduction NUMBER, not a second wall-clock.
     # round-11b doc_langid_confusion is NOT probed: the classifier is
     # a projection and the single corpus exchange is a ≤36-cell
     # groupBy — the probed doc_lang_id-family scan shape with strictly

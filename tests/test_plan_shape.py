@@ -714,13 +714,23 @@ SHUFFLE_BUDGETS = {
     # (3 tiny exchanges), the hot filter joins the 2-row totals
     # broadcast, and the union's presentation sort closes it out.
     "events_key_skew_audit": 6,
-    # round-11b containment join (measured 6): the setsim skeleton
-    # with the probe-side-only prefix — df groupBy, the per-doc prefix
-    # window's id+hash spread, the prefix×full-stream candidate
-    # distinct, the pair-keyed intersection agg (sizes ride the
-    # stream's own exchanges as plain hash joins, never broadcast),
-    # and the presentation sort.
+    # round-11b containment join (measured 6, unchanged by the
+    # round-12 prunes): the setsim skeleton with the probe-side-only
+    # prefix — df groupBy, ONE shared per-doc rank window feeding both
+    # join sides (the full side's s_b/r_b columns ride the same
+    # exchange the prefix cut already paid; the LENGTH and POSITIONAL
+    # prunes are join-condition arithmetic, zero new exchanges), the
+    # candidate distinct, the pair-keyed intersection agg, and the
+    # presentation sort.
     "doc_containment_join": 6,
+    # round-12 containment-prune audit (measured 13): re-runs the
+    # entry's own 6 plus the pruned-join count and distinct-candidate
+    # count (each re-deriving the rank window lineage from its side of
+    # the audit) and the 1-row scalar aggs — the audit measures the
+    # prunes, so it must execute the pruned join it reports on; the
+    # UNPRUNED expansion is never executed (closed-form Σ(df−1) over
+    # the prefix frame).
+    "doc_containment_audit": 13,
     # round-11b language-ID confusion matrix (measured 5): the
     # classifier is a pure projection; the corpus crosses ONE exchange
     # (the (true, pred) cell groupBy), the row/column totals
