@@ -666,11 +666,13 @@ SHUFFLE_BUDGETS = {
     # broadcast, and at scale co-partitioned SMJ over two state tables
     # is exactly the shape wanted).
     "orders_ivm_agg": 3,
-    # round-11 IVM join maintenance (measured 1): the four bilinear
-    # terms are broadcast hash joins against the 1,500-row customer
-    # dimension at test SF (at scale ΔO⋈C terms shuffle only delta
-    # rows; O₀⋈ΔC probes with a |ΔC|-row build side); the one counted
-    # exchange is the presentation sort.
+    # round-11 IVM join maintenance (measured 1, unchanged by the
+    # round-12 stored-base materialization): the base term is now a
+    # parquet SCAN of the stored view (no join at all); the three
+    # delta terms are broadcast hash joins against the 1,500-row
+    # customer dimension at test SF (at scale ΔO⋈C terms shuffle only
+    # delta rows; O₀⋈ΔC probes with a |ΔC|-row build side); the one
+    # counted exchange is the presentation sort.
     "orders_ivm_join": 1,
     # round-11 LSH tuning audit (measured 11, down from 25 when each
     # config ran its own banding pass): ONE signature projection's
@@ -897,6 +899,11 @@ EAGER_EXEMPT = {
     # (catalog_r11._XSI_MODELS — same eager prefix-doubling loop,
     # memoized per session+sf, cleared per bench rep)
     "doc_exact_substr_incremental",
+    # round-12: the IVM join's stored base view materializes to
+    # parquet on FIRST call per (session, sf) (catalog_r11._IVMJ_BASE
+    # — the r11 verdict's wrong #3 fix); warm calls scan the stored
+    # table with zero jobs (the memo holds the post-write read DF)
+    "orders_ivm_join",
 }
 
 
@@ -918,6 +925,26 @@ def test_builders_are_lazy_no_actions(spark):
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("lazy-builders")
     assert len(jobs) == 0, f"builders ran {len(jobs)} jobs at construction time"
+
+
+def test_ivm_join_plan_has_no_base_base_join(spark):
+    """The round-11 verdict's wrong #3: orders_ivm_join's benched plan
+    must MAINTAIN against the stored base view, not recompute Ob⋈Cb.
+    Assert the executed plan (a) scans the materialized base_view
+    parquet and (b) contains exactly THREE join operators — the
+    bilinear delta terms — so a regression that re-derives the base
+    term in-plan (a fourth join) fails the suite."""
+    import re
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    plan = _plan(ENTRIES["orders_ivm_join"].spark(spark, SF))
+    assert "base_view.parquet" in plan, "stored base view not scanned"
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct)",
+        plan,
+    )
+    assert len(joins) == 3, f"expected 3 delta-term joins, got {joins}"
 
 
 def test_no_cartesian_products_anywhere(spark):
