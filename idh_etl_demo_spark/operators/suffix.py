@@ -155,9 +155,12 @@ def suffix_ranks(
     # corpus stats off the checkpointed rank table — no second
     # tokenizing scan
     stats = cur.agg(
-        F.count(F.lit(1)).alias("npos"), F.max("pos").alias("maxpos")
+        F.count(F.lit(1)).alias("npos"),
+        F.max("pos").alias("maxpos"),
+        F.max("r").alias("topr"),
     ).collect()[0]
     npos, maxlen = int(stats.npos or 0), int(stats.maxpos or -1) + 1
+    prev_top = int(stats.topr) if stats.topr is not None else -1
     if npos == 0:
         empty = cur.select(
             "doc_id", "pos", F.lit(0).cast("long").alias("sa_rank")
@@ -190,6 +193,21 @@ def suffix_ranks(
         top = cur.agg(F.max("r")).collect()[0][0]
         if top == npos - 1:
             break
+        # STABILITY exit (round-12): doubling only refines, so equal
+        # class count ⟺ equal partition; and a round with no split is
+        # the Manber–Myers fixpoint — if p ≡₂ₕ q then p+h ≡ₕ q+h (the
+        # second key component), stability lifts that to p+h ≡₂ₕ q+h,
+        # whose second component gives p+2h ≡ₕ q+2h, so by induction
+        # every later level equals this one. Remaining tied classes
+        # are IDENTICAL TAILS (verbatim re-crawls), which full-depth
+        # doubling could never separate anyway — the walk resolves
+        # them via the top-level sentinel (suffix_lcp_adjacent). The
+        # level just appended duplicates the previous partition, so
+        # drop it: the stable level is the walk's top.
+        if top == prev_top:
+            history.pop()
+            break
+        prev_top = top
 
     # total order: identical cross-document suffixes share a rank class
     # after the loop; break ties positionally (the oracle's
@@ -339,7 +357,8 @@ def suffix_lcp_adjacent(
     )
     if pair_filter is not None:
         cur = cur.filter(pair_filter)
-    for L, fr in sorted(history, key=lambda t: -t[0]):
+    levels = sorted(history, key=lambda t: -t[0])
+    for i, (L, fr) in enumerate(levels):
         r1 = fr.select(
             F.col("doc_id").alias("d1"),
             F.col("pos").alias("q1"),
@@ -350,6 +369,18 @@ def suffix_lcp_adjacent(
             F.col("pos").alias("q2"),
             F.col("r").alias("rb"),
         )
+        # TOP level (round-12): sharing the top retained class means
+        # IDENTICAL TAILS in both exit regimes — depth exit: the top
+        # level L ≥ max doc length, so an L-class holds suffixes whose
+        # entire tails agree; stability exit: the top level is the
+        # doubling FIXPOINT, whose classes agree at every larger
+        # length too. Bump by a sentinel far past any doc length: the
+        # later (smaller) level joins find no rank rows at the shifted
+        # offsets (left-join nulls, acc unchanged) and the final
+        # least(acc, remaining lengths) cap lands on the exact common
+        # tail. Without the sentinel a stability-exited history could
+        # under-accumulate: Σ retained levels + 1 < tail length.
+        bump = F.lit((1 << 40) if i == 0 else L).cast("long")
         cur = (
             cur.withColumn("q1", F.col("p1") + F.col("acc"))
             .withColumn("q2", F.col("p2") + F.col("acc"))
@@ -359,7 +390,7 @@ def suffix_lcp_adjacent(
                 "acc",
                 F.when(
                     F.col("ra").isNotNull() & (F.col("ra") == F.col("rb")),
-                    F.col("acc") + L,
+                    F.col("acc") + bump,
                 ).otherwise(F.col("acc")),
             )
             .drop("q1", "q2", "ra", "rb")

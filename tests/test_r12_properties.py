@@ -170,3 +170,71 @@ def test_containment_prunes_fire_and_stay_complete(spark, tmp_path):
             ENTRIES[name].spark(spark, sf).toPandas(),
             con.execute(ENTRIES[name].oracle).df(),
         )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array stability exit + identical-tail sentinel (round 12)
+# ---------------------------------------------------------------------------
+#
+# The prefix-doubling loop now stops when a doubling round splits no
+# class (the Manber–Myers fixpoint) instead of grinding to max doc
+# length — the remaining tied classes are identical tails, which the
+# LCP walk resolves via the top-level sentinel. Plant the adversarial
+# geometry: several VERBATIM copies of one doc whose 120 tokens are
+# pairwise distinct, so the partition is content-complete at the
+# BIGRAM seed already (stability fires on the first doubling round)
+# while every cross-copy suffix pair is an identical tail of up to 120
+# tokens — far beyond what the truncated level ladder (2 alone) can
+# accumulate without the sentinel.
+
+
+def test_sa_stability_exit_fires_and_walk_stays_exact(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    import idh_etl_demo_spark.catalog_r9b  # noqa: F401
+    import idh_etl_demo_spark.catalog_r10  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.operators.text import tokens as tok_expr
+    from idh_etl_demo_spark.operators.suffix import (
+        dup_len_per_position,
+        suffix_lcp_adjacent,
+        suffix_ranks,
+    )
+
+    body = " ".join(f"t{i}" for i in range(1, 121))
+    texts = {1: body, 2: body, 3: body, 4: body}
+    sf = _write_documents(tmp_path, texts)
+
+    base = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", tok_expr(F.col("text")).alias("toks"))
+    )
+    final, history, pos = suffix_ranks(base)
+    # stability fired: the ladder stops far short of maxlen=120
+    # (distinct tokens make the bigram seed content-complete; the
+    # first doubling round splits nothing)
+    assert [h for h, _ in history] == [2], history
+    # every copy's suffix is an identical tail of the 3 other copies:
+    # m(pos) must equal the FULL remaining length at every position
+    lens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    m = dup_len_per_position(
+        suffix_lcp_adjacent(final, history, pos, lens)
+    ).collect()
+    assert len(m) == 4 * 120
+    for row in m:
+        assert row.m == 120 - row.pos, (row.doc_id, row.pos, row.m)
+
+    # the driver-gated consumers stay oracle-green on the planted
+    # corpus (their DuckDB twins rebuild the SA from scratch)
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ("doc_exact_substr_spans", "doc_longest_dup_run"):
+        assert_frames_equal(
+            ENTRIES[name].spark(spark, sf).toPandas(),
+            con.execute(ENTRIES[name].oracle).df(),
+        )

@@ -34,6 +34,14 @@ from idh_etl_demo_spark.catalog_r11 import (  # noqa: E402
 )
 
 
+def _timed_build(base_df):
+    from idh_etl_demo_spark.operators.suffix import suffix_ranks
+
+    t0 = time.perf_counter()
+    final, history, pos = suffix_ranks(base_df)
+    return round(time.perf_counter() - t0, 3), final, history, pos
+
+
 def main() -> None:
     spark = get_spark(app_name="probe-xsi")
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,6 +52,38 @@ def main() -> None:
         final, history, posf = _xsi_parts(spark, sf_dir)
         build_s = round(time.perf_counter() - t0, 3)
         npos = final.count()
+
+        # ------- rebuild-vs-update decomposition (r11 verdict, -------
+        # ------- What's missing #4) -------
+        # An incremental (merged-SA) update's cost floor is
+        #   delta-only build + at least ONE global ranking pass over
+        #   the combined positions (any merge must produce the
+        #   combined total order),
+        # plus the rank-placement machinery itself (in Spark: log(n)
+        # batched binary-search join rounds — each a full stage, so
+        # its cost floor is stage-overhead × log₂(n_base), data-size
+        # independent). Measure every term so the crossover is a
+        # number, not a guess.
+        corpus = _xsi_base(spark, sf_dir)
+        base_only_s, _, bh, _ = _timed_build(
+            corpus.filter(~_xsi_delta(F.col("doc_id")))
+        )
+        delta_only_s, _, dh, _ = _timed_build(
+            corpus.filter(_xsi_delta(F.col("doc_id")))
+        )
+        # one global ranking pass over the combined corpus = the merge
+        # floor (the seed level of a fresh build is exactly that shape)
+        import math
+
+        from idh_etl_demo_spark.operators.suffix import _bucketed_rank, _NBUCKETS
+
+        seed = history[0][1]
+        t0 = time.perf_counter()
+        bw = max(1, math.ceil(npos / _NBUCKETS))
+        _bucketed_rank(
+            seed, ["r", "doc_id", "pos"], "r", bw, dense=False
+        ).localCheckpoint(eager=True)
+        merge_floor_s = round(time.perf_counter() - t0, 3)
         ndelta_pos = (
             _xsi_base(spark, sf_dir)
             .filter(_xsi_delta(F.col("doc_id")))
@@ -71,6 +111,21 @@ def main() -> None:
             "pairs_actually_walked": walked,
             "walk_fraction": round(walked / full, 4),
             "sa_build_sec": build_s,
+            "sa_build_rounds_retained": len(history),
+            "sa_build_base_only_sec": base_only_s,
+            "sa_build_base_only_rounds": len(bh),
+            "sa_build_delta_only_sec": delta_only_s,
+            "sa_build_delta_only_rounds": len(dh),
+            "merge_floor_one_ranking_pass_sec": merge_floor_s,
+            # update floor = reuse the stored base build, pay the
+            # delta build + >= 1 combined ranking pass + log2(n_base)
+            # batched binary-search stages for rank placement
+            "update_floor_sec_excl_placement": round(
+                delta_only_s + merge_floor_s, 3
+            ),
+            "placement_stages_log2_nbase": math.ceil(
+                math.log2(max(npos - ndelta_pos, 2))
+            ),
         }
         print(f"[probe] {sf}: {out[sf]}")
     spark.stop()
