@@ -720,6 +720,11 @@ def doc_bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        # spread BEFORE the expansion kernel (the §18/round-12 spread
+        # audit): a one-split parquet scan would serialize the whole
+        # MG phase AND the exploded stream's map side through one task
+        # — same convention as _sa_base's pre-tokenize repartition
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.split(F.lower(F.col("text")), " ").alias("ws"))
         .filter(F.size("ws") >= 2)
     )

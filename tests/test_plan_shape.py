@@ -767,7 +767,10 @@ SHUFFLE_BUDGETS = {
     # survivor-union distinct and the 1-row total are bounded
     # exchanges, and the presentation sort closes it — the full
     # vocabulary never shuffles.
-    "doc_bigram_heavy_hitters": 4,
+    # +1 in round 12: the pre-expansion round-robin spread of the
+    # document scan (the §18 spread audit — a one-split parquet would
+    # serialize the MG kernel and the exploded stream's map side).
+    "doc_bigram_heavy_hitters": 5,
     # round-11c rolling z-score (measured 2): ONE user-keyed window
     # sort (7-row frames — constant state per task) + the presentation
     # sort; everything else is exact-int64 projection.
@@ -925,6 +928,44 @@ def test_builders_are_lazy_no_actions(spark):
         sc.setJobGroup("", "")
     jobs = sc.statusTracker().getJobIdsForGroup("lazy-builders")
     assert len(jobs) == 0, f"builders ran {len(jobs)} jobs at construction time"
+
+
+# Round-12 spread audit (the §18 lesson, applied repo-wide): every
+# candidate-expansion plan must spread its probe/kernel input off the
+# raw scan — a one-split parquet (always the case for the small
+# committed SFs, and common for any <128 MB file at prod defaults)
+# otherwise serializes the quadratic expansion through ONE task (the
+# measured edit-join failure: 140 s vs 21 s). Two structural classes:
+#  - SELF-JOIN expansions must carry an explicit RoundRobinPartitioning
+#    exchange upstream of the join (the _sa_base / edit-join spread);
+#  - GROUP-THEN-EXPAND plans (blocked_pairs) are structurally immune:
+#    the expansion runs after the block groupBy's hash exchange, so it
+#    inherits shuffle parallelism — listed here as documentation, not
+#    asserted.
+SPREAD_REQUIRED = [
+    "doc_title_edit_neardup",
+    "doc_setsim_prefix_join",
+    "doc_setsim_prefix_audit",
+    "doc_containment_join",
+    "doc_containment_audit",
+    "doc_lsh_tuning_audit",
+    "doc_minhash_candidates",
+    "doc_simhash_neardup",
+    "doc_simhash60_neardup",
+    # not a self-join, but an expansion kernel: the MG sketch phase
+    # and the exploded bigram stream both run pre-exchange
+    "doc_bigram_heavy_hitters",
+]
+# group-then-expand (blocked_pairs): part_name_fuzzy_pairs
+
+
+def test_candidate_expansions_spread_their_probe_side(spark):
+    for name in SPREAD_REQUIRED:
+        plan = _plan(ENTRIES[name].spark(spark, SF))
+        assert "RoundRobinPartitioning" in plan, (
+            f"{name}: candidate expansion inherits the raw scan's"
+            " partitioning — a one-split file serializes it (§18)"
+        )
 
 
 def test_ivm_join_plan_has_no_base_base_join(spark):
