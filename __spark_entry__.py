@@ -42,6 +42,31 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
 #
+# ROUND-12 ROTATION (the round-11 verdict's ask #2). All 12 round-11
+# first-greens STAY for their second hard signal (the r11 new entries,
+# the IVM pair, and the r11b/r11c batch rows that first-greened in the
+# r11 window: events_rollup_cascade, orders_chisq_drift,
+# events_key_skew_audit, doc_containment_join, doc_langid_confusion,
+# events_streaming_dedup). Rotating IN all NINE never-driver-green
+# entries (the eight named r11c rotation-ins — events_user_ewma,
+# orders_profile, doc_title_edit_neardup, doc_bigram_heavy_hitters,
+# events_rolling_zscore, orders_fk_integrity, events_user_gini,
+# events_freshness_audit — plus the new round-12
+# doc_containment_audit) and FIVE stale recalls (NOTES_r11 §11):
+# ztm_vehicle_dim (the ask-#8 sibling, last green r9),
+# doc_duplicated_spans (last green r9, the verdict's named class),
+# doc_quality (r5 — stalest doc row), multimodal_metadata (r5 —
+# stalest multimodal row), embedding_ann_hyperplane (r5 — stalest
+# embedding row, the twice-named recall candidate). Rotating OUT 14
+# twice+-green rows (annotated in place below). Families after the
+# swap: ztm 4, doc 18, embedding 8, multimodal 4, event 7, TPC-H 9 —
+# all at or above minimums; window stays exactly 50; zero entries
+# reach round 13 having never seen the driver. The suffix family's
+# exact-substr trio and the setsim/containment family deliberately
+# STAY in-window: round 12 changed their shared code paths (the SA
+# stability exit + the containment prunes), so the driver re-verifies
+# exactly the changed operators.
+#
 # ROUND-11 ROTATION (the round-10 verdict's asks #3 and #8). The 15
 # round-10 first-greens and the 7 r10 rotation-in first-greens all STAY
 # for their second hard signal (ask #3's named list). Rotating IN:
@@ -161,7 +186,9 @@ DRIVER_PRIORITY: list[str] = [
     "doc_ccnet_kn_buckets",            # displaced embedding_pq_recall_audit
     "doc_exact_substr_incremental",    # displaced doc_bm25_multiquery
     "doc_url_bloom_dedup",             # displaced doc_split_leakage_audit
-    "ztm_stop_dim",                    # displaced embedding_ivfpq_adc_lut
+    # (ztm_stop_dim held this slot r11 for the ask-#8 recall; its
+    # THIRD green landed — rotated out in r12 for its sibling)
+    "ztm_vehicle_dim",                 # r12: ask-#8 sibling recall (last green r9)
     # --- late round-11 NEW entries (first-green slots; the IVM pair) ---
     "orders_ivm_agg",                  # displaced embedding_ivfpq_multiprobe
     "orders_ivm_join",                 # displaced orders_zorder_layout
@@ -180,11 +207,22 @@ DRIVER_PRIORITY: list[str] = [
     # (each displaced row is named in the ROUND-10 header above)
     "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
     "embedding_nndescent_recall_audit",       # displaced embedding_dup_clusters
-    "doc_dup_pagerank",                       # displaced doc_hash_sample
+    # (doc_dup_pagerank was slotted here r10-r11; rotated out in r12
+    # after its second green — the dup-graph centrality shape stays
+    # sweep-gated with its graph property tests)
+    "doc_duplicated_spans",                   # r12: stale recall (r9; verdict-named class)
     "doc_longest_dup_run",                    # displaced doc_word_histogram
-    "doc_bm25_rrf",                           # displaced doc_length_histogram
-    "lineitem_quantile_sketch",               # displaced ztm_stop_dim
-    "customer_price_trend",                   # displaced ztm_vehicle_dim
+    # (doc_bm25_rrf was slotted here r10-r11; rotated out in r12 after
+    # its second green — the BM25 chain itself left the window with
+    # it; retrieval stays sweep-gated + property-pinned this round)
+    "doc_quality",                            # r12: stalest doc row (r5)
+    # (lineitem_quantile_sketch was slotted here r10-r11; rotated out
+    # in r12 after its second green — the mergeable-sketch niche
+    # stays sweep-gated with its merge-associativity property tests)
+    "orders_profile",                         # r12: never-driver-green rotation-in
+    # (customer_price_trend was slotted here r10-r11; rotated out in
+    # r12 after its second green)
+    "orders_fk_integrity",                    # r12: never-driver-green rotation-in
     # --- round-10 NEW entries (first-green slots; the ExactSubstr cut,
     # r9 verdict ask #5) — displacing doc_ngram_novelty and
     # doc_vocab_topk, both twice-green (r5 + r9) sweep-gated recalls;
@@ -197,7 +235,11 @@ DRIVER_PRIORITY: list[str] = [
     # plus graph property tests, the LSH-audit shape stays in-window
     # via doc_decontamination's gram-membership machinery; doc family
     # stays at 21, above its minimum of 18 ---
-    "doc_kn_bigram_lm",
+    # (doc_kn_bigram_lm was slotted here r10-r11; rotated out in r12
+    # after its second green — the KN chain stays driver-exercised
+    # via doc_kn_surprisal_rate, doc_kn_trigram_lm and
+    # doc_ccnet_kn_buckets, all in-window)
+    "doc_title_edit_neardup",          # r12: never-driver-green rotation-in
     "doc_kn_surprisal_rate",
     # --- round-10 NEW entry (first-green slot; contrastive
     # hard-negative mining) — displacing doc_decontamination (twice-
@@ -213,12 +255,18 @@ DRIVER_PRIORITY: list[str] = [
     # r9; its rolling-hash shape stays in-window via
     # doc_winnow_fingerprints); doc family lands at 19, above its
     # minimum of 18, event family rises to 6 ---
-    "events_streaming_sessions",
+    # (events_streaming_sessions was slotted here r10-r11; rotated out
+    # in r12 after its second green — streaming stays driver-gated via
+    # events_streaming_dedup, and the session_window machinery keeps
+    # its sweep + property gates)
+    "events_user_ewma",                # r12: never-driver-green rotation-in
     # --- round-10 NEW entry (first-green slot; per-language tokenizer
     # fertility) — displacing doc_lang_id (twice-green r5 + r9; the
     # per-language axis stays driver-exercised by this entry +
     # doc_unimax_allocation); doc family count unchanged ---
-    "doc_tokenizer_fertility",
+    # (doc_tokenizer_fertility was slotted here r10-r11; rotated out
+    # in r12 after its second green)
+    "doc_bigram_heavy_hitters",        # r12: never-driver-green rotation-in
     # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th
     # round-9 entry gets first-round driver signal — doc_ family stays
     # at 20 in-window, above its minimum of 18)
@@ -234,7 +282,9 @@ DRIVER_PRIORITY: list[str] = [
     # (embedding_near_dup was slotted here pre-rerank; displaced so the
     # 7th round-9 entry gets first-round driver signal — embedding
     # family stays at 14 in-window, far above its minimum of 8)
-    "multimodal_chunks",
+    # (multimodal_chunks was slotted here r9-r11; rotated out in r12
+    # after multiple greens — displaced by the stalest multimodal row)
+    "multimodal_metadata",             # r12: stale recall (r5)
     # (multimodal_metadata was slotted here pre-spans; displaced so the
     # 8th round-9 entry gets first-round driver signal — multimodal
     # stays at 4 in-window, exactly its minimum)
@@ -257,7 +307,10 @@ DRIVER_PRIORITY: list[str] = [
     # by events_streaming_attribution after its second green (r7 + r9)
     # — the map-typed ingestion shape stays sweep-gated alongside
     # user_event_type_map and event_props_variant)
-    "events_streaming_attribution",
+    # (events_streaming_attribution was slotted here r10-r11; rotated
+    # out in r12 after its multi-green run — the stream-stream
+    # interval-join shape stays sweep-gated)
+    "events_rolling_zscore",           # r12: never-driver-green rotation-in
     # (event_type_transitions was slotted here through r9; displaced
     # in r10 by doc_kn_trigram_lm after its second green (r7 + r9) —
     # the lag-window Markov shape stays sweep-gated; event family
@@ -389,13 +442,18 @@ DRIVER_PRIORITY: list[str] = [
     # the same frozen quantizer), so the driver still executes the
     # shape; embedding family stays far above its minimum of 8)
     "customer_scd2_history",
-    "doc_unimax_allocation",
+    # (doc_unimax_allocation was slotted here r9-r11; rotated out in
+    # r12 after its multi-green run)
+    "events_user_gini",                # r12: never-driver-green rotation-in
     # (embedding_nndescent_round was slotted here for its r9 second
     # signal; displaced by the round-10 orders_cdc_apply — its plan IS
     # the candidate side of the in-window
     # embedding_nndescent_recall_audit, so the driver still executes
     # the NN-descent shape)
-    "orders_cdc_apply",
+    # (orders_cdc_apply was slotted here r10-r11; rotated out in r12
+    # after its second green — changelog semantics stay driver-gated
+    # via customer_scd2_history and the IVM pair, all in-window)
+    "events_freshness_audit",          # r12: never-driver-green rotation-in
     # (embedding_nndescent_recall_audit was slotted here with the
     # round-9 batch; displaced by the late round-9
     # embedding_matryoshka_rerank — both of the audit's sides stay
@@ -406,7 +464,11 @@ DRIVER_PRIORITY: list[str] = [
     # named candidate for the r10 rotation's first-green slot;
     # embedding family stays at 14 in-window, far above its minimum
     # of 8)
-    "embedding_d4_curation",
+    # (embedding_d4_curation was slotted here r9-r11; rotated out in
+    # r12 after its multi-green run — its pruning chain composes the
+    # sweep-gated SemDeDup/prototype entries; displaced by the stalest
+    # embedding row so the LSH-bucket ANN shape returns to the window)
+    "embedding_ann_hyperplane",        # r12: stale recall (r5, twice-named candidate)
     # (doc_winnow_fingerprints was slotted here r9-r10; rotated out
     # late in r11 after its second green — see the ROUND-11 header)
     # (doc_bm25_mmr was slotted here r9-r11; displaced late in r11 by
@@ -426,7 +488,9 @@ DRIVER_PRIORITY: list[str] = [
     # embedding_ivfpq_rerank executes, so both halves stay
     # driver-exercised; embedding family stays at 12, above its
     # minimum of 8)
-    "doc_temperature_mixture",
+    # (doc_temperature_mixture was slotted here r10-r11; rotated out
+    # in r12 after its second green)
+    "doc_containment_audit",           # r12: NEW — the prune-reduction audit (ask #1)
     # (events_kmv_set_ops was slotted here r9-r11; displaced late in
     # r11 by doc_langid_confusion after its second driver green
     # (r9 + r10) — the mergeable-sketch niche stays driver-exercised
