@@ -39,6 +39,7 @@ import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+import idh_etl_demo_spark.catalog_r12  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -220,6 +221,13 @@ HEADLINE = [
     # appended round 12: the containment-prune work-reduction audit
     # (r11 verdict ask #1 — the measured candidate reduction lives here)
     "doc_containment_audit",
+    # appended round 12: canonical-copy selection, dedup-discounted
+    # corpus size, whitening-readiness second moments, watermark-delay
+    # design table
+    "doc_dup_canonical",
+    "doc_effective_tokens",
+    "embedding_prefix_whitening_stats",
+    "events_watermark_design",
 ]
 
 

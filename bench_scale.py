@@ -40,6 +40,7 @@ import idh_etl_demo_spark.catalog_r10  # noqa: F401
 import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_r11c  # noqa: F401
+import idh_etl_demo_spark.catalog_r12  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -473,6 +474,24 @@ PROBES = [
     # global sort — a super-linear ratio here means the bucket
     # decomposition stopped bounding the sort
     "events_freshness_audit",
+    # round-12 embedding_prefix_whitening_stats IS probed: the claim
+    # is ZERO shuffles of vector data (one single-row aggregate over
+    # the scan) — the ratio must ride the scan like the map-only
+    # multimodal kernels; a super-linear ratio would mean the 44-sum
+    # aggregate stopped map-side combining
+    "embedding_prefix_whitening_stats",
+    # round-12 events_watermark_design IS probed: the two-phase
+    # bucketed running-max is the scale claim — a super-linear ratio
+    # means the arrival-hour decomposition stopped bounding the sort
+    # (the 10x union keeps the same calendar span, so bucket count is
+    # constant while rows x10)
+    "events_watermark_design",
+    # round-12 doc_dup_canonical is NOT probed: its corpus stages are
+    # doc_corpus_curation's probed LSH+CC composition; the added
+    # selection window sees only the candidate-bounded component table
+    # round-12 doc_effective_tokens is NOT probed: one (lang, digest)
+    # groupBy — the probed doc_exact_dedup shape with a |langs|-row
+    # rollup on top
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -1,0 +1,519 @@
+"""Round-12 entries — dedup consolidation and pipeline-design audits
+beyond the reference surface:
+
+- ``doc_dup_canonical``: the step after clustering — per near-dup
+  cluster, select the CANONICAL representative (longest member, ties
+  to the lowest doc_id: "keep the most complete copy", the common
+  production rule when near-dups are truncations/re-crawls of one
+  another). doc_dup_clusters keeps min-doc_id; this entry keeps the
+  best copy, which is what a curation pipeline actually ships.
+
+- ``doc_effective_tokens``: dedup-discounted corpus size — per
+  language, raw token count vs EFFECTIVE token count (each distinct
+  normalized content counted once), and the duplication overhead
+  share. The number a data-mixture plan budgets against: raw tokens
+  overstate a crawl's value by exactly this overhead.
+
+- ``embedding_prefix_whitening_stats``: exact second-moment audit over
+  the 8-dim matryoshka prefix — per (i ≤ j) dimension pair, int64
+  sums of quantized values/products and the derived covariance. The
+  whitening-readiness table: off-diagonal mass tells a serving stack
+  whether the prefix needs a rotation before product quantization
+  (Jégou et al.'s observation that PQ quality depends on per-subspace
+  variance balance).
+
+- ``events_watermark_design``: the streaming-design twin of
+  doc_lsh_tuning_audit — for a grid of watermark delays, the exact
+  number of events that would be dropped as late (arrival = event
+  time + deterministic md5 transport jitter < 600 s; lateness =
+  running-max event time among earlier arrivals minus own event
+  time). The table a pipeline reads to pick its watermark: delay buys
+  completeness, costs state retention.
+
+Entry contract per repo convention: @query registration with a DuckDB
+oracle, shuffle budgets with why-comments (tests/test_plan_shape.py),
+bench.py HEADLINE rows, bench_scale probe decisions (in/out, each with
+a reason), and property tests vs pure-Python twins on planted data
+(tests/test_r12_properties.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from idh_etl_demo_spark.catalog import _t, query
+from idh_etl_demo_spark.catalog_llm import _MD5_LONG, _NORM, _WORDS, _minhash_cte
+
+# ===========================================================================
+# Canonical representative per near-dup cluster
+# ===========================================================================
+#
+# doc_dup_clusters turns LSH candidate pairs into components and keeps
+# the min-doc_id member — fine as a deterministic survivor rule, wrong
+# as a QUALITY rule: near-dup clusters are typically one full document
+# plus truncations/re-crawls, and production dedup keeps the most
+# complete copy. Canonical = argmax(n_tokens, tie → min doc_id) per
+# cluster. The oracle recomputes the components with the recursive
+# transitive-closure CTE and ranks with an explicit row_number — the
+# value-hash gate covers the cluster structure AND the selection rule.
+
+_N_TOKENS_SQL = f"len(list_filter({_WORDS}, w -> w != ''))"
+
+
+@query(
+    "doc_dup_canonical",
+    f"""
+    with recursive {_minhash_cte()},
+    bi as (
+      select id_a as a, id_b as b from cand
+      union
+      select id_b as a, id_a as b from cand
+    ),
+    nodes as (select distinct a as id from bi),
+    reach as (
+      select id, id as r from nodes
+      union
+      select bi.a as id, reach.r from bi join reach on reach.id = bi.b
+    ),
+    comp as (select id, min(r) as component from reach group by id),
+    toks as (
+      select doc_id, cast({_N_TOKENS_SQL} as bigint) as n_tokens
+      from documents
+    ),
+    ranked as (
+      select comp.component as cluster_id, comp.id as doc_id, t.n_tokens,
+             count(*) over (partition by comp.component) as cluster_size,
+             row_number() over (
+               partition by comp.component
+               order by t.n_tokens desc, comp.id asc) as rn
+      from comp join toks t on t.doc_id = comp.id
+    )
+    select cluster_id, doc_id, n_tokens,
+           cast(cluster_size as bigint) as cluster_size,
+           (rn = 1) as is_canonical
+    from ranked
+    order by cluster_id, doc_id
+    """,
+)
+def doc_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection per near-dup cluster (section comment):
+    LSH candidates → connected components → per cluster keep the
+    LONGEST member (ties to the lowest doc_id). Output: one row per
+    clustered document — (cluster_id, doc_id, n_tokens, cluster_size,
+    is_canonical).
+
+    Scale shape: the candidate/CC machinery is doc_dup_clusters'
+    (min-label propagation, rounds = component diameter, per round one
+    keyed join + one map-side-combined min-agg); the selection adds
+    one per-doc token projection joined onto the |clustered docs|-row
+    component table (candidate-bounded, ≪ corpus) and a per-cluster
+    window whose partitions are cluster-sized (near-dup clusters are
+    small by construction; the LSH max_bucket cap bounds the expansion
+    that feeds them). Document text never shuffles — the window sees
+    (id, cluster, n_tokens) rows only."""
+    from idh_etl_demo_spark.catalog_llm import minhash_lsh_candidates
+    from idh_etl_demo_spark.operators.graph import connected_components
+    from idh_etl_demo_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs,
+        num_hashes=12,
+        bands=4,
+        num_partitions=spark.sparkContext.defaultParallelism,
+        max_bucket=64,
+    )
+    cc = connected_components(cand, "id_a", "id_b")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .join(toks, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .select(
+            "cluster_id",
+            "doc_id",
+            "n_tokens",
+            "cluster_size",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# ===========================================================================
+# Dedup-discounted effective corpus size
+# ===========================================================================
+
+
+@query(
+    "doc_effective_tokens",
+    f"""
+    with d as (
+      select lang, md5({_NORM}) as content_hash,
+             cast({_N_TOKENS_SQL} as bigint) as n_tokens
+      from documents
+    ),
+    per_content as (
+      select lang, content_hash,
+             count(*)::bigint as mult,
+             max(n_tokens) as n_tokens
+      from d group by 1, 2
+    )
+    select lang,
+           cast(sum(mult) as bigint) as n_docs,
+           count(*)::bigint as n_distinct_contents,
+           cast(sum(mult * n_tokens) as bigint) as raw_tokens,
+           cast(sum(n_tokens) as bigint) as effective_tokens,
+           case when sum(mult * n_tokens) > 0
+                then cast(sum(mult * n_tokens) - sum(n_tokens) as double)
+                     / cast(sum(mult * n_tokens) as double)
+                else null end as dup_token_overhead
+    from per_content
+    group by lang
+    order by lang
+    """,
+)
+def doc_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dataset size after exact dedup (section comment): per
+    language, raw tokens vs tokens with each distinct normalized
+    content counted ONCE, plus the duplication overhead share — the
+    mixture-planning number (raw counts overstate a crawl by exactly
+    this overhead; UniMax/temperature allocations should divide
+    effective, not raw, budgets).
+
+    Scale shape: one map-side-combined groupBy over (lang, 16-byte
+    content hash, int64 token count) rows — document text never
+    shuffles — then a |langs|-bounded rollup. Identical contents have
+    identical token counts, so max(n_tokens) per content is exact, not
+    an approximation."""
+    from idh_etl_demo_spark.operators.dedup import normalize_text
+    from idh_etl_demo_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    per_content = d.groupBy("lang", "content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("mult"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    raw = F.sum(F.col("mult") * F.col("n_tokens")).cast("long")
+    eff = F.sum("n_tokens").cast("long")
+    return (
+        per_content.groupBy("lang")
+        .agg(
+            F.sum("mult").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_contents"),
+            raw.alias("raw_tokens"),
+            eff.alias("effective_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_distinct_contents",
+            "raw_tokens",
+            "effective_tokens",
+            F.when(
+                F.col("raw_tokens") > 0,
+                (
+                    F.col("raw_tokens") - F.col("effective_tokens")
+                ).cast("double")
+                / F.col("raw_tokens").cast("double"),
+            ).alias("dup_token_overhead"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Whitening-readiness second moments over the matryoshka prefix
+# ===========================================================================
+#
+# Product-quantized serving (the IVFPQ family) assumes sub-space
+# variance is balanced; a correlated prefix wants a rotation (OPQ)
+# first. This audit emits the exact second-moment table for the 8-dim
+# matryoshka prefix: values quantized to integer micros (the repo's
+# exact-parity recipe — round(x·1e6) as int64), so every sum is an
+# associative int64 total both engines reproduce bit-for-bit; the
+# covariance is derived at the end with one identical double tree.
+
+_WH_D = 8
+_WH_PAIRS = [(i, j) for i in range(_WH_D) for j in range(_WH_D) if i <= j]
+
+
+def _wh_oracle_sql() -> str:
+    sums = ", ".join(
+        f"cast(sum(v[{i + 1}] * v[{j + 1}]) as bigint) as p_{i}_{j}"
+        for i, j in _WH_PAIRS
+    )
+    dims = ", ".join(
+        f"cast(sum(v[{i + 1}]) as bigint) as s_{i}" for i in range(_WH_D)
+    )
+    rows = " union all ".join(
+        f"select {i} as dim_i, {j} as dim_j, n_vecs, s_{i} as sum_qi,"
+        f" s_{j} as sum_qj, p_{i}_{j} as sum_qij from agg"
+        for i, j in _WH_PAIRS
+    )
+    return f"""
+    with q as (
+      select list_transform(
+               embedding[1:{_WH_D}],
+               x -> cast(round(cast(x as double) * 1000000, 0) as bigint)
+             ) as v
+      from embeddings
+      where len(embedding) >= {_WH_D}
+    ),
+    agg as (select count(*)::bigint as n_vecs, {dims}, {sums} from q),
+    pairs as ({rows})
+    select dim_i, dim_j, n_vecs, sum_qi, sum_qj, sum_qij,
+           (cast(sum_qij as double)
+            - cast(sum_qi as double) * cast(sum_qj as double)
+              / cast(n_vecs as double))
+           / cast(n_vecs as double) as cov_micros2
+    from pairs
+    order by dim_i, dim_j
+    """
+
+
+@query("embedding_prefix_whitening_stats", _wh_oracle_sql())
+def embedding_prefix_whitening_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact covariance table over the 8-dim matryoshka prefix (section
+    comment): per dimension pair (i ≤ j), the int64 sums of quantized
+    values and products and the derived covariance in micro² units —
+    36 rows. Diagonal rows are per-dim variances (the sub-space
+    balance PQ wants); off-diagonal mass is the rotation argument.
+
+    Scale shape: ZERO shuffles of vector data — the 44 sums compute in
+    ONE map-side-combined single-row aggregate over the scan (no
+    per-pair explode; at 100 TB the only exchange is the 1-row partial
+    merge), and the 36-row presentation table is a literal explode of
+    that single row. The quantization (round(x·1e6) int64) keeps every
+    sum associative and engine-exact; the final covariance is one
+    identical IEEE double tree on both sides."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") >= _WH_D
+    )
+    qcols = [
+        F.round(
+            F.element_at("embedding", i + 1).cast("double") * 1000000, 0
+        )
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(_WH_D)
+    ]
+    q = emb.select(*qcols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
+    aggs += [
+        F.sum(F.col(f"q{i}")).cast("long").alias(f"s_{i}")
+        for i in range(_WH_D)
+    ]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}"))
+        .cast("long")
+        .alias(f"p_{i}_{j}")
+        for i, j in _WH_PAIRS
+    ]
+    one = q.agg(*aggs)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("dim_i"),
+                F.lit(j).cast("int").alias("dim_j"),
+                F.col(f"s_{i}").alias("sum_qi"),
+                F.col(f"s_{j}").alias("sum_qj"),
+                F.col(f"p_{i}_{j}").alias("sum_qij"),
+            )
+            for i, j in _WH_PAIRS
+        ]
+    )
+    exploded = one.select(
+        "n_vecs", F.explode(pair_structs).alias("p")
+    ).select("p.dim_i", "p.dim_j", "n_vecs", "p.sum_qi", "p.sum_qj", "p.sum_qij")
+    cov = (
+        F.col("sum_qij").cast("double")
+        - F.col("sum_qi").cast("double")
+        * F.col("sum_qj").cast("double")
+        / F.col("n_vecs").cast("double")
+    ) / F.col("n_vecs").cast("double")
+    return exploded.select(
+        "dim_i",
+        "dim_j",
+        "n_vecs",
+        "sum_qi",
+        "sum_qj",
+        "sum_qij",
+        cov.alias("cov_micros2"),
+    ).orderBy("dim_i", "dim_j")
+
+
+# ===========================================================================
+# Watermark design table — exact lateness vs delay grid
+# ===========================================================================
+#
+# Structured Streaming drops an event iff its event time has fallen
+# more than the watermark DELAY behind the max event time already
+# seen. The events table is generated in perfect event-time order, so
+# ingest disorder is SIMULATED the repo's deterministic way: each
+# event's arrival time = event time + an md5-derived jitter in
+# [0, 600 s) (the transport-delay model; md5 of the event_id string,
+# identical on both engines). Arrival order = (arrival_us, event_id);
+# lateness(e) = max(event time of earlier arrivals) − event time(e);
+# the drop count at delay W is |{e : lateness(e) > W}| — exact, per W,
+# over a design grid. This is the lsh-tuning pattern applied to
+# streaming: measure the completeness-vs-state trade on the corpus
+# instead of guessing the delay. With jitter < 600 s the 900 s grid
+# point must read 0 — a built-in sanity row.
+
+_WM_BUCKET_US = 3600 * 1000000  # arrival-HOUR buckets for the 2-phase cummax
+_WM_JITTER_US = 600 * 1000000
+_WM_GRID_SEC = [0, 10, 30, 60, 300, 900]
+
+
+def _wm_oracle_sql() -> str:
+    md5_long = _MD5_LONG.format(x="cast(event_id as varchar)")
+    drops = ", ".join(
+        f"count(*) filter (where lateness > {w} * 1000000::bigint)::bigint"
+        f" as d_{w}"
+        for w in _WM_GRID_SEC
+    )
+    rows = " union all ".join(
+        f"select {w} as delay_sec, d_{w} as n_dropped from agg"
+        for w in _WM_GRID_SEC
+    )
+    return f"""
+    with e as (
+      select event_id, epoch_us(ts) as us,
+             epoch_us(ts) + {md5_long} % {_WM_JITTER_US} as arrival_us
+      from events
+    ),
+    r as (
+      select us,
+             max(us) over (order by arrival_us, event_id
+                           rows between unbounded preceding
+                           and 1 preceding) as prev_max
+      from e
+    ),
+    l as (select greatest(coalesce(prev_max - us, 0), 0) as lateness from r),
+    agg as (select count(*)::bigint as n_events, {drops} from l)
+    select delay_sec, n_events, n_dropped,
+           cast(n_dropped as double) / cast(n_events as double) as drop_rate
+    from ({rows}) cross join (select n_events from agg)
+    order by delay_sec
+    """
+
+
+@query("events_watermark_design", _wm_oracle_sql())
+def events_watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay design table (section comment): for each delay
+    in a 6-point grid (0 s … 15 min), the exact count and share of
+    events that would arrive too late and be dropped — lateness
+    measured against the running max event time in simulated-arrival
+    order (event time + deterministic md5 jitter < 600 s, the
+    section comment's transport-delay model), all in integer micros.
+    Output: (delay_sec, n_events, n_dropped, drop_rate); the 900 s
+    row must read 0 by the jitter bound — a built-in sanity row.
+
+    Scale shape: the running max is the repo's TWO-PHASE bucketed
+    pattern (lineitem_mad_outliers' rank trick applied to cummax) —
+    per-ARRIVAL-HOUR maxima (one map-side-combined groupBy; bucket
+    count is calendar-bounded like the rollup cascade's grains),
+    |buckets|-row prefix maxima, and a bucket-LOCAL window for the
+    within-hour running max — no global single-partition sort ever
+    sees event rows. The 6 drop counters are conditional sums in ONE
+    1-row aggregate; the grid table is a literal explode."""
+    # ts lands as TIMESTAMP_NTZ; the session is pinned to UTC (catalog
+    # _read_table), so the cast is the identity instant and
+    # unix_micros matches DuckDB's epoch_us on the naive value
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _WM_JITTER_US
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .withColumn("arrival_us", F.col("us") + jitter)
+    )
+    b = ev.withColumn(
+        "b", (F.col("arrival_us") / _WM_BUCKET_US).cast("long")
+    )
+    bmax = b.groupBy("b").agg(F.max("us").alias("bmax"))
+    wpre = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmax.select(
+        "b", F.max("bmax").over(wpre).alias("prefix_max")
+    )
+    wloc = (
+        Window.partitionBy("b")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lateness = (
+        b.join(prefix, "b")
+        .withColumn("local_max", F.max("us").over(wloc))
+        .select(
+            F.greatest(
+                F.coalesce(
+                    F.greatest(
+                        F.coalesce("local_max", F.col("prefix_max")),
+                        F.coalesce("prefix_max", F.col("local_max")),
+                    )
+                    - F.col("us"),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ).alias("lateness")
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")] + [
+        F.sum(
+            F.when(
+                F.col("lateness") > F.lit(w * 1000000).cast("long"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"d_{w}")
+        for w in _WM_GRID_SEC
+    ]
+    one = lateness.agg(*aggs)
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("int").alias("delay_sec"),
+                F.col(f"d_{w}").alias("n_dropped"),
+            )
+            for w in _WM_GRID_SEC
+        ]
+    )
+    return (
+        one.select("n_events", F.explode(grid).alias("g"))
+        .select(
+            "g.delay_sec",
+            "n_events",
+            "g.n_dropped",
+            (
+                F.col("g.n_dropped").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("drop_rate"),
+        )
+        .orderBy("delay_sec")
+    )

@@ -725,6 +725,30 @@ SHUFFLE_BUDGETS = {
     # candidate distinct, the pair-keyed intersection agg, and the
     # presentation sort.
     "doc_containment_join": 6,
+    # round-12 canonical-copy selection (measured 2): the LSH/CC
+    # machinery runs at build (EAGER_EXEMPT, doc_dup_clusters'
+    # convention), so the SERVED plan is the per-doc token projection
+    # joined to the |clustered docs|-row component table, the
+    # cluster-keyed size/rank windows riding ONE exchange, and the
+    # presentation sort.
+    "doc_dup_canonical": 2,
+    # round-12 effective tokens (measured 3): one map-side-combined
+    # (lang, content-hash) groupBy over 16-byte digests + int64 token
+    # counts — text never shuffles — then the |langs|-bounded rollup
+    # and the presentation sort.
+    "doc_effective_tokens": 3,
+    # round-12 whitening stats (measured 1): all 44 sums compute in
+    # ONE single-row map-side-combined aggregate over the embeddings
+    # scan (no per-pair explode); the 36-row presentation table is a
+    # literal explode of that row. The single exchange is the 1-row
+    # partial merge; the sort is planned over 36 literal rows.
+    "embedding_prefix_whitening_stats": 1,
+    # round-12 watermark design (measured 4): the arrival-hour bucket
+    # max groupBy (map-side combined), the |buckets|-row prefix-max
+    # window (calendar-bounded frame), the bucket-local running-max
+    # window's exchange, and the 1-row drop-counter aggregate; the
+    # grid table is a literal explode of that row.
+    "events_watermark_design": 4,
     # round-12 containment-prune audit (measured 13): re-runs the
     # entry's own 6 plus the pruned-join count and distinct-candidate
     # count (each re-deriving the rank window lineage from its side of
@@ -907,6 +931,9 @@ EAGER_EXEMPT = {
     # — the r11 verdict's wrong #3 fix); warm calls scan the stored
     # table with zero jobs (the memo holds the post-write read DF)
     "orders_ivm_join",
+    # round-12: canonical-copy selection composes the LSH candidate +
+    # CC fixpoint at build (doc_dup_clusters' convention)
+    "doc_dup_canonical",
 }
 
 

@@ -238,3 +238,209 @@ def test_sa_stability_exit_fires_and_walk_stays_exact(spark, tmp_path):
             ENTRIES[name].spark(spark, sf).toPandas(),
             con.execute(ENTRIES[name].oracle).df(),
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 new entries: planted-data twins + oracle parity
+# ---------------------------------------------------------------------------
+
+
+def _write_documents_lang(tmp_path, rows):
+    """rows: (doc_id, text, lang)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dup_canonical_keeps_longest_member(spark, tmp_path):
+    """Planted truncation geometry: a 40-token doc, its 38-token
+    truncation, and a verbatim copy under a higher id — all one
+    near-dup cluster; the canonical must be the FULL doc with the
+    LOWEST id (longest member, tie to min doc_id), NOT the min-id rule
+    alone (doc_id 2 is the truncation, so min-id would pick wrong if
+    it sorted first)."""
+    import idh_etl_demo_spark.catalog_r12  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    body = " ".join(f"w{i}" for i in range(1, 41))
+    trunc = " ".join(f"w{i}" for i in range(1, 39))
+    other = " ".join(f"z{i}" for i in range(1, 41))
+    texts = {2: trunc, 3: body, 4: body, 9: other}
+    sf = _write_documents(tmp_path, texts)
+    sdf = ENTRIES["doc_dup_canonical"].spark(spark, sf).toPandas()
+
+    # the truncation family clusters together; the unrelated doc is
+    # either unclustered (absent) or its own cluster
+    fam = sdf[sdf.doc_id.isin([2, 3, 4])]
+    assert len(fam) == 3 and fam.cluster_id.nunique() == 1
+    assert (fam.cluster_size == 3).all()
+    canon = fam[fam.is_canonical]
+    assert list(canon.doc_id) == [3], canon  # longest, then min id
+    # per-cluster invariant: exactly one canonical, and it is the
+    # (n_tokens desc, doc_id asc) argmax of its cluster rows
+    for cid, grp in sdf.groupby("cluster_id"):
+        best = grp.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert grp.is_canonical.sum() == 1
+        assert grp[grp.is_canonical].iloc[0].doc_id == best.doc_id
+
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["doc_dup_canonical"].oracle).df()
+    )
+
+
+def test_effective_tokens_twin(spark, tmp_path):
+    """Exact dedup-discount arithmetic on planted duplicates: lang 'en'
+    has a triple-duplicated 4-token doc plus a unique 6-token doc →
+    raw 18, effective 10; lang 'pl' is duplicate-free → overhead 0."""
+    import idh_etl_demo_spark.catalog_r12  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    rows = [
+        (1, "a b c d", "en"),
+        (2, "a b c d", "en"),
+        (3, "a b c d", "en"),
+        (4, "p q r s t u", "en"),
+        (5, "x y z w", "pl"),
+    ]
+    sf = _write_documents_lang(tmp_path, rows)
+    sdf = (
+        ENTRIES["doc_effective_tokens"].spark(spark, sf).toPandas()
+        .set_index("lang")
+    )
+    en = sdf.loc["en"]
+    assert (
+        en.n_docs,
+        en.n_distinct_contents,
+        en.raw_tokens,
+        en.effective_tokens,
+    ) == (4, 2, 18, 10)
+    assert en.dup_token_overhead == 8 / 18
+    pl = sdf.loc["pl"]
+    assert (pl.raw_tokens, pl.effective_tokens, pl.dup_token_overhead) == (
+        4,
+        4,
+        0.0,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    assert_frames_equal(
+        ENTRIES["doc_effective_tokens"].spark(spark, sf).toPandas(),
+        con.execute(ENTRIES["doc_effective_tokens"].oracle).df(),
+    )
+
+
+def test_whitening_stats_twin(spark, tmp_path):
+    """Exact second moments on planted vectors: integer-micros sums
+    must match a pure-Python twin bit-for-bit, the diagonal must be
+    the per-dim variance, and a planted anti-correlated pair must come
+    out negative."""
+    import idh_etl_demo_spark.catalog_r12  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from tests.test_r9_properties import _write_embeddings
+
+    # dim0 and dim1 perfectly anti-correlated; dim2 constant
+    X = [
+        [0.5, -0.5, 0.25] + [0.0] * 5,
+        [-0.5, 0.5, 0.25] + [0.0] * 5,
+        [0.25, -0.25, 0.25] + [0.0] * 5,
+        [-0.25, 0.25, 0.25] + [0.0] * 5,
+    ]
+    sf = _write_embeddings(tmp_path, X)
+    sdf = ENTRIES["embedding_prefix_whitening_stats"].spark(spark, sf).toPandas()
+    assert len(sdf) == 36
+
+    q = [[round(v * 1000000) for v in row[:8]] for row in X]
+    n = len(q)
+    got = {(r.dim_i, r.dim_j): r for r in sdf.itertuples()}
+    for i in range(8):
+        for j in range(i, 8):
+            si = sum(r[i] for r in q)
+            sj = sum(r[j] for r in q)
+            sij = sum(r[i] * r[j] for r in q)
+            row = got[(i, j)]
+            assert (row.sum_qi, row.sum_qj, row.sum_qij) == (si, sj, sij)
+            assert row.cov_micros2 == (sij - si * sj / n) / n
+    assert got[(0, 1)].cov_micros2 < 0  # anti-correlated pair
+    assert got[(2, 2)].cov_micros2 == 0.0  # constant dim
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    assert_frames_equal(
+        sdf,
+        con.execute(ENTRIES["embedding_prefix_whitening_stats"].oracle).df(),
+    )
+
+
+def test_watermark_design_twin(spark, tmp_path):
+    """Lateness twin with the identical md5 jitter, plus the grid
+    invariants: monotone non-increasing drops and a zero 900 s row
+    (the jitter bound)."""
+    import datetime as dt
+    import hashlib
+
+    import idh_etl_demo_spark.catalog_r12  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r12 import _WM_GRID_SEC, _WM_JITTER_US
+    from tests.test_r11b_properties import _write_events
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=30 * i), 1, "view", 1.0)
+        for i in range(200)
+    ]
+    sf = _write_events(tmp_path, rows)
+    sdf = ENTRIES["events_watermark_design"].spark(spark, sf).toPandas()
+
+    def jit(eid):
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16) % _WM_JITTER_US
+
+    ev = sorted(
+        (
+            int(ts.timestamp() * 1000000) + jit(eid),
+            eid,
+            int(ts.timestamp() * 1000000),
+        )
+        for eid, ts, *_ in rows
+    )
+    run, late = None, []
+    for _, _, us in ev:
+        late.append(max((run - us) if run is not None else 0, 0))
+        run = us if run is None else max(run, us)
+    want = {
+        w: sum(1 for l in late if l > w * 1000000) for w in _WM_GRID_SEC
+    }
+    got = {r.delay_sec: r.n_dropped for r in sdf.itertuples()}
+    assert got == want
+    drops = [got[w] for w in _WM_GRID_SEC]
+    assert drops == sorted(drops, reverse=True)  # monotone in delay
+    assert got[900] == 0  # jitter bound
+    assert want[0] > 0  # the planted cadence makes disorder genuine
+    con = duckdb.connect()
+    con.execute(
+        "create view events as select * from "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["events_watermark_design"].oracle).df()
+    )
