@@ -237,6 +237,11 @@ HEADLINE = [
 # the memo before EVERY rep — both reps rebuild end-to-end and the
 # reported number is honest cold execution (round-5 verdict, What's
 # wrong #1).
+# orders_ivm_join is deliberately NOT here: its stored base view is the
+# operator's INPUT CONTRACT (the materialized production table), not a
+# flattered computation — rep 1 pays the one-time materialization, rep 2
+# measures maintenance against the stored table, and best-of-2 reports
+# exactly the cost the entry claims (NOTES_r12 §2 records both sides).
 SESSION_CACHED = {
     "doc_corpus_curation",
     "doc_incremental_curation",
