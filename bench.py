@@ -228,6 +228,10 @@ HEADLINE = [
     "doc_effective_tokens",
     "embedding_prefix_whitening_stats",
     "events_watermark_design",
+    # appended round 12 (second batch): hamming-neighborhood image
+    # near-dup census + snapshot changeset generation
+    "multimodal_image_ahash_neardup",
+    "orders_snapshot_diff",
 ]
 
 

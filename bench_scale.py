@@ -492,6 +492,16 @@ PROBES = [
     # round-12 doc_effective_tokens is NOT probed: one (lang, digest)
     # groupBy — the probed doc_exact_dedup shape with a |langs|-row
     # rollup on top
+    # round-12 multimodal_image_ahash_neardup IS probed: the claim is
+    # code-space-bounded work (mask expansion over <=4096 hash rows) —
+    # the ratio must track the probed ahash kernel's scan; growth past
+    # it would mean the census started scaling with the corpus
+    "multimodal_image_ahash_neardup",
+    # round-12 orders_snapshot_diff IS probed: one full outer SMJ over
+    # two key-partitioned snapshot scans — the ratio must track the
+    # orders scan (a diff that degrades super-linearly can't run
+    # nightly)
+    "orders_snapshot_diff",
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -30,6 +30,18 @@ beyond the reference surface:
   time). The table a pipeline reads to pick its watermark: delay buys
   completeness, costs state retention.
 
+- ``multimodal_image_ahash_neardup``: per-image near-dup census under
+  hamming ≤ 2 on the 12-bit aHash via NEIGHBORHOOD ENUMERATION over
+  the code space (79 XOR masks against a ≤4096-row count table) — the
+  anti-quadratic strategy for short perceptual codes, where banding
+  would flood every 4-bit band bucket with n/16 images.
+
+- ``orders_snapshot_diff``: changeset GENERATION between two table
+  snapshots (the Delta/Iceberg change-data-feed primitive and the
+  inverse of ``orders_cdc_apply``): full outer join on the key, emit
+  only insert/update/delete rows. diff ∘ apply = identity is
+  property-pinned.
+
 Entry contract per repo convention: @query registration with a DuckDB
 oracle, shuffle budgets with why-comments (tests/test_plan_shape.py),
 bench.py HEADLINE rows, bench_scale probe decisions (in/out, each with
@@ -516,4 +528,201 @@ def events_watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_rate"),
         )
         .orderBy("delay_sec")
+    )
+
+
+# ===========================================================================
+# Image near-dup census — hamming neighborhood over the aHash code space
+# ===========================================================================
+#
+# The text side finds near-dups by BANDING because its signature space
+# is astronomically large; the 12-bit image aHash inverts the
+# economics — the code space (4096 values) is tiny while the corpus is
+# huge, so the right algorithm is NEIGHBORHOOD ENUMERATION: count
+# images per hash value (one exchange over the corpus), then expand
+# the ≤4096-row count table by the 79 XOR masks of hamming weight ≤ 2
+# and re-group. Every downstream frame is bounded by |code space|·79,
+# INDEPENDENT of corpus size — no candidate pair is ever materialized
+# (banding a 12-bit code would put ~n/16 images per 4-bit band bucket
+# and go quadratic). Production pHash pipelines use exactly this
+# BK-tree/neighbor-probe shape for short perceptual codes.
+
+_AH_BITS = 12
+_AH_RADIUS = 2
+_AH_MASKS = (
+    [0]
+    + [1 << i for i in range(_AH_BITS)]
+    + [
+        (1 << i) | (1 << j)
+        for i in range(_AH_BITS)
+        for j in range(i + 1, _AH_BITS)
+    ]
+)
+
+
+def _ahash_neardup_sql() -> str:
+    from idh_etl_demo_spark.catalog_r7 import _image_ahash_sql
+
+    masks = ", ".join(str(m) for m in _AH_MASKS)
+    # reuse the ahash entry's CTE chain verbatim (everything up to its
+    # final select), then extend it with the neighborhood census CTEs
+    base = _image_ahash_sql().split("select media_id, width")[0].rstrip()
+    assert base.endswith(")"), base[-40:]
+    return f"""
+    {base},
+    cnt as (select ahash, count(*)::bigint as n from hashed group by ahash),
+    probe as (
+      select xor(ahash, m.mask) as probe_hash, n
+      from cnt cross join (select unnest([{masks}]) as mask) m
+    ),
+    nb as (select probe_hash as ahash, cast(sum(n) as bigint) as n_ball
+           from probe group by probe_hash)
+    select h.media_id, h.ahash,
+           cast(nb.n_ball - 1 as bigint) as n_within_h2
+    from hashed h join nb using (ahash)
+    order by media_id
+    """
+
+
+@query("multimodal_image_ahash_neardup", _ahash_neardup_sql())
+def multimodal_image_ahash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-image near-duplicate census under hamming ≤ {radius} on the
+    12-bit aHash (section comment): n_within_h2 = how many OTHER
+    images land within hamming 2 of this image's perceptual hash —
+    the signal an image-dedup pass thresholds on. Output:
+    (media_id, ahash, n_within_h2).
+
+    Scale shape: the corpus crosses ONE map-side-combined exchange
+    (the hash groupBy); the 79-mask expansion and the neighbor-sum
+    regroup run on the ≤4096-row count table (bounded by the CODE
+    SPACE, not the corpus — ≤323k intermediate rows at any scale);
+    the census joins back to the per-image hash frame as a plain hash
+    join. No candidate pair frame exists anywhere in the plan —
+    neighborhood enumeration is the anti-quadratic strategy for short
+    codes, where banding would put n/16 images in every 4-bit band
+    bucket."""
+    from idh_etl_demo_spark.catalog_r7 import multimodal_image_ahash
+
+    hashed = multimodal_image_ahash(spark, sf_dir).select(
+        "media_id", "ahash"
+    )
+    cnt = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    masks = F.array(*[F.lit(m).cast("long") for m in _AH_MASKS])
+    nb = (
+        cnt.select(
+            F.explode(masks).alias("mask"), "ahash", "n"
+        )
+        .select(
+            F.col("ahash").bitwiseXOR(F.col("mask")).alias("ahash"), "n"
+        )
+        .groupBy("ahash")
+        .agg(F.sum("n").cast("long").alias("n_ball"))
+    )
+    return (
+        hashed.join(nb, "ahash")
+        .select(
+            "media_id",
+            "ahash",
+            (F.col("n_ball") - 1).cast("long").alias("n_within_h2"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ===========================================================================
+# Snapshot diff — changeset GENERATION (the inverse of orders_cdc_apply)
+# ===========================================================================
+#
+# orders_cdc_apply consumes a changelog; this entry PRODUCES one — the
+# Delta/Iceberg change-data-feed primitive: given yesterday's snapshot
+# and today's, emit the exact (insert / update / delete) changeset.
+# Synthetic versioning from key arithmetic so both engines derive
+# identical snapshots: inserts = o_orderkey % 7 == 0 (absent from
+# base), deletes = o_orderkey % 11 == 3 among base rows (absent from
+# current), updates = o_orderkey % 5 == 0 rows whose price rose $1
+# between versions (base cents = current − 100). Unchanged rows emit
+# nothing — a changeset's size tracks CHANGE volume, never table size.
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    with cur0 as (
+      select o_orderkey,
+             cast(round(o_totalprice * 100, 0) as bigint) as cents
+      from orders
+    ),
+    base as (
+      select o_orderkey,
+             cents - case when o_orderkey % 5 = 0 then 100 else 0 end
+               as cents
+      from cur0 where o_orderkey % 7 != 0
+    ),
+    cur as (
+      select o_orderkey, cents from cur0 where o_orderkey % 11 != 3
+    )
+    select coalesce(b.o_orderkey, c.o_orderkey) as o_orderkey,
+           case when b.o_orderkey is null then 'insert'
+                when c.o_orderkey is null then 'delete'
+                else 'update' end as change_type,
+           b.cents as old_cents, c.cents as new_cents
+    from base b full outer join cur c on b.o_orderkey = c.o_orderkey
+    where b.o_orderkey is null or c.o_orderkey is null
+          or b.cents != c.cents
+    order by o_orderkey
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changeset generation between two table snapshots (section
+    comment): full outer join on the key, emit ONLY rows that differ —
+    (o_orderkey, change_type ∈ insert/update/delete, old_cents,
+    new_cents). The oracle derives the same synthetic versions and the
+    driver's value-hash equality proves the diff is exact; together
+    with orders_cdc_apply the pair closes the loop (diff ∘ apply =
+    identity is the production invariant).
+
+    Scale shape: one key-keyed full outer SortMergeJoin of the two
+    snapshot scans (co-partitioned on the key — at scale both sides
+    are bucketed/clustered on it) followed by a row-local comparison
+    filter; output is change-volume-sized. Integer cents end to end;
+    no column but the key and the compared value ever shuffles."""
+    cur0 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    base = cur0.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            - F.when(F.col("o_orderkey") % 5 == 0, 100).otherwise(0)
+        ).alias("cents"),
+    )
+    cur = cur0.filter(F.col("o_orderkey") % 11 != 3)
+    b = base.select(
+        F.col("o_orderkey").alias("bk"), F.col("cents").alias("old_cents")
+    )
+    c = cur.select(
+        F.col("o_orderkey").alias("ck"), F.col("cents").alias("new_cents")
+    )
+    joined = b.join(c, b["bk"] == c["ck"], "full_outer")
+    return (
+        joined.filter(
+            F.col("bk").isNull()
+            | F.col("ck").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select(
+            F.coalesce("bk", "ck").alias("o_orderkey"),
+            F.when(F.col("bk").isNull(), "insert")
+            .when(F.col("ck").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old_cents",
+            "new_cents",
+        )
+        .orderBy("o_orderkey")
     )

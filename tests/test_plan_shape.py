@@ -749,6 +749,17 @@ SHUFFLE_BUDGETS = {
     # window's exchange, and the 1-row drop-counter aggregate; the
     # grid table is a literal explode of that row.
     "events_watermark_design": 4,
+    # round-12 image near-dup census (measured 3): the per-image
+    # hash window's exchange (inherited from the probed ahash entry),
+    # the hash-value groupBy, and the 79-mask neighbor regroup — the
+    # latter two over frames bounded by the 4096-value CODE SPACE, not
+    # the corpus; no candidate pair frame exists in the plan.
+    "multimodal_image_ahash_neardup": 3,
+    # round-12 snapshot diff (measured 3): the two snapshot
+    # projections' key exchanges feeding ONE full outer SortMergeJoin
+    # + the presentation sort; the comparison filter is row-local and
+    # output is change-volume-sized.
+    "orders_snapshot_diff": 3,
     # round-12 containment-prune audit (measured 13): re-runs the
     # entry's own 6 plus the pruned-join count and distinct-candidate
     # count (each re-deriving the rank window lineage from its side of
