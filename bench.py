@@ -232,6 +232,10 @@ HEADLINE = [
     # near-dup census + snapshot changeset generation
     "multimodal_image_ahash_neardup",
     "orders_snapshot_diff",
+    # appended round 12 (third batch): retraction-aware IVM + the
+    # k-anonymity privacy audit
+    "orders_ivm_agg_retract",
+    "customer_kanonymity_audit",
 ]
 
 

@@ -502,6 +502,14 @@ PROBES = [
     # orders scan (a diff that degrades super-linearly can't run
     # nightly)
     "orders_snapshot_diff",
+    # round-12 orders_ivm_agg_retract IS probed: the claim is that the
+    # only base-fact re-read is the key-bounded rescan term — a ratio
+    # past the per-key groupBy scans would mean the rescan degenerated
+    # into a full re-aggregation
+    "orders_ivm_agg_retract",
+    # round-12 customer_kanonymity_audit is NOT probed: one
+    # domain-bounded groupBy + a 1-row broadcast — the probed
+    # orders_profile/customer-scan shape with strictly less work
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -42,6 +42,17 @@ beyond the reference surface:
   only insert/update/delete rows. diff ∘ apply = identity is
   property-pinned.
 
+- ``orders_ivm_agg_retract``: incremental aggregate maintenance UNDER
+  RETRACTIONS — count/sum maintain by subtraction (invertible), MAX
+  re-aggregates only the keys whose retracted max ties the stored max
+  (the bounded-rescan rule for non-invertible aggregates; the
+  DBSP/Materialize Z-set distinction made executable).
+
+- ``customer_kanonymity_audit``: k-anonymity over the customer
+  quasi-identifiers — per equivalence class size, the k = 10 risk
+  flag, and the corpus share of re-identifiable rows; the privacy
+  audit that pairs with the PII scrub.
+
 Entry contract per repo convention: @query registration with a DuckDB
 oracle, shuffle budgets with why-comments (tests/test_plan_shape.py),
 bench.py HEADLINE rows, bench_scale probe decisions (in/out, each with
@@ -725,4 +736,221 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_cents",
         )
         .orderBy("o_orderkey")
+    )
+
+
+# ===========================================================================
+# Retraction-aware IVM — the non-invertible-aggregate lesson
+# ===========================================================================
+#
+# orders_ivm_agg maintains under INSERTS, where every aggregate here is
+# mergeable. DELETES split the family in two (the DBSP/Materialize
+# Z-set distinction): count/sum are INVERTIBLE (subtract the delta's
+# partial), MAX is NOT — retracting a row that carried the stored max
+# cannot be repaired from state alone. The production answer is a
+# BOUNDED RESCAN: only keys whose retracted max equals the stored max
+# re-aggregate their surviving base rows (a semi-join-bounded rescan;
+# every other key keeps merge-only maintenance). The oracle recomputes
+# from the surviving rows, so the value-hash gate proves both the
+# invertible arithmetic and the rescan-set rule. Deltas: inserts =
+# o_orderkey % 7 == 0 (the ivm_agg convention); retractions =
+# o_orderkey % 13 == 0 among base rows. A fully-retracted customer
+# must VANISH from the view (n = 0 rows emit nothing).
+
+
+@query(
+    "orders_ivm_agg_retract",
+    """
+    with live as (
+      select o_custkey,
+             cast(round(o_totalprice * 100, 0) as bigint) as cents
+      from orders
+      where o_orderkey % 7 = 0
+         or (o_orderkey % 7 != 0 and o_orderkey % 13 != 0)
+    )
+    select o_custkey,
+           count(*)::bigint as n_orders,
+           cast(sum(cents) as bigint) as total_cents,
+           max(cents) as max_cents,
+           cast(sum(cents) as double) / cast(count(*) as double) as avg_cents
+    from live
+    group by o_custkey
+    order by o_custkey
+    """,
+)
+def orders_ivm_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance UNDER RETRACTIONS (section
+    comment): count/sum maintain by subtraction, avg derives from the
+    maintained int64 sums, and max re-aggregates ONLY the keys whose
+    retracted max ties the stored max (the conservative rescan set —
+    a smaller retracted max cannot dethrone the stored one). Keys
+    whose count reaches zero leave the view. Output: (o_custkey,
+    n_orders, total_cents, max_cents, avg_cents) over base − deletes
+    + inserts; the oracle recomputes from surviving rows.
+
+    Scale shape: three map-side-combined per-key aggregates (stored
+    base state stand-in, insert partials, retraction partials) merged
+    by key-keyed joins over |keys|-row states; the ONLY base-fact
+    re-read is the rescan term, key-bounded by the retracted-max
+    semi-join (dmx = bmx keys) — at 100 TB that is the set of keys
+    whose maximum actually changed, not the table."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    is_ins = F.col("k") % 7 == 0
+    is_del = (~is_ins) & (F.col("k") % 13 == 0)
+    base = orders.filter(~is_ins)
+    survive = base.filter(F.col("k") % 13 != 0)
+    ins = orders.filter(is_ins)
+    dels = orders.filter(is_del)
+
+    def state(df: DataFrame, p: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{p}n"),
+            F.sum("cents").cast("long").alias(f"{p}s"),
+            F.max("cents").cast("long").alias(f"{p}mx"),
+        )
+
+    b, i, d = state(base, "b"), state(ins, "i"), state(dels, "d")
+    merged = b.join(d, "o_custkey", "left").join(i, "o_custkey", "full_outer")
+    zero = F.lit(0).cast("long")
+    n = (
+        F.coalesce("bn", zero)
+        - F.coalesce("dn", zero)
+        + F.coalesce("in", zero)
+    )
+    s = (
+        F.coalesce("bs", zero)
+        - F.coalesce("ds", zero)
+        + F.coalesce("is", zero)
+    )
+    # rescan set: a retraction tied the stored base max — the ONLY
+    # case state cannot answer; everything else keeps the merge rule
+    needs_rescan = F.col("dmx").isNotNull() & (
+        F.col("dmx") == F.col("bmx")
+    )
+    rescan_keys = merged.filter(needs_rescan).select("o_custkey")
+    rescanned = (
+        survive.join(rescan_keys, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.max("cents").cast("long").alias("rmx"))
+    )
+    lowest = F.lit(-(1 << 62)).cast("long")
+    mx = F.greatest(
+        F.coalesce(
+            F.when(needs_rescan, F.col("rmx")).otherwise(F.col("bmx")),
+            lowest,
+        ),
+        F.coalesce("imx", lowest),
+    )
+    return (
+        merged.join(rescanned, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            n.alias("n_orders"),
+            s.alias("total_cents"),
+            mx.alias("max_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_custkey",
+            "n_orders",
+            "total_cents",
+            "max_cents",
+            (
+                F.col("total_cents").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("avg_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ===========================================================================
+# k-anonymity audit — privacy-side data quality
+# ===========================================================================
+#
+# The PII scrub removes direct identifiers; k-anonymity measures the
+# QUASI-identifiers left behind: a row is re-identifiable when its
+# equivalence class under (nation, market segment, balance band) is
+# small. The audit emits every class with its size, the k = 10 risk
+# flag, and the corpus-level share of rows sitting in risky classes —
+# the number a release review reads before publishing a dataset.
+
+_KANON_K = 10
+
+
+@query(
+    "customer_kanonymity_audit",
+    f"""
+    with cls as (
+      select cast(c_nationkey as bigint) as c_nationkey, c_mktsegment,
+             cast(floor(c_acctbal / 1000) as bigint) as balance_band,
+             count(*)::bigint as class_size
+      from customer
+      group by 1, 2, 3
+    ),
+    tot as (
+      select cast(sum(class_size) as bigint) as n_rows,
+             cast(sum(case when class_size < {_KANON_K}
+                           then class_size else 0 end) as bigint)
+               as n_risky_rows
+      from cls
+    )
+    select c_nationkey, c_mktsegment, balance_band, class_size,
+           (class_size < {_KANON_K}) as at_risk,
+           cast(n_risky_rows as double) / cast(n_rows as double)
+             as risky_row_share
+    from cls cross join tot
+    order by c_nationkey, c_mktsegment, balance_band
+    """,
+)
+def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers (section
+    comment): one row per (nation, segment, balance band) equivalence
+    class with its size, the k = {k} risk flag, and the corpus share
+    of rows in risky classes. Output: (c_nationkey, c_mktsegment,
+    balance_band, class_size, at_risk, risky_row_share).
+
+    Scale shape: ONE map-side-combined groupBy over the three
+    quasi-identifier columns (classes bounded by the attribute-domain
+    product, not the row count); the totals re-aggregate the class
+    table into one broadcast row. floor() banding is exact integer
+    both engines; the share is one IEEE division of two int64s."""
+    cls = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000)
+            .cast("long")
+            .alias("balance_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "balance_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    tot = cls.agg(
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_risky_rows"),
+    )
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "balance_band",
+            "class_size",
+            (F.col("class_size") < _KANON_K).alias("at_risk"),
+            (
+                F.col("n_risky_rows").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("risky_row_share"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "balance_band")
     )

@@ -761,6 +761,18 @@ SHUFFLE_BUDGETS = {
     # + the presentation sort; the comparison filter is row-local and
     # output is change-volume-sized.
     "orders_snapshot_diff": 3,
+    # round-12 retraction-aware IVM (measured 8): three per-key
+    # map-side-combined aggregates (base/insert/retraction states),
+    # their key-keyed state merges (co-partitioned SMJs over |keys|-row
+    # frames), the key-bounded rescan term (semi-join + per-key max
+    # over SURVIVING base rows of rescan keys only), and the
+    # presentation sort — the only base re-read is the rescan.
+    "orders_ivm_agg_retract": 8,
+    # round-12 k-anonymity audit (measured 3): ONE quasi-identifier
+    # groupBy (classes bounded by the attribute-domain product), the
+    # 1-row totals re-aggregate attached back as a broadcast, and the
+    # presentation sort.
+    "customer_kanonymity_audit": 3,
     # round-12 containment-prune audit (measured 13): re-runs the
     # entry's own 6 plus the pruned-join count and distinct-candidate
     # count (each re-deriving the rank window lineage from its side of

@@ -577,3 +577,134 @@ def test_snapshot_diff_twin_and_apply_identity(spark, tmp_path):
     assert_frames_equal(
         sdf, con.execute(ENTRIES["orders_snapshot_diff"].oracle).df()
     )
+
+
+def _write_orders_full(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_totalprice)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(rows)
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n),
+            "o_totalprice": pa.array(
+                [float(r[2]) for r in rows], type=pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [dt.datetime(2024, 1, 1)] * n, type=pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * n),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_ivm_retract_rescan_cases(spark, tmp_path):
+    """The non-invertible-aggregate geometry, planted case by case:
+    unique-max retraction (max must DROP — state alone cannot answer),
+    tied-max retraction (rescan finds the surviving tie), non-max
+    retraction (merge-only path), full retraction (customer vanishes),
+    insert-only customer, and an insert exceeding the base max."""
+    import idh_etl_demo_spark.catalog_r12  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    # insert <=> k%7==0; delete <=> k%7!=0 and k%13==0
+    rows = [
+        (13, 10, 9.0),   # delete: cust 10's UNIQUE max
+        (1, 10, 5.0),    # base survivor
+        (2, 10, 3.0),    # base survivor
+        (21, 10, 1.0),   # insert (below new max)
+        (26, 20, 7.0),   # delete: ties cust 20's max
+        (3, 20, 7.0),    # base survivor carrying the tie
+        (4, 20, 2.0),    # base survivor
+        (39, 30, 1.0),   # delete: NON-max row
+        (5, 30, 6.0),    # base survivor (the max, untouched)
+        (65, 40, 4.0),   # delete: cust 40's only row -> vanishes
+        (7, 50, 8.0),    # insert-only customer
+        (6, 60, 3.0),    # base survivor
+        (14, 60, 9.5),   # insert exceeding cust 60's base max
+    ]
+    sf = _write_orders_full(tmp_path, rows)
+    sdf = ENTRIES["orders_ivm_agg_retract"].spark(spark, sf).toPandas()
+    got = {
+        r.o_custkey: (r.n_orders, r.total_cents, r.max_cents)
+        for r in sdf.itertuples()
+    }
+    assert got == {
+        10: (3, 900, 500),   # max dropped 900 -> 500 via rescan
+        20: (2, 900, 700),   # tie survived the rescan
+        30: (1, 600, 600),   # merge-only
+        50: (1, 800, 800),
+        60: (2, 1250, 950),  # insert dethroned the base max
+    }
+    assert 40 not in got  # fully retracted customer vanished
+    con = duckdb.connect()
+    con.execute(
+        "create view orders as select * from "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["orders_ivm_agg_retract"].oracle).df()
+    )
+
+
+def _write_customers(tmp_path, rows):
+    """rows: (c_custkey, c_nationkey, c_mktsegment, c_acctbal)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "c_nationkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "c_mktsegment": pa.array([r[2] for r in rows]),
+            "c_acctbal": pa.array(
+                [float(r[3]) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "customer.parquet"))
+    return str(tmp_path)
+
+
+def test_kanonymity_boundary_and_share(spark, tmp_path):
+    """k = 10 boundary: a class of exactly 10 is NOT at risk, 9 is;
+    the risky share counts ROWS in risky classes, not classes; the
+    balance banding uses floor (negative balances land in band -1)."""
+    import idh_etl_demo_spark.catalog_r12  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    rows = []
+    k = 1
+    for _ in range(10):  # class A: size 10 (not risky)
+        rows.append((k, 1, "BUILDING", 500.0)); k += 1
+    for _ in range(9):   # class B: size 9 (risky)
+        rows.append((k, 1, "MACHINERY", 500.0)); k += 1
+    rows.append((k, 2, "BUILDING", -50.0)); k += 1  # class C: size 1, band -1
+    sf = _write_customers(tmp_path, rows)
+    sdf = ENTRIES["customer_kanonymity_audit"].spark(spark, sf).toPandas()
+    by = {
+        (r.c_nationkey, r.c_mktsegment, r.balance_band): r
+        for r in sdf.itertuples()
+    }
+    a = by[(1, "BUILDING", 0)]
+    b = by[(1, "MACHINERY", 0)]
+    c = by[(2, "BUILDING", -1)]
+    assert (a.class_size, bool(a.at_risk)) == (10, False)  # boundary
+    assert (b.class_size, bool(b.at_risk)) == (9, True)
+    assert (c.class_size, bool(c.at_risk)) == (1, True)
+    assert a.risky_row_share == 10 / 20  # 9 + 1 risky rows of 20
+    con = duckdb.connect()
+    con.execute(
+        "create view customer as select * from "
+        f"read_parquet('{sf}/customer.parquet')"
+    )
+    assert_frames_equal(
+        sdf, con.execute(ENTRIES["customer_kanonymity_audit"].oracle).df()
+    )
