@@ -708,3 +708,38 @@ def test_kanonymity_boundary_and_share(spark, tmp_path):
     assert_frames_equal(
         sdf, con.execute(ENTRIES["customer_kanonymity_audit"].oracle).df()
     )
+
+
+def test_ivmj_stored_base_survives_cache_release(spark, tmp_path):
+    """The stored base view registers with the streaming-workdir
+    reaper: after release_stream_workdirs() (what bench.py's cache
+    clearing calls), the memo must not serve a dangling path — the
+    next call re-materializes and the entry stays correct."""
+    import idh_etl_demo_spark.catalog_r11  # noqa: F401
+    from idh_etl_demo_spark.catalog import ENTRIES
+    from idh_etl_demo_spark.catalog_r10 import release_stream_workdirs
+    from tests.test_r11b_properties import _write_orders
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = dt.datetime(2024, 1, 1)
+    sf = _write_orders(
+        tmp_path, [(k, ts, "1-URGENT", "O") for k in range(1, 30)]
+    )
+    # the join entry also needs a customer table
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], type=pa.int64()),
+                "c_nationkey": pa.array([3], type=pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING"]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    first = ENTRIES["orders_ivm_join"].spark(spark, sf).toPandas()
+    release_stream_workdirs()
+    second = ENTRIES["orders_ivm_join"].spark(spark, sf).toPandas()
+    assert first.equals(second)
