@@ -788,7 +788,14 @@ def _ivmj_stored_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             _register_stream_workdir,
         )
 
-        if _IVMJ_BASE not in _STREAM_MEMOS:
+        # IDENTITY check, not `in`: list membership compares dicts by
+        # VALUE, and two empty memo dicts are equal — with any other
+        # streaming memo already registered, `in` would skip this
+        # registration and release_stream_workdirs() would delete the
+        # parquet dir while the memo kept serving the dangling path
+        # (caught by test_ivmj_stored_base_survives_cache_release run
+        # after a streaming test in the same session).
+        if not any(m is _IVMJ_BASE for m in _STREAM_MEMOS):
             _STREAM_MEMOS.append(_IVMJ_BASE)
         workdir = tempfile.mkdtemp(prefix="ivmj_base_")
         _register_stream_workdir(workdir)

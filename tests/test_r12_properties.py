@@ -739,7 +739,20 @@ def test_ivmj_stored_base_survives_cache_release(spark, tmp_path):
         ),
         str(tmp_path / "customer.parquet"),
     )
-    first = ENTRIES["orders_ivm_join"].spark(spark, sf).toPandas()
-    release_stream_workdirs()
-    second = ENTRIES["orders_ivm_join"].spark(spark, sf).toPandas()
-    assert first.equals(second)
+    # simulate an earlier streaming test having registered its own
+    # (empty) memo — the regression this test exists for: a VALUE-based
+    # membership check would then skip registering the IVM memo, and
+    # the release below would delete the parquet dir while the memo
+    # kept serving the dangling path
+    from idh_etl_demo_spark.catalog_r10 import _STREAM_MEMOS
+
+    decoy: dict = {}
+    _STREAM_MEMOS.append(decoy)
+    try:
+        first = ENTRIES["orders_ivm_join"].spark(spark, sf).toPandas()
+        release_stream_workdirs()
+        second = ENTRIES["orders_ivm_join"].spark(spark, sf).toPandas()
+        assert first.equals(second)
+    finally:
+        if any(m is decoy for m in _STREAM_MEMOS):
+            _STREAM_MEMOS.remove(decoy)
