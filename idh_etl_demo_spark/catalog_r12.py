@@ -326,7 +326,16 @@ def embedding_prefix_whitening_stats(
     merge), and the 36-row presentation table is a literal explode of
     that single row. The quantization (round(x·1e6) int64) keeps every
     sum associative and engine-exact; the final covariance is one
-    identical IEEE double tree on both sides."""
+    identical IEEE double tree on both sides.
+
+    Overflow bound: with unit-normalized inputs |q| ≤ 1e6, so
+    |sum_qij| ≤ n_vecs·1e12 — the reported int64 columns are exact
+    while n_vecs < ~9.2e6 qualifying vectors. The Spark side
+    accumulates in decimal(38,0) (exact to 38 digits, covering any
+    realistic corpus) before the bigint cast, and DuckDB sums into
+    HUGEINT — past the bound BOTH engines raise on the cast rather
+    than wrap, so the audit fails loudly; widen the output columns to
+    decimal if a corpus ever crosses it."""
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.size("embedding") >= _WH_D
     )
@@ -341,11 +350,13 @@ def embedding_prefix_whitening_stats(
     q = emb.select(*qcols)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
     aggs += [
-        F.sum(F.col(f"q{i}")).cast("long").alias(f"s_{i}")
+        F.sum(F.col(f"q{i}").cast("decimal(38,0)"))
+        .cast("long")
+        .alias(f"s_{i}")
         for i in range(_WH_D)
     ]
     aggs += [
-        F.sum(F.col(f"q{i}") * F.col(f"q{j}"))
+        F.sum((F.col(f"q{i}") * F.col(f"q{j}")).cast("decimal(38,0)"))
         .cast("long")
         .alias(f"p_{i}_{j}")
         for i, j in _WH_PAIRS
@@ -572,15 +583,13 @@ _AH_MASKS = (
 
 
 def _ahash_neardup_sql() -> str:
-    from idh_etl_demo_spark.catalog_r7 import _image_ahash_sql
+    from idh_etl_demo_spark.catalog_r7 import _image_ahash_ctes
 
     masks = ", ".join(str(m) for m in _AH_MASKS)
-    # reuse the ahash entry's CTE chain verbatim (everything up to its
-    # final select), then extend it with the neighborhood census CTEs
-    base = _image_ahash_sql().split("select media_id, width")[0].rstrip()
-    assert base.endswith(")"), base[-40:]
+    # reuse the ahash entry's CTE chain via the exported fragment (the
+    # _minhash_cte pattern), then extend it with the census CTEs
     return f"""
-    {base},
+    with {_image_ahash_ctes()},
     cnt as (select ahash, count(*)::bigint as n from hashed group by ahash),
     probe as (
       select xor(ahash, m.mask) as probe_hash, n
@@ -599,7 +608,7 @@ def _ahash_neardup_sql() -> str:
 def multimodal_image_ahash_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Per-image near-duplicate census under hamming ≤ {radius} on the
+    """Per-image near-duplicate census under hamming ≤ 2 on the
     12-bit aHash (section comment): n_within_h2 = how many OTHER
     images land within hamming 2 of this image's perceptual hash —
     the signal an image-dedup pass thresholds on. Output:
@@ -909,7 +918,7 @@ _KANON_K = 10
 def customer_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the customer quasi-identifiers (section
     comment): one row per (nation, segment, balance band) equivalence
-    class with its size, the k = {k} risk flag, and the corpus share
+    class with its size, the k = 10 risk flag, and the corpus share
     of rows in risky classes. Output: (c_nationkey, c_mktsegment,
     balance_band, class_size, at_risk, risky_row_share).
 

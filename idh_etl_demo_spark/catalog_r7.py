@@ -708,13 +708,17 @@ def _bpe_seg_sql() -> str:
 # ===========================================================================
 
 
-def _image_ahash_sql() -> str:
+def _image_ahash_ctes() -> str:
+    """The ahash oracle's CTE chain (m → vals → tot → hashed), exposed
+    as a fragment so downstream oracles (catalog_r12's neardup census)
+    can extend it with their own CTEs instead of string-splitting the
+    composed SQL. ``hashed`` is the contract: one row per media_id with
+    (media_id, width, height, ahash)."""
     # oracle reproduces the whole kernel from doc_id arithmetic + the
     # md5 string: value j of the 12 = cell j//3 (row-major over the 2×2
     # NN grid: sy = (cell//2)·h//2, sx = (cell%2)·w//2), channel j%3;
     # bit set iff sample·4 > channel total (integer, strict)
-    return """
-    with m as (
+    return """m as (
       select doc_id as media_id, 1 + doc_id % 3 as w, 1 + doc_id % 2 as h,
              md5(text) as mh
       from documents
@@ -739,7 +743,12 @@ def _image_ahash_sql() -> str:
                case when v[j + 1] * 4 > ct[j % 3 + 1]
                     then 1 << (11 - j) else 0 end)) as bigint) as ahash
       from tot
-    )
+    )"""
+
+
+def _image_ahash_sql() -> str:
+    return f"""
+    with {_image_ahash_ctes()}
     select media_id, width, height, ahash,
            count(ahash) over (partition by ahash) as hash_group_size
     from hashed

@@ -205,7 +205,19 @@ def suffix_ranks(
         # level just appended duplicates the previous partition, so
         # drop it: the stable level is the walk's top.
         if top == prev_top:
-            history.pop()
+            # The dropped level is POINTWISE equal to the retained one,
+            # not just partition-equal: no split means every r-class has
+            # one (r, r2) value, so the dense rank over (r, r2) ordered
+            # lexicographically is r itself. Rebind cur to the retained
+            # top so the final tie-break reads the stable level, then
+            # release the redundant frame's eager localCheckpoint —
+            # otherwise its storage blocks stay pinned until the
+            # ContextCleaner notices (bench memo clearing can't reach a
+            # frame that left history).
+            from idh_etl_demo_spark.operators.graph import _release_checkpoint
+
+            _release_checkpoint(history.pop()[1])
+            cur = history[-1][1]
             break
         prev_top = top
 
