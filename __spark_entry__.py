@@ -31,6 +31,7 @@ import idh_etl_demo_spark.catalog_r11  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r11c  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r12  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r13  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -42,6 +43,35 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then the most operator-diverse TPC-H entries. Everything not named here
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
+#
+# ROUND-13 ROTATION (the round-12 verdict's ask #1). All NINE r12
+# window first-greens STAY for their second signal (events_user_ewma,
+# orders_profile, doc_title_edit_neardup, doc_bigram_heavy_hitters,
+# events_rolling_zscore, orders_fk_integrity, events_user_gini,
+# events_freshness_audit, doc_containment_audit). Rotating IN all
+# TWELVE entries with no (or no current) driver signal: the eight
+# round-12 catalog additions that were sweep-gated only
+# (doc_dup_canonical, doc_effective_tokens,
+# embedding_prefix_whitening_stats, events_watermark_design,
+# multimodal_image_ahash_neardup, orders_snapshot_diff,
+# orders_ivm_agg_retract, customer_kanonymity_audit) and the four NEW
+# round-13 entries (ztm_time_dim — verdict ask #6,
+# doc_title_edit_entropy — the delivered r11 ask #8,
+# doc_containment_split_audit — verdict ask #4,
+# customer_ldiversity_audit). Rotating OUT 12 twice+-green rows
+# (annotated in place below): doc_ccnet_kn_buckets, doc_url_bloom_dedup,
+# doc_lsh_tuning_audit, doc_langid_confusion, orders_ivm_agg,
+# orders_ivm_join, lineitem_winsorized_stats, orders_chisq_drift,
+# events_rollup_cascade, events_key_skew_audit, customer_scd2_history,
+# embedding_ivfpq_rerank. DELIBERATE STAYS beyond the second-signal
+# set: doc_exact_substr_incremental and the exact-substr trio (round 13
+# changed suffix.py again — the stability-exit checkpoint release), and
+# doc_containment_join (its kernel was refactored into shared helpers
+# this round and the new split audit composes them). Families after
+# the swap: ztm 5, doc 18 (exactly its minimum), embedding 8 (exactly
+# its minimum), multimodal 5, event 6, TPC-H 8 — window stays exactly
+# 50. After this rotation no catalog entry lacks a driver signal
+# except the four r13-new entries, which are in-window for their first.
 #
 # ROUND-12 ROTATION (the round-11 verdict's ask #2). All 12 round-11
 # first-greens STAY for their second hard signal (the r11 new entries,
@@ -61,8 +91,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # embedding row, the twice-named recall candidate). Rotating OUT 14
 # twice+-green rows (annotated in place below). Families after the
 # swap: ztm 4, doc 18, embedding 8, multimodal 4, event 7, TPC-H 9 —
-# all at or above minimums; window stays exactly 50; zero entries
-# reach round 13 having never seen the driver. The suffix family's
+# all at or above minimums; window stays exactly 50; zero PRE-round-12
+# entries reach round 13 having never seen the driver (the eight NEW
+# round-12 entries were sweep-gated only and are the round-13
+# rotation's first-green slots — the original wording overclaimed;
+# round-12 ADVICE #3). The suffix family's
 # exact-substr trio and the setsim/containment family deliberately
 # STAY in-window: round 12 changed their shared code paths (the SA
 # stability exit + the containment prunes), so the driver re-verifies
@@ -184,26 +217,59 @@ DRIVER_PRIORITY: list[str] = [
     # in r11 after its second green — see the ROUND-11 header)
     # --- round-11 NEW entries (first-green slots; r10 verdict asks
     # #2, #5, #6) and the ask-#8 ztm stale recall ---
-    "doc_ccnet_kn_buckets",            # displaced embedding_pq_recall_audit
-    "doc_exact_substr_incremental",    # displaced doc_bm25_multiquery
-    "doc_url_bloom_dedup",             # displaced doc_split_leakage_audit
+    # (doc_ccnet_kn_buckets was slotted here r11-r12; rotated out in
+    # r13 after its second green — the KN chain stays in-window via
+    # doc_kn_surprisal_rate and doc_kn_trigram_lm)
+    "doc_dup_canonical",               # r13: r12-new first-green slot
+    "doc_exact_substr_incremental",    # STAYS r13: suffix.py changed again
+    # (doc_url_bloom_dedup was slotted here r11-r12; rotated out in r13
+    # after its second green — the bloom membership shape stays
+    # sweep-gated with its property tests, and exact-dedup semantics
+    # stay in-window via doc_effective_tokens' digest groupBy)
+    "doc_effective_tokens",            # r13: r12-new first-green slot
     # (ztm_stop_dim held this slot r11 for the ask-#8 recall; its
     # THIRD green landed — rotated out in r12 for its sibling)
     "ztm_vehicle_dim",                 # r12: ask-#8 sibling recall (last green r9)
-    # --- late round-11 NEW entries (first-green slots; the IVM pair) ---
-    "orders_ivm_agg",                  # displaced embedding_ivfpq_multiprobe
-    "orders_ivm_join",                 # displaced orders_zorder_layout
-    "doc_lsh_tuning_audit",            # displaced doc_winnow_fingerprints
-    "lineitem_winsorized_stats",       # displaced doc_suffix_dup_audit
+    # --- round-13 swaps over the late-round-11 first-green slots ---
+    # (orders_ivm_agg / orders_ivm_join were slotted here r11-r12;
+    # rotated out in r13 after their second greens — IVM semantics stay
+    # driver-gated by the strictly stronger retraction entry and the
+    # changeset generator below; the join's stored-base release path
+    # keeps its planted-decoy regression test)
+    "orders_ivm_agg_retract",          # r13: r12-new first-green slot
+    "orders_snapshot_diff",            # r13: r12-new first-green slot
+    # (doc_lsh_tuning_audit was slotted here r11-r12; rotated out in
+    # r13 after its second green — the design-table pattern stays
+    # in-window via events_watermark_design, and the LSH+CC machinery
+    # via doc_dup_canonical)
+    "doc_title_edit_entropy",          # r13: NEW — the edit join's pruning path (r11 ask #8)
+    # (lineitem_winsorized_stats was slotted here r11-r12; rotated out
+    # in r13 after its second green — the bucketed-rank percentile
+    # shape stays in-window via lineitem_mad_outliers)
+    "customer_kanonymity_audit",       # r13: r12-new first-green slot
     # --- late round-11 NEW entries (first-green slots; the r11b
     # batch: hierarchical rollup cascade, chi-square snapshot drift,
     # key-skew/salting audit) — displacements annotated in place at
     # the displaced rows ---
-    "events_rollup_cascade",           # displaced events_gap_fill
-    "orders_chisq_drift",              # displaced doc_bm25_mmr
-    "events_key_skew_audit",           # displaced doc_streaming_snapshot_curation
-    "doc_containment_join",            # displaced doc_leakage_safe_split
-    "doc_langid_confusion",            # displaced events_kmv_set_ops
+    # (events_rollup_cascade was slotted here r11-r12; rotated out in
+    # r13 after its second green — calendar-grain bucketing stays
+    # in-window via events_watermark_design's arrival-hour cummax and
+    # events_freshness_audit's (type, day) windows)
+    "events_watermark_design",         # r13: r12-new first-green slot
+    # (orders_chisq_drift was slotted here r11-r12; rotated out in r13
+    # after its second green — snapshot-drift auditing stays
+    # sweep-gated; the orders-scan audit family stays in-window via
+    # orders_profile)
+    "customer_ldiversity_audit",       # r13: NEW — the k-anonymity companion
+    # (events_key_skew_audit was slotted here r11-r12; rotated out in
+    # r13 after its second green — the skew/salting audit stays
+    # sweep-gated with its property tests)
+    "ztm_time_dim",                    # r13: NEW — TimeDim via the production builder (ask #6)
+    "doc_containment_join",            # STAYS r13: kernel refactored into shared helpers
+    # (doc_langid_confusion was slotted here r11-r12; rotated out in
+    # r13 after its second green — the classifier-evaluation shape
+    # stays sweep-gated; the lang axis stays in-window via doc_quality)
+    "doc_containment_split_audit",     # r13: NEW — prunes firing on the split corpus (ask #4)
     # --- round-10 rotation-in: the seven never-driver-green entries ---
     # (each displaced row is named in the ROUND-10 header above)
     "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
@@ -416,7 +482,11 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_ivfpq_nprobe_audit",
     # (embedding_ivfpq_adc_lut was slotted here r9-r10; rotated out in
     # r11 after its second green — see the ROUND-11 header)
-    "embedding_ivfpq_rerank",
+    # (embedding_ivfpq_rerank was slotted here r9-r12; rotated out in
+    # r13 after four driver greens — IVFPQ serving stays in-window via
+    # embedding_ivfpq_residual_search and _nprobe_audit, and the exact
+    # rerank tail via embedding_matryoshka_recall_audit's funnel)
+    "embedding_prefix_whitening_stats",  # r13: r12-new first-green slot
     # (doc_bm25_multiquery was slotted here r9-r10; rotated out in r11
     # after its second green — see the ROUND-11 header)
     # (doc_duplicated_spans was slotted here with the r9 batch;
@@ -442,7 +512,10 @@ DRIVER_PRIORITY: list[str] = [
     # embedding_d4_curation (D4 = SemDeDup → prototype pruning over
     # the same frozen quantizer), so the driver still executes the
     # shape; embedding family stays far above its minimum of 8)
-    "customer_scd2_history",
+    # (customer_scd2_history was slotted here r10-r12; rotated out in
+    # r13 after three driver greens — SCD/changelog semantics stay
+    # in-window via orders_snapshot_diff and orders_ivm_agg_retract)
+    "multimodal_image_ahash_neardup",  # r13: r12-new first-green slot
     # (doc_unimax_allocation was slotted here r9-r11; rotated out in
     # r12 after its multi-green run)
     "events_user_gini",                # r12: never-driver-green rotation-in

@@ -40,6 +40,7 @@ import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_r12  # noqa: F401
+import idh_etl_demo_spark.catalog_r13  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 HEADLINE = [
@@ -236,6 +237,14 @@ HEADLINE = [
     # k-anonymity privacy audit
     "orders_ivm_agg_retract",
     "customer_kanonymity_audit",
+    # appended round 13: the TimeDim production-builder gate, the edit
+    # join's pruning path on the high-entropy corpus (r11 ask #8), the
+    # containment audit on the split corpus where the prunes fire
+    # (r12 ask #4), and the l-diversity privacy audit
+    "ztm_time_dim",
+    "doc_title_edit_entropy",
+    "doc_containment_split_audit",
+    "customer_ldiversity_audit",
 ]
 
 

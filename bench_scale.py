@@ -41,6 +41,7 @@ import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_r12  # noqa: F401
+import idh_etl_demo_spark.catalog_r13  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -446,9 +447,19 @@ PROBES = [
     # candidate budget (slots <= 2^14 * docs, a lazy raise_error —
     # pinned by test_title_edit_neardup_degeneracy_guard) instead of
     # OOMing; a wall-clock ratio for a shape the entry refuses to run
-    # is not a measurement. On high-entropy keys (the operator's
-    # domain) the setsim probe already gates the identical
-    # prefix-bucket candidate shape.
+    # is not a measurement. (Through round 12 the fallback argument was
+    # that the setsim probe gates the same prefix-bucket candidate
+    # shape; the r11 verdict's ask #8 pointed out that leaves the
+    # banded-levenshtein VERIFICATION stage with no scale measurement —
+    # doc_title_edit_entropy below closes that gap.)
+    # round-13 doc_title_edit_entropy IS probed (the dropped r11 ask
+    # #8): the IDENTICAL shared kernel on the md5-derived high-entropy
+    # corpus, where the prefix filter actually prunes (90^3-value gram
+    # space → near-singleton rarest buckets; candidates = planted
+    # mutant pairs + a collision term ≈ slots²/2·|space|). This is the
+    # edit join's PRUNING path — rarest-prefix candidate generation +
+    # per-candidate banded DP — measured at 10× instead of refused.
+    "doc_title_edit_entropy",
     # round-11c events_streaming_dedup is NOT probed: its wall time is
     # stream startup + 4 micro-batch drains (the standing streaming
     # latency-surface exclusion); the dedup state machine's scale
@@ -510,6 +521,21 @@ PROBES = [
     # round-12 customer_kanonymity_audit is NOT probed: one
     # domain-bounded groupBy + a 1-row broadcast — the probed
     # orders_profile/customer-scan shape with strictly less work
+    # round-13 doc_containment_split_audit IS probed (r12 verdict ask
+    # #4): the containment audit over the split-re-publication corpus,
+    # where the LENGTH/POSITIONAL prunes fire (slot_reduction ≈ 0.66
+    # at catalog SFs vs 1.0 on the base corpus) — the 10× ratio
+    # measures the PRUNED join doing real pruning on heavy-tailed
+    # sizes, not just surviving a uniform corpus
+    "doc_containment_split_audit",
+    # round-13 ztm_time_dim is NOT probed: the hour-clock distinct is
+    # calendar-bounded (the 10× union keeps the same time span, so the
+    # output is CONSTANT) and every column is a pure expression — the
+    # probed rollup-cascade grains already gate the calendar-bucket
+    # claim with strictly more work
+    # round-13 customer_ldiversity_audit is NOT probed: the
+    # kanonymity exclusion verbatim (one domain-bounded groupBy; the
+    # count_distinct Expand is the probed orders_profile shape)
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,
@@ -604,15 +630,35 @@ def main() -> None:
     for t in tables:
         _scaled(spark, args.base, t).write.mode("overwrite").parquet(os.path.join(tmp, f"{t}.parquet"))
 
+    # MIN-OF-2 per probe (round-12 verdict ask #3): the r12 session ran
+    # the same-code sweep three times and the committed single-shot
+    # artifact carried one-off JVM/GC spikes as its worst numbers
+    # (doc_minhash_candidates 5.2 vs 2.2/1.8, doc_contamination_fraction
+    # 4.6 vs 4.1/2.5 — NOTES_r12 §8). Matching bench.py's best-of-2
+    # convention makes the committed ratio ordering reflect plans, not
+    # GC timing. EXCEPTION: probes whose builders memoize per
+    # (appId, sf_dir) — bench.SESSION_CACHED — stay SINGLE-shot: the
+    # sweep's documented cross-probe semantics deliberately share those
+    # memos (e.g. doc_exact_substr_cleaned probes "on top of" the
+    # doc_suffix_dup_audit build), so a second rep would be a dict
+    # lookup (flattered) and clearing would break the shared-build
+    # rationale and the r12 artifact's comparability. The spike class
+    # the protocol targets is entirely in the non-memoized set.
+    from bench import SESSION_CACHED
+
     def run_probe(name: str, sf_dir: str) -> float:
-        t0 = time.perf_counter()
-        if name in EXTRA_PROBES:
-            EXTRA_PROBES[name](spark, sf_dir)
-        else:
-            ENTRIES[name].spark(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        return round(time.perf_counter() - t0, 3)
+        reps = 1 if name in SESSION_CACHED else 2
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            if name in EXTRA_PROBES:
+                EXTRA_PROBES[name](spark, sf_dir)
+            else:
+                ENTRIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
 
     all_probes = PROBES + list(EXTRA_PROBES)
     # base timings for the ratio

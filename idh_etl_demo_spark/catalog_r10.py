@@ -1836,7 +1836,13 @@ def _ssim_streams(spark: SparkSession, sf_dir: str):
     corpus-sized, so broadcasting it contradicts the documented scale
     shape and risks broadcast-size failures at 100 TB (round-10
     ADVICE)."""
-    base = _sa_base(spark, sf_dir)
+    return _ssim_streams_of(_sa_base(spark, sf_dir))
+
+
+def _ssim_streams_of(base: DataFrame):
+    """_ssim_streams over an arbitrary (doc_id, toks) frame — the
+    shingle transform parameterized by corpus so derived corpora
+    (catalog_r13's truncation variant) reuse the identical kernel."""
     sh = F.when(
         F.size("toks") >= _SSIM_W,
         F.array_distinct(

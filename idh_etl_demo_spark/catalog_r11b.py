@@ -538,11 +538,19 @@ def _cont_parts(spark: SparkSession, sf_dir: str):
       prefix cut r_a ≤ p — 5·(s_a − r + 1) ≥ 5·⌈4·s_a/5⌉ ≥ 4·s_a —
       so it is already applied, for free, by the rn ≤ p filter.
     """
-    from pyspark.sql import Window
-
     from idh_etl_demo_spark.catalog_r10 import _ssim_streams
 
     stream, sizes = _ssim_streams(spark, sf_dir)
+    return _cont_parts_of(stream, sizes)
+
+
+def _cont_parts_of(stream: DataFrame, sizes: DataFrame):
+    """_cont_parts over an arbitrary (stream, sizes) pair — the prefix
+    cut and both prune columns parameterized by corpus so derived
+    corpora (catalog_r13's heavy-tailed truncation variant) reuse the
+    identical kernel."""
+    from pyspark.sql import Window
+
     df_tab = stream.groupBy("gh").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -648,7 +656,15 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from idh_etl_demo_spark.catalog_r10 import _ssim_streams
 
     stream, sizes = _ssim_streams(spark, sf_dir)
-    prefix, full = _cont_parts(spark, sf_dir)
+    return _containment_relation(stream, sizes)
+
+
+def _containment_relation(stream: DataFrame, sizes: DataFrame) -> DataFrame:
+    """doc_containment_join's plan over an arbitrary (stream, sizes)
+    corpus — prefix⋈full candidates under both prunes, exact
+    intersection verification, integer threshold (see the entry's
+    docstring for the full scale argument)."""
+    prefix, full = _cont_parts_of(stream, sizes)
     cand = (
         prefix.join(full, _cont_pruned_cond())
         .select("id_small", "id_big")
@@ -689,10 +705,12 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_containment_audit",
-    f"""
-    with {_cont_oracle_prelude()},
+def _cont_audit_sql(prelude: str) -> str:
+    """The containment audit's SQL over any prelude that defines an
+    ``ne (doc_id, ts, s)`` CTE — shared by doc_containment_audit and
+    catalog_r13's heavy-tailed truncation variant."""
+    return f"""
+    with {prelude},
     stream as (select doc_id, unnest(ts) as gh from ne),
     dft as (select gh, count(*)::bigint as df from stream group by gh),
     ranked as (
@@ -731,8 +749,10 @@ def doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / cast(unpruned_slots as double)
                 else null end as slot_reduction
     from tots
-    """,
-)
+    """
+
+
+@query("doc_containment_audit", _cont_audit_sql(_cont_oracle_prelude()))
 def doc_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment prunes' work reduction, MEASURED (1 row):
     unpruned_slots = Σ over probe prefix slots of (df(gh) − 1) — the
@@ -752,8 +772,14 @@ def doc_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs the entry's own plan."""
     from idh_etl_demo_spark.catalog_r10 import _ssim_streams
 
-    prefix, full = _cont_parts(spark, sf_dir)
-    _, sizes = _ssim_streams(spark, sf_dir)
+    stream, sizes = _ssim_streams(spark, sf_dir)
+    return _cont_audit_frame(stream, sizes)
+
+
+def _cont_audit_frame(stream: DataFrame, sizes: DataFrame) -> DataFrame:
+    """doc_containment_audit's plan over an arbitrary (stream, sizes)
+    corpus (see the entry docstring)."""
+    prefix, full = _cont_parts_of(stream, sizes)
     n_sets = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_sets"))
     unpruned = prefix.agg(
         F.coalesce(F.sum(F.col("df") - 1), F.lit(0))
@@ -767,7 +793,7 @@ def doc_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncand = pj.distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
-    nq = doc_containment_join(spark, sf_dir).agg(
+    nq = _containment_relation(stream, sizes).agg(
         F.count(F.lit(1)).cast("long").alias("n_qualifying")
     )
     return (

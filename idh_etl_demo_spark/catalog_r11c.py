@@ -314,8 +314,6 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an array_intersect projection. One df groupBy, one doc-keyed
     prefix window, the candidate join + distinct, two title joins —
     every post-gram frame is pair- or doc-cardinality."""
-    from pyspark.sql import Window
-
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -331,7 +329,14 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("title") >= _ED_MINLEN)
     )
-    grams = d.select(
+    grams = _edit_grams(d)
+    return _edit_relation(spark, grams, "doc_title_edit_neardup")
+
+
+def _edit_grams(d: DataFrame) -> DataFrame:
+    """Attach each title's DISTINCT 3-gram array to a (doc_id, title)
+    frame — the shared front of the edit-join kernel."""
+    return d.select(
         "doc_id",
         "title",
         F.array_distinct(
@@ -341,6 +346,19 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gs"),
     )
+
+
+def _edit_relation(
+    spark: SparkSession, grams: DataFrame, entry_name: str
+) -> DataFrame:
+    """doc_title_edit_neardup's plan over an arbitrary (doc_id, title,
+    gs) frame — Ed-Join rarest-prefix candidates, the lazy linear slot
+    budget, banded-levenshtein verification with zero per-pair fan-out
+    (see the entry's docstring for the full scale argument). Shared
+    with catalog_r13's high-entropy variant so the PRUNING path runs
+    the identical kernel the degenerate-corpus entry gates."""
+    from pyspark.sql import Window
+
     stream = grams.select("doc_id", F.explode("gs").alias("gram"))
     df_tab = stream.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -381,12 +399,14 @@ def doc_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.expr("pdf * (pdf - 1) div 2")).cast("long").alias("slots")
         )
-        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs"))))
+        .crossJoin(
+            F.broadcast(grams.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
         .select(
             F.when(
                 F.col("slots") > _ED_SLOT_FACTOR * F.col("n_docs"),
                 F.raise_error(
-                    "doc_title_edit_neardup: prefix filter degenerated —"
+                    f"{entry_name}: prefix filter degenerated —"
                     " candidate slots exceed the linear budget"
                 ),
             )

@@ -161,6 +161,15 @@ def build_time_dim_rows(spark: SparkSession, hours: list[dt.datetime]) -> DataFr
     base = spark.createDataFrame(
         [(h,) for h in hours], "full_timestamp timestamp"
     )
+    return build_time_dim(base)
+
+
+def build_time_dim(base: DataFrame) -> DataFrame:
+    """TimeDim column derivations over any frame with a
+    ``full_timestamp`` timestamp column (reference: src/schemas.py:37-49,
+    src/queries.py:119-133) — the frame-level form of
+    ``build_time_dim_rows`` so a data-driven hour clock (catalog_r13's
+    ``ztm_time_dim``) exercises the same production builder."""
     ts = F.col("full_timestamp")
     return base.select(
         time_dim_id(ts).alias("id"),

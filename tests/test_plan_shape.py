@@ -25,6 +25,7 @@ import idh_etl_demo_spark.catalog_r11  # noqa: F401
 import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_r12  # noqa: F401
+import idh_etl_demo_spark.catalog_r13  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -773,6 +774,12 @@ SHUFFLE_BUDGETS = {
     # 1-row totals re-aggregate attached back as a broadcast, and the
     # presentation sort.
     "customer_kanonymity_audit": 3,
+    # round-13 l-diversity audit (measured 4): the k-anonymity shape
+    # plus the count_distinct's two-phase partial-aggregate exchange
+    # (Expand over the distinct key) inside the one quasi-identifier
+    # groupBy; totals re-aggregate to 1 broadcast row; presentation
+    # sort.
+    "customer_ldiversity_audit": 4,
     # round-12 containment-prune audit (measured 13): re-runs the
     # entry's own 6 plus the pruned-join count and distinct-candidate
     # count (each re-deriving the rank window lineage from its side of
@@ -781,6 +788,12 @@ SHUFFLE_BUDGETS = {
     # UNPRUNED expansion is never executed (closed-form Σ(df−1) over
     # the prefix frame).
     "doc_containment_audit": 13,
+    # round-13 split-corpus containment audit (measured 15): the audit
+    # kernel's 13 over the derived corpus, plus the union's two extra
+    # piece-branch scan spreads (the left/right slice projections each
+    # re-read the documents scan through their own round-robin
+    # exchange; the slice/md5 cut arithmetic itself is map-only).
+    "doc_containment_split_audit": 15,
     # round-11b language-ID confusion matrix (measured 5): the
     # classifier is a pure projection; the corpus crosses ONE exchange
     # (the (true, pred) cell groupBy), the row/column totals
@@ -809,6 +822,17 @@ SHUFFLE_BUDGETS = {
     # prefix window, gram rollup, 1-row slot agg) — every one
     # gram-cardinality, the refuse-don't-OOM price.
     "doc_title_edit_neardup": 9,
+    # round-13 high-entropy edit join (measured 9): the identical
+    # shared kernel (catalog_r11c._edit_relation) over the md5-derived
+    # 32-char title corpus — title synthesis is a map-only projection,
+    # so the shuffle set is exactly the neardup entry's; what differs
+    # is the DATA regime (the prefix filter prunes instead of
+    # degenerating), which the bench_scale probe measures.
+    "doc_title_edit_entropy": 9,
+    # round-13 TimeDim through the production builder (measured 2):
+    # the hour-clock distinct (calendar-bounded output) and the
+    # presentation sort; every TimeDim column is a pure expression.
+    "ztm_time_dim": 2,
     # round-11c Misra-Gries heavy hitters (measured 4): the n-gram
     # stream crosses ONE corpus-sized exchange (the candidate-filtered
     # count groupBy); the MG kernel is a mapInPandas projection, the
@@ -995,6 +1019,8 @@ def test_builders_are_lazy_no_actions(spark):
 #    asserted.
 SPREAD_REQUIRED = [
     "doc_title_edit_neardup",
+    "doc_title_edit_entropy",
+    "doc_containment_split_audit",
     "doc_setsim_prefix_join",
     "doc_setsim_prefix_audit",
     "doc_containment_join",
