@@ -289,8 +289,15 @@ def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~15 placement stages (~5-8 s of overhead), i.e. corpora ~100-1000×
 # these SFs — at 100 TB the update wins decisively (it saves ~6 of 7
 # full-corpus ranking passes and the placement joins carry |delta|
-# rows), and the stored-base + delta-build + placement design above is
-# the one to implement there. The build also now stops at the
+# rows). Round 13 PROTOTYPED the placement stage
+# (operators/suffix.place_delta_ranks — batched binary search against
+# the stored order, merged-order-exact by property test) and measured
+# it at a 10× corpus (PROBE_XSI.json placement_10x_sf0.01): rebuild
+# 10.8 s vs update 18.0 s (delta build 5.8 + placement 12.2 ≈ 18
+# rounds × the ~0.68 s stage-overhead floor) — rebuild still wins at
+# 10×, validating the crossover extrapolation with a real data point;
+# the update's placement cost is data-independent while rebuild's
+# ranking passes scale with n, so the ~100-1000× crossover stands. The build also now stops at the
 # Manber–Myers FIXPOINT (operators/suffix.py stability exit): on this
 # corpus the verbatim re-crawls keep classes refining to full depth,
 # so the exit saves only the final redundant level, but a

@@ -233,6 +233,114 @@ def suffix_ranks(
     return final, history, pos
 
 
+def place_delta_ranks(
+    base_final: DataFrame,
+    base_toks: DataFrame,
+    delta_toks: DataFrame,
+    n_base: int,
+) -> DataFrame:
+    """Insertion ranks of every DELTA suffix into a STORED base suffix
+    order by batched binary search — the placement stage of the
+    stored-base incremental-SA design (catalog_r11.py section comment;
+    prototyped for the r12 verdict's stretch ask #8).
+
+    Inputs: ``base_final`` (doc_id, pos, sa_rank 1..n_base) — the
+    stored base order; ``base_toks`` / ``delta_toks`` (doc_id, toks).
+    Output: (doc_id, pos, ins) per delta position, where ins = the
+    count of base suffixes sorting STRICTLY before the delta suffix
+    under the build's total order (suffix tokens, then (doc_id, pos))
+    — the delta suffix slots between base ranks ins and ins + 1, so
+    the merged total order is base_rank + |{ins < base_rank}| on the
+    base side and ins + delta-internal rank on the delta side (pinned
+    by test_sa_placement_matches_combined_rebuild).
+
+    Shape: ⌈log₂(n_base + 1)⌉ rounds; each round ALL delta positions
+    probe their bisection midpoint with one plain hash join against
+    the stored rank table (|delta| rows out — never the base corpus),
+    one doc-keyed join to slice the probed base suffix, and a struct
+    comparison; the state frame localCheckpoints per round (the
+    doubling loop's convention) and the superseded round is released.
+
+    Prototype shortcuts, stated: suffixes compare as space-joined
+    strings (order-equivalent to element-wise token order for
+    whitespace-split tokens) and each probed base suffix is sliced
+    from the token arrays per round. A production 100 TB placement
+    would compare through the stored rank LADDER (the build's history
+    levels) — O(log L) rank lookups per comparison with no token
+    movement — and bucket the |delta| state by probe rank so each
+    round is one co-partitioned join."""
+    import math
+
+    d = delta_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks)), i ->"
+                " concat_ws(' ', slice(toks, i, size(toks) - i + 1)))"
+            )
+        ).alias("p0", "suf"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("p0").cast("long").alias("pos"),
+        "suf",
+    )
+    brank = base_final.select(
+        F.col("sa_rank").alias("_mid"),
+        F.col("doc_id").cast("long").alias("bd"),
+        F.col("pos").cast("long").alias("bp"),
+    )
+    btk = base_toks.select(
+        F.col("doc_id").cast("long").alias("bd"), F.col("toks").alias("btoks")
+    )
+    st = d.select(
+        "doc_id",
+        "pos",
+        "suf",
+        F.lit(0).cast("long").alias("lo"),
+        F.lit(int(n_base)).cast("long").alias("hi"),
+    ).localCheckpoint(eager=True)
+    bsuf = F.expr(
+        "concat_ws(' ', slice(btoks, cast(bp + 1 as int),"
+        " cast(size(btoks) - bp as int)))"
+    )
+    base_lt = F.struct(
+        bsuf.alias("s"), F.col("bd").alias("d"), F.col("bp").alias("p")
+    ) < F.struct(
+        F.col("suf").alias("s"),
+        F.col("doc_id").alias("d"),
+        F.col("pos").alias("p"),
+    )
+    for _ in range(math.ceil(math.log2(n_base + 1))):
+        probe = (
+            st.withColumn(
+                "_mid",
+                F.when(
+                    F.col("lo") < F.col("hi"),
+                    F.expr("(lo + hi + 1) div 2"),
+                ),
+            )
+            .join(brank, "_mid", "left")
+            .join(btk, "bd", "left")
+        )
+        nxt = probe.select(
+            "doc_id",
+            "pos",
+            "suf",
+            F.when(F.col("_mid").isNull() | ~base_lt, F.col("lo"))
+            .otherwise(F.col("_mid"))
+            .alias("lo"),
+            F.when(F.col("_mid").isNull(), F.col("hi"))
+            .when(base_lt, F.col("hi"))
+            .otherwise(F.col("_mid") - 1)
+            .alias("hi"),
+        ).localCheckpoint(eager=True)
+        from idh_etl_demo_spark.operators.graph import _release_checkpoint
+
+        _release_checkpoint(st)
+        st = nxt
+    return st.select("doc_id", "pos", F.col("lo").alias("ins"))
+
+
 def dup_len_per_position(pairs: DataFrame) -> DataFrame:
     """Per-position duplicated-prefix length from the adjacent-pair LCP
     table: m(doc, pos) = max LCP against the previous- and next-rank

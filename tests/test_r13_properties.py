@@ -238,3 +238,56 @@ def test_ldiversity_boundary_and_share(spark, tmp_path):
     assert_frames_equal(
         sdf, con.execute(ENTRIES["customer_ldiversity_audit"].oracle).df()
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored-base SA placement prototype (r12 verdict stretch ask #8)
+# ---------------------------------------------------------------------------
+
+
+def test_sa_placement_matches_combined_rebuild(spark):
+    """place_delta_ranks + the delta-only build must reproduce the
+    combined rebuild's total order EXACTLY: merge base ranks with delta
+    insertion points (base key (rank, 0, 0), delta key (ins, 1,
+    delta_rank)) and compare (doc, pos) sequences. The planted corpus
+    carries verbatim re-crawls ACROSS the base/delta boundary, so
+    equal-suffix tie-breaks between a base and a delta document are
+    actually exercised."""
+    import pyspark.sql.functions as F
+
+    from idh_etl_demo_spark.operators.suffix import (
+        place_delta_ranks,
+        suffix_ranks,
+    )
+
+    rows = []
+    for i in range(24):
+        # overlapping vocab so suffixes collide; docs 0,6,12,18 get
+        # verbatim re-crawls as DELTA docs 100+i
+        rows.append((i, " ".join(f"t{(i * 7 + j) % 40}" for j in range(25))))
+    for i in (0, 6, 12, 18):
+        rows.append((100 + i, rows[i][1]))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    from idh_etl_demo_spark.operators.text import tokens
+
+    corpus = sdf.select("doc_id", tokens(F.col("text")).alias("toks"))
+    is_delta = (F.col("doc_id") % 6 == 3) | (F.col("doc_id") >= 100)
+    base = corpus.filter(~is_delta).localCheckpoint(eager=True)
+    delta = corpus.filter(is_delta).localCheckpoint(eager=True)
+
+    comb_final, _, _ = suffix_ranks(corpus)
+    base_final, _, _ = suffix_ranks(base)
+    delta_final, _, _ = suffix_ranks(delta)
+    n_base = base_final.count()
+    ins = place_delta_ranks(base_final, base, delta, n_base)
+
+    bp = base_final.toPandas()
+    dp = delta_final.toPandas().merge(ins.toPandas(), on=["doc_id", "pos"])
+    merged = sorted(
+        [(r.sa_rank, 0, 0, r.doc_id, r.pos) for r in bp.itertuples()]
+        + [(r.ins, 1, r.sa_rank, r.doc_id, r.pos) for r in dp.itertuples()]
+    )
+    got_order = [(d, p) for *_k, d, p in merged]
+    cp = comb_final.toPandas().sort_values("sa_rank")
+    want_order = list(zip(cp["doc_id"], cp["pos"]))
+    assert got_order == want_order

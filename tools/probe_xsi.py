@@ -128,6 +128,80 @@ def main() -> None:
             ),
         }
         print(f"[probe] {sf}: {out[sf]}")
+
+    # ------- round-13 (r12 verdict stretch ask #8): the stored-base -------
+    # ------- placement PROTOTYPE measured at a 10× corpus -------
+    # One real data point above catalog SFs for the rebuild-vs-update
+    # crossover: 10 shifted copies of the sf0.01 xsi corpus
+    # (bench_scale's construction — ' v{i}' text variation so copies
+    # aren't byte-identical), split base/delta by the LOCAL doc id.
+    # Update path = delta-only build + place_delta_ranks (batched
+    # binary search against the STORED base order — the base build is
+    # the stored artifact and is not part of the update cost); rebuild
+    # path = one combined suffix_ranks. Merged-order correctness is
+    # pinned by test_sa_placement_matches_combined_rebuild.
+    import math as _math
+
+    from idh_etl_demo_spark.catalog import _read_table
+    from idh_etl_demo_spark.operators.suffix import place_delta_ranks
+    from idh_etl_demo_spark.operators.text import tokens
+
+    docs = _read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    xsi = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    copies = [xsi]
+    for i in range(1, 10):
+        copies.append(
+            xsi.select(
+                (F.col("doc_id") + i * 10**7).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" v{i}")).alias("text"),
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    corpus10 = big.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", tokens(F.col("text")).alias("toks"))
+    local = F.col("doc_id") % 10**7
+    is_delta = (local % 5 == 4) | (local >= 1000000)
+    base10 = corpus10.filter(~is_delta).localCheckpoint(eager=True)
+    delta10 = corpus10.filter(is_delta).localCheckpoint(eager=True)
+
+    rebuild_s, _, _, _ = _timed_build(corpus10)
+    t0 = time.perf_counter()
+    base_final10, _, _ = __import__(
+        "idh_etl_demo_spark.operators.suffix", fromlist=["suffix_ranks"]
+    ).suffix_ranks(base10)
+    stored_base_build_s = round(time.perf_counter() - t0, 3)
+    n_base10 = base_final10.count()
+    delta_build_s, _, _, _ = _timed_build(delta10)
+    t0 = time.perf_counter()
+    ins = place_delta_ranks(base_final10, base10, delta10, n_base10)
+    n_delta_pos10 = ins.count()  # forces the full bisection chain
+    placement_s = round(time.perf_counter() - t0, 3)
+    out["placement_10x_sf0.01"] = {
+        "positions": n_base10 + n_delta_pos10,
+        "n_base_positions": n_base10,
+        "n_delta_positions": n_delta_pos10,
+        "placement_rounds": _math.ceil(_math.log2(n_base10 + 1)),
+        "rebuild_sec": rebuild_s,
+        "stored_base_build_sec_not_in_update": stored_base_build_s,
+        "delta_build_sec": delta_build_s,
+        "placement_sec": placement_s,
+        "update_total_sec": round(delta_build_s + placement_s, 3),
+        "winner_at_10x": (
+            "update"
+            if delta_build_s + placement_s < rebuild_s
+            else "rebuild"
+        ),
+    }
+    print(f"[probe] placement_10x_sf0.01: {out['placement_10x_sf0.01']}")
     spark.stop()
     with open(os.path.join(REPO, "PROBE_XSI.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
