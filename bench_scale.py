@@ -454,7 +454,7 @@ PROBES = [
     # doc_title_edit_entropy below closes that gap.)
     # round-13 doc_title_edit_entropy IS probed (the dropped r11 ask
     # #8): the IDENTICAL shared kernel on the md5-derived high-entropy
-    # corpus, where the prefix filter actually prunes (90^3-value gram
+    # corpus, where the prefix filter actually prunes (64^3-value gram
     # space → near-singleton rarest buckets; candidates = planted
     # mutant pairs + a collision term ≈ slots²/2·|space|). This is the
     # edit join's PRUNING path — rarest-prefix candidate generation +

@@ -7,15 +7,16 @@
   (SURVEY §1.3; reference dags/idh_etl.py:74-89, src/queries.py:119-133).
 - ``doc_title_edit_entropy``: the edit join's PRUNING path on a
   HIGH-ENTROPY corpus (the dropped r11 ask #8) — md5-derived 32-char
-  titles over a 90-character alphabet with planted 4-edit mutants, so
+  base64-alphabet titles with planted 4-edit mutants, so
   the Ed-Join prefix filter actually prunes (the degenerate templated
   corpus passes ~all pairs) and the banded-levenshtein verification
   stage gets a non-degenerate scale measurement (bench_scale probe).
-- ``doc_containment_trunc_audit``: the containment audit over a
+- ``doc_containment_split_audit``: the containment audit over a
   HEAVY-TAILED derived corpus (r12 verdict ask #4) — every document
-  plus an md5-derived 10-90% prefix truncation, the operator's stated
-  domain (truncation-style containment), so the LENGTH and POSITIONAL
-  prunes fire on a benched corpus and slot_reduction reads < 1.
+  plus its two pieces around an md5-derived 10-90% cut (split
+  re-publication), so the LENGTH and POSITIONAL prunes fire on a
+  benched corpus and slot_reduction reads < 1 (a naive prefix
+  truncation measures 1.0 — see the section comment).
 - ``customer_ldiversity_audit``: l-diversity companion to
   customer_kanonymity_audit — k-anonymity bounds re-identification,
   l-diversity bounds ATTRIBUTE disclosure (a k-anonymous class whose
@@ -73,17 +74,23 @@ def ztm_time_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs and what its budget/probe story measures is the
 # REFUSE-don't-OOM boundary. The filter's pruning regime — the one it
 # exists for — needs gram entropy. This entry derives it
-# deterministically: each doc's title is 32 characters over a
-# 90-character printable alphabet (chr(33 + byte % 90) per md5 byte —
-# byte values from hex pairs, engine-exact both sides), and every
-# doc_id ≡ 4 (mod 5) doc carries a planted mutant of its predecessor's
-# title with positions 9-12 overwritten by '~~~~' ('~' = chr(126) is
-# outside the synthesis alphabet, so the edit distance is exactly 4).
-# Random 32-char titles over a 90-char alphabet sit at distance ~25+,
-# so the true relation is (almost surely) exactly the planted pairs —
-# while the gram space (90^3 ≈ 729k values vs the templated corpus's
-# few hundred) keeps rarest-prefix buckets near-singleton and the
-# candidate set near-linear. The kernel is SHARED code
+# deterministically: each doc's title is 32 characters over the
+# 64-character base64 alphabet — substr(base64(md5 bytes), 1, 16) of
+# two salted md5s, engine-exact both sides — and every doc_id ≡ 4
+# (mod 5) doc carries a planted mutant of its predecessor's title with
+# positions 9-12 overwritten by '~~~~' ('~' is outside the base64
+# alphabet, so the edit distance is exactly 4). Random 32-char titles
+# over a 64-char alphabet sit at distance ~25+, so the true relation
+# is (almost surely) exactly the planted pairs — while the gram space
+# (64³ ≈ 262k values vs the templated corpus's few hundred) keeps
+# rarest-prefix buckets near-singleton and the candidate set
+# near-linear. The synthesis is deliberately LAMBDA-FREE (plain
+# md5/unhex/base64/substring expressions): a first draft built each
+# character with a higher-order transform(), which Spark evaluates
+# INTERPRETED and the optimizer inlines into the downstream gram
+# explode — measured 8.4 s for the 150k-row gram aggregate at sf0.1
+# (~64 interpreted md5 evaluations per gram row) vs sub-second with
+# the flat expression. The kernel is SHARED code
 # (catalog_r11c._edit_relation): same prefix theorem, same lazy slot
 # budget, same banded-levenshtein verification — this entry gates and
 # probes its PRUNING path, the neardup entry its degenerate boundary.
@@ -91,37 +98,19 @@ def ztm_time_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENT_MUT_MOD = 5  # every 5th doc is a 4-edit mutant of its predecessor
 
 
-def _ent_chars_duck(x: str) -> str:
-    return (
-        "array_to_string(list_transform(generate_series(0, 15), j -> "
-        f"chr(33 + ('0x' || substr(md5({x}), j*2+1, 2))::int % 90)), '')"
-    )
-
-
-def _ent_chars_spark(x: str) -> str:
-    return (
-        "array_join(transform(sequence(0, 15), j -> "
-        f"char(33 + cast(conv(substring(md5({x}), j*2+1, 2), 16, 10)"
-        " as int) % 90)), '')"
-    )
-
-
 def _ent_title_duck(e: str) -> str:
     """32-char high-entropy title for integer id expression ``e``."""
     return (
-        _ent_chars_duck(f"({e})::varchar")
-        + " || "
-        + _ent_chars_duck(f"({e})::varchar || 'x'")
+        f"substr(to_base64(unhex(md5(({e})::varchar))), 1, 16)"
+        f" || substr(to_base64(unhex(md5(({e})::varchar || 'x'))), 1, 16)"
     )
 
 
 def _ent_title_spark(e: str) -> str:
     return (
-        "concat("
-        + _ent_chars_spark(f"cast({e} as string)")
-        + ", "
-        + _ent_chars_spark(f"concat(cast({e} as string), 'x')")
-        + ")"
+        f"concat(substring(base64(unhex(md5(cast({e} as string)))), 1, 16),"
+        f" substring(base64(unhex(md5(concat(cast({e} as string), 'x')))),"
+        " 1, 16))"
     )
 
 
@@ -172,7 +161,7 @@ def doc_title_edit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: titles are fixed 32-char strings synthesized from
     doc_id arithmetic (map-only; document text never read); the gram
-    space is ~729k values, so rarest-prefix buckets stay near-singleton
+    space is ~262k values, so rarest-prefix buckets stay near-singleton
     and candidate slots grow near-linearly at catalog scales
     (collision-pair mass ≈ slots²/(2·|space|) — the quadratic term is
     visible only as the bench_scale probe's measured overhead). Same

@@ -51,8 +51,9 @@ def test_ztm_time_dim_production_builder_agrees_with_inline(spark):
 
 
 def _ent_chars(s: str) -> str:
-    h = hashlib.md5(s.encode()).hexdigest()
-    return "".join(chr(33 + int(h[2 * j : 2 * j + 2], 16) % 90) for j in range(16))
+    import base64
+
+    return base64.b64encode(hashlib.md5(s.encode()).digest()).decode()[:16]
 
 
 def _ent_title(i: int) -> str:

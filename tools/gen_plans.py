@@ -77,7 +77,7 @@ PICKS = {
     "doc_bigram_heavy_hitters": "Misra-Gries heavy hitters: the bigram stream crosses ONE exchange (the candidate-filtered count groupBy); the MG kernel is a mapInPandas projection and the survivor union + 1-row total ride as broadcasts — the full vocabulary never shuffles",
     "events_user_ewma": "sequential EWMA fold: one user-keyed groupBy collects per-user (ts,id,value) arrays; the alpha=0.5 fold and last-value extraction are array projections — nothing after the groupBy exceeds |users| rows",
     "events_rolling_zscore": "rolling z-score: ONE user-partitioned sort serves count/sum/sumsq over the constant 7-row frame; the z identity is an exact-int64 projection with a single sqrt+division — state per task is constant at any corpus size",
-    "doc_title_edit_entropy": "the Ed-Join kernel in its PRUNING regime: title synthesis is doc_id-arithmetic projection (text never read); the 90^3-value gram space keeps rarest-prefix buckets near-singleton, so the spread candidate join emits ~planted pairs and verification is |candidates| banded DPs",
+    "doc_title_edit_entropy": "the Ed-Join kernel in its PRUNING regime: title synthesis is doc_id-arithmetic projection (text never read); the 64^3-value gram space keeps rarest-prefix buckets near-singleton, so the spread candidate join emits ~planted pairs and verification is |candidates| banded DPs",
     "doc_containment_split_audit": "containment audit on the split corpus: three union branches of one scan derive parent+pieces map-only; the shared rank-window lineage feeds the pruned prefix⋈full join where the LENGTH/POSITIONAL bounds cut ~1/3 of slots (slot_reduction 0.66) before the distinct",
 }
 
