@@ -291,13 +291,14 @@ def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full-corpus ranking passes and the placement joins carry |delta|
 # rows). Round 13 PROTOTYPED the placement stage
 # (operators/suffix.place_delta_ranks — batched binary search against
-# the stored order, merged-order-exact by property test) and measured
-# it at a 10× corpus (PROBE_XSI.json placement_10x_sf0.01): rebuild
-# 10.8 s vs update 18.0 s (delta build 5.8 + placement 12.2 ≈ 18
-# rounds × the ~0.68 s stage-overhead floor) — rebuild still wins at
-# 10×, validating the crossover extrapolation with a real data point;
-# the update's placement cost is data-independent while rebuild's
-# ranking passes scale with n, so the ~100-1000× crossover stands. The build also now stops at the
+# the stored order, merged-order-exact by property test) and MEASURED
+# the crossover at three scales (PROBE_XSI.json
+# placement_{10,30,100}x_sf0.01): rebuild wins at 10× (18.0 vs 19.8 s)
+# and 30× (18.7 vs 37.9), and the UPDATE WINS AT 100× (47.4 vs 45.8 —
+# 2.86M positions); placement cost is ~data-independent (29.5 s at 30×
+# → 30.7 s at 100×, rounds × stage overhead) while rebuild's ranking
+# passes scale with n. Rebuild stays the default below the measured
+# break-even. The build also now stops at the
 # Manber–Myers FIXPOINT (operators/suffix.py stability exit): on this
 # corpus the verbatim re-crawls keep classes refining to full depth,
 # so the exit saves only the final redundant level, but a

@@ -154,54 +154,56 @@ def main() -> None:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    copies = [xsi]
-    for i in range(1, 10):
-        copies.append(
-            xsi.select(
-                (F.col("doc_id") + i * 10**7).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" v{i}")).alias("text"),
-            )
-        )
-    big = copies[0]
-    for c in copies[1:]:
-        big = big.unionByName(c)
-    corpus10 = big.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select("doc_id", tokens(F.col("text")).alias("toks"))
-    local = F.col("doc_id") % 10**7
-    is_delta = (local % 5 == 4) | (local >= 1000000)
-    base10 = corpus10.filter(~is_delta).localCheckpoint(eager=True)
-    delta10 = corpus10.filter(is_delta).localCheckpoint(eager=True)
+    from idh_etl_demo_spark.operators.suffix import suffix_ranks
 
-    rebuild_s, _, _, _ = _timed_build(corpus10)
-    t0 = time.perf_counter()
-    base_final10, _, _ = __import__(
-        "idh_etl_demo_spark.operators.suffix", fromlist=["suffix_ranks"]
-    ).suffix_ranks(base10)
-    stored_base_build_s = round(time.perf_counter() - t0, 3)
-    n_base10 = base_final10.count()
-    delta_build_s, _, _, _ = _timed_build(delta10)
-    t0 = time.perf_counter()
-    ins = place_delta_ranks(base_final10, base10, delta10, n_base10)
-    n_delta_pos10 = ins.count()  # forces the full bisection chain
-    placement_s = round(time.perf_counter() - t0, 3)
-    out["placement_10x_sf0.01"] = {
-        "positions": n_base10 + n_delta_pos10,
-        "n_base_positions": n_base10,
-        "n_delta_positions": n_delta_pos10,
-        "placement_rounds": _math.ceil(_math.log2(n_base10 + 1)),
-        "rebuild_sec": rebuild_s,
-        "stored_base_build_sec_not_in_update": stored_base_build_s,
-        "delta_build_sec": delta_build_s,
-        "placement_sec": placement_s,
-        "update_total_sec": round(delta_build_s + placement_s, 3),
-        "winner_at_10x": (
-            "update"
-            if delta_build_s + placement_s < rebuild_s
-            else "rebuild"
-        ),
-    }
-    print(f"[probe] placement_10x_sf0.01: {out['placement_10x_sf0.01']}")
+    for n_copies in (10, 30, 100):
+        copies = [xsi]
+        for i in range(1, n_copies):
+            copies.append(
+                xsi.select(
+                    (F.col("doc_id") + i * 10**7).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" v{i}")).alias("text"),
+                )
+            )
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        corpus_n = big.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select("doc_id", tokens(F.col("text")).alias("toks"))
+        local = F.col("doc_id") % 10**7
+        is_delta = (local % 5 == 4) | (local >= 1000000)
+        base_n = corpus_n.filter(~is_delta).localCheckpoint(eager=True)
+        delta_n = corpus_n.filter(is_delta).localCheckpoint(eager=True)
+
+        rebuild_s, _, _, _ = _timed_build(corpus_n)
+        t0 = time.perf_counter()
+        base_final_n, _, _ = suffix_ranks(base_n)
+        stored_base_build_s = round(time.perf_counter() - t0, 3)
+        nb = base_final_n.count()
+        delta_build_s, _, _, _ = _timed_build(delta_n)
+        t0 = time.perf_counter()
+        ins = place_delta_ranks(base_final_n, base_n, delta_n, nb)
+        nd = ins.count()  # forces the full bisection chain
+        placement_s = round(time.perf_counter() - t0, 3)
+        key = f"placement_{n_copies}x_sf0.01"
+        out[key] = {
+            "positions": nb + nd,
+            "n_base_positions": nb,
+            "n_delta_positions": nd,
+            "placement_rounds": _math.ceil(_math.log2(nb + 1)),
+            "rebuild_sec": rebuild_s,
+            "stored_base_build_sec_not_in_update": stored_base_build_s,
+            "delta_build_sec": delta_build_s,
+            "placement_sec": placement_s,
+            "update_total_sec": round(delta_build_s + placement_s, 3),
+            "winner": (
+                "update"
+                if delta_build_s + placement_s < rebuild_s
+                else "rebuild"
+            ),
+        }
+        print(f"[probe] {key}: {out[key]}")
     spark.stop()
     with open(os.path.join(REPO, "PROBE_XSI.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
