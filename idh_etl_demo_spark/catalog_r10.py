@@ -1842,7 +1842,10 @@ def _ssim_streams(spark: SparkSession, sf_dir: str):
 def _ssim_streams_of(base: DataFrame):
     """_ssim_streams over an arbitrary (doc_id, toks) frame — the
     shingle transform parameterized by corpus so derived corpora
-    (catalog_r13's truncation variant) reuse the identical kernel."""
+    (catalog_r13's SPLIT-re-publication corpus) reuse the identical
+    kernel. (A prefix-TRUNCATION corpus was measured and rejected in
+    r13 — nested prefix sets can't prune; see catalog_r13's section
+    comment.)"""
     sh = F.when(
         F.size("toks") >= _SSIM_W,
         F.array_distinct(

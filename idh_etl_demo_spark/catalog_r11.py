@@ -294,11 +294,12 @@ def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the stored order, merged-order-exact by property test) and MEASURED
 # the crossover at three scales (PROBE_XSI.json
 # placement_{10,30,100}x_sf0.01): rebuild wins at 10× (18.0 vs 19.8 s)
-# and 30× (18.7 vs 37.9), and the UPDATE WINS AT 100× (47.4 vs 45.8 —
-# 2.86M positions); placement cost is ~data-independent (29.5 s at 30×
-# → 30.7 s at 100×, rounds × stage overhead) while rebuild's ranking
-# passes scale with n. Rebuild stays the default below the measured
-# break-even. The build also now stops at the
+# and 30× (18.7 vs 37.9), and the crossover LANDS NEAR 100× (47.4 vs
+# 45.8 at 2.86M positions — a 3.4% single-shot margin, inside the
+# repo's measured session-noise floor, so "near", not "at");
+# placement cost is ~data-independent (29.5 s at 30× → 30.7 s at
+# 100×, rounds × stage overhead) while rebuild's ranking passes scale
+# with n. Rebuild stays the default below the measured break-even. The build also now stops at the
 # Manber–Myers FIXPOINT (operators/suffix.py stability exit): on this
 # corpus the verbatim re-crawls keep classes refining to full depth,
 # so the exit saves only the final redundant level, but a

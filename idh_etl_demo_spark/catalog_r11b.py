@@ -547,8 +547,10 @@ def _cont_parts(spark: SparkSession, sf_dir: str):
 def _cont_parts_of(stream: DataFrame, sizes: DataFrame):
     """_cont_parts over an arbitrary (stream, sizes) pair — the prefix
     cut and both prune columns parameterized by corpus so derived
-    corpora (catalog_r13's heavy-tailed truncation variant) reuse the
-    identical kernel."""
+    corpora (catalog_r13's heavy-tailed SPLIT-re-publication corpus)
+    reuse the identical kernel. (Prefix truncation was the REJECTED
+    r13 design — slot_reduction 1.0; see catalog_r13's section
+    comment.)"""
     from pyspark.sql import Window
 
     df_tab = stream.groupBy("gh").agg(
@@ -708,7 +710,8 @@ def _containment_relation(stream: DataFrame, sizes: DataFrame) -> DataFrame:
 def _cont_audit_sql(prelude: str) -> str:
     """The containment audit's SQL over any prelude that defines an
     ``ne (doc_id, ts, s)`` CTE — shared by doc_containment_audit and
-    catalog_r13's heavy-tailed truncation variant."""
+    catalog_r13's heavy-tailed SPLIT-re-publication corpus (prefix
+    truncation was measured useless in r13 and rejected)."""
     return f"""
     with {prelude},
     stream as (select doc_id, unnest(ts) as gh from ne),
