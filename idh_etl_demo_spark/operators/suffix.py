@@ -86,6 +86,66 @@ def _bucketed_rank(
     )
 
 
+def _bucketed_cumsum(g: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """(key, cum) — EXCLUSIVE cumulative sum of ``val_col`` over rows
+    with a strictly smaller ``key_col``, without a single-partition
+    window: bucket by key div 2^16 (equal keys can't straddle), run an
+    exclusive within-bucket sum, then add |buckets|-row offsets back —
+    the `_bucketed_rank` offset pattern applied to sums. Keys must be
+    distinct non-negative longs."""
+    width = 1 << 16
+    b = g.withColumn("_ck", F.floor(F.col(key_col) / width).cast("long"))
+    win = (
+        Window.partitionBy("_ck")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "_lc", F.coalesce(F.sum(val_col).over(win), F.lit(0)).cast("long")
+    )
+    tot = b.groupBy("_ck").agg(F.sum(val_col).cast("long").alias("_n"))
+    woff = Window.orderBy("_ck").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "_ck",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).cast("long").alias("_off"),
+    )
+    return local.join(F.broadcast(offs), "_ck").select(
+        F.col(key_col), (F.col("_lc") + F.col("_off")).alias("cum")
+    )
+
+
+def _pos2(pos: DataFrame) -> DataFrame:
+    """(doc_id, pos, token, end, t2v) — the build's bigram view of a
+    (doc_id, pos, token) position stream: ``end`` flags the
+    suffix-final position, ``t2v`` carries the next token ('' at end)
+    so the vocab join stays an equi-join (NULL keys never match)."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    return pos.withColumn("t2", F.lead("token").over(wdoc)).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.col("t2").isNull().alias("end"),
+        F.coalesce(F.col("t2"), F.lit("")).alias("t2v"),
+    )
+
+
+def _seed_vocab(pos2: DataFrame) -> DataFrame:
+    """(token, end, t2v, r) — the build's bigram vocabulary with its
+    0-based content-order rank (token asc, suffix-final before every
+    real continuation, continuation asc). Deterministic, so a rebuild
+    from the same corpus reproduces the seed level's class ids."""
+    vocab = pos2.select("token", "end", "t2v").distinct()
+    return vocab.withColumn(
+        "r",
+        (
+            F.row_number().over(
+                Window.orderBy(F.asc("token"), F.desc("end"), F.asc("t2v"))
+            )
+            - 1
+        ).cast("long"),
+    )
+
+
 def suffix_ranks(
     base: DataFrame,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame]:
@@ -122,30 +182,14 @@ def suffix_ranks(
     # ranks broadcast back onto the position stream; a missing next
     # token sorts FIRST (nulls-first = the −1 sentinel = DuckDB's
     # prefix-first list order).
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    # NULL join keys never match — carry (end, t2v) with end flagging
-    # the suffix-final position so the bigram join stays an equi-join
-    pos2 = pos.withColumn("t2", F.lead("token").over(wdoc)).select(
-        "doc_id",
-        "pos",
-        "token",
-        F.col("t2").isNull().alias("end"),
-        F.coalesce(F.col("t2"), F.lit("")).alias("t2v"),
-    )
-    vocab = pos2.select("token", "end", "t2v").distinct()
-    vr = vocab.withColumn(
-        "r",
-        (
-            F.row_number().over(
-                # suffix-final (end=true) sorts before every real
-                # continuation — the −1 sentinel / prefix-first order
-                Window.orderBy(
-                    F.asc("token"), F.desc("end"), F.asc("t2v")
-                )
-            )
-            - 1
-        ).cast("long"),
-    )
+    # NULL join keys never match — _pos2 carries (end, t2v) with end
+    # flagging the suffix-final position so the bigram join stays an
+    # equi-join; _seed_vocab ranks suffix-final (end=true) before every
+    # real continuation — the −1 sentinel / prefix-first order. Both
+    # are shared with the delta-side ladder extension
+    # (extend_delta_states), which must reproduce these class ids.
+    pos2 = _pos2(pos)
+    vr = _seed_vocab(pos2)
     cur = (
         pos2.join(F.broadcast(vr), ["token", "end", "t2v"])
         .select("doc_id", "pos", "r")
@@ -233,112 +277,448 @@ def suffix_ranks(
     return final, history, pos
 
 
-def place_delta_ranks(
-    base_final: DataFrame,
-    base_toks: DataFrame,
+def extend_delta_states(
+    base_history: list[tuple[int, DataFrame]],
+    base_pos: DataFrame,
     delta_toks: DataFrame,
-    n_base: int,
-) -> DataFrame:
-    """Insertion ranks of every DELTA suffix into a STORED base suffix
-    order by batched binary search — the placement stage of the
-    stored-base incremental-SA design (catalog_r11.py section comment;
-    prototyped for the r12 verdict's stretch ask #8).
+) -> list[tuple[int, DataFrame]]:
+    """Extend the STORED base rank ladder to every DELTA suffix — the
+    comparison structure of the production stored-base incremental-SA
+    design (r13 verdict ask #3: comparisons through stored ranks,
+    never token movement).
 
-    Inputs: ``base_final`` (doc_id, pos, sa_rank 1..n_base) — the
-    stored base order; ``base_toks`` / ``delta_toks`` (doc_id, toks).
-    Output: (doc_id, pos, ins) per delta position, where ins = the
-    count of base suffixes sorting STRICTLY before the delta suffix
-    under the build's total order (suffix tokens, then (doc_id, pos))
-    — the delta suffix slots between base ranks ins and ins + 1, so
-    the merged total order is base_rank + |{ins < base_rank}| on the
-    base side and ins + delta-internal rank on the delta side (pinned
-    by test_sa_placement_matches_combined_rebuild).
+    Per retained base level L, every delta position gets a STATE over
+    the base's level-L class ids (which order classes by L-prefix
+    content, prefix-first — the build's invariant):
 
-    Shape: ⌈log₂(n_base + 1)⌉ rounds; each round ALL delta positions
-    probe their bisection midpoint with one plain hash join against
-    the stored rank table (|delta| rows out — never the base corpus),
-    one doc-keyed join to slice the probed base suffix, and a struct
-    comparison; the state frame localCheckpoints per round (the
-    doubling loop's convention) and the superseded round is released.
+      - ``e`` non-null: the delta suffix's first-L tokens (end-padded)
+        EQUAL base class ``e``'s content;
+      - ``g`` non-null: the content sorts STRICTLY BETWEEN classes
+        ``g`` and ``g + 1`` (g = −1 → before class 0, g = top → after
+        every class) — unseen-in-base content keeps an exact bracket.
 
-    Prototype shortcuts, stated: suffixes compare as space-joined
-    strings (order-equivalent to element-wise token order for
-    whitespace-split tokens) and each probed base suffix is sliced
-    from the token arrays per round. A production 100 TB placement
-    would compare through the stored rank LADDER (the build's history
-    levels) — O(log L) rank lookups per comparison with no token
-    movement — and bucket the |delta| state by probe rank so each
-    round is one co-partitioned join."""
-    import math
+    Recurrence (mirrors the build): the seed state joins the delta's
+    bigram keys against the base seed vocabulary (misses bracket via
+    ONE vocab-bounded as-of window — the same frame class the build
+    broadcasts); level 2L combines (state_L(p), state_L(p + L)) against
+    the base's level-2L PAIR MAP: an exact×exact pair that exists in
+    the base maps to its stored rank, anything else brackets by
+    pairs-before counts (an exclusive bucketed cumsum per first class
+    plus a per-(class, threshold) conditional count — keyed joins, no
+    base-corpus window). Gap states stay gapped with O(1) keyed-join
+    updates. Every frame that flows is |delta|-width; the base-width
+    pair maps are DERIVED from the stored history here (one join +
+    distinct per level — at 100 TB they would be persisted at build
+    time, as they materialize mid-round anyway).
 
-    d = delta_toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(toks)), i ->"
-                " concat_ws(' ', slice(toks, i, size(toks) - i + 1)))"
-            )
-        ).alias("p0", "suf"),
-    ).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("p0").cast("long").alias("pos"),
-        "suf",
+    Levels are lazily localCheckpointed: no driver action runs inside,
+    and the log(max_len) chain stays bounded for the optimizer.
+
+    Preconditions: (doc_id, pos) keys disjoint between base and delta;
+    base_history from ``suffix_ranks``; ``base_pos`` its position
+    projection."""
+    d_pos = delta_toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    dp2 = _pos2(d_pos)
+    vr = _seed_vocab(_pos2(base_pos))
+    hit = dp2.join(F.broadcast(vr), ["token", "end", "t2v"], "left")
+    miss_keys = (
+        hit.filter(F.col("r").isNull())
+        .select("token", "end", "t2v")
+        .distinct()
     )
-    brank = base_final.select(
-        F.col("sa_rank").alias("_mid"),
-        F.col("doc_id").cast("long").alias("bd"),
-        F.col("pos").cast("long").alias("bp"),
-    )
-    btk = base_toks.select(
-        F.col("doc_id").cast("long").alias("bd"), F.col("toks").alias("btoks")
-    )
-    st = d.select(
-        "doc_id",
-        "pos",
-        "suf",
-        F.lit(0).cast("long").alias("lo"),
-        F.lit(int(n_base)).cast("long").alias("hi"),
-    ).localCheckpoint(eager=True)
-    bsuf = F.expr(
-        "concat_ws(' ', slice(btoks, cast(bp + 1 as int),"
-        " cast(size(btoks) - bp as int)))"
-    )
-    base_lt = F.struct(
-        bsuf.alias("s"), F.col("bd").alias("d"), F.col("bp").alias("p")
-    ) < F.struct(
-        F.col("suf").alias("s"),
-        F.col("doc_id").alias("d"),
-        F.col("pos").alias("p"),
-    )
-    for _ in range(math.ceil(math.log2(n_base + 1))):
-        probe = (
-            st.withColumn(
-                "_mid",
-                F.when(
-                    F.col("lo") < F.col("hi"),
-                    F.expr("(lo + hi + 1) div 2"),
-                ),
-            )
-            .join(brank, "_mid", "left")
-            .join(btk, "bd", "left")
+    # vocab-bounded as-of: pred base rank of each unseen bigram key
+    # under the seed content order (one window over vocab ∪ misses —
+    # the vocabulary is the frame the build itself broadcasts)
+    u = vr.select(
+        "token", "end", "t2v", "r", F.lit(0).alias("tag")
+    ).unionByName(
+        miss_keys.select(
+            "token",
+            "end",
+            "t2v",
+            F.lit(None).cast("long").alias("r"),
+            F.lit(1).alias("tag"),
         )
-        nxt = probe.select(
+    )
+    wv = Window.orderBy(
+        F.asc("token"), F.desc("end"), F.asc("t2v"), F.asc("tag")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    mk = (
+        u.withColumn("pred", F.max("r").over(wv))
+        .filter(F.col("tag") == 1)
+        .select(
+            "token",
+            "end",
+            "t2v",
+            F.coalesce("pred", F.lit(-1)).cast("long").alias("gmiss"),
+        )
+    )
+    seed = (
+        hit.join(F.broadcast(mk), ["token", "end", "t2v"], "left")
+        .select(
             "doc_id",
             "pos",
-            "suf",
-            F.when(F.col("_mid").isNull() | ~base_lt, F.col("lo"))
-            .otherwise(F.col("_mid"))
-            .alias("lo"),
-            F.when(F.col("_mid").isNull(), F.col("hi"))
-            .when(base_lt, F.col("hi"))
-            .otherwise(F.col("_mid") - 1)
-            .alias("hi"),
-        ).localCheckpoint(eager=True)
-        from idh_etl_demo_spark.operators.graph import _release_checkpoint
+            F.col("r").alias("e"),
+            F.when(F.col("r").isNull(), F.col("gmiss")).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out: list[tuple[int, DataFrame]] = [(base_history[0][0], seed)]
+    cur = seed
+    for i in range(1, len(base_history)):
+        shift = base_history[i - 1][0]  # content length of level i-1
+        h_prev = base_history[i - 1][1]
+        h_cur = base_history[i][1]
+        # base pair map at this level: (r1, r2, r12) distinct — r12 is
+        # the DENSE RANK of pairs under (r1, r2) order by construction,
+        # so pairs-before counts translate directly to bracket ids
+        r1t = h_prev.select("doc_id", "pos", F.col("r").alias("r1"))
+        r2t = h_prev.select(
+            "doc_id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("r2")
+        )
+        pmap = (
+            h_cur.select("doc_id", "pos", F.col("r").alias("r12"))
+            .join(r1t, ["doc_id", "pos"])
+            .join(r2t, ["doc_id", "pos"], "left")
+            .select(
+                "r1",
+                F.coalesce("r2", F.lit(-1)).cast("long").alias("r2"),
+                "r12",
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        grp = pmap.groupBy("r1").agg(F.count(F.lit(1)).alias("n"))
+        fx = _bucketed_cumsum(grp, "r1", "n")  # #pairs with first < r1
+        tot = pmap.agg(F.count(F.lit(1)).cast("long").alias("_ptot"))
+        s2 = cur.select(
+            "doc_id",
+            (F.col("pos") - shift).alias("pos"),
+            F.col("e").alias("e2"),
+            F.col("g").alias("g2"),
+            F.lit(True).alias("_has2"),
+        )
+        st = cur.join(s2, ["doc_id", "pos"], "left")
+        # --- first block exact: pair lookup, else bracket by counts ---
+        ex = st.filter(F.col("e").isNotNull()).withColumn(
+            # second-block exact key: stored class, or −1 past-end;
+            # null when the second block is itself a gap state
+            "k2",
+            F.when(F.col("_has2").isNull(), F.lit(-1)).otherwise(
+                F.col("e2")
+            ),
+        )
+        ex = ex.withColumn("thr", F.coalesce(F.col("k2"), F.col("g2") + 1))
+        ex = ex.join(
+            pmap.select(
+                F.col("r1").alias("e"), F.col("r2").alias("k2"), "r12"
+            ),
+            ["e", "k2"],
+            "left",
+        )
+        # pairs (first = e, second < thr) for the bracket: a gap second
+        # block (content strictly inside (g2, g2+1)) counts seconds
+        # ≤ g2, i.e. < g2 + 1 — one uniform strict threshold
+        needs = (
+            ex.filter(F.col("r12").isNull()).select("e", "thr").distinct()
+        )
+        cnt2 = (
+            needs.join(pmap.select(F.col("r1").alias("e"), "r2"), "e", "left")
+            .groupBy("e", "thr")
+            .agg(
+                F.sum(F.when(F.col("r2") < F.col("thr"), 1).otherwise(0))
+                .cast("long")
+                .alias("c2")
+            )
+        )
+        ex = ex.join(cnt2, ["e", "thr"], "left").join(
+            fx.select(F.col(
+                "r1").alias("e"), F.col("cum").alias("f1")),
+            "e",
+            "left",
+        )
+        exact_out = ex.select(
+            "doc_id",
+            "pos",
+            F.col("r12").alias("e"),
+            F.when(
+                F.col("r12").isNull(),
+                F.coalesce(F.col("f1"), F.lit(0))
+                + F.coalesce(F.col("c2"), F.lit(0))
+                - 1,
+            ).alias("g"),
+        )
+        # --- first block gap: every pair with first ≤ g precedes ---
+        gp = (
+            st.filter(F.col("e").isNull())
+            .withColumn("gk", F.col("g") + 1)
+            .join(
+                fx.select(F.col("r1").alias("gk"), F.col("cum").alias("fg")),
+                "gk",
+                "left",
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "doc_id",
+                "pos",
+                F.lit(None).cast("long").alias("e"),
+                (F.coalesce("fg", F.col("_ptot")) - 1).alias("g"),
+            )
+        )
+        cur = exact_out.unionByName(gp).localCheckpoint(eager=False)
+        out.append((base_history[i][0], cur))
+    return out
 
-        _release_checkpoint(st)
-        st = nxt
-    return st.select("doc_id", "pos", F.col("lo").alias("ins"))
+
+def place_delta_ranks(
+    base_final: DataFrame,
+    base_history: list[tuple[int, DataFrame]],
+    base_pos: DataFrame,
+    base_lens: DataFrame,
+    delta_toks: DataFrame,
+    states: list[tuple[int, DataFrame]] | None = None,
+) -> DataFrame:
+    """Insertion ranks of every DELTA suffix into a STORED base suffix
+    order — the placement stage of the stored-base incremental-SA
+    design, production shape (r13 verdict ask #3): every comparison
+    goes through the stored rank LADDER via ``extend_delta_states``;
+    no suffix is ever materialized and no token array moves.
+
+    Output: (doc_id, pos, ins) per delta position, ins = the count of
+    base suffixes sorting STRICTLY before the delta suffix under the
+    build's total order (suffix tokens, then (doc_id, pos)) — the
+    delta suffix slots between base ranks ins and ins + 1, so the
+    merged total order is base_rank + |{ins < base_rank}| on the base
+    side and ins + delta-internal rank on the delta side (pinned by
+    test_sa_placement_matches_combined_rebuild).
+
+    How the top level resolves (the base final order IS (top class,
+    doc_id, pos) by construction, so placement reduces to locating
+    each delta suffix among the ordered top-level classes):
+
+      - gap state g → ins = positions in classes ≤ g (one keyed join
+        against the per-class cumulative table);
+      - exact state e with the delta tail ending within the top level
+        → the suffixes are IDENTICAL (level classes encode ends), so
+        ins adds the class members strictly before by (doc_id, pos) —
+        one class-partitioned as-of window, never a member fan-out;
+      - exact state e with content beyond the top level → a bounded
+        tail-compare loop (⌈max_len / L_top⌉ rounds, ZERO under the
+        depth exit where L_top ≥ max_len) walks both sides forward
+        L_top tokens at a time through the SAME ladder states against
+        the class representative — sound because a top-level class's
+        members share their tails in every exit regime (depth: whole
+        suffix inside the level; stability: the fixpoint argument;
+        distinct: singleton).
+
+    Scale shape: everything that flows is |delta|-width and keyed
+    (class-id hash joins, one class-partitioned window for ties); the
+    per-class table is one groupBy over the stored base order. The
+    only driver-side value is max delta tail length (one 1-row
+    aggregate, the loop bound).
+
+    Preconditions: (doc_id, pos) keys disjoint between base and delta
+    (the build's own tie-break domain); ``base_lens`` =
+    (doc_id, n_tokens) for base docs."""
+    import math
+
+    if states is None:
+        states = extend_delta_states(base_history, base_pos, delta_toks)
+    top_len, d_top = states[-1]
+    h_top = base_history[-1][1]
+    # per-class table over the stored order: rank offset, size, the
+    # representative member, and the members' (shared) tail length
+    bf = (
+        base_final.join(h_top, ["doc_id", "pos"])
+        .join(base_lens, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            "sa_rank",
+            "r",
+            (F.col("n_tokens") - F.col("pos")).cast("long").alias("rem"),
+        )
+    )
+    cls = (
+        bf.groupBy("r")
+        .agg(
+            (F.min("sa_rank") - 1).cast("long").alias("kk"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("rep"),
+            F.max("rem").cast("long").alias("brem"),
+        )
+        .select(
+            "r",
+            "kk",
+            "cnt",
+            F.col("rep.doc_id").alias("rep_d"),
+            F.col("rep.pos").alias("rep_p"),
+            "brem",
+        )
+        .localCheckpoint(eager=False)
+    )
+    dlens = delta_toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    st = d_top.join(dlens, "doc_id").select(
+        "doc_id",
+        "pos",
+        "e",
+        "g",
+        (F.col("n_tokens") - F.col("pos")).cast("long").alias("rem"),
+    )
+    gaps = (
+        st.filter(F.col("e").isNull())
+        .join(cls.select(F.col("r").alias("g"), "kk", "cnt"), "g", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("kk") + F.col("cnt"), F.lit(0)).alias("ins"),
+        )
+    )
+    eq = st.filter(F.col("e").isNotNull()).join(
+        cls.select(
+            F.col("r").alias("e"), "kk", "cnt", "rep_d", "rep_p", "brem"
+        ),
+        "e",
+    )
+    # A level class encodes a document end only STRICTLY INSIDE its
+    # window: a tail ending exactly at the boundary (rem == L_top)
+    # shares its class with longer tails. Resolve boundaries against
+    # the members' shared tail length brem (well-defined: depth exit —
+    # ends inside the window are encoded, so one class = one rem;
+    # stability exit — tied classes have identical tails; distinct
+    # exit — singleton):
+    #   rem <  L_top           → identical suffixes (tie path)
+    #   rem == L_top == brem   → identical suffixes (tie path)
+    #   rem == L_top <  brem   → delta is a proper prefix → before all
+    #   rem >  L_top == brem   → members are proper prefixes → after
+    #   rem >  L_top <  brem   → both continue → tail-compare loop
+    fin_eq = eq.filter(
+        (F.col("rem") < top_len)
+        | ((F.col("rem") == top_len) & (F.col("brem") == top_len))
+    )
+    pre_lt = eq.filter(
+        (F.col("rem") == top_len) & (F.col("brem") > top_len)
+    ).select("doc_id", "pos", F.col("kk").alias("ins"))
+    pre_gt = eq.filter(
+        (F.col("rem") > top_len) & (F.col("brem") == top_len)
+    ).select("doc_id", "pos", (F.col("kk") + F.col("cnt")).alias("ins"))
+    amb = eq.filter((F.col("rem") > top_len) & (F.col("brem") > top_len))
+    # tail-compare loop: ⌈max tail / L_top⌉ fixed rounds, built lazily
+    maxrem = dlens.agg(F.max("n_tokens")).collect()[0][0] or 0
+    rounds = max(0, math.ceil(maxrem / top_len) if maxrem > top_len else 0)
+    cur = amb.select(
+        "doc_id",
+        "pos",
+        "e",
+        "kk",
+        "cnt",
+        "rep_d",
+        "rep_p",
+        "rem",
+        "brem",
+        F.lit(None).cast("string").alias("v"),
+    )
+    off = top_len
+    for _ in range(rounds):
+        sd = d_top.select(
+            "doc_id",
+            (F.col("pos") - off).alias("pos"),
+            F.col("e").alias("de"),
+            F.col("g").alias("dg"),
+        )
+        rb = h_top.select(
+            F.col("doc_id").alias("rep_d"),
+            (F.col("pos") - off).alias("rep_p"),
+            F.col("r").alias("br"),
+        )
+        rd = F.col("rem") - off  # delta tokens left at this offset
+        rb2 = F.col("brem") - off  # member tokens left (shared tail)
+        cur = (
+            cur.join(sd, ["doc_id", "pos"], "left")
+            .join(rb, ["rep_d", "rep_p"], "left")
+            .withColumn(
+                "v",
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                # the same boundary table as the pre-loop gate: equal
+                # shifted classes decide by remaining lengths — ends
+                # strictly inside a window are class-encoded, a
+                # boundary end is not
+                .when(
+                    F.col("de").isNotNull() & (F.col("de") == F.col("br")),
+                    F.when(rd < top_len, F.lit("eq"))
+                    .when((rd == top_len) & (rb2 == top_len), F.lit("eq"))
+                    .when(rd == top_len, F.lit("lt"))
+                    .when(rb2 == top_len, F.lit("gt"))
+                    .otherwise(F.lit(None).cast("string")),  # advance
+                )
+                .when(
+                    F.col("de").isNotNull() & F.col("br").isNotNull(),
+                    F.when(F.col("de") < F.col("br"), "lt").otherwise("gt"),
+                )
+                .when(
+                    F.col("dg").isNotNull() & F.col("br").isNotNull(),
+                    F.when(F.col("br") <= F.col("dg"), "gt").otherwise("lt"),
+                ),
+            )
+            .drop("de", "dg", "br")
+            .localCheckpoint(eager=False)
+        )
+        off += top_len
+    resolved = cur.filter(F.col("v").isin("lt", "gt")).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("v") == "lt", F.col("kk"))
+        .otherwise(F.col("kk") + F.col("cnt"))
+        .alias("ins"),
+    )
+    # identical-suffix ties: base members of the class sorted by
+    # (doc_id, pos) ARE consecutive sa_ranks, so one class-partitioned
+    # as-of window reads the insertion rank directly
+    ties = fin_eq.select("doc_id", "pos", "e", "kk").unionByName(
+        cur.filter(F.col("v") == "eq").select("doc_id", "pos", "e", "kk")
+    )
+    members = bf.join(
+        ties.select(F.col("e").alias("r")).distinct(), "r"
+    ).select(
+        F.col("r").alias("e"),
+        "doc_id",
+        "pos",
+        "sa_rank",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("kk"),
+    )
+    uu = members.unionByName(
+        ties.select(
+            "e",
+            "doc_id",
+            "pos",
+            F.lit(None).cast("long").alias("sa_rank"),
+            F.lit(1).alias("tag"),
+            "kk",
+        )
+    )
+    wt = (
+        Window.partitionBy("e")
+        .orderBy(F.struct("doc_id", "pos"), "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tie_ins = (
+        uu.withColumn("mx", F.max("sa_rank").over(wt))
+        .filter(F.col("tag") == 1)
+        .select(
+            "doc_id", "pos", F.coalesce("mx", "kk").cast("long").alias("ins")
+        )
+    )
+    return (
+        gaps.unionByName(pre_lt)
+        .unionByName(pre_gt)
+        .unionByName(resolved)
+        .unionByName(tie_ins)
+    )
 
 
 def dup_len_per_position(pairs: DataFrame) -> DataFrame:

@@ -277,10 +277,12 @@ def test_sa_placement_matches_combined_rebuild(spark):
     delta = corpus.filter(is_delta).localCheckpoint(eager=True)
 
     comb_final, _, _ = suffix_ranks(corpus)
-    base_final, _, _ = suffix_ranks(base)
+    base_final, base_hist, base_pos = suffix_ranks(base)
     delta_final, _, _ = suffix_ranks(delta)
-    n_base = base_final.count()
-    ins = place_delta_ranks(base_final, base, delta, n_base)
+    base_lens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    ins = place_delta_ranks(base_final, base_hist, base_pos, base_lens, delta)
 
     bp = base_final.toPandas()
     dp = delta_final.toPandas().merge(ins.toPandas(), on=["doc_id", "pos"])

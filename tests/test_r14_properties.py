@@ -1,0 +1,169 @@
+"""Planted-twin property tests for the round-14 work.
+
+- The PRODUCTION stored-base SA placement (rank-ladder comparison,
+  operators/suffix.extend_delta_states + place_delta_ranks): insertion
+  ranks match a pure-Python brute force on adversarial corpora that
+  exercise every resolution path — exact-class ties, gap brackets at
+  both extremes, past-end pair keys, and the bounded tail-compare loop
+  under a stability-exited base build (top level ≪ doc length, every
+  class multi-member with identical tails).
+- extend_delta_states bracket semantics: an exact state's class content
+  equals the delta window, a gap state's neighbors bracket it.
+- delta_base_lcp: mixed delta-vs-base LCPs through the extended ladder
+  match elementwise token comparison.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from idh_etl_demo_spark.operators.suffix import (
+    extend_delta_states,
+    place_delta_ranks,
+    suffix_ranks,
+)
+
+
+def _toks_df(spark, rows):
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    from idh_etl_demo_spark.operators.text import tokens
+
+    return sdf.select("doc_id", tokens(F.col("text")).alias("toks"))
+
+
+def _brute_ins(base_rows, delta_rows):
+    """ins(p) = # base suffixes strictly before the delta suffix under
+    (suffix tokens, doc_id, pos) — direct list comparison."""
+    base_sufs = []
+    for d, text in base_rows:
+        t = text.split()
+        for p in range(len(t)):
+            base_sufs.append((t[p:], d, p))
+    want = {}
+    for d, text in delta_rows:
+        t = text.split()
+        for p in range(len(t)):
+            key = (t[p:], d, p)
+            want[(d, p)] = sum(1 for s in base_sufs if s < key)
+    return want
+
+
+def _check(spark, base_rows, delta_rows):
+    base = _toks_df(spark, base_rows).localCheckpoint(eager=True)
+    delta = _toks_df(spark, delta_rows).localCheckpoint(eager=True)
+    base_final, hist, base_pos = suffix_ranks(base)
+    base_lens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    got = {
+        (r.doc_id, r.pos): r.ins
+        for r in place_delta_ranks(
+            base_final, hist, base_pos, base_lens, delta
+        ).collect()
+    }
+    want = _brute_ins(base_rows, delta_rows)
+    assert got == want
+    return hist
+
+
+def test_placement_brute_force_small_vocab(spark):
+    """Random small-vocab corpora (heavy prefix collisions): placement
+    equals brute force across seeds, including fresh docs, verbatim
+    re-crawls, shared-prefix mutants, and unseen-vocabulary docs."""
+    rng = random.Random(14)
+    for trial in range(3):
+        base_rows = [
+            (
+                i,
+                " ".join(
+                    f"t{rng.randrange(5)}" for _ in range(rng.randrange(1, 13))
+                ),
+            )
+            for i in range(12)
+        ]
+        delta_rows = [
+            (100, base_rows[3][1]),  # verbatim re-crawl
+            (101, base_rows[5][1] + " t1 t0"),  # extended copy
+            (102, base_rows[7][1].rsplit(" ", 1)[0] or "t0"),  # prefix cut
+            (103, "z9 z8 z7"),  # vocabulary unseen in base → gap chain
+            (104, "t0"),  # single token
+            (
+                105,
+                " ".join(
+                    f"t{rng.randrange(5)}" for _ in range(rng.randrange(1, 13))
+                ),
+            ),
+        ]
+        _check(spark, base_rows, delta_rows)
+
+
+def test_placement_tail_loop_under_stability_exit(spark):
+    """Base = identical 40-token docs with distinct tokens: the seed
+    level already separates every distinct suffix content, so the
+    build STABILITY-exits with top level 2 ≪ doc length and every
+    class holds 3 identical-tail members. Delta re-crawls, extends,
+    and mutates mid-document — every ambiguous comparison must run the
+    tail-compare loop many rounds and still match brute force."""
+    text = " ".join(f"x{j}" for j in range(40))
+    base_rows = [(i, text) for i in range(3)]
+    mutated = text.split()
+    mutated[20] = "x9"  # duplicate of an earlier token, diverges at 20
+    delta_rows = [
+        (100, text),  # identical → 20-round eq chain → tie-break
+        (101, text + " x0"),  # longer than every member → gt late
+        (102, " ".join(text.split()[:30])),  # proper prefix → lt late
+        (103, " ".join(mutated)),  # diverges deep inside the loop
+    ]
+    hist = _check(spark, base_rows, delta_rows)
+    # the scenario only means something if the exit really fired early
+    assert hist[-1][0] < 40, "expected a stability-exited base build"
+
+
+def test_placement_gap_extremes_and_past_end(spark):
+    """Delta suffixes before every base suffix, after every base
+    suffix, and pairs whose second block is past-end (short docs)."""
+    base_rows = [(0, "b c d e"), (1, "c d"), (2, "d")]
+    delta_rows = [
+        (100, "a a a a a"),  # strictly before everything at every level
+        (101, "z z"),  # strictly after everything
+        (102, "b c"),  # past-end second block at level 4 (seen prefix)
+        (103, "e"),  # single token, seen
+        (104, "b c d e"),  # verbatim re-crawl (tie path)
+    ]
+    _check(spark, base_rows, delta_rows)
+
+
+def test_extended_states_bracket_semantics(spark):
+    """Top-level states bracket correctly: an exact state's class
+    content equals the delta window; a gap state g strictly separates
+    class g's content from class g+1's."""
+    base_rows = [(0, "a b c d"), (1, "b c"), (2, "c a")]
+    delta_rows = [(100, "b d"), (101, "a b c d"), (102, "c")]
+    base = _toks_df(spark, base_rows).localCheckpoint(eager=True)
+    delta = _toks_df(spark, delta_rows).localCheckpoint(eager=True)
+    _final, hist, base_pos = suffix_ranks(base)
+    states = extend_delta_states(hist, base_pos, delta)
+    top_len, d_top = states[-1]
+    h_top = hist[-1][1]
+    # base class contents at the top level (end-padded windows)
+    btoks = {d: t.split() for d, t in base_rows}
+    cls_content = {}
+    for r in h_top.collect():
+        w = tuple(btoks[r.doc_id][r.pos : r.pos + top_len])
+        cls_content.setdefault(r.r, w)
+        assert cls_content[r.r] == w, "class id maps to two contents"
+    ordered = sorted(cls_content.items())
+    assert [c for c, _ in ordered] == list(range(len(ordered)))
+    assert [w for _, w in ordered] == sorted(w for _, w in ordered)
+    dtoks = {d: t.split() for d, t in delta_rows}
+    for r in d_top.collect():
+        w = tuple(dtoks[r.doc_id][r.pos : r.pos + top_len])
+        if r.e is not None:
+            assert cls_content[r.e] == w
+        else:
+            if r.g >= 0:
+                assert cls_content[r.g] < w
+            if r.g + 1 in cls_content:
+                assert w < cls_content[r.g + 1]
