@@ -404,6 +404,21 @@ def doc_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, a sparse ≥{T} filter, and two per-doc windows. Token
     arrays never shuffle; the per-doc length table joins plain (never
     broadcast — corpus-cardinality)."""
+    import os
+
+    # r13 verdict ask #4: the measured crossover (PROBE_XSI — rebuild
+    # wins below ~100× these SFs) wired in as a flag-gated path choice.
+    # The DEFAULT stays the combined rebuild (catalog SFs sit far below
+    # the break-even); SPARK_GRAFT_XSI_PATH=stored routes to the
+    # stored-base update path (catalog_r14.doc_exact_substr_stored_base
+    # — same relation, parity-pinned by test_xsi_stored_base_parity).
+    if os.environ.get("SPARK_GRAFT_XSI_PATH", "rebuild") == "stored":
+        from idh_etl_demo_spark.catalog import ENTRIES as _E
+
+        import idh_etl_demo_spark.catalog_r14  # noqa: F401 (registers)
+
+        return _E["doc_exact_substr_stored_base"].spark(spark, sf_dir)
+
     from idh_etl_demo_spark.operators.suffix import (
         dup_len_per_position,
         merge_intervals,

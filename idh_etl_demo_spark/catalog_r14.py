@@ -1,0 +1,341 @@
+"""Catalog round 14 — the stored-base incremental ExactSubstr path as
+driver-gated entries (the r13 verdict's asks #3/#4/#8 as queries).
+
+- ``doc_exact_substr_stored_base``: the UPDATE path end-to-end — stored
+  base suffix array + rank-ladder placement of the delta
+  (operators/suffix.extend_delta_states / place_delta_ranks) + merged-
+  order neighbor LCPs across the base/delta boundary
+  (operators/suffix.delta_base_lcp) — producing EXACTLY the relation
+  doc_exact_substr_incremental computes by combined rebuild. Shares the
+  incremental entry's DuckDB oracle verbatim: one output spec, two
+  independent Spark code routes, both hash-gated against the direct
+  sorted-suffix-list re-derivation.
+- ``doc_sa_placement_merged``: the merged total order itself, digested
+  per document (count / sum / min / max / position-weighted checksum of
+  merged ranks), so ANY single misplaced suffix flips the hash. The
+  oracle re-derives merged ranks by sorting every combined-corpus
+  suffix directly.
+
+Reference: Lee et al. 2021 (ExactSubstr) builds and REBUILDS offline;
+the stored-base path is the maintenance shape a 100 TB corpus needs —
+the base order and its rank ladder are the persisted artifacts, a
+daily delta pays |delta|-width joins only (plus the unavoidable one
+merged ranking pass), never a base re-rank.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from idh_etl_demo_spark.catalog import query
+from idh_etl_demo_spark.catalog_r9b import _SA_TOKS_SQL
+from idh_etl_demo_spark.catalog_r10 import _XS_T, _xs_oracle_m
+from idh_etl_demo_spark.catalog_r11 import (
+    _XSI_CORPUS_SQL,
+    _xsi_base,
+    _xsi_delta,
+)
+
+# ===========================================================================
+# Stored-base incremental ExactSubstr — the update path as a query
+# ===========================================================================
+#
+# The r13 crossover measurement (PROBE_XSI.json) made the stored-base
+# design's activation threshold a number; this round builds the design
+# itself. The STORED ARTIFACT is the base build — final order + rank
+# ladder (suffix_ranks' history IS the ladder; at 100 TB the per-level
+# pair maps would be persisted alongside, as they materialize mid-round
+# during the build anyway). The memo below is that artifact's
+# stand-in, and it is deliberately NOT cleared per bench rep (the
+# orders_ivm_join precedent: a stored input contract, not a flattered
+# computation) — rep 1 pays the one-time base build + store, rep 2
+# measures the UPDATE path the entry claims: delta-only build, ladder
+# extension, placement, one merged ranking pass, |delta|-width walks.
+
+_XSB_MODELS: dict[tuple, tuple] = {}
+
+
+def _xsb_parts(spark: SparkSession, sf_dir: str) -> tuple:
+    """Stored base artifacts per (session, sf): final order, rank
+    ladder, position projection, per-doc lengths."""
+    from idh_etl_demo_spark.operators.suffix import suffix_ranks
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _XSB_MODELS:
+        base_toks = _xsi_base(spark, sf_dir).filter(
+            ~_xsi_delta(F.col("doc_id"))
+        )
+        bf, bh, bp = suffix_ranks(base_toks)
+        blens = base_toks.select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
+        )
+        _XSB_MODELS[key] = (bf, bh, bp, blens)
+    return _XSB_MODELS[key]
+
+
+def _merged_order(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, tuple, tuple]:
+    """(merged, base_parts, delta_parts): the merged total order over
+    base+delta via the stored base + ladder placement — one union and
+    ONE bucketed ranking pass (the unavoidable merge floor; every
+    other stage is |delta|-width). ``merged``: (doc_id, pos, tag, mr)
+    with tag 1 on delta rows and mr the 1-based merged rank."""
+    from idh_etl_demo_spark.operators.suffix import (
+        _NBUCKETS,
+        _bucketed_rank,
+        extend_delta_states,
+        place_delta_ranks,
+        suffix_ranks,
+    )
+
+    bf, bh, bp, blens = _xsb_parts(spark, sf_dir)
+    delta_toks = _xsi_base(spark, sf_dir).filter(_xsi_delta(F.col("doc_id")))
+    d_final, d_hist, d_pos = suffix_ranks(delta_toks)
+    states = extend_delta_states(bh, bp, delta_toks)
+    ins = place_delta_ranks(bf, bh, bp, blens, delta_toks, states=states)
+    u = bf.select(
+        "doc_id",
+        "pos",
+        F.col("sa_rank").alias("k1"),
+        F.lit(0).alias("tag"),
+        F.lit(0).cast("long").alias("k2"),
+    ).unionByName(
+        d_final.join(ins, ["doc_id", "pos"]).select(
+            "doc_id",
+            "pos",
+            F.col("ins").alias("k1"),
+            F.lit(1).alias("tag"),
+            F.col("sa_rank").alias("k2"),
+        )
+    )
+    n_total = u.count()
+    ranked = _bucketed_rank(
+        u,
+        ["k1", "tag", "k2"],
+        "k1",
+        max(1, math.ceil(n_total / _NBUCKETS)),
+        dense=False,
+    ).select("doc_id", "pos", "tag", F.col("gr").alias("mr"))
+    return (
+        ranked.localCheckpoint(eager=True),
+        (bf, bh, bp, blens),
+        (d_final, d_hist, d_pos, delta_toks, states),
+    )
+
+
+@query(
+    "doc_sa_placement_merged",
+    f"""
+    with corpus as ({_XSI_CORPUS_SQL}),
+    base as (select doc_id, {_SA_TOKS_SQL} as toks from corpus),
+    pos as (
+      select doc_id, u.i - 1 as pos, list_slice(toks, u.i, len(toks)) as suffix
+      from base cross join lateral (
+        select unnest(generate_series(1, len(toks))) as i
+      ) u
+    ),
+    ranked as (
+      select doc_id, pos,
+             row_number() over (order by suffix, doc_id, pos) as rk
+      from pos
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_pos,
+           cast(sum(rk) as bigint) as rank_sum,
+           cast(min(rk) as bigint) as rank_min,
+           cast(max(rk) as bigint) as rank_max,
+           cast(sum(rk * (pos + 1)) as bigint) as rank_posdot
+    from ranked group by doc_id order by doc_id
+    """,
+)
+def doc_sa_placement_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document digest of the MERGED suffix order produced by the
+    stored-base path (stored base order + rank-ladder placement +
+    delta-internal ranks — no combined rebuild anywhere): count, sum,
+    min, max, and the position-weighted checksum Σ mr·(pos+1) of merged
+    ranks. Any single misplaced suffix shifts at least one document's
+    checksum, so the driver's value-hash gates the ENTIRE placement
+    machinery against the oracle's direct sorted-suffix-list ranks.
+
+    Scale shape: the stored base is the persisted artifact (memoized —
+    the input contract, as with orders_ivm_join's stored view); the
+    update pays the delta-only build, the |delta|-width ladder
+    extension + placement, ONE bucketed ranking pass over the union
+    (the merge floor any incremental maintenance must pay), and a
+    per-doc groupBy of id-width rows."""
+    merged, _, _ = _merged_order(spark, sf_dir)
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+            F.sum("mr").cast("long").alias("rank_sum"),
+            F.min("mr").cast("long").alias("rank_min"),
+            F.max("mr").cast("long").alias("rank_max"),
+            F.sum(F.col("mr") * (F.col("pos") + 1))
+            .cast("long")
+            .alias("rank_posdot"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_exact_substr_stored_base",
+    f"""
+    with corpus as ({_XSI_CORPUS_SQL}),
+    {_xs_oracle_m("corpus")},
+    iv as (
+      select doc_id, pos as s, pos + m as e from m
+      where m >= {_XS_T} and (doc_id % 5 = 4 or doc_id >= 1000000)
+    ),
+    flagged as (
+      select doc_id, s, e,
+             case when s > coalesce(max(e) over (
+                    partition by doc_id order by s, e
+                    rows between unbounded preceding and 1 preceding), -1)
+                  then 1 else 0 end as brk
+      from iv
+    ),
+    isl as (
+      select doc_id, s, e,
+             sum(brk) over (partition by doc_id order by s, e
+                            rows between unbounded preceding and current row) as g
+      from flagged
+    )
+    select doc_id,
+           cast(min(s) as bigint) as span_start,
+           cast(max(e) as bigint) as span_end,
+           cast(max(e) - min(s) as bigint) as span_len
+    from isl group by doc_id, g
+    order by doc_id, span_start
+    """,
+)
+def doc_exact_substr_stored_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_exact_substr_incremental's EXACT relation — maximal ≥{T}-token
+    removal spans for the delta snapshot — computed by the STORED-BASE
+    update path instead of the combined rebuild: the base suffix array
+    and its rank ladder are the persisted artifacts; the update runs
+    the delta-only build, extends the ladder to the delta
+    (|delta|-width keyed joins), places every delta suffix
+    (place_delta_ranks), emits the merged order with ONE bucketed
+    ranking pass, and recovers each delta position's neighbor LCPs
+    without re-walking any base-only pair:
+
+      - delta–delta merged-adjacent pairs are delta-internal-adjacent
+        (insertion points are monotone in suffix order), so their LCPs
+        come from the delta-only build's own Manber–Myers walk;
+      - delta–base pairs walk the EXTENDED ladder
+        (operators/suffix.delta_base_lcp) — class-vs-rank equality per
+        level, no suffix materialization, no token shuffles.
+
+    m(p) = max neighbor LCP, then the shared interval algebra. The
+    oracle is doc_exact_substr_incremental's verbatim (one output
+    spec, two independent routes); parity of the two Spark paths is
+    additionally pinned by test_xsi_stored_base_parity.
+
+    Scale shape: base-width work is CONFINED to the stored artifact's
+    one-time build (memoized; the bench's rep-2 measures the update
+    alone — the orders_ivm_join stored-contract convention). Every
+    per-update stage is |delta|-width except the single merged ranking
+    pass — the floor ANY merge must pay, and exactly the term the r13
+    crossover measurement (PROBE_XSI) priced against the rebuild."""
+    from idh_etl_demo_spark.operators.suffix import (
+        delta_base_lcp,
+        merge_intervals,
+        suffix_lcp_adjacent,
+    )
+
+    merged, bparts, dparts = _merged_order(spark, sf_dir)
+    bf, bh, bp, blens = bparts
+    d_final, d_hist, d_pos, delta_toks, states = dparts
+    dlens = delta_toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    a = merged.select(
+        F.col("doc_id").alias("d1"),
+        F.col("pos").alias("p1"),
+        F.col("tag").alias("t1"),
+        "mr",
+    )
+    b = merged.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("tag").alias("t2"),
+        (F.col("mr") - 1).alias("mr"),
+    )
+    adj = a.join(b, "mr").filter((F.col("t1") == 1) | (F.col("t2") == 1))
+    # delta–delta: same-slot neighbors are delta-internal-adjacent
+    dd = adj.filter((F.col("t1") == 1) & (F.col("t2") == 1)).select(
+        "d1", "p1", "d2", "p2"
+    )
+    d_pairs = suffix_lcp_adjacent(d_final, d_hist, d_pos, dlens)
+    ddl = dd.join(d_pairs, ["d1", "p1", "d2", "p2"])
+    # mixed pairs, normalized to (delta side, base side)
+    maxlen = int(
+        _xsi_base(spark, sf_dir)
+        .select(F.max(F.size("toks")).alias("n"))
+        .collect()[0][0]
+        or 0
+    )
+    m1 = adj.filter((F.col("t1") == 1) & (F.col("t2") == 0)).select(
+        "d1", "p1", "d2", "p2"
+    )
+    m2 = adj.filter((F.col("t1") == 0) & (F.col("t2") == 1)).select(
+        F.col("d2").alias("d1"),
+        F.col("p2").alias("p1"),
+        F.col("d1").alias("d2"),
+        F.col("p1").alias("p2"),
+    )
+    mixed = delta_base_lcp(
+        m1.unionByName(m2), states, bh, bp, d_pos, blens, dlens, maxlen
+    )
+    sides = (
+        ddl.select(
+            F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
+        )
+        .unionByName(
+            ddl.select(
+                F.col("d2").alias("doc_id"), F.col("p2").alias("pos"), "lcp"
+            )
+        )
+        .unionByName(
+            mixed.select(
+                F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
+            )
+        )
+    )
+    m = sides.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
+    iv = m.filter(F.col("m") >= _XS_T).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.col("m")).alias("e"),
+    )
+    return (
+        merge_intervals(iv)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def release_xsb_models() -> None:
+    """Free the stored-base artifacts' checkpoint blocks (bench memo
+    hygiene — the round-9 ADVICE pattern)."""
+    from idh_etl_demo_spark.operators.graph import _release_checkpoint
+
+    for v in _XSB_MODELS.values():
+        bf, bh, bp, _blens = v
+        _release_checkpoint(bf)
+        for _, fr in bh:
+            _release_checkpoint(fr)
+    _XSB_MODELS.clear()

@@ -721,6 +721,144 @@ def place_delta_ranks(
     )
 
 
+def delta_base_lcp(
+    pairs: DataFrame,
+    states: list[tuple[int, DataFrame]],
+    base_history: list[tuple[int, DataFrame]],
+    base_pos: DataFrame,
+    delta_pos: DataFrame,
+    base_lens: DataFrame,
+    delta_lens: DataFrame,
+    max_len: int,
+) -> DataFrame:
+    """LCP of MIXED (delta suffix, base suffix) pairs through the
+    extended ladder — the suffix_lcp_adjacent walk generalized across
+    the base/delta boundary, so the stored-base incremental path can
+    recover merged-order neighbor LCPs without ever materializing a
+    suffix or re-ranking the base.
+
+    ``pairs``: (d1, p1, d2, p2) with side 1 a DELTA position and side 2
+    a BASE position. Equality at level L = the delta side's EXACT state
+    class equals the base side's stored rank at the shifted offsets (a
+    GAP state means the window is unseen in base, hence unequal —
+    exact, not approximate). The walk: a repeat-top loop
+    (⌈max_len / L_top⌉ rounds — identical runs longer than the retained
+    top level advance L_top per round; ZERO extra rounds under the
+    depth exit), one pass down the remaining levels, the single-token
+    step, then the least(acc, remaining lengths) cap that makes every
+    boundary overshoot exact (the base-base walk's own convention).
+
+    Output: (d1, p1, d2, p2, lcp). All flowing rows are |pairs|-width;
+    every join is a keyed hash join against checkpointed rank/state
+    tables."""
+    import math
+
+    top_len, d_top = states[-1]
+    h_top = base_history[-1][1]
+    cur = pairs.select(
+        "d1", "p1", "d2", "p2", F.lit(0).cast("long").alias("acc")
+    )
+    rounds = max(1, math.ceil(max_len / top_len))
+    for _ in range(rounds):
+        s1 = d_top.select(
+            F.col("doc_id").alias("d1"),
+            F.col("pos").alias("q1"),
+            F.col("e").alias("de"),
+        )
+        s2 = h_top.select(
+            F.col("doc_id").alias("d2"),
+            F.col("pos").alias("q2"),
+            F.col("r").alias("br"),
+        )
+        cur = (
+            cur.withColumn("q1", F.col("p1") + F.col("acc"))
+            .withColumn("q2", F.col("p2") + F.col("acc"))
+            .join(s1, ["d1", "q1"], "left")
+            .join(s2, ["d2", "q2"], "left")
+            .withColumn(
+                "acc",
+                F.when(
+                    F.col("de").isNotNull() & (F.col("de") == F.col("br")),
+                    F.col("acc") + top_len,
+                ).otherwise(F.col("acc")),
+            )
+            .drop("q1", "q2", "de", "br")
+            .localCheckpoint(eager=False)
+        )
+    for (L, dfr), (_, bfr) in zip(states[-2::-1], base_history[-2::-1]):
+        s1 = dfr.select(
+            F.col("doc_id").alias("d1"),
+            F.col("pos").alias("q1"),
+            F.col("e").alias("de"),
+        )
+        s2 = bfr.select(
+            F.col("doc_id").alias("d2"),
+            F.col("pos").alias("q2"),
+            F.col("r").alias("br"),
+        )
+        cur = (
+            cur.withColumn("q1", F.col("p1") + F.col("acc"))
+            .withColumn("q2", F.col("p2") + F.col("acc"))
+            .join(s1, ["d1", "q1"], "left")
+            .join(s2, ["d2", "q2"], "left")
+            .withColumn(
+                "acc",
+                F.when(
+                    F.col("de").isNotNull() & (F.col("de") == F.col("br")),
+                    F.col("acc") + L,
+                ).otherwise(F.col("acc")),
+            )
+            .drop("q1", "q2", "de", "br")
+        )
+    t1 = delta_pos.select(
+        F.col("doc_id").alias("d1"),
+        F.col("pos").alias("q1"),
+        F.col("token").alias("ta"),
+    )
+    t2 = base_pos.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("q2"),
+        F.col("token").alias("tb"),
+    )
+    cur = (
+        cur.withColumn("q1", F.col("p1") + F.col("acc"))
+        .withColumn("q2", F.col("p2") + F.col("acc"))
+        .join(t1, ["d1", "q1"], "left")
+        .join(t2, ["d2", "q2"], "left")
+        .withColumn(
+            "acc",
+            F.when(
+                F.col("ta").isNotNull() & (F.col("ta") == F.col("tb")),
+                F.col("acc") + 1,
+            ).otherwise(F.col("acc")),
+        )
+        .drop("q1", "q2", "ta", "tb")
+    )
+    l1 = delta_lens.select(
+        F.col("doc_id").alias("d1"), F.col("n_tokens").alias("n1")
+    )
+    l2 = base_lens.select(
+        F.col("doc_id").alias("d2"), F.col("n_tokens").alias("n2")
+    )
+    return (
+        cur.join(l1, "d1")
+        .join(l2, "d2")
+        .select(
+            "d1",
+            "p1",
+            "d2",
+            "p2",
+            F.least(
+                F.col("acc"),
+                F.col("n1") - F.col("p1"),
+                F.col("n2") - F.col("p2"),
+            )
+            .cast("long")
+            .alias("lcp"),
+        )
+    )
+
+
 def dup_len_per_position(pairs: DataFrame) -> DataFrame:
     """Per-position duplicated-prefix length from the adjacent-pair LCP
     table: m(doc, pos) = max LCP against the previous- and next-rank

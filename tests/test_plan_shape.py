@@ -26,6 +26,7 @@ import idh_etl_demo_spark.catalog_r11b  # noqa: F401
 import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_r12  # noqa: F401
 import idh_etl_demo_spark.catalog_r13  # noqa: F401
+import idh_etl_demo_spark.catalog_r14  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -867,6 +868,25 @@ SHUFFLE_BUDGETS = {
     # parquet read + presentation sort (default budget); the dedup
     # state machine runs inside the availableNow drain at build time
     # (EAGER_EXEMPT below, like the other streaming entries).
+    #
+    # round-14 stored-base ExactSubstr (measured 2): the merged order
+    # materializes at build into an eager checkpoint (the stored-base
+    # builds + ladder extension + placement are all EAGER_EXEMPT
+    # fixpoint work), so the SERVED digest plan is one per-doc groupBy
+    # over id-width merged-rank rows plus the presentation sort.
+    "doc_sa_placement_merged": 2,
+    # round-14 stored-base ExactSubstr spans (measured 55): the served
+    # plan runs the |delta|-width LCP recovery — the delta-only build's
+    # log(max_len) refinement chain over delta-adjacent pairs (the
+    # doc_exact_substr_incremental walk shape, one id-width equi-join
+    # per retained level), the mixed delta-vs-base ladder walk's
+    # repeat-top + descend joins (each |pairs|-width against
+    # checkpointed state/rank tables), the merged rank±1 adjacency
+    # join, the m(p) groupBy, two per-doc merge windows, and the
+    # presentation sort. Every exchange carries id-width rows; depth is
+    # log(max_len) + ceil(max_len / L_top) — doc-length-bounded,
+    # corpus-size-invariant. Base-only pairs never enter any exchange.
+    "doc_exact_substr_stored_base": 55,
 }
 
 
@@ -982,6 +1002,13 @@ EAGER_EXEMPT = {
     # round-12: canonical-copy selection composes the LSH candidate +
     # CC fixpoint at build (doc_dup_clusters' convention)
     "doc_dup_canonical",
+    # round-14: the stored-base path builds the base SA (memoized —
+    # the stored input contract), the delta-only SA, the ladder
+    # extension, placement, and the merged ranking pass eagerly at
+    # build (prefix doubling and the tail-compare loop are the same
+    # fixpoint class as the r9 SA build)
+    "doc_sa_placement_merged",
+    "doc_exact_substr_stored_base",
 }
 
 

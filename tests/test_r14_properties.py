@@ -19,6 +19,8 @@ import random
 
 import pyspark.sql.functions as F
 
+import idh_etl_demo_spark.catalog_r11  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r14  # noqa: F401  (registers entries)
 from idh_etl_demo_spark.operators.suffix import (
     extend_delta_states,
     place_delta_ranks,
@@ -133,6 +135,30 @@ def test_placement_gap_extremes_and_past_end(spark):
         (104, "b c d e"),  # verbatim re-crawl (tie path)
     ]
     _check(spark, base_rows, delta_rows)
+
+
+def test_xsi_stored_base_parity(spark, monkeypatch):
+    """The r13 verdict's ask #4: the flag-gated path choice. Both
+    routes — combined rebuild (the default below the measured
+    break-even) and stored-base update (doc_exact_substr_stored_base)
+    — must produce IDENTICAL spans on the probe corpus, and setting
+    SPARK_GRAFT_XSI_PATH=stored must actually route the incremental
+    entry through the stored-base builder."""
+    import pandas as pd
+
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    sf = "/root/testdata/sf0.001"
+    rebuild = (
+        ENTRIES["doc_exact_substr_incremental"].spark(spark, sf).toPandas()
+    )
+    stored = ENTRIES["doc_exact_substr_stored_base"].spark(spark, sf).toPandas()
+    pd.testing.assert_frame_equal(rebuild, stored)
+    monkeypatch.setenv("SPARK_GRAFT_XSI_PATH", "stored")
+    routed = (
+        ENTRIES["doc_exact_substr_incremental"].spark(spark, sf).toPandas()
+    )
+    pd.testing.assert_frame_equal(rebuild, routed)
 
 
 def test_extended_states_bracket_semantics(spark):
