@@ -45,6 +45,37 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
 #
+# ROUND-14 ROTATION (the round-13 verdict's ask #1: rotate toward the
+# STALE TAIL, not just the new entries). All TWELVE r13 first-greens
+# STAY for their second signal (the four r13-new entries ztm_time_dim,
+# doc_title_edit_entropy, doc_containment_split_audit,
+# customer_ldiversity_audit, and the eight r12 entries that took their
+# first driver signal in r13). Rotating IN the verdict's eight NAMED
+# stale recalls — merge_new_customers (S11, last green r4),
+# delay_parse_roundtrip / weather_classify_events /
+# time_dim_from_events / expression_key_join / mode_quantity_per_flag
+# (the SURVEY-§2-core r2-stale rows), purchase_view_attribution (r5),
+# ztm_stop_dim (r11, the one star table not green in r13) — plus the
+# two NEW round-14 entries (doc_exact_substr_stored_base,
+# doc_sa_placement_merged: the stored-base update path, verdict asks
+# #3/#4/#8). Rotating OUT ten multi-green rows, each annotated in
+# place and each family staying at or above its minimum after the
+# swap: ztm_line_dim + ztm_weather_dim (12 greens each; the star stays
+# driver-gated via delay fact + time dim + stop dim = exactly the ztm
+# minimum of 3, and both rotated dims keep their star-oracle + sweep
+# gates), ztm_vehicle_dim (7 greens), multimodal_video_fingerprint
+# (6 greens; multimodal lands at 4 = its minimum),
+# events_rolling_zscore (r12-new, second signal earned; event lands at
+# 5 = its minimum), orders_profile + orders_fk_integrity (r12-news,
+# second signals earned), lineitem_mad_outliers (4 greens), doc_quality
+# (6 greens) and doc_title_edit_neardup (2 greens; doc stays at 18 =
+# its minimum counting the two new doc entries). The remaining stale
+# tail is now MECHANICALLY tracked: every entry outside the window
+# whose last driver green is older than the 8-round floor must be
+# named in SCHEDULED_RECALLS below (tests/test_catalog_oracle.py's
+# staleness gate — the r13 verdict's ask #7), and this list is the
+# consumption order for the r15+ rotations.
+#
 # ROUND-13 ROTATION (the round-12 verdict's ask #1). All NINE r12
 # window first-greens STAY for their second signal (events_user_ewma,
 # orders_profile, doc_title_edit_neardup, doc_bigram_heavy_hitters,
@@ -201,9 +232,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # parts_above_avg_price, lineitem_quarantine_report).
 DRIVER_PRIORITY: list[str] = [
     # --- ZTM star schema + flagship (reference: src/queries.py) ---
-    "ztm_line_dim",
+    # (ztm_line_dim held this slot r1-r13, 12 greens; rotated out in
+    # r14 so the verdict-named stale recalls fit — the trips/stop_times
+    # double-join stays star-oracle + sweep-gated, and ztm sits at
+    # exactly its minimum of 3 via delay fact + time dim + stop dim)
+    "ztm_stop_dim",                    # r14: verdict-named recall (last green r11)
     "ztm_delay_fact",
-    "ztm_weather_dim",
+    # (ztm_weather_dim held this slot r1-r13, 12 greens; rotated out in
+    # r14 — the two-stage weather dedup + bulk rename stays in the
+    # sweep and the star oracle; see the ROUND-14 header)
+    "merge_new_customers",             # r14: verdict-named recall (S11, last green r4)
     "pricing_summary",
     # (doc_streaming_snapshot_curation was slotted here r4-r11 as the
     # streaming representative; displaced late in r11 by
@@ -230,7 +268,10 @@ DRIVER_PRIORITY: list[str] = [
     "doc_effective_tokens",            # r13: r12-new first-green slot
     # (ztm_stop_dim held this slot r11 for the ask-#8 recall; its
     # THIRD green landed — rotated out in r12 for its sibling)
-    "ztm_vehicle_dim",                 # r12: ask-#8 sibling recall (last green r9)
+    # (ztm_vehicle_dim held this slot r12-r13, 7 greens; rotated out in
+    # r14 — trim/regex-filter/global-sort stays sweep- and
+    # star-oracle-gated)
+    "delay_parse_roundtrip",           # r14: verdict-named recall (F9, last green r2)
     # --- round-13 swaps over the late-round-11 first-green slots ---
     # (orders_ivm_agg / orders_ivm_join were slotted here r11-r12;
     # rotated out in r13 after their second greens — IVM semantics stay
@@ -246,8 +287,14 @@ DRIVER_PRIORITY: list[str] = [
     "doc_title_edit_entropy",          # r13: NEW — the edit join's pruning path (r11 ask #8)
     # (lineitem_winsorized_stats was slotted here r11-r12; rotated out
     # in r13 after its second green — the bucketed-rank percentile
-    # shape stays in-window via lineitem_mad_outliers)
+    # shape stayed in-window via lineitem_mad_outliers through r13)
     "customer_kanonymity_audit",       # r13: r12-new first-green slot
+    # --- round-14 NEW entries (first-green slots): the stored-base
+    # incremental ExactSubstr path — rank-ladder placement + merged
+    # order + boundary-crossing LCP walk (r13 verdict asks #3/#4/#8),
+    # both sharing hash-gated oracles with the suffix family ---
+    "doc_exact_substr_stored_base",
+    "doc_sa_placement_merged",
     # --- late round-11 NEW entries (first-green slots; the r11b
     # batch: hierarchical rollup cascade, chi-square snapshot drift,
     # key-skew/salting audit) — displacements annotated in place at
@@ -283,14 +330,23 @@ DRIVER_PRIORITY: list[str] = [
     # (doc_bm25_rrf was slotted here r10-r11; rotated out in r12 after
     # its second green — the BM25 chain itself left the window with
     # it; retrieval stays sweep-gated + property-pinned this round)
-    "doc_quality",                            # r12: stalest doc row (r5)
+    # (doc_quality held this slot r12-r13 as the stalest-doc recall and
+    # earned two more greens — rotated out in r14 for the verdict-named
+    # SURVEY-core recalls; its length/punct/stopword scoring stays
+    # sweep-gated with its property tests)
+    "time_dim_from_events",                   # r14: verdict-named recall (F17-F20, last green r2)
     # (lineitem_quantile_sketch was slotted here r10-r11; rotated out
     # in r12 after its second green — the mergeable-sketch niche
     # stays sweep-gated with its merge-associativity property tests)
-    "orders_profile",                         # r12: never-driver-green rotation-in
-    # (customer_price_trend was slotted here r10-r11; rotated out in
-    # r12 after its second green)
-    "orders_fk_integrity",                    # r12: never-driver-green rotation-in
+    # (orders_profile was slotted here r12-r13; rotated out in r14
+    # after its second green — the full-scan profile audit stays
+    # sweep-gated; orders semantics stay in-window via the IVM
+    # retraction entry and the snapshot changeset generator)
+    "expression_key_join",                    # r14: verdict-named recall (J6, last green r2)
+    # (orders_fk_integrity was slotted here r12-r13; rotated out in
+    # r14 after its second green — the referential-integrity audit
+    # stays sweep-gated with its planted-orphan property test)
+    "mode_quantity_per_flag",                 # r14: verdict-named recall (A4/P7, last green r2)
     # --- round-10 NEW entries (first-green slots; the ExactSubstr cut,
     # r9 verdict ask #5) — displacing doc_ngram_novelty and
     # doc_vocab_topk, both twice-green (r5 + r9) sweep-gated recalls;
@@ -307,7 +363,11 @@ DRIVER_PRIORITY: list[str] = [
     # after its second green — the KN chain stays driver-exercised
     # via doc_kn_surprisal_rate, doc_kn_trigram_lm and
     # doc_ccnet_kn_buckets, all in-window)
-    "doc_title_edit_neardup",          # r12: never-driver-green rotation-in
+    # (doc_title_edit_neardup held this slot r12-r13 and earned its two
+    # signals — rotated out in r14; the edit-distance ER shape stays
+    # in-window via doc_title_edit_entropy, which runs the SAME kernel
+    # on the pruning-regime corpus)
+    "purchase_view_attribution",       # r14: verdict-named recall (last green r5)
     "doc_kn_surprisal_rate",
     # --- round-10 NEW entry (first-green slot; contrastive
     # hard-negative mining) — displacing doc_decontamination (twice-
@@ -335,9 +395,12 @@ DRIVER_PRIORITY: list[str] = [
     # (doc_tokenizer_fertility was slotted here r10-r11; rotated out
     # in r12 after its second green)
     "doc_bigram_heavy_hitters",        # r12: never-driver-green rotation-in
-    # (doc_quality was slotted here pre-ADC-LUT; displaced so the 6th
-    # round-9 entry gets first-round driver signal — doc_ family stays
-    # at 20 in-window, above its minimum of 18)
+    # (doc_quality returned r12-r13 as a stale recall and earned two
+    # more greens — rotated out again in r14 for the verdict-named
+    # SURVEY-core recalls; its length/punct/stopword scoring stays
+    # sweep-gated and the lang axis stays in-window via
+    # doc_title_edit_entropy's corpus checks)
+    "weather_classify_events",         # r14: verdict-named recall (F15/F16, last green r2)
     # (ztm_stop_dim and ztm_vehicle_dim were slotted here through r9;
     # rotated out in r10 after their second green — see the ROUND-10
     # header)
@@ -378,7 +441,11 @@ DRIVER_PRIORITY: list[str] = [
     # (events_streaming_attribution was slotted here r10-r11; rotated
     # out in r12 after its multi-green run — the stream-stream
     # interval-join shape stays sweep-gated)
-    "events_rolling_zscore",           # r12: never-driver-green rotation-in
+    # (events_rolling_zscore held this slot r12-r13 and earned its two
+    # signals — rotated out in r14; the bounded-window z-score shape
+    # stays sweep-gated, rolling statistics stay in-window via
+    # events_user_ewma and events_user_gini, and event lands at exactly
+    # its minimum of 5)
     # (event_type_transitions was slotted here through r9; displaced
     # in r10 by doc_kn_trigram_lm after its second green (r7 + r9) —
     # the lag-window Markov shape stays sweep-gated; event family
@@ -413,7 +480,10 @@ DRIVER_PRIORITY: list[str] = [
     # the sweep; doc family stays at 21, exactly its minimum)
     "multimodal_image_ahash",
     "multimodal_audio_fingerprint",
-    "multimodal_video_fingerprint",
+    # (multimodal_video_fingerprint held this slot r8-r13, 6 greens —
+    # rotated out in r14; the stdlib RIFF/AVI decode + frame-sample
+    # fingerprint stays sweep-gated with its format property tests,
+    # and multimodal lands at exactly its minimum of 4)
     # (doc_decontamination_passages was slotted here through r9;
     # displaced in r10 by doc_setsim_prefix_join after its second
     # green (r8 + r9) — the broadcast gram-membership shape stays
@@ -581,7 +651,10 @@ DRIVER_PRIORITY: list[str] = [
     # entries, all sharing the memoized build), its own serving plan
     # is a checkpoint scan, and its r9 green stands with the second
     # signal deferring — the r9 precedent)
-    "lineitem_mad_outliers",
+    # (lineitem_mad_outliers held this slot r10-r13, 4 greens — rotated
+    # out in r14; the robust-MAD bucketed-percentile shape stays
+    # sweep-gated, and winsorized/z-score robust statistics stay
+    # driver-exercised via events_user_ewma's family)
     # (doc_suffix_dup_audit was slotted here r9-r10; rotated out late
     # in r11 after its second green — see the ROUND-11 header)
     # (orders_zorder_layout was slotted here r9-r10; rotated out late
@@ -595,6 +668,79 @@ DRIVER_PRIORITY: list[str] = [
     # property-pinned and are named first-green candidates for the
     # r10 rotation with embedding_nndescent_recall_audit and
     # embedding_ivfpq_residual_recall_audit.
+]
+
+
+# The SCHEDULED RECALL QUEUE (r13 verdict ask #7): every entry whose
+# last driver green is older than the staleness floor (8 rounds behind
+# the newest CORRECTNESS artifact) must either sit in DRIVER_PRIORITY
+# or be named here — tests/test_catalog_oracle.py::
+# test_window_staleness_floor enforces it mechanically, so the stale
+# tail is a scheduled list, not a judge find. The queue is ordered
+# stalest-first and is the CONSUMPTION ORDER for the next rotations
+# (~10 slots free up per round as first-greens earn second signals);
+# entries leave the list when a rotation windows them and they green.
+# The companion hygiene assertion keeps the list honest: a name may
+# stay here only while it is actually stale (green within the last 4
+# rounds → must be removed), so recalls can't free-ride indefinitely.
+SCHEDULED_RECALLS: list[str] = [
+    # --- r2-stale (31 rows; SURVEY-§2 TPC-H operator fills) ---
+    "cheapest_lineitem_per_order",
+    "cube_revenue",
+    "customer_balance_by_code",
+    "customer_order_activity",
+    "customers_active_both_years",
+    "customers_churned_97",
+    "dedup_first_order",
+    "dq_orders_audit",
+    "json_extract_filter",
+    "late_orders_by_priority",
+    "lineitem_profile",
+    "lineitem_unpivot",
+    "order_window_suite",
+    "orderkey_distinct_kmv",
+    "orders_running_total",
+    "orders_status_pivot",
+    "orders_with_high_value_items",
+    "price_percentiles",
+    "promo_period_orders",
+    "revenue_by_nation",
+    "salted_flag_join",
+    "small_quantity_revenue",
+    "supplier_count_by_part_type",
+    "supplier_distinct_parts",
+    "top10_expensive_orders",
+    "top_order_per_customer",
+    "two_stage_flag_agg",
+    "union_priority_split",
+    "user_sessions",
+    "value_stats",
+    "volume_shipping",
+    # --- r3-stale ---
+    "part_name_fuzzy_pairs",
+    # --- r5-stale ---
+    "embedding_kmeans_2iter",
+    "embedding_near_dup",
+    "revenue_by_nation_scale",
+    # --- r6-stale ---
+    "doc_bottomk_sketch",
+    "doc_chunk_overlap",
+    "doc_exact_dedup",
+    "doc_gopher_quality",
+    "doc_lang_mix_weights",
+    "doc_minhash_candidates",
+    "doc_ngram_jaccard",
+    "doc_pii_scrub",
+    "doc_sequence_packing",
+    "doc_simhash_neardup",
+    "doc_snapshot_dedup",
+    "doc_tfidf_topk",
+    "embedding_ann_audit",
+    "embedding_cosine_topk",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "orders_cumulative_distinct",
+    "rollup_revenue",
 ]
 
 

@@ -75,6 +75,76 @@ def test_priority_entries_inside_driver_window():
         assert n >= minimum, f"family {prefix} under-represented: {n} < {minimum}"
 
 
+def _last_driver_green() -> tuple[dict[str, int], int]:
+    """(entry → newest green round, newest round seen) from the
+    committed CORRECTNESS_r*.json artifacts (rows+schema+hash)."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    last: dict[str, int] = {}
+    latest = 0
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", p).group(1))
+        latest = max(latest, rnd)
+        with open(p) as fh:
+            rows = json.load(fh)
+        for name, v in rows.items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") is not False
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last, latest
+
+
+def test_window_staleness_floor():
+    """The r13 verdict's ask #7, mechanized: every catalog entry must
+    have a driver green within the last 8 rounds, OR sit in the
+    current DRIVER_PRIORITY window, OR be named in SCHEDULED_RECALLS
+    (the ordered recall queue the next rotations consume). Before the
+    round-14 rotation this check FAILED for the verdict-named r2-stale
+    rows (merge_new_customers, delay_parse_roundtrip, ... — now
+    in-window) and the 53-entry stale tail (now scheduled); from here
+    on, letting an entry go stale without scheduling it is a suite
+    failure, not a judge find."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    last, latest = _last_driver_green()
+    floor = latest - 8
+    covered = set(entrymod.DRIVER_PRIORITY) | set(entrymod.SCHEDULED_RECALLS)
+    stale = sorted(
+        n for n in ENTRIES if last.get(n, 0) < floor and n not in covered
+    )
+    assert not stale, (
+        f"entries stale beyond r{floor} and neither windowed nor "
+        f"scheduled: {stale}"
+    )
+
+
+def test_scheduled_recalls_hygiene():
+    """The recall queue can't free-ride: names must be registered
+    entries, must not double-occupy the window, and must still be
+    genuinely stale (no green within the last 4 rounds) — a recalled
+    entry that greens must LEAVE the list at the next rotation."""
+    from idh_etl_demo_spark.catalog import ENTRIES
+
+    sched = entrymod.SCHEDULED_RECALLS
+    assert len(sched) == len(set(sched))
+    missing = [n for n in sched if n not in ENTRIES]
+    assert not missing, f"scheduled recalls not registered: {missing}"
+    overlap = set(sched) & set(entrymod.DRIVER_PRIORITY)
+    assert not overlap, f"scheduled recalls already in-window: {overlap}"
+    last, latest = _last_driver_green()
+    fresh = sorted(n for n in sched if last.get(n, 0) > latest - 4)
+    assert not fresh, (
+        f"recalls recently green must leave the queue: {fresh}"
+    )
+
+
 def test_rotated_entries_documented_in_coverage():
     """Every catalog entry — in-window or rotated to the sweep tail —
     must appear in COVERAGE.md's generated verification-surface table
