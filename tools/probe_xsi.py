@@ -12,6 +12,12 @@ walked fraction is bounded by ~2× the delta share — much closer on
 runs of consecutive delta positions).
 
 Usage: python tools/probe_xsi.py  (writes PROBE_XSI.json at repo root)
+
+The placement scales run min-of-2 over BOTH paths at up to 100× — far
+more live state than any bench rep — so the probe wants a larger
+single-JVM heap than the 8g session default (the r14 run OOMed at the
+100× rebuild leg under 8g): run with SPARK_DRIVER_MEMORY=48g. This is
+a probe-process knob only; bench.py and the driver keep the default.
 """
 
 from __future__ import annotations
@@ -129,22 +135,60 @@ def main() -> None:
         }
         print(f"[probe] {sf}: {out[sf]}")
 
-    # ------- round-13 (r12 verdict stretch ask #8): the stored-base -------
-    # ------- placement PROTOTYPE measured at a 10× corpus -------
-    # One real data point above catalog SFs for the rebuild-vs-update
-    # crossover: 10 shifted copies of the sf0.01 xsi corpus
-    # (bench_scale's construction — ' v{i}' text variation so copies
-    # aren't byte-identical), split base/delta by the LOCAL doc id.
-    # Update path = delta-only build + place_delta_ranks (batched
-    # binary search against the STORED base order — the base build is
-    # the stored artifact and is not part of the update cost); rebuild
-    # path = one combined suffix_ranks. Merged-order correctness is
-    # pinned by test_sa_placement_matches_combined_rebuild.
-    import math as _math
-
+    # ------- round-14 (r13 verdict asks #3 + #8): the PRODUCTION -------
+    # ------- stored-base placement measured at 10×/30×/100× -------
+    # The rank-ladder placement (operators/suffix.extend_delta_states +
+    # place_delta_ranks — no token movement, no per-round driver
+    # barriers) replaces the r13 binary-search prototype; this section
+    # re-measures the rebuild-vs-update crossover AND, new this round,
+    # the END-TO-END incremental spans pipeline (stored base + ladder
+    # placement + merged order + boundary-crossing LCP walk =
+    # catalog_r14.stored_base_spans) against the rebuild-path spans.
+    # MIN-OF-2 per leg with ALTERNATING leg order between reps (the r13
+    # ADVICE: the single-shot 3.4% crossover margin sat inside the
+    # session-noise floor, and rebuild-first ordering biased it cold).
+    # Corpus: N shifted copies of the sf0.01 xsi corpus (bench_scale's
+    # construction — ' v{i}' text variation so copies aren't
+    # byte-identical), split base/delta by the LOCAL doc id.
+    from bench import _release_memo_value
     from idh_etl_demo_spark.catalog import _read_table
-    from idh_etl_demo_spark.operators.suffix import place_delta_ranks
+    from idh_etl_demo_spark.catalog_r14 import (
+        merged_order_from,
+        stored_base_spans,
+    )
+    from idh_etl_demo_spark.operators.suffix import (
+        dup_len_per_position,
+        extend_delta_states,
+        merge_intervals,
+        place_delta_ranks,
+        suffix_lcp_adjacent,
+        suffix_ranks,
+    )
     from idh_etl_demo_spark.operators.text import tokens
+
+    XS_T = 50
+
+    def _spans_tail(m_frame):
+        iv = (
+            m_frame.filter(F.col("m") >= XS_T)
+            .select(
+                "doc_id",
+                F.col("pos").alias("s"),
+                (F.col("pos") + F.col("m")).alias("e"),
+            )
+        )
+        return (
+            merge_intervals(iv)
+            .select(
+                "doc_id",
+                "span_start",
+                "span_end",
+                (F.col("span_end") - F.col("span_start"))
+                .cast("long")
+                .alias("span_len"),
+            )
+            .orderBy("doc_id", "span_start")
+        )
 
     docs = _read_table(spark, "/root/testdata/sf0.01", "documents").select(
         "doc_id", "text"
@@ -154,7 +198,6 @@ def main() -> None:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    from idh_etl_demo_spark.operators.suffix import suffix_ranks
 
     for n_copies in (10, 30, 100):
         copies = [xsi]
@@ -175,23 +218,137 @@ def main() -> None:
         is_delta = (local % 5 == 4) | (local >= 1000000)
         base_n = corpus_n.filter(~is_delta).localCheckpoint(eager=True)
         delta_n = corpus_n.filter(is_delta).localCheckpoint(eager=True)
+        blens = base_n.select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
+        )
+        maxlen = int(
+            corpus_n.agg(F.max(F.size("toks"))).collect()[0][0] or 0
+        )
 
-        rebuild_s, _, _, _ = _timed_build(corpus_n)
+        # stored artifact (NOT in the update cost): built once per
+        # scale, reused by every update leg in both reps
         t0 = time.perf_counter()
-        base_final_n, _, _ = suffix_ranks(base_n)
+        bf_n, bh_n, bp_n = suffix_ranks(base_n)
         stored_base_build_s = round(time.perf_counter() - t0, 3)
-        nb = base_final_n.count()
-        delta_build_s, _, _, _ = _timed_build(delta_n)
-        t0 = time.perf_counter()
-        ins = place_delta_ranks(base_final_n, base_n, delta_n, nb)
-        nd = ins.count()  # forces the full bisection chain
-        placement_s = round(time.perf_counter() - t0, 3)
+        nb = bf_n.count()
+        bparts = (bf_n, bh_n, bp_n, blens)
+
+        def _leg_rebuild():
+            t0 = time.perf_counter()
+            f, h, _p = suffix_ranks(corpus_n)
+            s = round(time.perf_counter() - t0, 3)
+            _release_memo_value((f, h))
+            return s
+
+        def _leg_delta_build():
+            t0 = time.perf_counter()
+            f, h, _p = suffix_ranks(delta_n)
+            s = round(time.perf_counter() - t0, 3)
+            n = f.count()  # BEFORE release — the frame is checkpoint-backed
+            _release_memo_value((f, h))
+            return s, n
+
+        def _leg_placement():
+            t0 = time.perf_counter()
+            states = extend_delta_states(bh_n, bp_n, delta_n)
+            ins = place_delta_ranks(
+                bf_n, bh_n, bp_n, blens, delta_n, states=states
+            )
+            ins.count()
+            s = round(time.perf_counter() - t0, 3)
+            _release_memo_value([fr for _, fr in states])
+            return s
+
+        def _leg_e2e_update():
+            t0 = time.perf_counter()
+            merged, dparts = merged_order_from(bparts, delta_n)
+            spans = stored_base_spans(bparts, dparts, merged, maxlen)
+            n = spans.count()
+            s = round(time.perf_counter() - t0, 3)
+            pdf = spans.toPandas()
+            _release_memo_value(
+                (merged, dparts[0], dparts[1], [fr for _, fr in dparts[4]])
+            )
+            return s, n, pdf
+
+        def _leg_e2e_rebuild():
+            t0 = time.perf_counter()
+            f, h, p = suffix_ranks(corpus_n)
+            lens = corpus_n.select(
+                "doc_id", F.size("toks").cast("long").alias("n_tokens")
+            )
+            dloc = F.col("d1") % 10**7
+            dloc2 = F.col("d2") % 10**7
+            pairs = suffix_lcp_adjacent(
+                f,
+                h,
+                p,
+                lens,
+                pair_filter=(
+                    (dloc % 5 == 4)
+                    | (dloc >= 1000000)
+                    | (dloc2 % 5 == 4)
+                    | (dloc2 >= 1000000)
+                ),
+            )
+            lc = F.col("doc_id") % 10**7
+            m_frame = dup_len_per_position(pairs).filter(
+                (lc % 5 == 4) | (lc >= 1000000)
+            )
+            spans = _spans_tail(m_frame)
+            n = spans.count()
+            s = round(time.perf_counter() - t0, 3)
+            pdf = spans.toPandas()
+            _release_memo_value((f, h))
+            return s, n, pdf
+
+        legs = {
+            "rebuild": [],
+            "delta_build": [],
+            "placement": [],
+            "e2e_update": [],
+            "e2e_rebuild": [],
+        }
+        nd = None
+        spans_match = None
+        for rep in range(2):
+            order = (
+                ["rebuild", "delta_build", "placement", "e2e_update", "e2e_rebuild"]
+                if rep == 0
+                else ["e2e_update", "e2e_rebuild", "placement", "delta_build", "rebuild"]
+            )
+            rep_spans = {}
+            for leg in order:
+                if leg == "rebuild":
+                    legs[leg].append(_leg_rebuild())
+                elif leg == "delta_build":
+                    s, nd = _leg_delta_build()
+                    legs[leg].append(s)
+                elif leg == "placement":
+                    legs[leg].append(_leg_placement())
+                elif leg == "e2e_update":
+                    s, _n, pdf = _leg_e2e_update()
+                    legs[leg].append(s)
+                    rep_spans["update"] = pdf
+                else:
+                    s, _n, pdf = _leg_e2e_rebuild()
+                    legs[leg].append(s)
+                    rep_spans["rebuild"] = pdf
+            if rep == 0:
+                spans_match = rep_spans["update"].reset_index(
+                    drop=True
+                ).equals(rep_spans["rebuild"].reset_index(drop=True))
+
+        rebuild_s = min(legs["rebuild"])
+        delta_build_s = min(legs["delta_build"])
+        placement_s = min(legs["placement"])
         key = f"placement_{n_copies}x_sf0.01"
         out[key] = {
-            "positions": nb + nd,
+            "positions": nb + (nd or 0),
             "n_base_positions": nb,
             "n_delta_positions": nd,
-            "placement_rounds": _math.ceil(_math.log2(nb + 1)),
+            "ladder_levels": len(bh_n),
+            "protocol": "min-of-2, alternating leg order",
             "rebuild_sec": rebuild_s,
             "stored_base_build_sec_not_in_update": stored_base_build_s,
             "delta_build_sec": delta_build_s,
@@ -202,8 +359,20 @@ def main() -> None:
                 if delta_build_s + placement_s < rebuild_s
                 else "rebuild"
             ),
+            # the r13 stretch ask #8: the FULL incremental pipeline
+            # (stored base + placement + merged order + span
+            # extraction) against the rebuild-path spans
+            "e2e_update_spans_sec": min(legs["e2e_update"]),
+            "e2e_rebuild_spans_sec": min(legs["e2e_rebuild"]),
+            "e2e_winner": (
+                "update"
+                if min(legs["e2e_update"]) < min(legs["e2e_rebuild"])
+                else "rebuild"
+            ),
+            "e2e_spans_identical": bool(spans_match),
         }
         print(f"[probe] {key}: {out[key]}")
+        _release_memo_value((bf_n, bh_n, base_n, delta_n))
     spark.stop()
     with open(os.path.join(REPO, "PROBE_XSI.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
