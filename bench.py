@@ -246,6 +246,17 @@ HEADLINE = [
     "doc_title_edit_entropy",
     "doc_containment_split_audit",
     "customer_ldiversity_audit",
+    # appended round 14: the stored-base incremental ExactSubstr path
+    # (rank-ladder placement + merged order + boundary-crossing LCP
+    # walk). The stored base memo is a bench INPUT CONTRACT (the
+    # orders_ivm_join precedent, stated in catalog_r14): rep 1 pays the
+    # one-time base build + store, rep 2 measures the update path the
+    # entries claim — both numbers ship via the cold/min maps. Below
+    # the measured crossover these rows are stage-overhead-bound
+    # (~30 s at sf0.1; the entries exist for CORRECTNESS of the
+    # update machinery, and PROBE_XSI carries their scale story).
+    "doc_sa_placement_merged",
+    "doc_exact_substr_stored_base",
 ]
 
 

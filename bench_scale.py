@@ -537,6 +537,17 @@ PROBES = [
     # round-13 customer_ldiversity_audit is NOT probed: the
     # kanonymity exclusion verbatim (one domain-bounded groupBy; the
     # count_distinct Expand is the probed orders_profile shape)
+    # round-14 doc_exact_substr_stored_base and doc_sa_placement_merged
+    # are NOT probed here: their scale behavior is measured by
+    # tools/probe_xsi.py at THREE scales (10×/30×/100×) with full
+    # component decomposition (stored-base build / delta build / ladder
+    # placement / end-to-end spans, min-of-2 alternating-order legs —
+    # PROBE_XSI.json), which strictly dominates the sweep's single 10×
+    # ratio; and their stored-base memo is an input contract the
+    # sweep's two-rep protocol would either flatter or break.
+    # round-14 doc_containment_split_join IS probed (EXTRA_PROBES):
+    # the serving containment join in its pruning regime (r13 verdict
+    # ask #6).
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,
@@ -569,9 +580,30 @@ def _probe_bpe_deep32(spark: SparkSession, sf_dir: str) -> None:
     print(f"[probe] doc_bpe_deep32_merges: achieved {len(merges)} merges")
 
 
+def _probe_containment_split_join(spark: SparkSession, sf_dir: str) -> None:
+    # round-14 (r13 verdict ask #6): doc_containment_join's SERVING
+    # relation — the audit's pruned join WITHOUT the audit overhead
+    # (no closed-form slot counts, no completeness re-proof, no 1-row
+    # summary) — over the split-re-publication corpus where the
+    # LENGTH/POSITIONAL prunes fire (slot_reduction 0.59 at 10×,
+    # SCALE_PROBES_r13). The committed doc_containment_join ratio is
+    # measured only on the verbatim-copy corpus where pruning can't
+    # help (answer-mass-dominated, worst ratio 5.5); this probe gives
+    # the serving plan its pruning-regime ratio.
+    from idh_etl_demo_spark.catalog_r10 import _ssim_streams_of
+    from idh_etl_demo_spark.catalog_r11b import _containment_relation
+    from idh_etl_demo_spark.catalog_r13 import _split_base
+
+    stream, sizes = _ssim_streams_of(_split_base(spark, sf_dir))
+    _containment_relation(stream, sizes).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 EXTRA_PROBES = {
     "doc_bpe_deep32_merges": _probe_bpe_deep32,
     "doc_bpe_deep64_merges": _probe_bpe_deep64,
+    "doc_containment_split_join": _probe_containment_split_join,
 }
 
 # key columns to shift per copy so unioned rows stay distinct entities

@@ -60,8 +60,15 @@ _XSB_MODELS: dict[tuple, tuple] = {}
 
 def _xsb_parts(spark: SparkSession, sf_dir: str) -> tuple:
     """Stored base artifacts per (session, sf): final order, rank
-    ladder, position projection, per-doc lengths."""
-    from idh_etl_demo_spark.operators.suffix import suffix_ranks
+    ladder, position projection, per-doc lengths, the ladder's
+    comparison artifacts (seed vocab + per-level pair maps/cumsums),
+    and the top-class frame — everything the 100 TB design persists at
+    build time, so every per-update stage stays |delta|-width."""
+    from idh_etl_demo_spark.operators.suffix import (
+        ladder_artifacts,
+        suffix_ranks,
+        top_class_frame,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _XSB_MODELS:
@@ -72,18 +79,22 @@ def _xsb_parts(spark: SparkSession, sf_dir: str) -> tuple:
         blens = base_toks.select(
             "doc_id", F.size("toks").cast("long").alias("n_tokens")
         )
-        _XSB_MODELS[key] = (bf, bh, bp, blens)
+        arts = ladder_artifacts(bh, bp)
+        bf_top = top_class_frame(bf, bh, blens).localCheckpoint(eager=True)
+        _XSB_MODELS[key] = (bf, bh, bp, blens, arts, bf_top)
     return _XSB_MODELS[key]
 
 
-def _merged_order(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, tuple, tuple]:
-    """(merged, base_parts, delta_parts): the merged total order over
-    base+delta via the stored base + ladder placement — one union and
-    ONE bucketed ranking pass (the unavoidable merge floor; every
-    other stage is |delta|-width). ``merged``: (doc_id, pos, tag, mr)
-    with tag 1 on delta rows and mr the 1-based merged rank."""
+def merged_order_from(
+    bparts: tuple, delta_toks: DataFrame
+) -> tuple[DataFrame, tuple]:
+    """(merged, delta_parts): the merged total order over a stored base
+    and an arbitrary delta — the delta-only build, the ladder
+    extension + placement, one union and ONE bucketed ranking pass
+    (the unavoidable merge floor; every other stage is |delta|-width).
+    ``merged``: (doc_id, pos, tag, mr) with tag 1 on delta rows and mr
+    the 1-based merged rank. Corpus-parameterized so the scale probe
+    (tools/probe_xsi.py) runs the identical pipeline at 10×/30×/100×."""
     from idh_etl_demo_spark.operators.suffix import (
         _NBUCKETS,
         _bucketed_rank,
@@ -92,11 +103,12 @@ def _merged_order(
         suffix_ranks,
     )
 
-    bf, bh, bp, blens = _xsb_parts(spark, sf_dir)
-    delta_toks = _xsi_base(spark, sf_dir).filter(_xsi_delta(F.col("doc_id")))
+    bf, bh, bp, blens, arts, bf_top = bparts
     d_final, d_hist, d_pos = suffix_ranks(delta_toks)
-    states = extend_delta_states(bh, bp, delta_toks)
-    ins = place_delta_ranks(bf, bh, bp, blens, delta_toks, states=states)
+    states = extend_delta_states(bh, bp, delta_toks, artifacts=arts)
+    ins = place_delta_ranks(
+        bf, bh, bp, blens, delta_toks, states=states, bf_top=bf_top
+    )
     u = bf.select(
         "doc_id",
         "pos",
@@ -122,9 +134,102 @@ def _merged_order(
     ).select("doc_id", "pos", "tag", F.col("gr").alias("mr"))
     return (
         ranked.localCheckpoint(eager=True),
-        (bf, bh, bp, blens),
         (d_final, d_hist, d_pos, delta_toks, states),
     )
+
+
+def stored_base_spans(
+    bparts: tuple, dparts: tuple, merged: DataFrame, maxlen: int
+) -> DataFrame:
+    """Delta-snapshot removal spans from the stored-base update path —
+    the LCP-recovery + interval tail shared by the catalog entry and
+    the scale probe. ``bparts``/``dparts``/``merged`` from
+    ``_xsb_parts``-shaped tuples and ``merged_order_from``."""
+    from idh_etl_demo_spark.operators.suffix import (
+        delta_base_lcp,
+        merge_intervals,
+        suffix_lcp_adjacent,
+    )
+
+    bf, bh, bp, blens, _arts, _bf_top = bparts
+    d_final, d_hist, d_pos, delta_toks, states = dparts
+    dlens = delta_toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    a = merged.select(
+        F.col("doc_id").alias("d1"),
+        F.col("pos").alias("p1"),
+        F.col("tag").alias("t1"),
+        "mr",
+    )
+    b = merged.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("tag").alias("t2"),
+        (F.col("mr") - 1).alias("mr"),
+    )
+    adj = a.join(b, "mr").filter((F.col("t1") == 1) | (F.col("t2") == 1))
+    # delta–delta: same-slot neighbors are delta-internal-adjacent
+    dd = adj.filter((F.col("t1") == 1) & (F.col("t2") == 1)).select(
+        "d1", "p1", "d2", "p2"
+    )
+    d_pairs = suffix_lcp_adjacent(d_final, d_hist, d_pos, dlens)
+    ddl = dd.join(d_pairs, ["d1", "p1", "d2", "p2"])
+    m1 = adj.filter((F.col("t1") == 1) & (F.col("t2") == 0)).select(
+        "d1", "p1", "d2", "p2"
+    )
+    m2 = adj.filter((F.col("t1") == 0) & (F.col("t2") == 1)).select(
+        F.col("d2").alias("d1"),
+        F.col("p2").alias("p1"),
+        F.col("d1").alias("d2"),
+        F.col("p1").alias("p2"),
+    )
+    mixed = delta_base_lcp(
+        m1.unionByName(m2), states, bh, bp, d_pos, blens, dlens, maxlen
+    )
+    sides = (
+        ddl.select(
+            F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
+        )
+        .unionByName(
+            ddl.select(
+                F.col("d2").alias("doc_id"), F.col("p2").alias("pos"), "lcp"
+            )
+        )
+        .unionByName(
+            mixed.select(
+                F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
+            )
+        )
+    )
+    m = sides.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
+    iv = m.filter(F.col("m") >= _XS_T).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.col("m")).alias("e"),
+    )
+    return (
+        merge_intervals(iv)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _merged_order(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, tuple, tuple]:
+    """The catalog corpus's merged order via the stored-base memo."""
+    bparts = _xsb_parts(spark, sf_dir)
+    delta_toks = _xsi_base(spark, sf_dir).filter(_xsi_delta(F.col("doc_id")))
+    merged, dparts = merged_order_from(bparts, delta_toks)
+    return merged, bparts, dparts
 
 
 @query(
@@ -243,89 +348,14 @@ def doc_exact_substr_stored_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-update stage is |delta|-width except the single merged ranking
     pass — the floor ANY merge must pay, and exactly the term the r13
     crossover measurement (PROBE_XSI) priced against the rebuild."""
-    from idh_etl_demo_spark.operators.suffix import (
-        delta_base_lcp,
-        merge_intervals,
-        suffix_lcp_adjacent,
-    )
-
     merged, bparts, dparts = _merged_order(spark, sf_dir)
-    bf, bh, bp, blens = bparts
-    d_final, d_hist, d_pos, delta_toks, states = dparts
-    dlens = delta_toks.select(
-        "doc_id", F.size("toks").cast("long").alias("n_tokens")
-    )
-    a = merged.select(
-        F.col("doc_id").alias("d1"),
-        F.col("pos").alias("p1"),
-        F.col("tag").alias("t1"),
-        "mr",
-    )
-    b = merged.select(
-        F.col("doc_id").alias("d2"),
-        F.col("pos").alias("p2"),
-        F.col("tag").alias("t2"),
-        (F.col("mr") - 1).alias("mr"),
-    )
-    adj = a.join(b, "mr").filter((F.col("t1") == 1) | (F.col("t2") == 1))
-    # delta–delta: same-slot neighbors are delta-internal-adjacent
-    dd = adj.filter((F.col("t1") == 1) & (F.col("t2") == 1)).select(
-        "d1", "p1", "d2", "p2"
-    )
-    d_pairs = suffix_lcp_adjacent(d_final, d_hist, d_pos, dlens)
-    ddl = dd.join(d_pairs, ["d1", "p1", "d2", "p2"])
-    # mixed pairs, normalized to (delta side, base side)
     maxlen = int(
         _xsi_base(spark, sf_dir)
         .select(F.max(F.size("toks")).alias("n"))
         .collect()[0][0]
         or 0
     )
-    m1 = adj.filter((F.col("t1") == 1) & (F.col("t2") == 0)).select(
-        "d1", "p1", "d2", "p2"
-    )
-    m2 = adj.filter((F.col("t1") == 0) & (F.col("t2") == 1)).select(
-        F.col("d2").alias("d1"),
-        F.col("p2").alias("p1"),
-        F.col("d1").alias("d2"),
-        F.col("p1").alias("p2"),
-    )
-    mixed = delta_base_lcp(
-        m1.unionByName(m2), states, bh, bp, d_pos, blens, dlens, maxlen
-    )
-    sides = (
-        ddl.select(
-            F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
-        )
-        .unionByName(
-            ddl.select(
-                F.col("d2").alias("doc_id"), F.col("p2").alias("pos"), "lcp"
-            )
-        )
-        .unionByName(
-            mixed.select(
-                F.col("d1").alias("doc_id"), F.col("p1").alias("pos"), "lcp"
-            )
-        )
-    )
-    m = sides.groupBy("doc_id", "pos").agg(F.max("lcp").alias("m"))
-    iv = m.filter(F.col("m") >= _XS_T).select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + F.col("m")).alias("e"),
-    )
-    return (
-        merge_intervals(iv)
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start"))
-            .cast("long")
-            .alias("span_len"),
-        )
-        .orderBy("doc_id", "span_start")
-    )
+    return stored_base_spans(bparts, dparts, merged, maxlen)
 
 
 def release_xsb_models() -> None:
@@ -334,8 +364,13 @@ def release_xsb_models() -> None:
     from idh_etl_demo_spark.operators.graph import _release_checkpoint
 
     for v in _XSB_MODELS.values():
-        bf, bh, bp, _blens = v
+        bf, bh, bp, _blens, arts, bf_top = v
         _release_checkpoint(bf)
+        _release_checkpoint(bf_top)
+        _release_checkpoint(arts["seed_vocab"])
+        for pmap, fx in arts["levels"]:
+            _release_checkpoint(pmap)
+            _release_checkpoint(fx)
         for _, fr in bh:
             _release_checkpoint(fr)
     _XSB_MODELS.clear()

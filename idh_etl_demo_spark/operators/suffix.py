@@ -277,10 +277,59 @@ def suffix_ranks(
     return final, history, pos
 
 
+def ladder_artifacts(
+    base_history: list[tuple[int, DataFrame]],
+    base_pos: DataFrame,
+) -> dict:
+    """The stored-base design's PERSISTED comparison structures, built
+    once alongside the base suffix array (they materialize mid-round
+    during the build anyway — at 100 TB these are parquet tables next
+    to the rank ladder):
+
+    - ``seed_vocab``: the bigram vocabulary with content-order ranks;
+    - per level i ≥ 1: the PAIR MAP (r1, r2, r12) — distinct level-i
+      pairs with their stored dense rank — and the exclusive
+      pairs-before-first-class cumsum ``fx`` (r1, cum).
+
+    Everything is eagerly checkpointed (it is the artifact). Passing
+    this to ``extend_delta_states`` / ``place_delta_ranks`` makes every
+    per-update stage |delta|-width: without it they re-derive the same
+    tables lazily per call (correct, but charges base-corpus passes to
+    the update — the r14 probe measured that as the placement term's
+    only scale-dependent cost)."""
+    vr = _seed_vocab(_pos2(base_pos)).localCheckpoint(eager=True)
+    levels = []
+    for i in range(1, len(base_history)):
+        shift = base_history[i - 1][0]
+        h_prev = base_history[i - 1][1]
+        h_cur = base_history[i][1]
+        r1t = h_prev.select("doc_id", "pos", F.col("r").alias("r1"))
+        r2t = h_prev.select(
+            "doc_id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("r2")
+        )
+        pmap = (
+            h_cur.select("doc_id", "pos", F.col("r").alias("r12"))
+            .join(r1t, ["doc_id", "pos"])
+            .join(r2t, ["doc_id", "pos"], "left")
+            .select(
+                "r1",
+                F.coalesce("r2", F.lit(-1)).cast("long").alias("r2"),
+                "r12",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        grp = pmap.groupBy("r1").agg(F.count(F.lit(1)).alias("n"))
+        fx = _bucketed_cumsum(grp, "r1", "n").localCheckpoint(eager=True)
+        levels.append((pmap, fx))
+    return {"seed_vocab": vr, "levels": levels}
+
+
 def extend_delta_states(
     base_history: list[tuple[int, DataFrame]],
     base_pos: DataFrame,
     delta_toks: DataFrame,
+    artifacts: dict | None = None,
 ) -> list[tuple[int, DataFrame]]:
     """Extend the STORED base rank ladder to every DELTA suffix — the
     comparison structure of the production stored-base incremental-SA
@@ -321,7 +370,11 @@ def extend_delta_states(
         "doc_id", F.posexplode("toks").alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
     dp2 = _pos2(d_pos)
-    vr = _seed_vocab(_pos2(base_pos))
+    vr = (
+        artifacts["seed_vocab"]
+        if artifacts is not None
+        else _seed_vocab(_pos2(base_pos))
+    )
     hit = dp2.join(F.broadcast(vr), ["token", "end", "t2v"], "left")
     miss_keys = (
         hit.filter(F.col("r").isNull())
@@ -369,29 +422,36 @@ def extend_delta_states(
     cur = seed
     for i in range(1, len(base_history)):
         shift = base_history[i - 1][0]  # content length of level i-1
-        h_prev = base_history[i - 1][1]
-        h_cur = base_history[i][1]
-        # base pair map at this level: (r1, r2, r12) distinct — r12 is
-        # the DENSE RANK of pairs under (r1, r2) order by construction,
-        # so pairs-before counts translate directly to bracket ids
-        r1t = h_prev.select("doc_id", "pos", F.col("r").alias("r1"))
-        r2t = h_prev.select(
-            "doc_id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("r2")
-        )
-        pmap = (
-            h_cur.select("doc_id", "pos", F.col("r").alias("r12"))
-            .join(r1t, ["doc_id", "pos"])
-            .join(r2t, ["doc_id", "pos"], "left")
-            .select(
-                "r1",
-                F.coalesce("r2", F.lit(-1)).cast("long").alias("r2"),
-                "r12",
+        if artifacts is not None:
+            pmap, fx = artifacts["levels"][i - 1]
+        else:
+            # no stored artifact: derive the pair map / cumsum lazily —
+            # correct, but charges base-corpus passes to this call
+            # (r12 is the DENSE RANK of pairs under (r1, r2) order by
+            # construction, so pairs-before counts translate directly
+            # to bracket ids)
+            h_prev = base_history[i - 1][1]
+            h_cur = base_history[i][1]
+            r1t = h_prev.select("doc_id", "pos", F.col("r").alias("r1"))
+            r2t = h_prev.select(
+                "doc_id",
+                (F.col("pos") - shift).alias("pos"),
+                F.col("r").alias("r2"),
             )
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        grp = pmap.groupBy("r1").agg(F.count(F.lit(1)).alias("n"))
-        fx = _bucketed_cumsum(grp, "r1", "n")  # #pairs with first < r1
+            pmap = (
+                h_cur.select("doc_id", "pos", F.col("r").alias("r12"))
+                .join(r1t, ["doc_id", "pos"])
+                .join(r2t, ["doc_id", "pos"], "left")
+                .select(
+                    "r1",
+                    F.coalesce("r2", F.lit(-1)).cast("long").alias("r2"),
+                    "r12",
+                )
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            grp = pmap.groupBy("r1").agg(F.count(F.lit(1)).alias("n"))
+            fx = _bucketed_cumsum(grp, "r1", "n")  # #pairs first < r1
         tot = pmap.agg(F.count(F.lit(1)).cast("long").alias("_ptot"))
         s2 = cur.select(
             "doc_id",
@@ -472,6 +532,29 @@ def extend_delta_states(
     return out
 
 
+def top_class_frame(
+    base_final: DataFrame,
+    base_history: list[tuple[int, DataFrame]],
+    base_lens: DataFrame,
+) -> DataFrame:
+    """(doc_id, pos, sa_rank, r, rem) — the stored order joined with
+    its top-level class and per-position tail length; the base of the
+    per-class table ``place_delta_ranks`` locates against. Storable
+    alongside the ladder (one corpus pass at build time)."""
+    h_top = base_history[-1][1]
+    return (
+        base_final.join(h_top, ["doc_id", "pos"])
+        .join(base_lens, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            "sa_rank",
+            "r",
+            (F.col("n_tokens") - F.col("pos")).cast("long").alias("rem"),
+        )
+    )
+
+
 def place_delta_ranks(
     base_final: DataFrame,
     base_history: list[tuple[int, DataFrame]],
@@ -479,6 +562,7 @@ def place_delta_ranks(
     base_lens: DataFrame,
     delta_toks: DataFrame,
     states: list[tuple[int, DataFrame]] | None = None,
+    bf_top: DataFrame | None = None,
 ) -> DataFrame:
     """Insertion ranks of every DELTA suffix into a STORED base suffix
     order — the placement stage of the stored-base incremental-SA
@@ -529,17 +613,13 @@ def place_delta_ranks(
     top_len, d_top = states[-1]
     h_top = base_history[-1][1]
     # per-class table over the stored order: rank offset, size, the
-    # representative member, and the members' (shared) tail length
+    # representative member, and the members' (shared) tail length —
+    # storable at build time (top_class_frame); derived lazily when no
+    # stored artifact is passed
     bf = (
-        base_final.join(h_top, ["doc_id", "pos"])
-        .join(base_lens, "doc_id")
-        .select(
-            "doc_id",
-            "pos",
-            "sa_rank",
-            "r",
-            (F.col("n_tokens") - F.col("pos")).cast("long").alias("rem"),
-        )
+        bf_top
+        if bf_top is not None
+        else top_class_frame(base_final, base_history, base_lens)
     )
     cls = (
         bf.groupBy("r")

@@ -125,7 +125,16 @@ def test_placement_tail_loop_under_stability_exit(spark):
 
 def test_placement_gap_extremes_and_past_end(spark):
     """Delta suffixes before every base suffix, after every base
-    suffix, and pairs whose second block is past-end (short docs)."""
+    suffix, and pairs whose second block is past-end (short docs);
+    plus: the STORED-ARTIFACT path (ladder_artifacts + top_class_frame
+    passed in) returns bit-identical insertion ranks to the lazy
+    derive-per-call path."""
+    from idh_etl_demo_spark.operators.suffix import (
+        extend_delta_states,
+        ladder_artifacts,
+        top_class_frame,
+    )
+
     base_rows = [(0, "b c d e"), (1, "c d"), (2, "d")]
     delta_rows = [
         (100, "a a a a a"),  # strictly before everything at every level
@@ -135,6 +144,31 @@ def test_placement_gap_extremes_and_past_end(spark):
         (104, "b c d e"),  # verbatim re-crawl (tie path)
     ]
     _check(spark, base_rows, delta_rows)
+    base = _toks_df(spark, base_rows).localCheckpoint(eager=True)
+    delta = _toks_df(spark, delta_rows).localCheckpoint(eager=True)
+    bf, hist, bp = suffix_ranks(base)
+    blens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    lazy = {
+        (r.doc_id, r.pos): r.ins
+        for r in place_delta_ranks(bf, hist, bp, blens, delta).collect()
+    }
+    arts = ladder_artifacts(hist, bp)
+    bf_top = top_class_frame(bf, hist, blens)
+    stored = {
+        (r.doc_id, r.pos): r.ins
+        for r in place_delta_ranks(
+            bf,
+            hist,
+            bp,
+            blens,
+            delta,
+            states=extend_delta_states(hist, bp, delta, artifacts=arts),
+            bf_top=bf_top,
+        ).collect()
+    }
+    assert lazy == stored
 
 
 def test_xsi_stored_base_parity(spark, monkeypatch):

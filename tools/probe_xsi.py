@@ -225,13 +225,25 @@ def main() -> None:
             corpus_n.agg(F.max(F.size("toks"))).collect()[0][0] or 0
         )
 
-        # stored artifact (NOT in the update cost): built once per
-        # scale, reused by every update leg in both reps
+        # stored artifact (NOT in the update cost): the base build PLUS
+        # the ladder's comparison artifacts (seed vocab, per-level pair
+        # maps/cumsums, top-class frame — all persisted at build time
+        # in the 100 TB design, as they materialize mid-round anyway);
+        # built once per scale, reused by every update leg in both reps
+        from idh_etl_demo_spark.operators.suffix import (
+            ladder_artifacts,
+            top_class_frame,
+        )
+
         t0 = time.perf_counter()
         bf_n, bh_n, bp_n = suffix_ranks(base_n)
+        arts_n = ladder_artifacts(bh_n, bp_n)
+        bf_top_n = top_class_frame(bf_n, bh_n, blens).localCheckpoint(
+            eager=True
+        )
         stored_base_build_s = round(time.perf_counter() - t0, 3)
         nb = bf_n.count()
-        bparts = (bf_n, bh_n, bp_n, blens)
+        bparts = (bf_n, bh_n, bp_n, blens, arts_n, bf_top_n)
 
         def _leg_rebuild():
             t0 = time.perf_counter()
@@ -250,9 +262,17 @@ def main() -> None:
 
         def _leg_placement():
             t0 = time.perf_counter()
-            states = extend_delta_states(bh_n, bp_n, delta_n)
+            states = extend_delta_states(
+                bh_n, bp_n, delta_n, artifacts=arts_n
+            )
             ins = place_delta_ranks(
-                bf_n, bh_n, bp_n, blens, delta_n, states=states
+                bf_n,
+                bh_n,
+                bp_n,
+                blens,
+                delta_n,
+                states=states,
+                bf_top=bf_top_n,
             )
             ins.count()
             s = round(time.perf_counter() - t0, 3)
@@ -372,7 +392,17 @@ def main() -> None:
             "e2e_spans_identical": bool(spans_match),
         }
         print(f"[probe] {key}: {out[key]}")
-        _release_memo_value((bf_n, bh_n, base_n, delta_n))
+        _release_memo_value(
+            (
+                bf_n,
+                bh_n,
+                base_n,
+                delta_n,
+                bf_top_n,
+                arts_n["seed_vocab"],
+                [list(t) for t in arts_n["levels"]],
+            )
+        )
     spark.stop()
     with open(os.path.join(REPO, "PROBE_XSI.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
