@@ -284,22 +284,31 @@ def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark is ⌈log₂ n_base⌉ = 15 batched binary-search join stages whose
 # cost floor is stage overhead (~0.3-0.5 s each, data-independent) —
 # ≈ 8-10 s total vs the measured 4.8 s rebuild. Rebuild wins at
-# catalog SFs because stage overhead dominates 28k-position passes;
-# the crossover is where ONE ranking pass over n costs more than the
-# ~15 placement stages (~5-8 s of overhead), i.e. corpora ~100-1000×
-# these SFs — at 100 TB the update wins decisively (it saves ~6 of 7
-# full-corpus ranking passes and the placement joins carry |delta|
-# rows). Round 13 PROTOTYPED the placement stage
-# (operators/suffix.place_delta_ranks — batched binary search against
-# the stored order, merged-order-exact by property test) and MEASURED
-# the crossover at three scales (PROBE_XSI.json
-# placement_{10,30,100}x_sf0.01): rebuild wins at 10× (18.0 vs 19.8 s)
-# and 30× (18.7 vs 37.9), and the crossover LANDS NEAR 100× (47.4 vs
-# 45.8 at 2.86M positions — a 3.4% single-shot margin, inside the
-# repo's measured session-noise floor, so "near", not "at");
-# placement cost is ~data-independent (29.5 s at 30× → 30.7 s at
-# 100×, rounds × stage overhead) while rebuild's ranking passes scale
-# with n. Rebuild stays the default below the measured break-even. The build also now stops at the
+# catalog SFs because stage overhead dominates 28k-position passes.
+# Round 13 prototyped the placement as a batched binary search
+# (string-compare probes) and read a 3.4% single-shot crossover at
+# 100×; round 14 REPLACED the prototype with the PRODUCTION shape —
+# comparison through the stored rank LADDER
+# (operators/suffix.extend_delta_states + place_delta_ranks +
+# delta_base_lcp; the pair maps / cumsums / top-class frame persist
+# WITH the base as suffix.ladder_artifacts) — and re-measured under
+# min-of-2 with ALTERNATING leg order (the r13 ADVICE: the single-shot
+# margin sat inside the session-noise floor). PROBE_XSI.json
+# placement_{10,30,100}x_sf0.01, all with e2e_spans_identical=true:
+#   10×  (286k pos): rebuild 11.0 vs update 13.5 — rebuild;
+#                    end-to-end spans 18.2 vs 21.0 — rebuild;
+#   30×  (858k pos): rebuild 18.6 vs update 18.0 — UPDATE;
+#                    end-to-end spans 36.7 vs 28.0 — UPDATE;
+#   100× (2.86M):    rebuild 41.6 vs update 28.2 — UPDATE;
+#                    end-to-end spans 63.9 vs 60.0 — UPDATE.
+# The crossover lands between 10× and 30× of sf0.01 (placement itself
+# reads 7.2/9.7/15.5 s — |delta|-width joins against the stored
+# artifacts); the honest flip side: the fair protocol REFUTED the r13
+# component-level "update wins at 100×" as a cold-rebuild artifact
+# (rebuild reads 41.6 there, not 47.4). Rebuild stays the default at
+# catalog SFs, far below the measured break-even; the stored-base path
+# serves via SPARK_GRAFT_XSI_PATH=stored (flag below) and as its own
+# driver-gated entries (catalog_r14). The build also now stops at the
 # Manber–Myers FIXPOINT (operators/suffix.py stability exit): on this
 # corpus the verbatim re-crawls keep classes refining to full depth,
 # so the exit saves only the final redundant level, but a
