@@ -80,6 +80,8 @@ PICKS = {
     "events_rolling_zscore": "rolling z-score: ONE user-partitioned sort serves count/sum/sumsq over the constant 7-row frame; the z identity is an exact-int64 projection with a single sqrt+division — state per task is constant at any corpus size",
     "doc_title_edit_entropy": "the Ed-Join kernel in its PRUNING regime: title synthesis is doc_id-arithmetic projection (text never read); the 64^3-value gram space keeps rarest-prefix buckets near-singleton, so the spread candidate join emits ~planted pairs and verification is |candidates| banded DPs",
     "doc_containment_split_audit": "containment audit on the split corpus: three union branches of one scan derive parent+pieces map-only; the shared rank-window lineage feeds the pruned prefix⋈full join where the LENGTH/POSITIONAL bounds cut ~1/3 of slots (slot_reduction 0.66) before the distinct",
+    "doc_sa_placement_merged": "stored-base merged order, served: the heavy work (base+delta builds, ladder extension, placement, ONE bucketed merge ranking) freezes into an eager checkpoint at build — the served digest plan is one per-doc map-side-combined groupBy over id-width merged-rank rows + the presentation sort",
+    "doc_exact_substr_stored_base": "the stored-base update path: merged rank±1 adjacency joins feed TWO |delta|-width LCP walks — the delta-only build's log(max_len) refinement chain and the mixed ladder walk (repeat-top + descend joins against checkpointed state/rank tables) — then the m(p) groupBy and the per-doc gaps-and-islands windows; base-only pairs and token arrays never enter any exchange",
 }
 
 
