@@ -195,6 +195,71 @@ def test_xsi_stored_base_parity(spark, monkeypatch):
     pd.testing.assert_frame_equal(rebuild, routed)
 
 
+def test_delta_base_lcp_brute_force(spark):
+    """The mixed (delta suffix, base suffix) ladder walk equals
+    elementwise token comparison on every cross pair — including long
+    identical runs that exercise the repeat-top loop (base stability-
+    exits at top level 2 on the identical-docs corpus), boundary-end
+    overshoots capped by the tail lengths, and unseen-vocabulary delta
+    windows (gap states ⇒ no advance)."""
+    from idh_etl_demo_spark.operators.suffix import (
+        delta_base_lcp,
+        extend_delta_states,
+    )
+
+    base_rows = [(0, " ".join(f"x{j}" for j in range(30))),
+                 (1, " ".join(f"x{j}" for j in range(30))),
+                 (2, "x0 x1 q7 x3")]
+    delta_rows = [
+        (100, " ".join(f"x{j}" for j in range(30))),  # verbatim run
+        (101, " ".join(f"x{j}" for j in range(12)) + " z9"),  # deep split
+        (102, "z1 z2"),  # fully unseen
+        (103, "x0"),  # single token
+    ]
+    base = _toks_df(spark, base_rows).localCheckpoint(eager=True)
+    delta = _toks_df(spark, delta_rows).localCheckpoint(eager=True)
+    _bf, hist, bp = suffix_ranks(base)
+    states = extend_delta_states(hist, bp, delta)
+    d_pos = delta.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    blens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    dlens = delta.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    btoks = {d: t.split() for d, t in base_rows}
+    dtoks = {d: t.split() for d, t in delta_rows}
+    # every (delta position, base position) cross pair
+    pairs = []
+    for dd, dt in dtoks.items():
+        for dp in range(len(dt)):
+            for bd, bt in btoks.items():
+                for bpp in range(len(bt)):
+                    pairs.append((dd, dp, bd, bpp))
+    pdf = spark.createDataFrame(
+        pairs, "d1 long, p1 long, d2 long, p2 long"
+    )
+    maxlen = max(
+        max(len(t) for t in btoks.values()),
+        max(len(t) for t in dtoks.values()),
+    )
+    got = {
+        (r.d1, r.p1, r.d2, r.p2): r.lcp
+        for r in delta_base_lcp(
+            pdf, states, hist, bp, d_pos, blens, dlens, maxlen
+        ).collect()
+    }
+    for dd, dp, bd, bpp in pairs:
+        a, b = dtoks[dd][dp:], btoks[bd][bpp:]
+        want = 0
+        while want < min(len(a), len(b)) and a[want] == b[want]:
+            want += 1
+        assert got[(dd, dp, bd, bpp)] == want, (dd, dp, bd, bpp)
+    assert hist[-1][0] < 30, "expected a stability-exited base build"
+
+
 def test_extended_states_bracket_semantics(spark):
     """Top-level states bracket correctly: an exact state's class
     content equals the delta window; a gap state g strictly separates
