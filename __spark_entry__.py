@@ -33,6 +33,7 @@ import idh_etl_demo_spark.catalog_r11c  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r12  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r13  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_r14  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r15  # noqa: F401  (registers entries)
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401  (registers entries)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -44,6 +45,49 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # then the most operator-diverse TPC-H entries. Everything not named here
 # follows in registration order and is covered by the repo's own
 # parametrized DuckDB-oracle sweep (tests/test_catalog_oracle.py).
+#
+# ROUND-15 ROTATION (the round-14 verdict's ask #1: keep consuming
+# SCHEDULED_RECALLS from the top). TWENTY-SEVEN swaps — the largest
+# rotation yet, possible because every r13 first-green earned its
+# second signal in r14 AND all eight r14 verdict-named recalls
+# re-greened, freeing their slots simultaneously. Rotating IN:
+#  - the first 11 rows of SCHEDULED_RECALLS verbatim (queue-top
+#    consumption order: cheapest_lineitem_per_order through
+#    lineitem_profile — the r2-stale SURVEY-core tail);
+#  - the 3 NEW round-15 entries (doc_exact_substr_fold,
+#    doc_exact_substr_tombstone, doc_setsim_split_audit — verdict asks
+#    #4, #5, #7 as driver-gated queries);
+#  - 7 doc-family recalls (doc_exact_dedup, doc_minhash_candidates,
+#    doc_ngram_jaccard, doc_gopher_quality, doc_pii_scrub,
+#    doc_snapshot_dedup, doc_simhash_neardup — all r6-stale), 4
+#    embedding recalls (embedding_kmeans_2iter, embedding_near_dup —
+#    r5-stale; embedding_ann_audit, embedding_cosine_topk — r6-stale)
+#    and 2 multimodal recalls (multimodal_frame_sample,
+#    multimodal_image_features — r6-stale), because every family sits
+#    EXACTLY at its minimum, so each family out needs a same-family in
+#    — total queue consumption 24 rows.
+# Rotating OUT 27 rows with ≥2 driver greens each, annotated in place:
+# the 11 unconstrained r14 recalls/second-signals (merge_new_customers,
+# delay_parse_roundtrip, time_dim_from_events, expression_key_join,
+# mode_quantity_per_flag, purchase_view_attribution,
+# weather_classify_events, orders_ivm_agg_retract, orders_snapshot_diff,
+# customer_kanonymity_audit, customer_ldiversity_audit), 10 doc rows
+# (doc_dup_canonical, doc_effective_tokens, doc_title_edit_entropy,
+# doc_containment_join, doc_containment_split_audit,
+# doc_duplicated_spans, doc_kn_surprisal_rate, doc_bigram_heavy_hitters,
+# doc_kn_trigram_lm, doc_containment_audit), 4 embedding rows
+# (embedding_ivfpq_residual_search, embedding_ivfpq_nprobe_audit,
+# embedding_ann_hyperplane, embedding_matryoshka_recall_audit) and 2
+# multimodal rows (multimodal_metadata, multimodal_image_ahash).
+# DELIBERATE STAYS: ztm_stop_dim + ztm_time_dim (ztm at exactly its
+# minimum of 3), the entire suffix family (doc_exact_substr_incremental
+# — its path routing changed this round; spans/cleaned/longest_dup_run
+# — suffix.py's doubling loop was refactored this round;
+# stored_base + sa_placement_merged — second signals owed), and both
+# setsim entries (their kernel was factored into shared helpers this
+# round for the split twin). Families after the swap: ztm 3, doc 18,
+# embedding 8, multimodal 4, event 5 — all exactly at minimums; window
+# stays exactly 50.
 #
 # ROUND-14 ROTATION (the round-13 verdict's ask #1: rotate toward the
 # STALE TAIL, not just the new entries). All TWELVE r13 first-greens
@@ -241,7 +285,10 @@ DRIVER_PRIORITY: list[str] = [
     # (ztm_weather_dim held this slot r1-r13, 12 greens; rotated out in
     # r14 — the two-stage weather dedup + bulk rename stays in the
     # sweep and the star oracle; see the ROUND-14 header)
-    "merge_new_customers",             # r14: verdict-named recall (S11, last green r4)
+    # (merge_new_customers returned r14 as the verdict-named S11 recall
+    # and re-greened — rotated out in r15 with 5 greens; the left-anti
+    # merge stays sweep-gated with its partitioned-merge tests)
+    "cheapest_lineitem_per_order",     # r15: queue-top recall (r2-stale)
     "pricing_summary",
     # (doc_streaming_snapshot_curation was slotted here r4-r11 as the
     # streaming representative; displaced late in r11 by
@@ -259,36 +306,56 @@ DRIVER_PRIORITY: list[str] = [
     # (doc_ccnet_kn_buckets was slotted here r11-r12; rotated out in
     # r13 after its second green — the KN chain stays in-window via
     # doc_kn_surprisal_rate and doc_kn_trigram_lm)
-    "doc_dup_canonical",               # r13: r12-new first-green slot
-    "doc_exact_substr_incremental",    # STAYS r13: suffix.py changed again
+    # (doc_dup_canonical was slotted here r13-r14 and earned its two
+    # signals — rotated out in r15; the LSH+CC canonical-selection
+    # shape stays sweep-gated)
+    "doc_exact_substr_fold",           # r15: NEW — multi-delta fold (ask #4)
+    "doc_exact_substr_incremental",    # STAYS r15: path routing changed this round (ask #2)
     # (doc_url_bloom_dedup was slotted here r11-r12; rotated out in r13
     # after its second green — the bloom membership shape stays
     # sweep-gated with its property tests, and exact-dedup semantics
     # stay in-window via doc_effective_tokens' digest groupBy)
-    "doc_effective_tokens",            # r13: r12-new first-green slot
+    # (doc_effective_tokens was slotted here r13-r14 and earned its two
+    # signals — rotated out in r15; the digest-groupBy dedup-discount
+    # shape stays sweep-gated)
+    "doc_exact_substr_tombstone",      # r15: NEW — deletion support (ask #5)
     # (ztm_stop_dim held this slot r11 for the ask-#8 recall; its
     # THIRD green landed — rotated out in r12 for its sibling)
     # (ztm_vehicle_dim held this slot r12-r13, 7 greens; rotated out in
     # r14 — trim/regex-filter/global-sort stays sweep- and
     # star-oracle-gated)
-    "delay_parse_roundtrip",           # r14: verdict-named recall (F9, last green r2)
+    # (delay_parse_roundtrip returned r14 as the verdict-named F9
+    # recall and re-greened — rotated out in r15; the Polish delay
+    # parser keeps its unit + sweep gates)
+    "cube_revenue",                    # r15: queue-top recall (r2-stale)
     # --- round-13 swaps over the late-round-11 first-green slots ---
     # (orders_ivm_agg / orders_ivm_join were slotted here r11-r12;
     # rotated out in r13 after their second greens — IVM semantics stay
     # driver-gated by the strictly stronger retraction entry and the
     # changeset generator below; the join's stored-base release path
     # keeps its planted-decoy regression test)
-    "orders_ivm_agg_retract",          # r13: r12-new first-green slot
-    "orders_snapshot_diff",            # r13: r12-new first-green slot
+    # (orders_ivm_agg_retract and orders_snapshot_diff were slotted
+    # here r13-r14 and earned their two signals — rotated out in r15;
+    # IVM-retraction and snapshot-diff semantics stay sweep-gated with
+    # their planted-retraction property tests)
+    "customer_balance_by_code",        # r15: queue-top recall (r2-stale)
+    "customer_order_activity",         # r15: queue-top recall (r2-stale)
     # (doc_lsh_tuning_audit was slotted here r11-r12; rotated out in
     # r13 after its second green — the design-table pattern stays
     # in-window via events_watermark_design, and the LSH+CC machinery
     # via doc_dup_canonical)
-    "doc_title_edit_entropy",          # r13: NEW — the edit join's pruning path (r11 ask #8)
+    # (doc_title_edit_entropy was slotted here r13-r14 and earned its
+    # two signals — rotated out in r15; the pruning-regime edit join
+    # stays sweep-gated + scale-probed, and joins bench's mechanical
+    # noisy set this round)
+    "customers_active_both_years",     # r15: queue-top recall (r2-stale)
     # (lineitem_winsorized_stats was slotted here r11-r12; rotated out
     # in r13 after its second green — the bucketed-rank percentile
     # shape stayed in-window via lineitem_mad_outliers through r13)
-    "customer_kanonymity_audit",       # r13: r12-new first-green slot
+    # (customer_kanonymity_audit was slotted here r13-r14 and earned
+    # its two signals — rotated out in r15; the privacy-audit family
+    # stays sweep-gated)
+    "customers_churned_97",            # r15: queue-top recall (r2-stale)
     # --- round-14 NEW entries (first-green slots): the stored-base
     # incremental ExactSubstr path — rank-ladder placement + merged
     # order + boundary-crossing LCP walk (r13 verdict asks #3/#4/#8),
@@ -303,30 +370,42 @@ DRIVER_PRIORITY: list[str] = [
     # r13 after its second green — calendar-grain bucketing stays
     # in-window via events_watermark_design's arrival-hour cummax and
     # events_freshness_audit's (type, day) windows)
-    "events_watermark_design",         # r13: r12-new first-green slot
+    "events_watermark_design",         # STAYS r15: event family at its minimum of 5, no queue event rows
     # (orders_chisq_drift was slotted here r11-r12; rotated out in r13
     # after its second green — snapshot-drift auditing stays
     # sweep-gated; the orders-scan audit family stays in-window via
     # orders_profile)
-    "customer_ldiversity_audit",       # r13: NEW — the k-anonymity companion
+    # (customer_ldiversity_audit was slotted here r13-r14 and earned
+    # its two signals — rotated out in r15 with the k-anonymity
+    # sibling; both stay sweep-gated)
+    "dedup_first_order",               # r15: queue-top recall (A5 keyed dedup, r2-stale)
     # (events_key_skew_audit was slotted here r11-r12; rotated out in
     # r13 after its second green — the skew/salting audit stays
     # sweep-gated with its property tests)
-    "ztm_time_dim",                    # r13: NEW — TimeDim via the production builder (ask #6)
-    "doc_containment_join",            # STAYS r13: kernel refactored into shared helpers
+    "ztm_time_dim",                    # STAYS r15: ztm family at its minimum of 3
+    # (doc_containment_join was slotted here r11-r14, 4 greens —
+    # rotated out in r15; the containment kernel is unchanged this
+    # round and stays sweep-gated + scale-probed in both regimes)
+    "dq_orders_audit",                 # r15: queue-top recall (r2-stale)
     # (doc_langid_confusion was slotted here r11-r12; rotated out in
     # r13 after its second green — the classifier-evaluation shape
     # stays sweep-gated; the lang axis stays in-window via doc_quality)
-    "doc_containment_split_audit",     # r13: NEW — prunes firing on the split corpus (ask #4)
+    # (doc_containment_split_audit was slotted here r13-r14 and earned
+    # its two signals — rotated out in r15; its setsim twin
+    # doc_setsim_split_audit takes the split-regime driver slot)
+    "json_extract_filter",             # r15: queue-top recall (F7 regex, r2-stale)
     # --- round-10 rotation-in: the seven never-driver-green entries ---
     # (each displaced row is named in the ROUND-10 header above)
-    "embedding_ivfpq_residual_recall_audit",  # displaced embedding_kcenter_seeds
-    "embedding_nndescent_recall_audit",       # displaced embedding_dup_clusters
+    "embedding_ivfpq_residual_recall_audit",  # STAYS r15: embedding minimum holder
+    "embedding_nndescent_recall_audit",       # STAYS r15: embedding minimum holder
     # (doc_dup_pagerank was slotted here r10-r11; rotated out in r12
     # after its second green — the dup-graph centrality shape stays
     # sweep-gated with its graph property tests)
-    "doc_duplicated_spans",                   # r12: stale recall (r9; verdict-named class)
-    "doc_longest_dup_run",                    # displaced doc_word_histogram
+    # (doc_duplicated_spans returned r12-r14 as a stale recall, 4
+    # greens — rotated out in r15; the rolling-hash duplicated-window
+    # shape stays sweep-gated)
+    "doc_exact_dedup",                        # r15: doc-family recall (r6-stale)
+    "doc_longest_dup_run",                    # STAYS r15: suffix.py doubling loop refactored this round
     # (doc_bm25_rrf was slotted here r10-r11; rotated out in r12 after
     # its second green — the BM25 chain itself left the window with
     # it; retrieval stays sweep-gated + property-pinned this round)
@@ -334,7 +413,11 @@ DRIVER_PRIORITY: list[str] = [
     # earned two more greens — rotated out in r14 for the verdict-named
     # SURVEY-core recalls; its length/punct/stopword scoring stays
     # sweep-gated with its property tests)
-    "time_dim_from_events",                   # r14: verdict-named recall (F17-F20, last green r2)
+    # (time_dim_from_events returned r14 as the verdict-named F17-F20
+    # recall and re-greened — rotated out in r15; the time-dim
+    # derivations stay driver-gated via ztm_time_dim's production
+    # builder and unit-gated per function)
+    "doc_minhash_candidates",                 # r15: doc-family recall (r6-stale)
     # (lineitem_quantile_sketch was slotted here r10-r11; rotated out
     # in r12 after its second green — the mergeable-sketch niche
     # stays sweep-gated with its merge-associativity property tests)
@@ -342,17 +425,23 @@ DRIVER_PRIORITY: list[str] = [
     # after its second green — the full-scan profile audit stays
     # sweep-gated; orders semantics stay in-window via the IVM
     # retraction entry and the snapshot changeset generator)
-    "expression_key_join",                    # r14: verdict-named recall (J6, last green r2)
+    # (expression_key_join returned r14 as the verdict-named J6 recall
+    # and re-greened — rotated out in r15; the computed-key equi-join
+    # stays driver-gated inside ztm_delay_fact's weather key)
+    "doc_ngram_jaccard",                      # r15: doc-family recall (r6-stale)
     # (orders_fk_integrity was slotted here r12-r13; rotated out in
     # r14 after its second green — the referential-integrity audit
     # stays sweep-gated with its planted-orphan property test)
-    "mode_quantity_per_flag",                 # r14: verdict-named recall (A4/P7, last green r2)
+    # (mode_quantity_per_flag returned r14 as the verdict-named A4/P7
+    # recall and re-greened — rotated out in r15; the mode-via-window
+    # idiom keeps its sweep + tie-break unit gates)
+    "late_orders_by_priority",                # r15: queue-top recall (r2-stale)
     # --- round-10 NEW entries (first-green slots; the ExactSubstr cut,
     # r9 verdict ask #5) — displacing doc_ngram_novelty and
     # doc_vocab_topk, both twice-green (r5 + r9) sweep-gated recalls;
     # doc family stays at 21, above its minimum of 18 ---
-    "doc_exact_substr_spans",
-    "doc_exact_substr_cleaned",
+    "doc_exact_substr_spans",          # STAYS r15: suffix.py refactored this round
+    "doc_exact_substr_cleaned",        # STAYS r15: suffix.py refactored this round
     # --- round-10 NEW entries (first-green slots; the Kneser-Ney LM
     # family) — displacing doc_dup_4cliques and doc_lsh_audit, both
     # twice-green (r5 + r9); the clique-mining shape stays sweep-gated
@@ -367,8 +456,14 @@ DRIVER_PRIORITY: list[str] = [
     # signals — rotated out in r14; the edit-distance ER shape stays
     # in-window via doc_title_edit_entropy, which runs the SAME kernel
     # on the pruning-regime corpus)
-    "purchase_view_attribution",       # r14: verdict-named recall (last green r5)
-    "doc_kn_surprisal_rate",
+    # (purchase_view_attribution returned r14 as the verdict-named
+    # recall and re-greened — rotated out in r15 with 5 greens; the
+    # sessionized attribution join stays sweep-gated)
+    "lineitem_profile",                # r15: queue-top recall (r2-stale)
+    # (doc_kn_surprisal_rate held this slot r10-r14, 5 greens — rotated
+    # out in r15; the KN chain stays sweep-gated + scale-probed and its
+    # trigram/CCNet composition keeps its property tests)
+    "doc_gopher_quality",              # r15: doc-family recall (r6-stale)
     # --- round-10 NEW entry (first-green slot; contrastive
     # hard-negative mining) — displacing doc_decontamination (twice-
     # green r5 + r9; the whole decontamination family — entry, bloom,
@@ -376,7 +471,7 @@ DRIVER_PRIORITY: list[str] = [
     # the sweep tail this round, a deliberate family-level rest after
     # r8+r9 driver greens); doc family lands at 20, above its minimum
     # of 18, embedding rises to 14 ---
-    "embedding_hard_negatives",
+    "embedding_hard_negatives",        # STAYS r15: embedding minimum holder
     # --- round-10 NEW entry (first-green slot; native streaming
     # session_window under watermark — the second streaming driver
     # surface) — displacing doc_fingerprint_tokens (twice-green r5 +
@@ -387,20 +482,26 @@ DRIVER_PRIORITY: list[str] = [
     # in r12 after its second green — streaming stays driver-gated via
     # events_streaming_dedup, and the session_window machinery keeps
     # its sweep + property gates)
-    "events_user_ewma",                # r12: never-driver-green rotation-in
+    "events_user_ewma",                # STAYS r15: event family at its minimum of 5
     # --- round-10 NEW entry (first-green slot; per-language tokenizer
     # fertility) — displacing doc_lang_id (twice-green r5 + r9; the
     # per-language axis stays driver-exercised by this entry +
     # doc_unimax_allocation); doc family count unchanged ---
     # (doc_tokenizer_fertility was slotted here r10-r11; rotated out
     # in r12 after its second green)
-    "doc_bigram_heavy_hitters",        # r12: never-driver-green rotation-in
+    # (doc_bigram_heavy_hitters was slotted here r12-r14, 3 greens —
+    # rotated out in r15; the MG-sketch exchange bound stays
+    # sweep-gated + scale-probed)
+    "doc_pii_scrub",                   # r15: doc-family recall (r6-stale)
     # (doc_quality returned r12-r13 as a stale recall and earned two
     # more greens — rotated out again in r14 for the verdict-named
     # SURVEY-core recalls; its length/punct/stopword scoring stays
     # sweep-gated and the lang axis stays in-window via
     # doc_title_edit_entropy's corpus checks)
-    "weather_classify_events",         # r14: verdict-named recall (F15/F16, last green r2)
+    # (weather_classify_events returned r14 as the verdict-named
+    # F15/F16 recall and re-greened — rotated out in r15; fall_type and
+    # the circumstances score keep their 5-band unit gates)
+    "doc_snapshot_dedup",              # r15: doc-family recall (r6-stale)
     # (ztm_stop_dim and ztm_vehicle_dim were slotted here through r9;
     # rotated out in r10 after their second green — see the ROUND-10
     # header)
@@ -415,7 +516,9 @@ DRIVER_PRIORITY: list[str] = [
     # family stays at 14 in-window, far above its minimum of 8)
     # (multimodal_chunks was slotted here r9-r11; rotated out in r12
     # after multiple greens — displaced by the stalest multimodal row)
-    "multimodal_metadata",             # r12: stale recall (r5)
+    # (multimodal_metadata returned r12-r14 as a stale recall, 7 greens
+    # — rotated out in r15; typed multimodal metadata stays sweep-gated)
+    "multimodal_frame_sample",         # r15: multimodal recall (r6-stale)
     # (multimodal_metadata was slotted here pre-spans; displaced so the
     # 8th round-9 entry gets first-round driver signal — multimodal
     # stays at 4 in-window, exactly its minimum)
@@ -433,7 +536,7 @@ DRIVER_PRIORITY: list[str] = [
     # twice+-green rows can leave the window without breaking a family
     # minimum (embedding sits at exactly 8, multimodal at exactly 4)
     # or evicting a round-10/11 first-green owed its second signal.
-    "events_streaming_dedup",
+    "events_streaming_dedup",          # STAYS r15: event family at its minimum of 5
     # (event_props_map was slotted here through r9; displaced in r10
     # by events_streaming_attribution after its second green (r7 + r9)
     # — the map-typed ingestion shape stays sweep-gated alongside
@@ -450,7 +553,10 @@ DRIVER_PRIORITY: list[str] = [
     # in r10 by doc_kn_trigram_lm after its second green (r7 + r9) —
     # the lag-window Markov shape stays sweep-gated; event family
     # lands at 5, exactly its minimum)
-    "doc_kn_trigram_lm",
+    # (doc_kn_trigram_lm held this slot r10-r14, 5 greens — rotated out
+    # in r15 with the KN family; recursive interpolation keeps its
+    # property tests and the sweep gate)
+    "doc_simhash_neardup",             # r15: doc-family recall (r6-stale)
     # (events_distinct_users_hll was slotted here as an r7-stale
     # recall; displaced by the late round-9 events_kmv_set_ops — the
     # distinct-count-sketch niche stays driver-exercised by the KMV
@@ -478,8 +584,11 @@ DRIVER_PRIORITY: list[str] = [
     # lines, standalone 6.5 s reproduces ABOVE the bench number) and
     # its bucket machinery stays exercised via doc_ccnet_buckets in
     # the sweep; doc family stays at 21, exactly its minimum)
-    "multimodal_image_ahash",
-    "multimodal_audio_fingerprint",
+    # (multimodal_image_ahash held this slot r8-r14, 7 greens — rotated
+    # out in r15; the aHash kernel stays driver-gated via
+    # multimodal_image_ahash_neardup, which composes it)
+    "multimodal_image_features",       # r15: multimodal recall (r6-stale)
+    "multimodal_audio_fingerprint",    # STAYS r15: multimodal minimum holder
     # (multimodal_video_fingerprint held this slot r8-r13, 6 greens —
     # rotated out in r14; the stdlib RIFF/AVI decode + frame-sample
     # fingerprint stays sweep-gated with its format property tests,
@@ -488,7 +597,7 @@ DRIVER_PRIORITY: list[str] = [
     # displaced in r10 by doc_setsim_prefix_join after its second
     # green (r8 + r9) — the broadcast gram-membership shape stays
     # sweep-gated with doc_decontamination/doc_contamination_fraction)
-    "doc_setsim_prefix_join",
+    "doc_setsim_prefix_join",          # STAYS r15: kernel factored into shared helpers this round
     # (doc_simhash was slotted here for its r8 second signal; displaced
     # by the late round-9 embedding_prototype_pruning — it is
     # thrice-green (r1/r4/r8) and doc_simhash60_neardup keeps the
@@ -538,7 +647,10 @@ DRIVER_PRIORITY: list[str] = [
     # --- round-9 NEW entries (displaced the first five stale fills:
     # embedding_kmeans_2iter, doc_bottomk_sketch, doc_chunk_overlap,
     # multimodal_frame_sample, events_hourly_anomalies) ---
-    "embedding_ivfpq_residual_search",
+    # (embedding_ivfpq_residual_search held this slot r9-r14, 6 greens
+    # — rotated out in r15; residual-IVFPQ serving stays driver-gated
+    # via embedding_ivfpq_residual_recall_audit, which composes it)
+    "embedding_kmeans_2iter",          # r15: embedding recall (r5-stale)
     # (embedding_ivfpq_multiprobe was slotted here r9-r10; rotated out
     # late in r11 after its second green — see the ROUND-11 header)
     # (embedding_ivfpq_residual_recall_audit was slotted here with the
@@ -550,14 +662,18 @@ DRIVER_PRIORITY: list[str] = [
     # candidate for the r10 rotation's first-green slot alongside
     # embedding_nndescent_recall_audit; embedding family stays at 13
     # in-window, far above its minimum of 8)
-    "embedding_ivfpq_nprobe_audit",
+    # (embedding_ivfpq_nprobe_audit held this slot r9-r14, 6 greens —
+    # rotated out in r15; the nprobe cost/recall audit stays
+    # sweep-gated and the IVFPQ family keeps its residual recall audit
+    # in-window)
+    "embedding_near_dup",              # r15: embedding recall (r5-stale)
     # (embedding_ivfpq_adc_lut was slotted here r9-r10; rotated out in
     # r11 after its second green — see the ROUND-11 header)
     # (embedding_ivfpq_rerank was slotted here r9-r12; rotated out in
     # r13 after four driver greens — IVFPQ serving stays in-window via
     # embedding_ivfpq_residual_search and _nprobe_audit, and the exact
     # rerank tail via embedding_matryoshka_recall_audit's funnel)
-    "embedding_prefix_whitening_stats",  # r13: r12-new first-green slot
+    "embedding_prefix_whitening_stats",  # STAYS r15: embedding minimum holder
     # (doc_bm25_multiquery was slotted here r9-r10; rotated out in r11
     # after its second green — see the ROUND-11 header)
     # (doc_duplicated_spans was slotted here with the r9 batch;
@@ -566,7 +682,7 @@ DRIVER_PRIORITY: list[str] = [
     # the two exact_substr entries) and the rolling-hash window shape
     # via doc_winnow_fingerprints; its r9 green stands and the second
     # signal defers, the r9 precedent)
-    "doc_setsim_prefix_audit",
+    "doc_setsim_prefix_audit",         # STAYS r15: kernel factored into shared helpers this round
     # (doc_leakage_safe_split was slotted here r9-r11; displaced late
     # in r11 by doc_containment_join after its second driver green
     # (r9 + r10) — the deterministic base/delta hash-split framing
@@ -586,10 +702,10 @@ DRIVER_PRIORITY: list[str] = [
     # (customer_scd2_history was slotted here r10-r12; rotated out in
     # r13 after three driver greens — SCD/changelog semantics stay
     # in-window via orders_snapshot_diff and orders_ivm_agg_retract)
-    "multimodal_image_ahash_neardup",  # r13: r12-new first-green slot
+    "multimodal_image_ahash_neardup",  # STAYS r15: multimodal minimum holder (composes the rotated aHash kernel)
     # (doc_unimax_allocation was slotted here r9-r11; rotated out in
     # r12 after its multi-green run)
-    "events_user_gini",                # r12: never-driver-green rotation-in
+    "events_user_gini",                # STAYS r15: event family at its minimum of 5
     # (embedding_nndescent_round was slotted here for its r9 second
     # signal; displaced by the round-10 orders_cdc_apply — its plan IS
     # the candidate side of the in-window
@@ -598,7 +714,7 @@ DRIVER_PRIORITY: list[str] = [
     # (orders_cdc_apply was slotted here r10-r11; rotated out in r12
     # after its second green — changelog semantics stay driver-gated
     # via customer_scd2_history and the IVM pair, all in-window)
-    "events_freshness_audit",          # r12: never-driver-green rotation-in
+    "events_freshness_audit",          # STAYS r15: event family at its minimum of 5
     # (embedding_nndescent_recall_audit was slotted here with the
     # round-9 batch; displaced by the late round-9
     # embedding_matryoshka_rerank — both of the audit's sides stay
@@ -613,7 +729,10 @@ DRIVER_PRIORITY: list[str] = [
     # r12 after its multi-green run — its pruning chain composes the
     # sweep-gated SemDeDup/prototype entries; displaced by the stalest
     # embedding row so the LSH-bucket ANN shape returns to the window)
-    "embedding_ann_hyperplane",        # r12: stale recall (r5, twice-named candidate)
+    # (embedding_ann_hyperplane returned r12-r14 as a stale recall, 6
+    # greens — rotated out in r15; the LSH-bucket ANN shape stays
+    # sweep-gated and driver-exercised via the recall audits)
+    "embedding_ann_audit",             # r15: embedding recall (r6-stale)
     # (doc_winnow_fingerprints was slotted here r9-r10; rotated out
     # late in r11 after its second green — see the ROUND-11 header)
     # (doc_bm25_mmr was slotted here r9-r11; displaced late in r11 by
@@ -625,7 +744,10 @@ DRIVER_PRIORITY: list[str] = [
     # above: doc_simhash60_neardup, events_distinct_users_hll,
     # embedding_nndescent_recall_audit, doc_bpe_token_counts,
     # doc_contamination_fraction) ---
-    "embedding_matryoshka_recall_audit",
+    # (embedding_matryoshka_recall_audit held this slot r9-r14, 6
+    # greens — rotated out in r15; the adaptive-retrieval funnel stays
+    # sweep-gated with its prefix-monotonicity property tests)
+    "embedding_cosine_topk",           # r15: embedding recall (r6-stale)
     # (embedding_matryoshka_rerank was slotted here for its r9 second
     # signal; displaced by the round-10 doc_temperature_mixture — its
     # funnel composes the in-window embedding_matryoshka_recall_audit's
@@ -635,7 +757,11 @@ DRIVER_PRIORITY: list[str] = [
     # minimum of 8)
     # (doc_temperature_mixture was slotted here r10-r11; rotated out
     # in r12 after its second green)
-    "doc_containment_audit",           # r12: NEW — the prune-reduction audit (ask #1)
+    # (doc_containment_audit was slotted here r12-r14, 3 greens —
+    # rotated out in r15 with the containment family; the
+    # prune-reduction audit stays sweep-gated and its split twin's
+    # setsim analogue takes the regime's driver slot)
+    "doc_setsim_split_audit",          # r15: NEW — setsim prunes on the split corpus (ask #7)
     # (events_kmv_set_ops was slotted here r9-r11; displaced late in
     # r11 by doc_langid_confusion after its second driver green
     # (r9 + r10) — the mergeable-sketch niche stays driver-exercised
@@ -684,18 +810,14 @@ DRIVER_PRIORITY: list[str] = [
 # stay here only while it is actually stale (green within the last 4
 # rounds → must be removed), so recalls can't free-ride indefinitely.
 SCHEDULED_RECALLS: list[str] = [
-    # --- r2-stale (31 rows; SURVEY-§2 TPC-H operator fills) ---
-    "cheapest_lineitem_per_order",
-    "cube_revenue",
-    "customer_balance_by_code",
-    "customer_order_activity",
-    "customers_active_both_years",
-    "customers_churned_97",
-    "dedup_first_order",
-    "dq_orders_audit",
-    "json_extract_filter",
-    "late_orders_by_priority",
-    "lineitem_profile",
+    # ROUND-15 CONSUMPTION: the queue's first 11 rows
+    # (cheapest_lineitem_per_order … lineitem_profile) rotated into the
+    # window verbatim, plus 13 family-matched recalls pulled forward
+    # (7 doc r6-stale, 4 embedding r5/r6-stale, 2 multimodal r6-stale)
+    # because every family sits exactly at its minimum and family outs
+    # need family ins — 24 rows consumed, all removed here (the
+    # hygiene gate forbids windowed names staying queued).
+    # --- r2-stale (remaining SURVEY-§2 TPC-H operator fills) ---
     "lineitem_unpivot",
     "order_window_suite",
     "orderkey_distinct_kmv",
@@ -719,26 +841,13 @@ SCHEDULED_RECALLS: list[str] = [
     # --- r3-stale ---
     "part_name_fuzzy_pairs",
     # --- r5-stale ---
-    "embedding_kmeans_2iter",
-    "embedding_near_dup",
     "revenue_by_nation_scale",
     # --- r6-stale ---
     "doc_bottomk_sketch",
     "doc_chunk_overlap",
-    "doc_exact_dedup",
-    "doc_gopher_quality",
     "doc_lang_mix_weights",
-    "doc_minhash_candidates",
-    "doc_ngram_jaccard",
-    "doc_pii_scrub",
     "doc_sequence_packing",
-    "doc_simhash_neardup",
-    "doc_snapshot_dedup",
     "doc_tfidf_topk",
-    "embedding_ann_audit",
-    "embedding_cosine_topk",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
     "orders_cumulative_distinct",
     "rollup_revenue",
 ]

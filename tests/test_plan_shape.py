@@ -27,6 +27,7 @@ import idh_etl_demo_spark.catalog_r11c  # noqa: F401
 import idh_etl_demo_spark.catalog_r12  # noqa: F401
 import idh_etl_demo_spark.catalog_r13  # noqa: F401
 import idh_etl_demo_spark.catalog_r14  # noqa: F401
+import idh_etl_demo_spark.catalog_r15  # noqa: F401
 import idh_etl_demo_spark.catalog_ztm  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
@@ -887,6 +888,21 @@ SHUFFLE_BUDGETS = {
     # log(max_len) + ceil(max_len / L_top) — doc-length-bounded,
     # corpus-size-invariant. Base-only pairs never enter any exchange.
     "doc_exact_substr_stored_base": 55,
+    # round-15 maintenance pair (measured 52 / 55): both serve the
+    # stored-base spans walk (the doc_exact_substr_stored_base shape
+    # above); the fold entry's day-1 fold work and the tombstone
+    # entry's filtered merge all land in eager checkpoints at build, so
+    # the SERVED plans are the same |delta|-width LCP recovery + merged
+    # adjacency + interval algebra — doc-length-bounded join depth,
+    # id-width rows in every exchange.
+    "doc_exact_substr_fold": 52,
+    "doc_exact_substr_tombstone": 55,
+    # round-15 setsim split audit (measured 18): the base audit's 16
+    # (df groupBy, prefix window, candidate expansion + verify join,
+    # scalar slot aggs) plus the split corpus derivation's two extra
+    # scan-branch exchanges (the piece sides' repartition spreads —
+    # the same +2 the containment split audit pays over its base).
+    "doc_setsim_split_audit": 18,
 }
 
 
@@ -1009,6 +1025,13 @@ EAGER_EXEMPT = {
     # fixpoint class as the r9 SA build)
     "doc_sa_placement_merged",
     "doc_exact_substr_stored_base",
+    # round-15: the maintenance pair runs the same eager stored-base
+    # machinery (shared _XSB_MODELS memo) plus the fold's eager level
+    # re-publication / the tombstone's filtered merge, and the
+    # incremental entry's auto-routing counts corpus positions at
+    # build (one sum aggregate — the r14 ask-#2 size-derived default)
+    "doc_exact_substr_fold",
+    "doc_exact_substr_tombstone",
 }
 
 
@@ -1050,6 +1073,7 @@ SPREAD_REQUIRED = [
     "doc_containment_split_audit",
     "doc_setsim_prefix_join",
     "doc_setsim_prefix_audit",
+    "doc_setsim_split_audit",
     "doc_containment_join",
     "doc_containment_audit",
     "doc_lsh_tuning_audit",

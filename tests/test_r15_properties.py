@@ -1,0 +1,280 @@
+"""Planted-twin property tests for the round-15 work.
+
+- fold_ladder (multi-delta maintenance, r14 verdict ask #4): every
+  folded level is POINTWISE equal to a combined rebuild's — including
+  continuation rounds past the base's top level and stability-exited
+  bases — and fold-then-place over three corpora reproduces the
+  three-corpus rebuild's total order exactly.
+- Tombstone deletions (ask #5): the surviving merged order equals the
+  rebuild on the surviving corpus.
+- Parquet persistence (ask #6): store/load round-trips the stored-base
+  artifact bit-identically.
+- Size-derived path routing (ask #2): the route flips at the PROBE_XSI
+  constant; the flag overrides both ways.
+- Mechanical NOISY_FAMILY (ask #3): the spread criterion computed from
+  BENCH_HISTORY.json, with the verdict-named row joining.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+import idh_etl_demo_spark.catalog_r11  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r14  # noqa: F401  (registers entries)
+import idh_etl_demo_spark.catalog_r15  # noqa: F401  (registers entries)
+from idh_etl_demo_spark.operators.suffix import (
+    extend_delta_states,
+    fold_ladder,
+    ladder_artifacts,
+    suffix_ranks,
+    top_class_frame,
+)
+
+
+def _toks_df(spark, rows):
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    from idh_etl_demo_spark.operators.text import tokens
+
+    return sdf.select("doc_id", tokens(F.col("text")).alias("toks"))
+
+
+def _bparts_of(spark, rows):
+    """A catalog_r14._xsb_parts-shaped tuple for an arbitrary corpus."""
+    base = _toks_df(spark, rows).localCheckpoint(eager=True)
+    bf, bh, bp = suffix_ranks(base)
+    blens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    arts = ladder_artifacts(bh, bp)
+    bf_top = top_class_frame(bf, bh, blens).localCheckpoint(eager=True)
+    return (bf, bh, bp, blens, arts, bf_top)
+
+
+def _level_rows(fr):
+    return sorted((r.doc_id, r.pos, r.r) for r in fr.collect())
+
+
+def _fold_vs_rebuild(spark, base_rows, delta_rows):
+    base = _toks_df(spark, base_rows).localCheckpoint(eager=True)
+    delta = _toks_df(spark, delta_rows).localCheckpoint(eager=True)
+    _bf, bh, bp = suffix_ranks(base)
+    states = extend_delta_states(bh, bp, delta)
+    _df, d_hist, _dp = suffix_ranks(delta)
+    toks = [t.split() for _, t in base_rows + delta_rows]
+    maxlen = max(len(t) for t in toks)
+    npos = sum(len(t) for t in toks)
+    folded = fold_ladder(bh, states, d_hist, maxlen, npos)
+    _rf, r_hist, _rp = suffix_ranks(base.unionByName(delta))
+    assert [L for L, _ in folded] == [L for L, _ in r_hist], (
+        [L for L, _ in folded],
+        [L for L, _ in r_hist],
+    )
+    for (L, ffr), (_, rfr) in zip(folded, r_hist):
+        assert _level_rows(ffr) == _level_rows(rfr), f"level {L} diverged"
+    return folded
+
+
+def test_fold_ladder_matches_combined_rebuild(spark):
+    """Pointwise level equality: fresh docs, a verbatim re-crawl, an
+    unseen-vocabulary doc (gap brackets at both extremes), and a delta
+    doc LONGER than every base doc so the continuation loop past the
+    base's top level must run and still match the rebuild."""
+    base_rows = [
+        (0, "b c d e b c"),
+        (1, "c d c d"),
+        (2, "d e f"),
+    ]
+    delta_rows = [
+        (100, "b c d e b c"),  # verbatim re-crawl → ties at every level
+        (101, "a a b"),  # before everything at the seed
+        (102, "z z z"),  # after everything, unseen vocab
+        (103, "c d e f g h i j k l m n"),  # longer than base maxlen → continuation
+    ]
+    _fold_vs_rebuild(spark, base_rows, delta_rows)
+
+
+def test_fold_ladder_under_stability_exit(spark):
+    """Base = identical docs with distinct tokens (stability-exits with
+    top level 2 ≪ doc length): folding a re-crawl plus a mid-document
+    mutant must reproduce the rebuild's levels — including the deeper
+    levels the COMBINED corpus needs where the base never did."""
+    text = " ".join(f"x{j}" for j in range(16))
+    base_rows = [(0, text), (1, text)]
+    mutated = text.split()
+    mutated[8] = "q0"
+    delta_rows = [(100, text), (101, " ".join(mutated))]
+    base = _toks_df(spark, base_rows).localCheckpoint(eager=True)
+    _bf, bh, _bp = suffix_ranks(base)
+    assert bh[-1][0] < 16, "expected a stability-exited base build"
+    _fold_vs_rebuild(spark, base_rows, delta_rows)
+
+
+def test_fold_then_place_matches_three_corpus_rebuild(spark):
+    """The ask-#4 property: place day-1, FOLD it into the artifact,
+    place day-2 against the folded artifact — the day-2 merged total
+    order must equal the THREE-corpus rebuild's total order exactly
+    (every rank compared, not a digest)."""
+    from idh_etl_demo_spark.catalog_r14 import (
+        fold_xsb_parts,
+        merged_order_from,
+    )
+
+    base_rows = [(0, "b c d e"), (1, "c d c"), (2, "e f")]
+    d1_rows = [(100, "b c d e"), (101, "q r s")]
+    d2_rows = [(200, "c d c"), (201, "b c z"), (202, "a")]
+    bparts = _bparts_of(spark, base_rows)
+    d1 = _toks_df(spark, d1_rows).localCheckpoint(eager=True)
+    d2 = _toks_df(spark, d2_rows).localCheckpoint(eager=True)
+    merged1, dparts1 = merged_order_from(bparts, d1)
+    folded = fold_xsb_parts(bparts, dparts1, merged1)
+    merged2, _ = merged_order_from(folded, d2)
+    got = sorted(
+        (r.doc_id, r.pos, r.mr) for r in merged2.collect()
+    )
+    allrows = _toks_df(
+        spark, base_rows + d1_rows + d2_rows
+    ).localCheckpoint(eager=True)
+    rf, _rh, _rp = suffix_ranks(allrows)
+    want = sorted((r.doc_id, r.pos, r.sa_rank) for r in rf.collect())
+    assert got == want
+
+
+def test_tombstone_merged_order_matches_surviving_rebuild(spark):
+    """The ask-#5 property: base − removed + added ≡ rebuild on the
+    surviving corpus. The tombstone filter runs against the UNTOUCHED
+    stored artifact (placement counts stay in the original rank
+    space); the surviving merged ranks must equal the from-scratch
+    build over survivors ∪ delta — including a delta row whose
+    original array neighbor was tombstoned."""
+    from idh_etl_demo_spark.catalog_r14 import merged_order_from
+
+    base_rows = [
+        (0, "b c d e"),
+        (1, "b c d"),  # removed: its suffixes sat between 0's and 2's
+        (2, "c d e f"),
+        (3, "b c"),  # removed
+    ]
+    delta_rows = [(100, "b c d"), (101, "z b c")]
+    bparts = _bparts_of(spark, base_rows)
+    delta = _toks_df(spark, delta_rows).localCheckpoint(eager=True)
+    merged, _ = merged_order_from(
+        bparts, delta, base_filter=~F.col("doc_id").isin(1, 3)
+    )
+    got = sorted((r.doc_id, r.pos, r.mr) for r in merged.collect())
+    surviving = [r for r in base_rows if r[0] not in (1, 3)] + delta_rows
+    rf, _rh, _rp = suffix_ranks(
+        _toks_df(spark, surviving).localCheckpoint(eager=True)
+    )
+    want = sorted((r.doc_id, r.pos, r.sa_rank) for r in rf.collect())
+    assert got == want
+
+
+def test_xsb_store_roundtrip(spark, tmp_path):
+    """The ask-#6 bit-identity: every component of the stored-base
+    artifact survives a parquet write/load round-trip exactly — same
+    schema, same rows — so 'the persisted artifact' is code, not
+    prose. The reloaded artifact then PLACES a delta identically to
+    the in-session one (the consumer contract, not just the bytes)."""
+    from idh_etl_demo_spark.catalog_r14 import (
+        load_xsb_parts,
+        store_xsb_parts,
+    )
+    from idh_etl_demo_spark.operators.suffix import place_delta_ranks
+
+    base_rows = [(0, "b c d e b"), (1, "c d c"), (2, "e f g")]
+    bparts = _bparts_of(spark, base_rows)
+    path = str(tmp_path / "xsb_store")
+    store_xsb_parts(path, bparts)
+    loaded = load_xsb_parts(spark, path)
+
+    def rows_of(fr):
+        cols = sorted(fr.columns)
+        return sorted(tuple(r[c] for c in cols) for r in fr.collect())
+
+    def same(a, b, what):
+        assert dict(a.dtypes) == dict(b.dtypes), what
+        assert rows_of(a) == rows_of(b), what
+
+    bf, bh, bp, blens, arts, bf_top = bparts
+    lf, lh, lp, llens, larts, lf_top = loaded
+    same(bf, lf, "final_order")
+    assert [L for L, _ in bh] == [L for L, _ in lh]
+    for (L, a), (_, b) in zip(bh, lh):
+        same(a, b, f"rank_L{L}")
+    same(bp, lp, "positions")
+    same(blens, llens, "lens")
+    same(arts["seed_vocab"], larts["seed_vocab"], "seed_vocab")
+    assert len(arts["levels"]) == len(larts["levels"])
+    for i, ((pa, fa), (pb, fb)) in enumerate(
+        zip(arts["levels"], larts["levels"])
+    ):
+        same(pa, pb, f"pair_map_{i}")
+        same(fa, fb, f"fx_{i}")
+    same(bf_top, lf_top, "top_class")
+    delta = _toks_df(
+        spark, [(100, "b c d e b"), (101, "z b q")]
+    ).localCheckpoint(eager=True)
+
+    def place_with(parts):
+        f, h, p, lens, a, t = parts
+        return sorted(
+            (r.doc_id, r.pos, r.ins)
+            for r in place_delta_ranks(
+                f,
+                h,
+                p,
+                lens,
+                delta,
+                states=extend_delta_states(h, p, delta, artifacts=a),
+                bf_top=t,
+            ).collect()
+        )
+
+    assert place_with(bparts) == place_with(loaded)
+
+
+def test_xsi_route_flips_at_threshold():
+    """The ask-#2 routing: auto flips exactly at the PROBE_XSI
+    constant; the flag overrides both ways."""
+    from idh_etl_demo_spark.catalog_r11 import (
+        _XSI_STORED_MIN_POS,
+        _xsi_route,
+    )
+
+    assert _xsi_route(_XSI_STORED_MIN_POS - 1, None) == "rebuild"
+    assert _xsi_route(_XSI_STORED_MIN_POS, None) == "stored"
+    assert _xsi_route(_XSI_STORED_MIN_POS * 100, None) == "stored"
+    assert _xsi_route(0, "stored") == "stored"
+    assert _xsi_route(_XSI_STORED_MIN_POS * 100, "rebuild") == "rebuild"
+
+
+def test_mechanical_noisy_rows(tmp_path):
+    """The ask-#3 criterion on a synthetic history: a ≥5 s row whose
+    same-code samples spread past 1.5× joins the best-of-4 set; rows
+    inside the band, under the floor, or under-sampled do not. On the
+    COMMITTED history the verdict-named doc_title_edit_neardup joins,
+    and the hand-kept IVFPQ floor stays a subset of the final set."""
+    import bench
+
+    hist = {
+        "rounds": {
+            "1": [{"src": "a", "queries": {
+                "swingy": 10.0, "steady": 10.0, "small_swingy": 2.0,
+                "undersampled": 20.0}}],
+            "2": [{"src": "b", "queries": {
+                "swingy": 16.0, "steady": 11.0, "small_swingy": 4.9}}],
+            "3": [{"src": "c", "queries": {
+                "swingy": 12.0, "steady": 10.5, "small_swingy": 3.0,
+                "undersampled": 9.0}}],
+        }
+    }
+    p = tmp_path / "hist.json"
+    p.write_text(json.dumps(hist))
+    got = bench.mechanical_noisy_rows(str(p))
+    assert got == {"swingy"}
+    committed = bench.mechanical_noisy_rows()
+    assert "doc_title_edit_neardup" in committed
+    assert bench.NOISY_BASE <= bench.NOISY_FAMILY
+    assert committed <= bench.NOISY_FAMILY
