@@ -83,6 +83,9 @@ PICKS = {
     "doc_containment_split_audit": "containment audit on the split corpus: three union branches of one scan derive parent+pieces map-only; the shared rank-window lineage feeds the pruned prefix⋈full join where the LENGTH/POSITIONAL bounds cut ~1/3 of slots (slot_reduction 0.66) before the distinct",
     "doc_sa_placement_merged": "stored-base merged order, served: the heavy work (base+delta builds, ladder extension, placement, ONE bucketed merge ranking) freezes into an eager checkpoint at build — the served digest plan is one per-doc map-side-combined groupBy over id-width merged-rank rows + the presentation sort",
     "doc_exact_substr_stored_base": "the stored-base update path: merged rank±1 adjacency joins feed TWO |delta|-width LCP walks — the delta-only build's log(max_len) refinement chain and the mixed ladder walk (repeat-top + descend joins against checkpointed state/rank tables) — then the m(p) groupBy and the per-doc gaps-and-islands windows; base-only pairs and token arrays never enter any exchange",
+    "doc_exact_substr_fold": "day-2 spans through the FOLDED artifact: day-1's fold (per level two |delta|-width joins + ONE bucketed dense rank) and the re-derived comparison artifacts freeze into eager checkpoints at build, so the served plan is the stored-base walk shape against base+day-1 — |delta2|-width joins, no rebuild stage anywhere",
+    "doc_exact_substr_tombstone": "deletions via tombstones: the stored artifact is untouched — one filter on the final order inside the merge union, the surviving re-rank renumbers adjacency, and the span walk inherits the skip; otherwise the stored-base spans plan verbatim",
+    "doc_setsim_split_audit": "the setsim prefix filter doing real pruning: three union branches derive parent+pieces map-only, the rarest-prefix window runs over df≥2 postings (heavy-tailed sizes), candidate expansion + verify join + closed-form slot aggregates — the base audit's plan with the split corpus's two extra scan branches",
 }
 
 

@@ -11,6 +11,15 @@ fraction (each delta position contributes its two neighbors, so the
 walked fraction is bounded by ~2× the delta share — much closer on
 runs of consecutive delta positions).
 
+Round 15 adds two legs: fold-vs-restore at 30× (r14 ask #4 — after
+day-1's delta is placed, folding it into the stored artifact vs
+re-storing from a combined rebuild, placed inputs excluded from both
+timings since the maintenance flow already holds them) and a 300×
+end-to-end point (r14 stretch ask #8 — e2e pair only; the component
+story is established at 10-100× and each 300× leg costs minutes). The
+e2e pair now also truly alternates within rep 2 (rebuild first), the
+same ordering-bias fix the component legs got in r14.
+
 Usage: python tools/probe_xsi.py  (writes PROBE_XSI.json at repo root)
 
 The placement scales run min-of-2 over BOTH paths at up to 100× — far
@@ -199,7 +208,20 @@ def main() -> None:
         )
     )
 
-    for n_copies in (10, 30, 100):
+    # Per-scale leg plan. 300× is the r14 stretch ask #8 — ONE point
+    # past 100× to read whether the e2e update margin widens (placement
+    # stays |delta|-width) or the merged-ranking floor caps it; only
+    # the e2e pair runs there (the component story is established at
+    # 10-100× and each 300× leg costs minutes). The fold-vs-restore
+    # pair (r14 ask #4) runs at 30× — the measured break-even scale,
+    # where the maintenance decision is live.
+    SCALES = {
+        10: {"components": True, "fold": False},
+        30: {"components": True, "fold": True},
+        100: {"components": True, "fold": False},
+        300: {"components": False, "fold": False},
+    }
+    for n_copies in (10, 30, 100, 300):
         copies = [xsi]
         for i in range(1, n_copies):
             copies.append(
@@ -322,6 +344,90 @@ def main() -> None:
             _release_memo_value((f, h))
             return s, n, pdf
 
+        # ------- fold vs re-store (r14 verdict ask #4), 30× only -------
+        # The maintenance decision after day-1's delta is placed: FOLD
+        # the placed delta into the stored artifact (fold_xsb_parts —
+        # per level two |delta|-width joins + one bucketed dense rank,
+        # then the shared artifact constructors) vs RE-STORE from
+        # scratch (combined rebuild + the same constructors). The
+        # placed inputs (merged order + delta parts) are built ONCE
+        # outside the timed region — in the maintenance flow they
+        # already exist as day-1's update output. Min-of-2 with
+        # alternating leg order, the protocol every crossover leg uses.
+        fold_fields = {}
+        if SCALES[n_copies]["fold"]:
+            from idh_etl_demo_spark.catalog_r14 import fold_xsb_parts
+
+            merged1, dparts1 = merged_order_from(bparts, delta_n)
+            merged1.count()
+
+            def _leg_fold():
+                t0 = time.perf_counter()
+                folded = fold_xsb_parts(bparts, dparts1, merged1)
+                folded[0].count()
+                s = round(time.perf_counter() - t0, 3)
+                f2, h2, _p2, lens2, arts2, top2 = folded
+                _release_memo_value(
+                    (
+                        f2,
+                        [fr for _, fr in h2],
+                        lens2,
+                        top2,
+                        arts2["seed_vocab"],
+                        [list(t) for t in arts2["levels"]],
+                    )
+                )
+                return s
+
+            def _leg_restore():
+                t0 = time.perf_counter()
+                f, h, p = suffix_ranks(corpus_n)
+                lens = corpus_n.select(
+                    "doc_id", F.size("toks").cast("long").alias("n_tokens")
+                )
+                arts = ladder_artifacts(h, p)
+                topf = top_class_frame(f, h, lens).localCheckpoint(
+                    eager=True
+                )
+                topf.count()
+                s = round(time.perf_counter() - t0, 3)
+                _release_memo_value(
+                    (
+                        f,
+                        [fr for _, fr in h],
+                        topf,
+                        arts["seed_vocab"],
+                        [list(t) for t in arts["levels"]],
+                    )
+                )
+                return s
+
+            fold_runs, restore_runs = [], []
+            for rep in range(2):
+                if rep == 0:
+                    fold_runs.append(_leg_fold())
+                    restore_runs.append(_leg_restore())
+                else:
+                    restore_runs.append(_leg_restore())
+                    fold_runs.append(_leg_fold())
+            _release_memo_value(
+                (
+                    merged1,
+                    dparts1[0],
+                    dparts1[1],
+                    [fr for _, fr in dparts1[4]],
+                )
+            )
+            fold_fields = {
+                "fold_artifact_sec": min(fold_runs),
+                "restore_artifact_sec": min(restore_runs),
+                "fold_winner": (
+                    "fold"
+                    if min(fold_runs) < min(restore_runs)
+                    else "restore"
+                ),
+            }
+
         legs = {
             "rebuild": [],
             "delta_build": [],
@@ -331,11 +437,16 @@ def main() -> None:
         }
         nd = None
         spans_match = None
+        component_legs = (
+            ["rebuild", "delta_build", "placement"]
+            if SCALES[n_copies]["components"]
+            else []
+        )
         for rep in range(2):
             order = (
-                ["rebuild", "delta_build", "placement", "e2e_update", "e2e_rebuild"]
+                component_legs + ["e2e_update", "e2e_rebuild"]
                 if rep == 0
-                else ["e2e_update", "e2e_rebuild", "placement", "delta_build", "rebuild"]
+                else ["e2e_rebuild", "e2e_update"] + component_legs[::-1]
             )
             rep_spans = {}
             for leg in order:
@@ -359,26 +470,18 @@ def main() -> None:
                     drop=True
                 ).equals(rep_spans["rebuild"].reset_index(drop=True))
 
-        rebuild_s = min(legs["rebuild"])
-        delta_build_s = min(legs["delta_build"])
-        placement_s = min(legs["placement"])
+        if nd is None:
+            nd = int(
+                delta_n.agg(F.sum(F.size("toks"))).collect()[0][0] or 0
+            )
         key = f"placement_{n_copies}x_sf0.01"
         out[key] = {
-            "positions": nb + (nd or 0),
+            "positions": nb + nd,
             "n_base_positions": nb,
             "n_delta_positions": nd,
             "ladder_levels": len(bh_n),
             "protocol": "min-of-2, alternating leg order",
-            "rebuild_sec": rebuild_s,
             "stored_base_build_sec_not_in_update": stored_base_build_s,
-            "delta_build_sec": delta_build_s,
-            "placement_sec": placement_s,
-            "update_total_sec": round(delta_build_s + placement_s, 3),
-            "winner": (
-                "update"
-                if delta_build_s + placement_s < rebuild_s
-                else "rebuild"
-            ),
             # the r13 stretch ask #8: the FULL incremental pipeline
             # (stored base + placement + merged order + span
             # extraction) against the rebuild-path spans
@@ -390,7 +493,27 @@ def main() -> None:
                 else "rebuild"
             ),
             "e2e_spans_identical": bool(spans_match),
+            **fold_fields,
         }
+        if SCALES[n_copies]["components"]:
+            rebuild_s = min(legs["rebuild"])
+            delta_build_s = min(legs["delta_build"])
+            placement_s = min(legs["placement"])
+            out[key].update(
+                {
+                    "rebuild_sec": rebuild_s,
+                    "delta_build_sec": delta_build_s,
+                    "placement_sec": placement_s,
+                    "update_total_sec": round(
+                        delta_build_s + placement_s, 3
+                    ),
+                    "winner": (
+                        "update"
+                        if delta_build_s + placement_s < rebuild_s
+                        else "rebuild"
+                    ),
+                }
+            )
         print(f"[probe] {key}: {out[key]}")
         _release_memo_value(
             (
