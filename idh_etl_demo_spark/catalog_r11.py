@@ -306,10 +306,11 @@ def doc_ccnet_kn_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # artifacts); the honest flip side: the fair protocol REFUTED the r13
 # component-level "update wins at 100×" as a cold-rebuild artifact
 # (rebuild reads 41.6 there, not 47.4). Since round 15 the path choice
-# is SIZE-DERIVED (_xsi_route below): combined positions ≥
-# _XSI_STORED_MIN_POS (the PROBE_XSI proven-win floor) route to the
-# stored-base path automatically, SPARK_GRAFT_XSI_PATH overrides both
-# ways, and catalog SFs (≈29k positions at sf0.01) keep the rebuild.
+# is CORPUS-DERIVED (_xsi_route below): combined positions ≥
+# _XSI_STORED_MIN_POS with delta share ≤ _XSI_STORED_MAX_DELTA_FRAC
+# (the PROBE_XSI proven-win regime) route to the stored-base path
+# automatically, SPARK_GRAFT_XSI_PATH overrides both ways, and catalog
+# SFs (≈29k positions at sf0.01) keep the rebuild.
 # The stored-base path also serves as its own driver-gated entries
 # (catalog_r14). The build also now stops at the
 # Manber–Myers FIXPOINT (operators/suffix.py stability exit): on this
@@ -353,24 +354,45 @@ def _xsi_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The stored-base path's activation threshold, in COMBINED corpus
-# positions (base + delta tokens). Source: PROBE_XSI.json — the
-# min-of-2 alternating-order protocol measured rebuild winning at 10×
-# of sf0.01 (286k positions) and the update path winning BOTH the
-# component and end-to-end legs from 30× (858k positions) up; the
-# bracket between the two is unmeasured, so the default stays the
-# PROVEN-win floor rather than an interpolated midpoint — below it a
-# user pays the known-good rebuild, never an unproven artifact build.
+# The stored-base path's activation regime — BOTH constants from
+# measurement, and the default routes stored only INSIDE the measured
+# regime (outside it a user pays the known-good rebuild, never an
+# unproven artifact build):
+#
+# - _XSI_STORED_MIN_POS: combined positions (base + delta tokens) at
+#   the PROVEN-win floor. PROBE_XSI.json (min-of-2, alternating legs)
+#   measured rebuild winning at 10× of sf0.01 (286k positions) and
+#   the update path winning from 30× (858k) up; the bracket between
+#   is unmeasured, so the floor is 858k, not an interpolated midpoint.
+# - _XSI_STORED_MAX_DELTA_FRAC: the update's win is conditional on the
+#   delta being a small share of the corpus — it pays the delta-only
+#   build PLUS placement PLUS the merge floor, so as delta → corpus
+#   the update degenerates to "rebuild plus overhead". PROBE_XSI
+#   measures wins at delta share 0.216; the r15 scale sweep supplied
+#   the counterexample the day the size-only gate landed (the 10×
+#   union corpus reads 2.86M positions but ~90% delta — auto-stored
+#   ran 104-126 s where rebuild runs ~64 s, reproduced standalone
+#   over 3 reps). The bound sits just above the measured-win share;
+#   between 0.25 and 0.9 is unmeasured, so it defaults to rebuild.
 _XSI_STORED_MIN_POS = 858_000
+_XSI_STORED_MAX_DELTA_FRAC = 0.25
 
 
-def _xsi_route(n_positions: int, flag: str | None) -> str:
+def _xsi_route(n_base_pos: int, n_delta_pos: int, flag: str | None) -> str:
     """The incremental-ExactSubstr path choice, as a pure function so
-    the flip is unit-testable: explicit flag wins both ways; otherwise
-    the measured break-even decides ("auto")."""
+    the flips are unit-testable: explicit flag wins both ways;
+    otherwise the measured regime decides ("auto") — big enough AND
+    delta-dominated-enough-not."""
     if flag in ("stored", "rebuild"):
         return flag
-    return "stored" if n_positions >= _XSI_STORED_MIN_POS else "rebuild"
+    total = n_base_pos + n_delta_pos
+    if total <= 0:
+        return "rebuild"
+    if total >= _XSI_STORED_MIN_POS and (
+        n_delta_pos / total <= _XSI_STORED_MAX_DELTA_FRAC
+    ):
+        return "stored"
+    return "rebuild"
 
 
 def _xsi_parts(spark: SparkSession, sf_dir: str) -> tuple:
@@ -439,23 +461,37 @@ def doc_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     # r14 verdict ask #2: the measured break-even wired in as a
-    # SIZE-DERIVED default. In "auto" (the default) the builder counts
-    # combined corpus positions (one sum(size(toks)) aggregate — this
-    # entry is EAGER_EXEMPT) and routes to the stored-base update path
+    # CORPUS-DERIVED default. In "auto" (the default) the builder
+    # counts base and delta positions (ONE conditional-sum aggregate
+    # over the tokenizing scan — this entry is EAGER_EXEMPT) and
+    # routes to the stored-base update path
     # (catalog_r14.doc_exact_substr_stored_base — same relation,
-    # parity-pinned by test_xsi_stored_base_parity) at or above
-    # _XSI_STORED_MIN_POS; the flag still overrides BOTH ways
-    # (SPARK_GRAFT_XSI_PATH=stored|rebuild), so a user at 100× gets the
-    # winning path without knowing the flag and a user below it never
-    # pays the artifact build. Routing logic is the pure _xsi_route
-    # (test_xsi_route_flips_at_threshold pins the flip).
-    n_pos = int(
+    # parity-pinned by test_xsi_stored_base_parity) only inside the
+    # measured regime: total ≥ _XSI_STORED_MIN_POS AND delta share ≤
+    # _XSI_STORED_MAX_DELTA_FRAC (see the constants' comment — a
+    # size-only gate mis-routed the 90%-delta sweep corpus). The flag
+    # still overrides BOTH ways (SPARK_GRAFT_XSI_PATH=stored|rebuild).
+    # Routing logic is the pure _xsi_route
+    # (test_xsi_route_flips_at_threshold pins both flips).
+    row = (
         _xsi_base(spark, sf_dir)
-        .agg(F.sum(F.size("toks")).alias("n"))
-        .collect()[0][0]
-        or 0
+        .agg(
+            F.sum(
+                F.when(_xsi_delta(F.col("doc_id")), F.size("toks")).otherwise(0)
+            ).alias("nd"),
+            F.sum(
+                F.when(~_xsi_delta(F.col("doc_id")), F.size("toks")).otherwise(0)
+            ).alias("nb"),
+        )
+        .collect()[0]
     )
-    if _xsi_route(n_pos, os.environ.get("SPARK_GRAFT_XSI_PATH")) == "stored":
+    n_base_pos, n_delta_pos = int(row.nb or 0), int(row.nd or 0)
+    if (
+        _xsi_route(
+            n_base_pos, n_delta_pos, os.environ.get("SPARK_GRAFT_XSI_PATH")
+        )
+        == "stored"
+    ):
         from idh_etl_demo_spark.catalog import ENTRIES as _E
 
         import idh_etl_demo_spark.catalog_r14  # noqa: F401 (registers)

@@ -236,18 +236,33 @@ def test_xsb_store_roundtrip(spark, tmp_path):
 
 
 def test_xsi_route_flips_at_threshold():
-    """The ask-#2 routing: auto flips exactly at the PROBE_XSI
-    constant; the flag overrides both ways."""
+    """The ask-#2 routing: auto flips exactly at the PROBE_XSI size
+    floor AND at the delta-share bound (the r15 sweep's 90%-delta
+    corpus is the measured counterexample a size-only gate mis-routes);
+    the flag overrides both ways."""
     from idh_etl_demo_spark.catalog_r11 import (
+        _XSI_STORED_MAX_DELTA_FRAC,
         _XSI_STORED_MIN_POS,
         _xsi_route,
     )
 
-    assert _xsi_route(_XSI_STORED_MIN_POS - 1, None) == "rebuild"
-    assert _xsi_route(_XSI_STORED_MIN_POS, None) == "stored"
-    assert _xsi_route(_XSI_STORED_MIN_POS * 100, None) == "stored"
-    assert _xsi_route(0, "stored") == "stored"
-    assert _xsi_route(_XSI_STORED_MIN_POS * 100, "rebuild") == "rebuild"
+    def at(total, frac, flag=None):
+        nd = int(total * frac)
+        return _xsi_route(total - nd, nd, flag)
+
+    in_frac = _XSI_STORED_MAX_DELTA_FRAC - 0.03
+    assert at(_XSI_STORED_MIN_POS - 1, in_frac) == "rebuild"
+    assert at(_XSI_STORED_MIN_POS, in_frac) == "stored"
+    assert at(_XSI_STORED_MIN_POS * 100, in_frac) == "stored"
+    # the delta-share flip: same size, delta-dominated → rebuild
+    assert at(_XSI_STORED_MIN_POS * 10, 0.9) == "rebuild"
+    assert (
+        _xsi_route(_XSI_STORED_MIN_POS, _XSI_STORED_MIN_POS * 9, None)
+        == "rebuild"
+    )
+    assert at(0, 0.0) == "rebuild"
+    assert at(0, 0.0, "stored") == "stored"
+    assert at(_XSI_STORED_MIN_POS * 100, in_frac, "rebuild") == "rebuild"
 
 
 def test_mechanical_noisy_rows(tmp_path):
