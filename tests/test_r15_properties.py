@@ -235,6 +235,89 @@ def test_xsb_store_roundtrip(spark, tmp_path):
     assert place_with(bparts) == place_with(loaded)
 
 
+def test_fold_after_reload_matches_in_session(spark, tmp_path):
+    """Persistence × fold composition: an artifact reloaded from
+    parquet must FOLD identically to the in-session one — day-2
+    placement against both folded artifacts produces the same merged
+    order, so a maintenance job that restarts from the store loses
+    nothing."""
+    from idh_etl_demo_spark.catalog_r14 import (
+        fold_xsb_parts,
+        load_xsb_parts,
+        merged_order_from,
+        store_xsb_parts,
+    )
+
+    base_rows = [(0, "b c d e"), (1, "c d c"), (2, "e f")]
+    d1_rows = [(100, "b c d e"), (101, "q r s")]
+    d2_rows = [(200, "c d z"), (201, "a b")]
+    bparts = _bparts_of(spark, base_rows)
+    path = str(tmp_path / "xsb")
+    store_xsb_parts(path, bparts)
+    loaded = load_xsb_parts(spark, path)
+    d1 = _toks_df(spark, d1_rows).localCheckpoint(eager=True)
+    d2 = _toks_df(spark, d2_rows).localCheckpoint(eager=True)
+
+    def day2_order(parts):
+        m1, dp1 = merged_order_from(parts, d1)
+        folded = fold_xsb_parts(parts, dp1, m1)
+        m2, _ = merged_order_from(folded, d2)
+        return sorted((r.doc_id, r.pos, r.mr) for r in m2.collect())
+
+    assert day2_order(bparts) == day2_order(loaded)
+
+
+def test_tombstone_whole_class_removed(spark):
+    """Edge case: EVERY member of a duplicated base class is
+    tombstoned (both copies of a verbatim doc removed). The delta
+    re-crawls that very content — its suffixes must place correctly
+    among the survivors, and the surviving merged order must equal the
+    rebuild on survivors ∪ delta."""
+    from idh_etl_demo_spark.catalog_r14 import merged_order_from
+
+    dup = "b c d e b c"
+    base_rows = [(0, dup), (1, dup), (2, "x y z"), (3, "c d")]
+    delta_rows = [(100, dup), (101, "y z")]
+    bparts = _bparts_of(spark, base_rows)
+    delta = _toks_df(spark, delta_rows).localCheckpoint(eager=True)
+    merged, _ = merged_order_from(
+        bparts, delta, base_filter=~F.col("doc_id").isin(0, 1)
+    )
+    got = sorted((r.doc_id, r.pos, r.mr) for r in merged.collect())
+    surviving = [r for r in base_rows if r[0] not in (0, 1)] + delta_rows
+    rf, _rh, _rp = suffix_ranks(
+        _toks_df(spark, surviving).localCheckpoint(eager=True)
+    )
+    want = sorted((r.doc_id, r.pos, r.sa_rank) for r in rf.collect())
+    assert got == want
+
+
+def test_release_xsb_models_frees_checkpoints(spark):
+    """Bench hygiene (the r14 ADVICE the bench now applies): building
+    the stored-base memo pins checkpoint RDDs; release_xsb_models()
+    must drop the persistent-RDD count back to (at most) its
+    pre-build level and clear the memo."""
+    from idh_etl_demo_spark.catalog_r14 import (
+        _XSB_MODELS,
+        _xsb_parts,
+        release_xsb_models,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    release_xsb_models()  # clean slate if another test built it
+    before = n_persistent()
+    _xsb_parts(spark, "/root/testdata/sf0.001")
+    assert _XSB_MODELS
+    assert n_persistent() > before, "memo build should pin checkpoints"
+    release_xsb_models()
+    assert not _XSB_MODELS
+    assert n_persistent() <= before, (
+        f"release left checkpoints pinned: {before} -> {n_persistent()}"
+    )
+
+
 def test_xsi_route_flips_at_threshold():
     """The ask-#2 routing: auto flips exactly at the PROBE_XSI size
     floor AND at the delta-share bound (the r15 sweep's 90%-delta
