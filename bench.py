@@ -358,7 +358,8 @@ SESSION_CACHED = {
 # burned a judge attribution round each time). The criterion, computed
 # from BENCH_HISTORY.json (every committed per-query sample — builder
 # finals AND driver runs — of the last NOISY_LOOKBACK rounds, all
-# min-rep seconds over the same code at the same sf):
+# min-rep seconds; samples at a different sf than the newest one are
+# excluded from the spread):
 #
 #   a row joins the best-of-4 set when its samples' max/min spread
 #   exceeds NOISY_SPREAD (1.5 — two runs outside each other's ±30%
@@ -366,6 +367,14 @@ SESSION_CACHED = {
 #   samples AND its max sample is ≥ NOISY_FLOOR_SEC (sub-5 s rows
 #   cannot pollute a 400 s total; leaving them best-of-2 keeps the
 #   artifact comparable and the wall bounded).
+#
+# The criterion cannot distinguish session noise from a genuine
+# code-driven speedup across rounds (the history carries no code
+# identity) — a row legitimately made 1.5× faster joins the set for a
+# few rounds. That failure mode is benign by construction: best-of-4's
+# min is ≤ best-of-2's, so the committed number still reports the
+# improvement faithfully; the only cost is two extra reps of wall time
+# until the old samples age out of the lookback.
 #
 # The r14-era hand set is the criterion's floor (those six rows carry
 # best-of-4 committed floors already — dropping them if a quiet round
@@ -399,9 +408,21 @@ def mechanical_noisy_rows(history_path: str | None = None) -> set[str]:
     except (OSError, ValueError, KeyError):
         return set()
     recent = sorted(rounds, key=int)[-NOISY_LOOKBACK:]
+    # sf guard: spreads are only meaningful between same-sf samples;
+    # anchor on the newest round's sf and drop everything else
+    anchor_sf = None
+    for rnd in reversed(recent):
+        for run in reversed(rounds[rnd]):
+            if run.get("sf") is not None:
+                anchor_sf = run["sf"]
+                break
+        if anchor_sf is not None:
+            break
     samples: dict[str, list[float]] = {}
     for rnd in recent:
         for run in rounds[rnd]:
+            if anchor_sf is not None and run.get("sf") not in (None, anchor_sf):
+                continue
             for name, sec in run["queries"].items():
                 samples.setdefault(name, []).append(float(sec))
     out = set()

@@ -125,6 +125,34 @@ def _xs_oracle_m(src: str) -> str:
 
 _XS_ORACLE_M = _xs_oracle_m("documents")
 
+# The gaps-and-islands span-merge tail shared by every ExactSubstr
+# oracle (spans, incremental, stored-base, fold, tombstone): consumes
+# an ``iv(doc_id, s, e)`` CTE, emits the merged
+# (doc_id, span_start, span_end, span_len) relation — ONE definition so
+# a fix to the interval algebra lands everywhere (r15 review).
+_XS_SPANS_TAIL_SQL = """
+    flagged as (
+      select doc_id, s, e,
+             case when s > coalesce(max(e) over (
+                    partition by doc_id order by s, e
+                    rows between unbounded preceding and 1 preceding), -1)
+                  then 1 else 0 end as brk
+      from iv
+    ),
+    isl as (
+      select doc_id, s, e,
+             sum(brk) over (partition by doc_id order by s, e
+                            rows between unbounded preceding and current row) as g
+      from flagged
+    )
+    select doc_id,
+           cast(min(s) as bigint) as span_start,
+           cast(max(e) as bigint) as span_end,
+           cast(max(e) - min(s) as bigint) as span_len
+    from isl group by doc_id, g
+    order by doc_id, span_start
+"""
+
 
 def _xs_m_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, m) over the shared memoized suffix-array build."""
@@ -149,26 +177,7 @@ def _xs_m_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv as (
       select doc_id, pos as s, pos + m as e from m where m >= {_XS_T}
     ),
-    flagged as (
-      select doc_id, s, e,
-             case when s > coalesce(max(e) over (
-                    partition by doc_id order by s, e
-                    rows between unbounded preceding and 1 preceding), -1)
-                  then 1 else 0 end as brk
-      from iv
-    ),
-    isl as (
-      select doc_id, s, e,
-             sum(brk) over (partition by doc_id order by s, e
-                            rows between unbounded preceding and current row) as g
-      from flagged
-    )
-    select doc_id,
-           cast(min(s) as bigint) as span_start,
-           cast(max(e) as bigint) as span_end,
-           cast(max(e) - min(s) as bigint) as span_len
-    from isl group by doc_id, g
-    order by doc_id, span_start
+    {_XS_SPANS_TAIL_SQL}
     """,
 )
 def doc_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

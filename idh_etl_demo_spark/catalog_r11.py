@@ -46,6 +46,7 @@ from idh_etl_demo_spark.catalog import _t, query
 from idh_etl_demo_spark.catalog_r10 import (
     _KN_ORACLE_PRELUDE,
     _KN_TAU,
+    _XS_SPANS_TAIL_SQL,
     _XS_T,
     _bigram_stream,
     _kn_parts,
@@ -413,26 +414,7 @@ def _xsi_parts(spark: SparkSession, sf_dir: str) -> tuple:
       select doc_id, pos as s, pos + m as e from m
       where m >= {_XS_T} and (doc_id % 5 = 4 or doc_id >= 1000000)
     ),
-    flagged as (
-      select doc_id, s, e,
-             case when s > coalesce(max(e) over (
-                    partition by doc_id order by s, e
-                    rows between unbounded preceding and 1 preceding), -1)
-                  then 1 else 0 end as brk
-      from iv
-    ),
-    isl as (
-      select doc_id, s, e,
-             sum(brk) over (partition by doc_id order by s, e
-                            rows between unbounded preceding and current row) as g
-      from flagged
-    )
-    select doc_id,
-           cast(min(s) as bigint) as span_start,
-           cast(max(e) as bigint) as span_end,
-           cast(max(e) - min(s) as bigint) as span_len
-    from isl group by doc_id, g
-    order by doc_id, span_start
+    {_XS_SPANS_TAIL_SQL}
     """,
 )
 def doc_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,25 +455,32 @@ def doc_exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still overrides BOTH ways (SPARK_GRAFT_XSI_PATH=stored|rebuild).
     # Routing logic is the pure _xsi_route
     # (test_xsi_route_flips_at_threshold pins both flips).
-    row = (
-        _xsi_base(spark, sf_dir)
-        .agg(
-            F.sum(
-                F.when(_xsi_delta(F.col("doc_id")), F.size("toks")).otherwise(0)
-            ).alias("nd"),
-            F.sum(
-                F.when(~_xsi_delta(F.col("doc_id")), F.size("toks")).otherwise(0)
-            ).alias("nb"),
+    flag = os.environ.get("SPARK_GRAFT_XSI_PATH")
+    if flag in ("stored", "rebuild"):
+        # explicit override: the counts are never consulted, so don't
+        # pay the tokenizing scan for them (review r15: the flag path
+        # is exactly the large-corpus escape hatch where a wasted
+        # corpus-wide job per evaluation hurts most)
+        n_base_pos = n_delta_pos = 0
+    else:
+        row = (
+            _xsi_base(spark, sf_dir)
+            .agg(
+                F.sum(
+                    F.when(
+                        _xsi_delta(F.col("doc_id")), F.size("toks")
+                    ).otherwise(0)
+                ).alias("nd"),
+                F.sum(
+                    F.when(
+                        ~_xsi_delta(F.col("doc_id")), F.size("toks")
+                    ).otherwise(0)
+                ).alias("nb"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    n_base_pos, n_delta_pos = int(row.nb or 0), int(row.nd or 0)
-    if (
-        _xsi_route(
-            n_base_pos, n_delta_pos, os.environ.get("SPARK_GRAFT_XSI_PATH")
-        )
-        == "stored"
-    ):
+        n_base_pos, n_delta_pos = int(row.nb or 0), int(row.nd or 0)
+    if _xsi_route(n_base_pos, n_delta_pos, flag) == "stored":
         from idh_etl_demo_spark.catalog import ENTRIES as _E
 
         import idh_etl_demo_spark.catalog_r14  # noqa: F401 (registers)

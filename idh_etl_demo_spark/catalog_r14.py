@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from idh_etl_demo_spark.catalog import query
 from idh_etl_demo_spark.catalog_r9b import _SA_TOKS_SQL
-from idh_etl_demo_spark.catalog_r10 import _XS_T, _xs_oracle_m
+from idh_etl_demo_spark.catalog_r10 import (
+    _XS_SPANS_TAIL_SQL,
+    _XS_T,
+    _xs_oracle_m,
+)
 from idh_etl_demo_spark.catalog_r11 import (
     _XSI_CORPUS_SQL,
     _xsi_base,
@@ -109,7 +113,9 @@ def merged_order_from(
     tombstoned neighbors automatically. Compaction — re-running the
     store on the surviving corpus — is only an optimization to shed
     dead ladder rows; parity is exact without it
-    (test_xsi_tombstone_parity / doc_exact_substr_tombstone)."""
+    (test_tombstone_merged_order_matches_surviving_rebuild,
+    test_tombstone_whole_class_removed, and the driver-gated
+    doc_exact_substr_tombstone)."""
     from idh_etl_demo_spark.operators.suffix import (
         _NBUCKETS,
         _bucketed_rank,
@@ -430,26 +436,7 @@ def doc_sa_placement_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
       select doc_id, pos as s, pos + m as e from m
       where m >= {_XS_T} and (doc_id % 5 = 4 or doc_id >= 1000000)
     ),
-    flagged as (
-      select doc_id, s, e,
-             case when s > coalesce(max(e) over (
-                    partition by doc_id order by s, e
-                    rows between unbounded preceding and 1 preceding), -1)
-                  then 1 else 0 end as brk
-      from iv
-    ),
-    isl as (
-      select doc_id, s, e,
-             sum(brk) over (partition by doc_id order by s, e
-                            rows between unbounded preceding and current row) as g
-      from flagged
-    )
-    select doc_id,
-           cast(min(s) as bigint) as span_start,
-           cast(max(e) as bigint) as span_end,
-           cast(max(e) - min(s) as bigint) as span_len
-    from isl group by doc_id, g
-    order by doc_id, span_start
+    {_XS_SPANS_TAIL_SQL}
     """,
 )
 def doc_exact_substr_stored_base(spark: SparkSession, sf_dir: str) -> DataFrame:

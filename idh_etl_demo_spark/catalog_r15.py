@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from idh_etl_demo_spark.catalog import query
 from idh_etl_demo_spark.catalog_r10 import (
+    _XS_SPANS_TAIL_SQL,
     _XS_T,
     _ssim_audit_frame,
     _ssim_audit_sql,
@@ -71,28 +72,23 @@ from idh_etl_demo_spark.catalog_r14 import (
 # combined corpus, so the oracle is the XSI family's with the span
 # emission filtered to day-2's documents.
 
-_XS_SPANS_TAIL = """
-    flagged as (
-      select doc_id, s, e,
-             case when s > coalesce(max(e) over (
-                    partition by doc_id order by s, e
-                    rows between unbounded preceding and 1 preceding), -1)
-                  then 1 else 0 end as brk
-      from iv
-    ),
-    isl as (
-      select doc_id, s, e,
-             sum(brk) over (partition by doc_id order by s, e
-                            rows between unbounded preceding and current row) as g
-      from flagged
-    )
-    select doc_id,
-           cast(min(s) as bigint) as span_start,
-           cast(max(e) as bigint) as span_end,
-           cast(max(e) - min(s) as bigint) as span_len
-    from isl group by doc_id, g
-    order by doc_id, span_start
-"""
+
+
+# The fold entry's previous build's eager frames (folded ladder, final
+# order, lens, top-class, merged orders, delta builds), released at the
+# start of the NEXT build — release_xsb_models only frees the shared
+# BASE memo, and checkpoint blocks otherwise stay pinned until JVM GC +
+# ContextCleaner notice (the round-9 ADVICE), which across bench reps
+# and driver double-evaluation would stack full folded artifacts.
+_LAST_FOLD_FRAMES: list = []
+
+
+def _release_last_fold() -> None:
+    from bench import _release_memo_value
+
+    for v in _LAST_FOLD_FRAMES:
+        _release_memo_value(v)
+    _LAST_FOLD_FRAMES.clear()
 
 
 def _xsi_maxlen(spark: SparkSession, sf_dir: str) -> int:
@@ -116,7 +112,7 @@ def _xsi_maxlen(spark: SparkSession, sf_dir: str) -> int:
       select doc_id, pos as s, pos + m as e from m
       where m >= {_XS_T} and doc_id >= 1000000
     ),
-    {_XS_SPANS_TAIL}
+    {_XS_SPANS_TAIL_SQL}
     """,
 )
 def doc_exact_substr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +141,7 @@ def doc_exact_substr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-publication floor — and never runs the rebuild's pair-compare
     joins. tools/probe_xsi.py's fold leg prices fold-then-place
     against re-store-then-place at 30×."""
+    _release_last_fold()
     bparts = _xsb_parts(spark, sf_dir)
     base_all = _xsi_base(spark, sf_dir)
     d1 = base_all.filter(
@@ -154,6 +151,25 @@ def doc_exact_substr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged1, dparts1 = merged_order_from(bparts, d1)
     folded = fold_xsb_parts(bparts, dparts1, merged1)
     merged2, dparts2 = merged_order_from(folded, d2)
+    f2, h2, _p2, lens2, arts2, top2 = folded
+    _LAST_FOLD_FRAMES.extend(
+        [
+            merged1,
+            dparts1[0],
+            [fr for _, fr in dparts1[1]],
+            [fr for _, fr in dparts1[4]],
+            merged2,
+            dparts2[0],
+            [fr for _, fr in dparts2[1]],
+            [fr for _, fr in dparts2[4]],
+            f2,
+            [fr for _, fr in h2],
+            lens2,
+            top2,
+            arts2["seed_vocab"],
+            [list(t) for t in arts2["levels"]],
+        ]
+    )
     return stored_base_spans(
         folded, dparts2, merged2, _xsi_maxlen(spark, sf_dir)
     )
@@ -185,7 +201,7 @@ _TOMB_SQL = "doc_id % 10 <> 1"
       select doc_id, pos as s, pos + m as e from m
       where m >= {_XS_T} and (doc_id % 5 = 4 or doc_id >= 1000000)
     ),
-    {_XS_SPANS_TAIL}
+    {_XS_SPANS_TAIL_SQL}
     """,
 )
 def doc_exact_substr_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:

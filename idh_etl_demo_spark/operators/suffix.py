@@ -402,6 +402,10 @@ def fold_ladder(
         # empty delta: the combined corpus IS the base; its ladder is
         # already the stored one (dense ranks unchanged by zero rows)
         return list(base_history)
+    if not base_history:
+        # empty day-0 base: the combined corpus IS the delta, whose own
+        # build already produced exactly the rebuild's ladder
+        return list(delta_history)
     bwidth = max(1, math.ceil(npos / _NBUCKETS))
 
     def _delta_level(L: int) -> DataFrame:

@@ -372,7 +372,23 @@ def test_mechanical_noisy_rows(tmp_path):
     p.write_text(json.dumps(hist))
     got = bench.mechanical_noisy_rows(str(p))
     assert got == {"swingy"}
-    committed = bench.mechanical_noisy_rows()
-    assert "doc_title_edit_neardup" in committed
+    # the verdict-named row's membership, pinned on the FIXED r12-r14
+    # slice of the committed history (the slice that motivated the
+    # criterion) — not on "the last 3 rounds", which moves every round
+    # and would make this test red on future data-only appends
+    import os
+
+    full = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "BENCH_HISTORY.json"))
+    )
+    sliced = {
+        "rounds": {k: v for k, v in full["rounds"].items() if k in ("12", "13", "14")}
+    }
+    p2 = tmp_path / "hist_r12_r14.json"
+    p2.write_text(json.dumps(sliced))
+    pinned = bench.mechanical_noisy_rows(str(p2))
+    assert "doc_title_edit_neardup" in pinned
+    # structural invariants on the live computation (stable by
+    # construction whatever the history holds)
     assert bench.NOISY_BASE <= bench.NOISY_FAMILY
-    assert committed <= bench.NOISY_FAMILY
+    assert bench.mechanical_noisy_rows() <= bench.NOISY_FAMILY
