@@ -115,7 +115,11 @@ def merged_order_from(
     dead ladder rows; parity is exact without it
     (test_tombstone_merged_order_matches_surviving_rebuild,
     test_tombstone_whole_class_removed, and the driver-gated
-    doc_exact_substr_tombstone)."""
+    doc_exact_substr_tombstone). On a FOLDING cadence even that
+    optimization is free: pass the same predicate to
+    ``fold_xsb_parts`` and the fold's per-level dense re-rank sheds
+    the dead rows itself, so tombstones never outlive the next fold
+    (test_tombstone_fold_then_place_matches_surviving_rebuild)."""
     from idh_etl_demo_spark.operators.suffix import (
         _NBUCKETS,
         _bucketed_rank,
@@ -244,7 +248,9 @@ def stored_base_spans(
     )
 
 
-def fold_xsb_parts(bparts: tuple, dparts: tuple, merged: DataFrame) -> tuple:
+def fold_xsb_parts(
+    bparts: tuple, dparts: tuple, merged: DataFrame, base_filter=None
+) -> tuple:
     """FOLD a placed delta into the stored-base artifact (r14 verdict
     ask #4 — multi-delta maintenance): returns a ``_xsb_parts``-shaped
     tuple for the COMBINED corpus, so day-2's delta extends/places
@@ -262,7 +268,21 @@ def fold_xsb_parts(bparts: tuple, dparts: tuple, merged: DataFrame) -> tuple:
         folded ladder by the SAME build-time constructors
         (ladder_artifacts / top_class_frame) — the re-store floor of
         any fold, measured against the full rebuild alternative by
-        tools/probe_xsi.py's fold leg."""
+        tools/probe_xsi.py's fold leg.
+
+    ``base_filter``: when the merge ran under a tombstone predicate
+    (doc-level — document removals are doc-level by nature), pass the
+    SAME predicate here so every component is rebuilt over SURVIVORS:
+    the fold's per-level dense re-rank sheds dead rows for free, which
+    makes the fold itself the compaction step — tombstones never
+    outlive the next fold, and day-2 placement runs in one consistent
+    survivor rank space. Without it, a tombstoned merge would hand
+    day-2 a survivor-ranked final order against a dead-inclusive
+    ladder: a delta row keyed into an all-dead class would silently
+    mis-place (gap → ins 0, exact → dropped by the class join).
+    Pinned by test_tombstone_fold_then_place_matches_surviving_rebuild
+    (both failure shapes planted, plus a second-day tombstone over a
+    folded-in day-1 doc)."""
     from idh_etl_demo_spark.operators.suffix import (
         fold_ladder,
         ladder_artifacts,
@@ -271,20 +291,27 @@ def fold_xsb_parts(bparts: tuple, dparts: tuple, merged: DataFrame) -> tuple:
 
     bf, bh, bp, blens, _arts, _bf_top = bparts
     d_final, d_hist, d_pos, delta_toks, states = dparts
+    b_lens = blens if base_filter is None else blens.filter(base_filter)
+    b_pos = bp if base_filter is None else bp.filter(base_filter)
     f2 = merged.select(
         "doc_id", "pos", F.col("mr").cast("long").alias("sa_rank")
     ).localCheckpoint(eager=True)
-    lens2 = blens.unionByName(
+    lens2 = b_lens.unionByName(
         delta_toks.select(
             "doc_id", F.size("toks").cast("long").alias("n_tokens")
         )
     ).localCheckpoint(eager=True)
-    pos2 = bp.unionByName(d_pos)
+    pos2 = b_pos.unionByName(d_pos)
     row = lens2.agg(
         F.sum("n_tokens").alias("np"), F.max("n_tokens").alias("ml")
     ).collect()[0]
     h2 = fold_ladder(
-        bh, states, d_hist, int(row.ml or 0), int(row.np or 0)
+        bh,
+        states,
+        d_hist,
+        int(row.ml or 0),
+        int(row.np or 0),
+        base_filter=base_filter,
     )
     arts2 = ladder_artifacts(h2, pos2)
     top2 = top_class_frame(f2, h2, lens2).localCheckpoint(eager=True)

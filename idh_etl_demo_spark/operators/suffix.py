@@ -350,6 +350,7 @@ def fold_ladder(
     delta_history: list[tuple[int, DataFrame]],
     maxlen: int,
     npos: int,
+    base_filter=None,
 ) -> list[tuple[int, DataFrame]]:
     """FOLD a placed delta INTO the stored rank ladder — multi-delta
     maintenance: after day-1's delta is placed, emit the COMBINED
@@ -395,13 +396,52 @@ def fold_ladder(
     stored artifact). ``maxlen``/``npos`` are the combined corpus's
     (driver scalars the caller already holds).
 
+    ``base_filter``: optional TOMBSTONE predicate (doc-level, the same
+    one the merge ran under) — deletions COMPOSE with folds because
+    the fold already pays a dense re-rank per level, so shedding
+    tombstoned rows there is FREE: the folded ladder contains
+    SURVIVORS only, i.e. every fold doubles as the compaction step.
+    Exactness carries over unchanged: original class ids still order
+    content when restricted to survivors (a subsequence of a
+    content-ordered sequence), dense rank re-compresses the gaps, and
+    a delta row keyed into an ALL-tombstoned class/bracket still
+    orders correctly because the dead class id survives as a key
+    VALUE. With a filter, ``maxlen``/``npos`` must be the SURVIVING
+    corpus's. The folded ladder may retain levels DEEPER than a fresh
+    survivors-rebuild would (deletions can make an exit fire earlier);
+    those levels are still the genuine level-L content partitions, so
+    every ladder consumer stays sound — only the retained-level list
+    differs, never a class id (placement parity is the pin:
+    test_tombstone_fold_then_place_matches_surviving_rebuild).
+
     Returns the folded history; the combined final order is the
     caller's merged order (``place_delta_ranks`` + one ranking pass),
     so fold never re-derives it."""
     if not delta_history:
-        # empty delta: the combined corpus IS the base; its ladder is
-        # already the stored one (dense ranks unchanged by zero rows)
-        return list(base_history)
+        # empty delta: the combined corpus IS the (surviving) base. A
+        # pure-removal day still re-publishes each level so the folded
+        # artifact is dense over survivors — the compaction contract.
+        if base_filter is None:
+            # zero delta rows leave every dense rank unchanged
+            return list(base_history)
+        bwidth = max(1, math.ceil(npos / _NBUCKETS))
+        return [
+            (
+                L,
+                _bucketed_rank(
+                    bfr.filter(base_filter).select(
+                        "doc_id", "pos", F.col("r").alias("k1")
+                    ),
+                    ["k1"],
+                    "k1",
+                    bwidth,
+                    dense=True,
+                )
+                .select("doc_id", "pos", F.col("gr").alias("r"))
+                .localCheckpoint(eager=True),
+            )
+            for L, bfr in base_history
+        ]
     if not base_history:
         # empty day-0 base: the combined corpus IS the delta, whose own
         # build already produced exactly the rebuild's ladder
@@ -430,7 +470,8 @@ def fold_ladder(
             .cast("long")
             .alias("k3"),
         )
-        brows = bfr.select(
+        bsrc = bfr if base_filter is None else bfr.filter(base_filter)
+        brows = bsrc.select(
             "doc_id",
             "pos",
             F.col("r").cast("long").alias("k1"),

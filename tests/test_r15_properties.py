@@ -392,3 +392,78 @@ def test_mechanical_noisy_rows(tmp_path):
     # construction whatever the history holds)
     assert bench.NOISY_BASE <= bench.NOISY_FAMILY
     assert bench.mechanical_noisy_rows() <= bench.NOISY_FAMILY
+
+
+def test_tombstone_fold_then_place_matches_surviving_rebuild(spark):
+    """Deletions COMPOSE with folds: place day-1 under a tombstone
+    filter, fold with the SAME filter (the fold's per-level dense
+    re-rank sheds dead rows for free — the compaction contract), then
+    place day-2 against the folded artifact. Both former failure
+    shapes are planted: doc 3's removal kills WHOLE top classes
+    ("m n", "n"), day-2 then lands one suffix exactly INSIDE a dead
+    class (an unfiltered fold would drop it at the class join) and one
+    gap-bracketed AT the dead classes (an unfiltered fold would
+    coalesce its insertion rank to 0). A second day-2 tombstone over a
+    folded-in day-1 doc plus a second fold pins the full maintenance
+    algebra chain: tombstone∘fold∘tombstone∘fold∘place ≡ rebuild on
+    the final surviving corpus."""
+    from idh_etl_demo_spark.catalog_r14 import (
+        fold_xsb_parts,
+        merged_order_from,
+    )
+
+    base_rows = [
+        (0, "b c d e"),
+        (1, "b c d"),  # removed day-1
+        (2, "c d e f"),
+        (3, "m n"),  # removed day-1: sole owner of the m/n classes
+    ]
+    alive1 = ~F.col("doc_id").isin(1, 3)
+    d1_rows = [(100, "b c d"), (101, "z b c")]  # 100 re-crawls doc 1
+    d2_rows = [
+        (200, "m n"),  # exact inside the all-dead class
+        (201, "m z"),  # gap bracketed at the dead classes
+        (202, "c d e"),
+    ]
+    bparts = _bparts_of(spark, base_rows)
+    d1 = _toks_df(spark, d1_rows).localCheckpoint(eager=True)
+    d2 = _toks_df(spark, d2_rows).localCheckpoint(eager=True)
+    merged1, dparts1 = merged_order_from(bparts, d1, base_filter=alive1)
+    folded = fold_xsb_parts(bparts, dparts1, merged1, base_filter=alive1)
+
+    def _assert_no_dead(parts, dead_ids):
+        f, h, p, lens, _a, top = parts
+        for what, fr in (
+            [("final", f), ("pos", p), ("lens", lens), ("top", top)]
+            + [(f"rank_L{L}", fr) for L, fr in h]
+        ):
+            n = fr.filter(F.col("doc_id").isin(*dead_ids)).count()
+            assert n == 0, f"tombstoned rows outlived the fold: {what}"
+
+    _assert_no_dead(folded, [1, 3])
+
+    def _rebuild_order(rows):
+        rf, _h, _p = suffix_ranks(
+            _toks_df(spark, rows).localCheckpoint(eager=True)
+        )
+        return sorted((r.doc_id, r.pos, r.sa_rank) for r in rf.collect())
+
+    surviving1 = [r for r in base_rows if r[0] not in (1, 3)] + d1_rows
+    merged2, dparts2 = merged_order_from(
+        folded, d2, base_filter=F.col("doc_id") != 101
+    )
+    got2 = sorted((r.doc_id, r.pos, r.mr) for r in merged2.collect())
+    surviving2 = [r for r in surviving1 if r[0] != 101] + d2_rows
+    assert got2 == _rebuild_order(surviving2)
+
+    # fold the tombstoned day-2 in as well, then place day-3
+    folded2 = fold_xsb_parts(
+        folded, dparts2, merged2, base_filter=F.col("doc_id") != 101
+    )
+    _assert_no_dead(folded2, [1, 3, 101])
+    d3 = _toks_df(spark, [(300, "b c z"), (301, "n")]).localCheckpoint(
+        eager=True
+    )
+    merged3, _ = merged_order_from(folded2, d3)
+    got3 = sorted((r.doc_id, r.pos, r.mr) for r in merged3.collect())
+    assert got3 == _rebuild_order(surviving2 + [(300, "b c z"), (301, "n")])
