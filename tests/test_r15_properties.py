@@ -467,3 +467,48 @@ def test_tombstone_fold_then_place_matches_surviving_rebuild(spark):
     merged3, _ = merged_order_from(folded2, d3)
     got3 = sorted((r.doc_id, r.pos, r.mr) for r in merged3.collect())
     assert got3 == _rebuild_order(surviving2 + [(300, "b c z"), (301, "n")])
+
+
+def test_tombstoned_fold_survives_store_roundtrip(spark, tmp_path):
+    """Persistence closes the maintenance algebra: an artifact that
+    went through a TOMBSTONED fold stores/loads like a fresh build and
+    places the next delta identically — the parquet layer never sees
+    (and never needs) the tombstone history, because the fold already
+    compacted it away."""
+    from idh_etl_demo_spark.catalog_r14 import (
+        fold_xsb_parts,
+        load_xsb_parts,
+        merged_order_from,
+        store_xsb_parts,
+    )
+
+    base_rows = [(0, "b c d e"), (1, "b c d"), (2, "m n")]
+    alive = F.col("doc_id") != 2
+    bparts = _bparts_of(spark, base_rows)
+    d1 = _toks_df(spark, [(100, "c d q"), (101, "m n")]).localCheckpoint(
+        eager=True
+    )
+    merged1, dparts1 = merged_order_from(bparts, d1, base_filter=alive)
+    folded = fold_xsb_parts(bparts, dparts1, merged1, base_filter=alive)
+    path = str(tmp_path / "xsb_folded_tomb")
+    store_xsb_parts(path, folded)
+    loaded = load_xsb_parts(spark, path)
+    d2 = _toks_df(spark, [(200, "m z"), (201, "b c")]).localCheckpoint(
+        eager=True
+    )
+
+    def _order(parts):
+        merged, _ = merged_order_from(parts, d2)
+        return sorted((r.doc_id, r.pos, r.mr) for r in merged.collect())
+
+    got = _order(loaded)
+    assert got == _order(folded)
+    rf, _h, _p = suffix_ranks(
+        _toks_df(
+            spark,
+            [(0, "b c d e"), (1, "b c d"), (100, "c d q"), (101, "m n"),
+             (200, "m z"), (201, "b c")],
+        ).localCheckpoint(eager=True)
+    )
+    want = sorted((r.doc_id, r.pos, r.sa_rank) for r in rf.collect())
+    assert got == want
