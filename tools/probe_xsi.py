@@ -21,6 +21,9 @@ e2e pair now also truly alternates within rep 2 (rebuild first), the
 same ordering-bias fix the component legs got in r14.
 
 Usage: python tools/probe_xsi.py  (writes PROBE_XSI.json at repo root)
+       python tools/probe_xsi.py --scales 100   (re-run a subset of
+       placement scales only; skips the sf-decomposition section and
+       MERGES the re-run keys into the existing PROBE_XSI.json)
 
 The placement scales run min-of-2 over BOTH paths at up to 100× — far
 more live state than any bench rep — so the probe wants a larger
@@ -58,10 +61,24 @@ def _timed_build(base_df):
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--scales",
+        default=None,
+        help="comma-separated placement scales to run (e.g. '100'); "
+        "skips the sf decomposition section and merges results into "
+        "the existing PROBE_XSI.json instead of overwriting it",
+    )
+    cli = ap.parse_args()
+    only = (
+        tuple(int(s) for s in cli.scales.split(",")) if cli.scales else None
+    )
     spark = get_spark(app_name="probe-xsi")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
-    for sf in ("sf0.001", "sf0.01"):
+    for sf in () if only else ("sf0.001", "sf0.01"):
         sf_dir = f"/root/testdata/{sf}"
         t0 = time.perf_counter()
         final, history, posf = _xsi_parts(spark, sf_dir)
@@ -214,14 +231,17 @@ def main() -> None:
     # the e2e pair runs there (the component story is established at
     # 10-100× and each 300× leg costs minutes). The fold-vs-restore
     # pair (r14 ask #4) runs at 30× — the measured break-even scale,
-    # where the maintenance decision is live.
+    # where the maintenance decision is live — and at 100×, to read
+    # whether the fold's margin WIDENS with the base (restore re-ranks
+    # the full corpus per level; the fold's only corpus-width work is
+    # the per-level dense re-publication both paths share).
     SCALES = {
         10: {"components": True, "fold": False},
         30: {"components": True, "fold": True},
-        100: {"components": True, "fold": False},
+        100: {"components": True, "fold": True},
         300: {"components": False, "fold": False},
     }
-    for n_copies in (10, 30, 100, 300):
+    for n_copies in only or (10, 30, 100, 300):
         copies = [xsi]
         for i in range(1, n_copies):
             copies.append(
@@ -527,7 +547,13 @@ def main() -> None:
             )
         )
     spark.stop()
-    with open(os.path.join(REPO, "PROBE_XSI.json"), "w") as fh:
+    path = os.path.join(REPO, "PROBE_XSI.json")
+    if only and os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        prev.update(out)
+        out = prev
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
