@@ -71,10 +71,20 @@ def main() -> None:
         "skips the sf decomposition section and merges results into "
         "the existing PROBE_XSI.json instead of overwriting it",
     )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=2,
+        help="repetitions per timed leg (min-of-N, order still "
+        "alternating between reps); 2 is the committed protocol, "
+        "raise it to tighten a reading that sits inside the "
+        "session-noise floor",
+    )
     cli = ap.parse_args()
     only = (
         tuple(int(s) for s in cli.scales.split(",")) if cli.scales else None
     )
+    n_reps = max(1, cli.reps)
     spark = get_spark(app_name="probe-xsi")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, dict] = {}
@@ -423,8 +433,8 @@ def main() -> None:
                 return s
 
             fold_runs, restore_runs = [], []
-            for rep in range(2):
-                if rep == 0:
+            for rep in range(n_reps):
+                if rep % 2 == 0:
                     fold_runs.append(_leg_fold())
                     restore_runs.append(_leg_restore())
                 else:
@@ -462,10 +472,10 @@ def main() -> None:
             if SCALES[n_copies]["components"]
             else []
         )
-        for rep in range(2):
+        for rep in range(n_reps):
             order = (
                 component_legs + ["e2e_update", "e2e_rebuild"]
-                if rep == 0
+                if rep % 2 == 0
                 else ["e2e_rebuild", "e2e_update"] + component_legs[::-1]
             )
             rep_spans = {}
@@ -500,7 +510,7 @@ def main() -> None:
             "n_base_positions": nb,
             "n_delta_positions": nd,
             "ladder_levels": len(bh_n),
-            "protocol": "min-of-2, alternating leg order",
+            "protocol": f"min-of-{n_reps}, alternating leg order",
             "stored_base_build_sec_not_in_update": stored_base_build_s,
             # the r13 stretch ask #8: the FULL incremental pipeline
             # (stored base + placement + merged order + span
