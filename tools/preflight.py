@@ -68,6 +68,14 @@ def main() -> int:
         "--suite-fast", action="store_true",
         help="gate on plan-shape + window/COVERAGE contract tests only",
     )
+    ap.add_argument(
+        "--all", action="store_true",
+        help="rehearse EVERY catalog entry (not just the driver "
+        "window) — the pre-rotation de-risk sweep: out-of-window "
+        "entries normally only see their oracles at sf0.001 via the "
+        "test sweep, so this is where an sf0.01-only surprise shows "
+        "up before a rotation would put it in front of the driver",
+    )
     ap.add_argument("names", nargs="*", help="subset of entries (default: full window)")
     args = ap.parse_args()
 
@@ -94,8 +102,10 @@ def main() -> int:
             f"read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    names = args.names or m.DRIVER_PRIORITY
     queries = m.queries()
+    names = args.names or (
+        sorted(queries.keys()) if args.all else m.DRIVER_PRIORITY
+    )
     oracles = m.oracle_sql()
     red = []
     for name in names:
