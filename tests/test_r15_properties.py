@@ -512,3 +512,65 @@ def test_tombstoned_fold_survives_store_roundtrip(spark, tmp_path):
     )
     want = sorted((r.doc_id, r.pos, r.sa_rank) for r in rf.collect())
     assert got == want
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _maintenance_scenario(draw):
+    """Random two-day maintenance scenario over a 3-token alphabet —
+    the maximum-collision regime (verbatim dups across corpora,
+    stability exits, whole-class deaths all arise naturally)."""
+    doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=6)
+    base = [
+        (i, " ".join(draw(doc)))
+        for i in range(draw(st.integers(2, 4)))
+    ]
+    d1 = [
+        (100 + i, " ".join(draw(doc)))
+        for i in range(draw(st.integers(1, 3)))
+    ]
+    d2 = [
+        (200 + i, " ".join(draw(doc)))
+        for i in range(draw(st.integers(1, 2)))
+    ]
+    rm1 = [i for i, _ in base if draw(st.booleans())]
+    live1 = [i for i, _ in base if i not in rm1] + [i for i, _ in d1]
+    rm2 = [i for i in live1 if draw(st.booleans())]
+    return base, d1, d2, rm1, rm2
+
+
+@settings(max_examples=5, deadline=None)
+@given(_maintenance_scenario())
+def test_maintenance_algebra_randomized(spark, scenario):
+    """Randomized pin of the full maintenance algebra:
+    place(tombstone₁) ∘ fold(tombstone₁) ∘ place(tombstone₂) over
+    random tiny-alphabet corpora and random removal sets (either day's
+    set may be empty, may kill whole classes, or may kill every base
+    doc) must reproduce the final surviving corpus's rebuild
+    rank-for-rank — the hand-planted composition tests' property,
+    hypothesis-driven."""
+    from idh_etl_demo_spark.catalog_r14 import (
+        fold_xsb_parts,
+        merged_order_from,
+    )
+
+    base, d1, d2, rm1, rm2 = scenario
+    f1 = ~F.col("doc_id").isin(rm1) if rm1 else None
+    f2 = ~F.col("doc_id").isin(rm2) if rm2 else None
+    bparts = _bparts_of(spark, base)
+    d1f = _toks_df(spark, d1).localCheckpoint(eager=True)
+    d2f = _toks_df(spark, d2).localCheckpoint(eager=True)
+    merged1, dparts1 = merged_order_from(bparts, d1f, base_filter=f1)
+    folded = fold_xsb_parts(bparts, dparts1, merged1, base_filter=f1)
+    merged2, _ = merged_order_from(folded, d2f, base_filter=f2)
+    got = sorted((r.doc_id, r.pos, r.mr) for r in merged2.collect())
+    surviving = [
+        r for r in base + d1 if r[0] not in rm1 and r[0] not in rm2
+    ] + d2
+    rf, _h, _p = suffix_ranks(
+        _toks_df(spark, surviving).localCheckpoint(eager=True)
+    )
+    want = sorted((r.doc_id, r.pos, r.sa_rank) for r in rf.collect())
+    assert got == want
