@@ -79,12 +79,20 @@ def _xsb_parts(spark: SparkSession, sf_dir: str) -> tuple:
         base_toks = _xsi_base(spark, sf_dir).filter(
             ~_xsi_delta(F.col("doc_id"))
         )
-        bf, bh, bp = suffix_ranks(base_toks)
+        # capture the build's byproducts (pair-map triples, final order
+        # with its top class) so the artifact constructors below run
+        # join-free over the build's own checkpoints (round 15 — the
+        # values are identical, ladder_artifacts/top_class_frame
+        # docstrings carry the equivalence argument)
+        cap: dict = {}
+        bf, bh, bp = suffix_ranks(base_toks, capture=cap)
         blens = base_toks.select(
             "doc_id", F.size("toks").cast("long").alias("n_tokens")
         )
-        arts = ladder_artifacts(bh, bp)
-        bf_top = top_class_frame(bf, bh, blens).localCheckpoint(eager=True)
+        arts = ladder_artifacts(bh, bp, pair_levels=cap["pair_levels"])
+        bf_top = top_class_frame(
+            bf, bh, blens, final_top=cap["final_top"]
+        ).localCheckpoint(eager=True)
         _XSB_MODELS[key] = (bf, bh, bp, blens, arts, bf_top)
     return _XSB_MODELS[key]
 
@@ -122,7 +130,7 @@ def merged_order_from(
     (test_tombstone_fold_then_place_matches_surviving_rebuild)."""
     from idh_etl_demo_spark.operators.suffix import (
         _NBUCKETS,
-        _bucketed_rank,
+        _ranked_ckpt,
         extend_delta_states,
         place_delta_ranks,
         suffix_ranks,
@@ -151,17 +159,19 @@ def merged_order_from(
         )
     )
     n_total = u.count()
-    ranked = _bucketed_rank(
+    # _ranked_ckpt materializes the ranking pass itself (one windowed
+    # pass + driver-side offsets — round 15); ``merged`` is a narrow
+    # projection over that checkpoint, so the former second eager
+    # localCheckpoint of the same rows is gone.
+    ranked, _ = _ranked_ckpt(
         u,
         ["k1", "tag", "k2"],
         "k1",
         max(1, math.ceil(n_total / _NBUCKETS)),
         dense=False,
-    ).select("doc_id", "pos", "tag", F.col("gr").alias("mr"))
-    return (
-        ranked.localCheckpoint(eager=True),
-        (d_final, d_hist, d_pos, delta_toks, states),
     )
+    merged = ranked.select("doc_id", "pos", "tag", F.col("gr").alias("mr"))
+    return merged, (d_final, d_hist, d_pos, delta_toks, states)
 
 
 def stored_base_spans(

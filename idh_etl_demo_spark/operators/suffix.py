@@ -86,6 +86,68 @@ def _bucketed_rank(
     )
 
 
+def _ranked_ckpt(
+    paired: DataFrame,
+    order_cols: list[str],
+    bucket_src: str,
+    bucket_width: int,
+    dense: bool,
+) -> tuple[DataFrame, int]:
+    """``_bucketed_rank`` restructured around an EAGER materialization
+    (optimization guide §1.2/§2.4 — fewer passes over the same rows):
+    the bucketed window frame is localCheckpointed FIRST, the
+    |buckets|-row count table is collected to the driver (bounded at
+    ~``_NBUCKETS`` rows by the callers' bucket_width choice), and the
+    global rank publishes as a NARROW PROJECTION over the checkpoint.
+
+    What this removes vs ``_bucketed_rank`` + a separate checkpoint:
+    the offsets DIAMOND (the windowed subtree used to execute twice —
+    once under the groupBy that fed the broadcast offsets, once under
+    the output join), the broadcast hash join per round, and the
+    separate per-round scalar job the doubling loop paid for its
+    early-exit test (``agg(max(r))``) — the returned ``total`` carries
+    it for free (Σ per-bucket class counts; classes never straddle
+    buckets because the bucket key is the leading order column).
+
+    Output values are IDENTICAL to ``_bucketed_rank``'s ``gr`` (0-based
+    dense rank / 1-based row_number). Returns (frame, total): the input
+    columns plus ``gr``, and the driver-side global class count (dense)
+    or row count (row_number)."""
+    b = paired.withColumn(
+        "bucket", F.floor(F.col(bucket_src) / bucket_width).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(*[F.asc(c) for c in order_cols])
+    rk = (F.dense_rank() if dense else F.row_number()).over(w)
+    ranked = b.withColumn("lr", rk.cast("long")).localCheckpoint(eager=True)
+    counts = sorted(
+        ranked.groupBy("bucket").agg(F.max("lr").alias("n")).collect(),
+        key=lambda r: r["bucket"],
+    )
+    # publish offsets as a DENSE ARRAY literal indexed by bucket (O(1)
+    # per-row lookup — a map literal's element_at is a linear scan of
+    # all ~_NBUCKETS entries PER ROW, and this projection re-evaluates
+    # in every downstream consumer of the level). Buckets are dense
+    # integers from floor(min_key / width); absent buckets carry the
+    # running offset (harmless: no row has that bucket).
+    acc = 0
+    if counts:
+        lo = int(counts[0]["bucket"])
+        hi = int(counts[-1]["bucket"])
+        arr = [0] * (hi - lo + 1)
+        for r in counts:
+            arr[int(r["bucket"]) - lo] = acc
+            acc += int(r["n"])
+        off = F.element_at(
+            F.array(*[F.lit(v) for v in arr]),
+            (F.col("bucket") - lo + 1).cast("int"),
+        )
+    else:
+        off = F.lit(0).cast("long")
+    gr = off + F.col("lr") - (1 if dense else 0)
+    out = ranked.select(*paired.columns, gr.cast("long").alias("gr"))
+    return out, acc
+
+
 def _bucketed_cumsum(g: DataFrame, key_col: str, val_col: str) -> DataFrame:
     """(key, cum) — EXCLUSIVE cumulative sum of ``val_col`` over rows
     with a strictly smaller ``key_col``, without a single-partition
@@ -154,6 +216,7 @@ def _doubling_loop(
     bwidth: int,
     history: list[tuple[int, DataFrame]],
     prev_top: int,
+    pair_levels: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The prefix-doubling loop body shared by ``suffix_ranks`` (the
     from-scratch build) and ``fold_ladder`` (continuation past a folded
@@ -162,30 +225,35 @@ def _doubling_loop(
     Manber–Myers stability fixpoint; append each retained level to
     ``history`` and return the final rank table. Exit semantics are
     documented inline (round-12); they are the build's correctness
-    contract with every ladder consumer."""
+    contract with every ladder consumer.
+
+    Round shape (optimization round 15 — guide §2.4, remove shuffles
+    outright): the pair (r(p), r(p+h)) comes from ONE ``lead(r, h)``
+    window over the per-document position stream — positions are dense
+    0..n−1 per doc by construction (``posexplode``; folds drop whole
+    docs only), so the row h ahead IS position p+h. This replaces the
+    former (doc_id, pos)-keyed self-join: one exchange instead of two
+    plus the join itself. The rank then runs through ``_ranked_ckpt``
+    (one windowed pass, driver-side offsets — see there), whose
+    returned class count serves both exit tests with no extra job.
+    Net per round: 2 exchanges + 2 sorts in one action + one bounded
+    collect, versus 3 exchanges + 4 sorts + a broadcast join across
+    two actions before.
+
+    ``pair_levels``: optional capture list — receives, per RETAINED
+    level, the ranked checkpoint carrying (r, r2, gr), i.e. exactly
+    the (r1, r2, r12) pair-map triples ``ladder_artifacts`` otherwise
+    re-derives with two corpus-width joins per level."""
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
     while h < maxlen:
-        nxt = cur.select(
-            "doc_id", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2")
+        paired = cur.select(
+            "doc_id",
+            "pos",
+            "r",
+            F.coalesce(F.lead("r", h).over(wdoc), F.lit(-1)).alias("r2"),
         )
-        paired = (
-            cur.join(nxt, ["doc_id", "pos"], "left")
-            .select(
-                "doc_id",
-                "pos",
-                "r",
-                F.coalesce(F.col("r2"), F.lit(-1)).alias("r2"),
-            )
-        )
-        ranked = _bucketed_rank(paired, ["r", "r2"], "r", bwidth, dense=True)
-        cur = ranked.select(
-            "doc_id", "pos", F.col("gr").alias("r")
-        ).localCheckpoint(eager=True)
-        h *= 2
-        history.append((h, cur))
-        # early exit: all ranks distinct → no pair can refine further
-        top = cur.agg(F.max("r")).collect()[0][0]
-        if top == npos - 1:
-            break
+        ranked, ncls = _ranked_ckpt(paired, ["r", "r2"], "r", bwidth, dense=True)
+        top = ncls - 1
         # STABILITY exit (round-12): doubling only refines, so equal
         # class count ⟺ equal partition; and a round with no split is
         # the Manber–Myers fixpoint — if p ≡₂ₕ q then p+h ≡ₕ q+h (the
@@ -195,22 +263,24 @@ def _doubling_loop(
         # are IDENTICAL TAILS (verbatim re-crawls), which full-depth
         # doubling could never separate anyway — the walk resolves
         # them via the top-level sentinel (suffix_lcp_adjacent). The
-        # level just appended duplicates the previous partition, so
-        # drop it: the stable level is the walk's top.
+        # level just computed duplicates the previous partition
+        # POINTWISE (no split means every r-class has one (r, r2)
+        # value, so the dense rank over (r, r2) is r itself), so it is
+        # never appended: the stable level is the walk's top. Release
+        # the redundant checkpoint eagerly — its storage blocks
+        # otherwise stay pinned until the ContextCleaner notices.
         if top == prev_top:
-            # The dropped level is POINTWISE equal to the retained one,
-            # not just partition-equal: no split means every r-class has
-            # one (r, r2) value, so the dense rank over (r, r2) ordered
-            # lexicographically is r itself. Rebind cur to the retained
-            # top so the final tie-break reads the stable level, then
-            # release the redundant frame's eager localCheckpoint —
-            # otherwise its storage blocks stay pinned until the
-            # ContextCleaner notices (bench memo clearing can't reach a
-            # frame that left history).
             from idh_etl_demo_spark.operators.graph import _release_checkpoint
 
-            _release_checkpoint(history.pop()[1])
-            cur = history[-1][1]
+            _release_checkpoint(ranked)
+            break
+        cur = ranked.select("doc_id", "pos", F.col("gr").alias("r"))
+        h *= 2
+        history.append((h, cur))
+        if pair_levels is not None:
+            pair_levels.append(ranked)
+        # early exit: all ranks distinct → no pair can refine further
+        if top == npos - 1:
             break
         prev_top = top
     return cur
@@ -218,6 +288,7 @@ def _doubling_loop(
 
 def suffix_ranks(
     base: DataFrame,
+    capture: dict | None = None,
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame]:
     """Token-level suffix array of the corpus.
 
@@ -240,7 +311,17 @@ def suffix_ranks(
 
     Runs the prefix-doubling loop EAGERLY (each round localCheckpoints
     its rank table — the CC-fixpoint convention); callers should
-    memoize per (session, sf)."""
+    memoize per (session, sf).
+
+    ``capture``: optional dict that receives build BYPRODUCTS the
+    stored-base artifact constructors otherwise re-derive with
+    corpus-width joins (optimization round 15):
+      - ``pair_levels``: per retained level ≥ 1, the ranked checkpoint
+        carrying (r, r2, gr) = the (r1, r2, r12) pair-map triples
+        (consumed by ``ladder_artifacts``);
+      - ``final_top``: the final order WITH its top-level class column
+        (doc_id, pos, sa_rank, r) — consumed by ``top_class_frame``.
+    The returned (final, history, pos) shapes are unchanged."""
     pos = base.select(
         "doc_id", F.posexplode("toks").alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
@@ -279,26 +360,40 @@ def suffix_ranks(
         empty = cur.select(
             "doc_id", "pos", F.lit(0).cast("long").alias("sa_rank")
         )
+        if capture is not None:
+            capture["pair_levels"] = []
+            capture["final_top"] = empty.withColumn(
+                "r", F.lit(0).cast("long")
+            )
         return empty, [], pos
     bwidth = max(1, math.ceil(npos / _NBUCKETS))
     history: list[tuple[int, DataFrame]] = [(2, cur)]
-    cur = _doubling_loop(cur, 2, npos, maxlen, bwidth, history, prev_top)
+    pair_levels: list[DataFrame] | None = (
+        [] if capture is not None else None
+    )
+    cur = _doubling_loop(
+        cur, 2, npos, maxlen, bwidth, history, prev_top, pair_levels
+    )
 
     # total order: identical cross-document suffixes share a rank class
     # after the loop; break ties positionally (the oracle's
-    # ORDER BY suffix, doc_id, pos)
-    final = _bucketed_rank(
-        cur, ["r", "doc_id", "pos"], "r", bwidth, dense=False
-    )
-    final = final.select(
-        "doc_id", "pos", F.col("gr").alias("sa_rank")
-    ).localCheckpoint(eager=True)
+    # ORDER BY suffix, doc_id, pos). The ranked checkpoint retains the
+    # top-level class column, so ``final`` is a narrow projection and
+    # ``final_top`` costs nothing extra.
+    fr, _ = _ranked_ckpt(cur, ["r", "doc_id", "pos"], "r", bwidth, dense=False)
+    final = fr.select("doc_id", "pos", F.col("gr").alias("sa_rank"))
+    if capture is not None:
+        capture["pair_levels"] = pair_levels
+        capture["final_top"] = fr.select(
+            "doc_id", "pos", F.col("gr").alias("sa_rank"), "r"
+        )
     return final, history, pos
 
 
 def ladder_artifacts(
     base_history: list[tuple[int, DataFrame]],
     base_pos: DataFrame,
+    pair_levels: list[DataFrame] | None = None,
 ) -> dict:
     """The stored-base design's PERSISTED comparison structures, built
     once alongside the base suffix array (they materialize mid-round
@@ -315,29 +410,51 @@ def ladder_artifacts(
     per-update stage |delta|-width: without it they re-derive the same
     tables lazily per call (correct, but charges base-corpus passes to
     the update — the r14 probe measured that as the placement term's
-    only scale-dependent cost)."""
+    only scale-dependent cost).
+
+    ``pair_levels``: the build's captured ranked checkpoints
+    (``suffix_ranks(..., capture=...)``) — each already carries the
+    (r1, r2, r12) triples, so the per-level pair map collapses to ONE
+    distinct over the checkpoint instead of two corpus-width joins
+    (optimization round 15; values identical either way). Without it,
+    the derivation pairs (r1, r2) via one ``lead`` window per level —
+    the same join-elimination the doubling loop itself uses — then
+    joins the level above for r12 (one join instead of the former
+    two)."""
     vr = _seed_vocab(_pos2(base_pos)).localCheckpoint(eager=True)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
     levels = []
     for i in range(1, len(base_history)):
-        shift = base_history[i - 1][0]
-        h_prev = base_history[i - 1][1]
-        h_cur = base_history[i][1]
-        r1t = h_prev.select("doc_id", "pos", F.col("r").alias("r1"))
-        r2t = h_prev.select(
-            "doc_id", (F.col("pos") - shift).alias("pos"), F.col("r").alias("r2")
-        )
-        pmap = (
-            h_cur.select("doc_id", "pos", F.col("r").alias("r12"))
-            .join(r1t, ["doc_id", "pos"])
-            .join(r2t, ["doc_id", "pos"], "left")
-            .select(
-                "r1",
-                F.coalesce("r2", F.lit(-1)).cast("long").alias("r2"),
-                "r12",
+        if pair_levels is not None:
+            pmap = (
+                pair_levels[i - 1]
+                .select(
+                    F.col("r").alias("r1"),
+                    F.col("r2").cast("long").alias("r2"),
+                    F.col("gr").alias("r12"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        else:
+            shift = base_history[i - 1][0]
+            h_prev = base_history[i - 1][1]
+            h_cur = base_history[i][1]
+            pr = h_prev.select(
+                "doc_id",
+                "pos",
+                F.col("r").alias("r1"),
+                F.coalesce(F.lead("r", shift).over(wdoc), F.lit(-1))
+                .cast("long")
+                .alias("r2"),
+            )
+            pmap = (
+                h_cur.select("doc_id", "pos", F.col("r").alias("r12"))
+                .join(pr, ["doc_id", "pos"])
+                .select("r1", "r2", "r12")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
         grp = pmap.groupBy("r1").agg(F.count(F.lit(1)).alias("n"))
         fx = _bucketed_cumsum(grp, "r1", "n").localCheckpoint(eager=True)
         levels.append((pmap, fx))
@@ -428,7 +545,7 @@ def fold_ladder(
         return [
             (
                 L,
-                _bucketed_rank(
+                _ranked_ckpt(
                     bfr.filter(base_filter).select(
                         "doc_id", "pos", F.col("r").alias("k1")
                     ),
@@ -436,9 +553,7 @@ def fold_ladder(
                     "k1",
                     bwidth,
                     dense=True,
-                )
-                .select("doc_id", "pos", F.col("gr").alias("r"))
-                .localCheckpoint(eager=True),
+                )[0].select("doc_id", "pos", F.col("gr").alias("r")),
             )
             for L, bfr in base_history
         ]
@@ -478,21 +593,19 @@ def fold_ladder(
             F.lit(0).alias("k2"),
             F.lit(-1).cast("long").alias("k3"),
         )
-        ranked = _bucketed_rank(
+        ranked, ncls = _ranked_ckpt(
             brows.unionByName(drows), ["k1", "k2", "k3"], "k1", bwidth, dense=True
         )
-        cur = ranked.select(
-            "doc_id", "pos", F.col("gr").alias("r")
-        ).localCheckpoint(eager=True)
+        cur = ranked.select("doc_id", "pos", F.col("gr").alias("r"))
         folded.append((L, cur))
+        top = ncls - 1
     # continue doubling past the folded top exactly as a rebuild would
-    # (usually zero rounds: the base's exits already covered maxlen)
+    # (usually zero rounds: the base's exits already covered maxlen).
+    # The last level's class count came back with its ranking pass, so
+    # no separate agg(max(r)) job runs here (optimization round 15).
     cur = folded[-1][1]
-    prev_top = cur.agg(F.max("r")).collect()[0][0]
-    if prev_top is not None and int(prev_top) < npos - 1:
-        _doubling_loop(
-            cur, folded[-1][0], npos, maxlen, bwidth, folded, int(prev_top)
-        )
+    if top < npos - 1:
+        _doubling_loop(cur, folded[-1][0], npos, maxlen, bwidth, folded, top)
     return folded
 
 
@@ -600,24 +713,24 @@ def extend_delta_states(
             # correct, but charges base-corpus passes to this call
             # (r12 is the DENSE RANK of pairs under (r1, r2) order by
             # construction, so pairs-before counts translate directly
-            # to bracket ids)
+            # to bracket ids). The (r1, r2) pair comes from one lead
+            # window instead of a second join (round 15, same
+            # equivalence as ladder_artifacts' fallback).
             h_prev = base_history[i - 1][1]
             h_cur = base_history[i][1]
-            r1t = h_prev.select("doc_id", "pos", F.col("r").alias("r1"))
-            r2t = h_prev.select(
+            wdoc = Window.partitionBy("doc_id").orderBy("pos")
+            pr = h_prev.select(
                 "doc_id",
-                (F.col("pos") - shift).alias("pos"),
-                F.col("r").alias("r2"),
+                "pos",
+                F.col("r").alias("r1"),
+                F.coalesce(F.lead("r", shift).over(wdoc), F.lit(-1))
+                .cast("long")
+                .alias("r2"),
             )
             pmap = (
                 h_cur.select("doc_id", "pos", F.col("r").alias("r12"))
-                .join(r1t, ["doc_id", "pos"])
-                .join(r2t, ["doc_id", "pos"], "left")
-                .select(
-                    "r1",
-                    F.coalesce("r2", F.lit(-1)).cast("long").alias("r2"),
-                    "r12",
-                )
+                .join(pr, ["doc_id", "pos"])
+                .select("r1", "r2", "r12")
                 .distinct()
                 .localCheckpoint(eager=False)
             )
@@ -707,15 +820,25 @@ def top_class_frame(
     base_final: DataFrame,
     base_history: list[tuple[int, DataFrame]],
     base_lens: DataFrame,
+    final_top: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, pos, sa_rank, r, rem) — the stored order joined with
     its top-level class and per-position tail length; the base of the
     per-class table ``place_delta_ranks`` locates against. Storable
-    alongside the ladder (one corpus pass at build time)."""
-    h_top = base_history[-1][1]
+    alongside the ladder (one corpus pass at build time).
+
+    ``final_top``: the build's captured (doc_id, pos, sa_rank, r)
+    frame (``suffix_ranks(..., capture=...)``) — the final ranking
+    pass orders by (top class, doc_id, pos), so the class column is a
+    free byproduct and the corpus-width join with the top level
+    disappears (optimization round 15; values identical)."""
+    src = (
+        final_top
+        if final_top is not None
+        else base_final.join(base_history[-1][1], ["doc_id", "pos"])
+    )
     return (
-        base_final.join(h_top, ["doc_id", "pos"])
-        .join(base_lens, "doc_id")
+        src.join(base_lens, "doc_id")
         .select(
             "doc_id",
             "pos",

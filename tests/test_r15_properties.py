@@ -303,19 +303,29 @@ def test_release_xsb_models_frees_checkpoints(spark):
         release_xsb_models,
     )
 
-    def n_persistent() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # Track persistent-RDD IDS, not counts: the ContextCleaner reaps
+    # earlier tests' dropped frames CONCURRENTLY (GC-driven), so a
+    # count can legitimately fall while the build runs — the r15
+    # optimization's different job cadence exposed exactly that race.
+    # Id-set logic is race-free: concurrent cleaning only ever REMOVES
+    # ids, so "the build created some" and "none of the build's ids
+    # survive release" both stay monotone under it.
+    def ids() -> set:
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
 
     release_xsb_models()  # clean slate if another test built it
-    before = n_persistent()
+    before = ids()
     _xsb_parts(spark, "/root/testdata/sf0.001")
     assert _XSB_MODELS
-    assert n_persistent() > before, "memo build should pin checkpoints"
+    created = ids() - before
+    assert created, "memo build should pin checkpoints"
     release_xsb_models()
     assert not _XSB_MODELS
-    assert n_persistent() <= before, (
-        f"release left checkpoints pinned: {before} -> {n_persistent()}"
-    )
+    leaked = created & ids()
+    assert not leaked, f"release left build checkpoints pinned: {leaked}"
 
 
 def test_xsi_route_flips_at_threshold():

@@ -288,11 +288,12 @@ def main() -> None:
         )
 
         t0 = time.perf_counter()
-        bf_n, bh_n, bp_n = suffix_ranks(base_n)
-        arts_n = ladder_artifacts(bh_n, bp_n)
-        bf_top_n = top_class_frame(bf_n, bh_n, blens).localCheckpoint(
-            eager=True
-        )
+        cap_n: dict = {}
+        bf_n, bh_n, bp_n = suffix_ranks(base_n, capture=cap_n)
+        arts_n = ladder_artifacts(bh_n, bp_n, pair_levels=cap_n["pair_levels"])
+        bf_top_n = top_class_frame(
+            bf_n, bh_n, blens, final_top=cap_n["final_top"]
+        ).localCheckpoint(eager=True)
         stored_base_build_s = round(time.perf_counter() - t0, 3)
         nb = bf_n.count()
         bparts = (bf_n, bh_n, bp_n, blens, arts_n, bf_top_n)
@@ -411,14 +412,15 @@ def main() -> None:
 
             def _leg_restore():
                 t0 = time.perf_counter()
-                f, h, p = suffix_ranks(corpus_n)
+                cap: dict = {}
+                f, h, p = suffix_ranks(corpus_n, capture=cap)
                 lens = corpus_n.select(
                     "doc_id", F.size("toks").cast("long").alias("n_tokens")
                 )
-                arts = ladder_artifacts(h, p)
-                topf = top_class_frame(f, h, lens).localCheckpoint(
-                    eager=True
-                )
+                arts = ladder_artifacts(h, p, pair_levels=cap["pair_levels"])
+                topf = top_class_frame(
+                    f, h, lens, final_top=cap["final_top"]
+                ).localCheckpoint(eager=True)
                 topf.count()
                 s = round(time.perf_counter() - t0, 3)
                 _release_memo_value(
