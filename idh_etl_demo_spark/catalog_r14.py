@@ -158,7 +158,18 @@ def merged_order_from(
             F.col("sa_rank").alias("k2"),
         )
     )
-    n_total = u.count()
+    # bucket sizing needs only |union| — count the two CHECKPOINTED
+    # inputs instead of ``u`` itself (round 15): u's plan embeds the
+    # whole placement chain, so u.count() executed placement once just
+    # to size buckets and the ranking pass then executed it again
+    # (its interior frames are not all checkpointed). One cheap scan
+    # of the stored order + the delta build's final checkpoint gives
+    # the identical n_total.
+    n_total = (
+        b_side.select(F.lit(1).alias("one"))
+        .unionByName(d_final.select(F.lit(1).alias("one")))
+        .count()
+    )
     # _ranked_ckpt materializes the ranking pass itself (one windowed
     # pass + driver-side offsets — round 15); ``merged`` is a narrow
     # projection over that checkpoint, so the former second eager
@@ -323,8 +334,13 @@ def fold_xsb_parts(
         int(row.np or 0),
         base_filter=base_filter,
     )
-    arts2 = ladder_artifacts(h2, pos2)
-    top2 = top_class_frame(f2, h2, lens2).localCheckpoint(eager=True)
+    # the re-derived artifacts are consumed exactly once (by the next
+    # delta's extension/placement), so their checkpoints are LAZY —
+    # computed inside the consumer's first action instead of ~2·levels
+    # separate materialization jobs here (round 15; the stored-base
+    # memo keeps eager artifacts — that one is served across entries)
+    arts2 = ladder_artifacts(h2, pos2, eager=False)
+    top2 = top_class_frame(f2, h2, lens2).localCheckpoint(eager=False)
     return (f2, h2, pos2, lens2, arts2, top2)
 
 

@@ -394,6 +394,7 @@ def ladder_artifacts(
     base_history: list[tuple[int, DataFrame]],
     base_pos: DataFrame,
     pair_levels: list[DataFrame] | None = None,
+    eager: bool = True,
 ) -> dict:
     """The stored-base design's PERSISTED comparison structures, built
     once alongside the base suffix array (they materialize mid-round
@@ -420,8 +421,16 @@ def ladder_artifacts(
     the derivation pairs (r1, r2) via one ``lead`` window per level —
     the same join-elimination the doubling loop itself uses — then
     joins the level above for r12 (one join instead of the former
-    two)."""
-    vr = _seed_vocab(_pos2(base_pos)).localCheckpoint(eager=True)
+    two).
+
+    ``eager``: the stored-base memo wants eager checkpoints (the
+    artifact is served across entries and bench reps); a FOLD's
+    re-derived artifacts are consumed exactly once by the next
+    update's extension, so the fold path passes eager=False — the
+    lazy checkpoints still compute once (first action caches them)
+    but the ~2·levels separate materialization jobs disappear
+    (round 15; values identical)."""
+    vr = _seed_vocab(_pos2(base_pos)).localCheckpoint(eager=eager)
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     levels = []
     for i in range(1, len(base_history)):
@@ -434,7 +443,7 @@ def ladder_artifacts(
                     F.col("gr").alias("r12"),
                 )
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=eager)
             )
         else:
             shift = base_history[i - 1][0]
@@ -453,10 +462,10 @@ def ladder_artifacts(
                 .join(pr, ["doc_id", "pos"])
                 .select("r1", "r2", "r12")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=eager)
             )
         grp = pmap.groupBy("r1").agg(F.count(F.lit(1)).alias("n"))
-        fx = _bucketed_cumsum(grp, "r1", "n").localCheckpoint(eager=True)
+        fx = _bucketed_cumsum(grp, "r1", "n").localCheckpoint(eager=eager)
         levels.append((pmap, fx))
     return {"seed_vocab": vr, "levels": levels}
 
@@ -644,8 +653,11 @@ def extend_delta_states(
     distinct per level — at 100 TB they would be persisted at build
     time, as they materialize mid-round anyway).
 
-    Levels are lazily localCheckpointed: no driver action runs inside,
-    and the log(max_len) chain stays bounded for the optimizer.
+    Levels are EAGERLY localCheckpointed (round 15): the chain stays
+    one node deep for the optimizer, and the |delta|-width jobs run
+    here instead of inside the first downstream action — see the
+    inline comment at the seed for the measured plan-analysis blowup
+    the lazy form paid.
 
     Preconditions: (doc_id, pos) keys disjoint between base and delta;
     base_history from ``suffix_ranks``; ``base_pos`` its position
@@ -692,6 +704,15 @@ def extend_delta_states(
             F.coalesce("pred", F.lit(-1)).cast("long").alias("gmiss"),
         )
     )
+    # Per-level checkpoints are EAGER (round 15): a level's plan embeds
+    # several copies of the previous level's plan (the exact/bracket
+    # branches each re-reference ``st``), so with lazy checkpoints the
+    # LOGICAL plan grows multiplicatively with levels — measured ~7 s
+    # of pure driver-side analysis per call at sf0.1 while the actual
+    # execution was ~1 s. Eager |delta|-width checkpoints keep every
+    # level's plan one node deep; the jobs they run are exactly the
+    # work the first downstream action paid anyway. (Callers are the
+    # EAGER_EXEMPT stored-base entries, the probe, and tests.)
     seed = (
         hit.join(F.broadcast(mk), ["token", "end", "t2v"], "left")
         .select(
@@ -700,7 +721,7 @@ def extend_delta_states(
             F.col("r").alias("e"),
             F.when(F.col("r").isNull(), F.col("gmiss")).alias("g"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     out: list[tuple[int, DataFrame]] = [(base_history[0][0], seed)]
     cur = seed
@@ -737,14 +758,20 @@ def extend_delta_states(
             grp = pmap.groupBy("r1").agg(F.count(F.lit(1)).alias("n"))
             fx = _bucketed_cumsum(grp, "r1", "n")  # #pairs first < r1
         tot = pmap.agg(F.count(F.lit(1)).cast("long").alias("_ptot"))
-        s2 = cur.select(
+        # the shifted self-lookup as ONE lead window (round 15 — the
+        # doubling loop's join elimination): delta positions are dense
+        # 0..n−1 per doc, so the row ``shift`` ahead IS pos+shift;
+        # lead(True) reproduces the old left-join's presence flag
+        wdoc2 = Window.partitionBy("doc_id").orderBy("pos")
+        st = cur.select(
             "doc_id",
-            (F.col("pos") - shift).alias("pos"),
-            F.col("e").alias("e2"),
-            F.col("g").alias("g2"),
-            F.lit(True).alias("_has2"),
+            "pos",
+            "e",
+            "g",
+            F.lead("e", shift).over(wdoc2).alias("e2"),
+            F.lead("g", shift).over(wdoc2).alias("g2"),
+            F.lead(F.lit(True), shift).over(wdoc2).alias("_has2"),
         )
-        st = cur.join(s2, ["doc_id", "pos"], "left")
         # --- first block exact: pair lookup, else bracket by counts ---
         ex = st.filter(F.col("e").isNotNull()).withColumn(
             # second-block exact key: stored class, or −1 past-end;
@@ -811,7 +838,7 @@ def extend_delta_states(
                 (F.coalesce("fg", F.col("_ptot")) - 1).alias("g"),
             )
         )
-        cur = exact_out.unionByName(gp).localCheckpoint(eager=False)
+        cur = exact_out.unionByName(gp).localCheckpoint(eager=True)
         out.append((base_history[i][0], cur))
     return out
 
