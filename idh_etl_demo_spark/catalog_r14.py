@@ -66,8 +66,12 @@ def _xsb_parts(spark: SparkSession, sf_dir: str) -> tuple:
     """Stored base artifacts per (session, sf): final order, rank
     ladder, position projection, per-doc lengths, the ladder's
     comparison artifacts (seed vocab + per-level pair maps/cumsums),
-    and the top-class frame — everything the 100 TB design persists at
-    build time, so every per-update stage stays |delta|-width."""
+    the top-class frame, and the MANIFEST — driver scalars (position
+    count, max document length) the build's own stats aggregate
+    already collected, so no consumer ever re-counts the corpus to
+    size buckets or bound walk loops (round 16, r15 verdict ask #6).
+    Everything the 100 TB design persists at build time, so every
+    per-update stage stays |delta|-width."""
     from idh_etl_demo_spark.operators.suffix import (
         ladder_artifacts,
         suffix_ranks,
@@ -93,12 +97,16 @@ def _xsb_parts(spark: SparkSession, sf_dir: str) -> tuple:
         bf_top = top_class_frame(
             bf, bh, blens, final_top=cap["final_top"]
         ).localCheckpoint(eager=True)
-        _XSB_MODELS[key] = (bf, bh, bp, blens, arts, bf_top)
+        meta = {"npos": cap["npos"], "maxlen": cap["maxlen"]}
+        _XSB_MODELS[key] = (bf, bh, bp, blens, arts, bf_top, meta)
     return _XSB_MODELS[key]
 
 
 def merged_order_from(
-    bparts: tuple, delta_toks: DataFrame, base_filter=None
+    bparts: tuple,
+    delta_toks: DataFrame,
+    base_filter=None,
+    delta_build: tuple | None = None,
 ) -> tuple[DataFrame, tuple]:
     """(merged, delta_parts): the merged total order over a stored base
     and an arbitrary delta — the delta-only build, the ladder
@@ -127,7 +135,16 @@ def merged_order_from(
     optimization is free: pass the same predicate to
     ``fold_xsb_parts`` and the fold's per-level dense re-rank sheds
     the dead rows itself, so tombstones never outlive the next fold
-    (test_tombstone_fold_then_place_matches_surviving_rebuild)."""
+    (test_tombstone_fold_then_place_matches_surviving_rebuild).
+    base_filter must be DOC-LEVEL (a predicate over doc_id) — the
+    ladder machinery's dense-positions invariant (positions 0..n−1 per
+    doc) survives whole-doc removals only; a position-level filter
+    would silently mis-rank (operators/suffix._doubling_loop).
+
+    ``delta_build``: optional pre-built (d_final, d_hist, d_pos, dcap)
+    from ``suffix_ranks(delta_toks, capture=dcap)`` — the fold entry
+    overlaps day-2's delta build with day-1's merge+fold on a driver
+    thread (guide §2.6); passing it here avoids building twice."""
     from idh_etl_demo_spark.operators.suffix import (
         _NBUCKETS,
         _ranked_ckpt,
@@ -136,11 +153,23 @@ def merged_order_from(
         suffix_ranks,
     )
 
-    bf, bh, bp, blens, arts, bf_top = bparts
-    d_final, d_hist, d_pos = suffix_ranks(delta_toks)
+    bf, bh, bp, blens, arts, bf_top, bmeta = bparts
+    if delta_build is None:
+        dcap: dict = {}
+        d_final, d_hist, d_pos = suffix_ranks(delta_toks, capture=dcap)
+    else:
+        d_final, d_hist, d_pos, dcap = delta_build
+    dmeta = {"npos": dcap["npos"], "maxlen": dcap["maxlen"]}
     states = extend_delta_states(bh, bp, delta_toks, artifacts=arts)
     ins = place_delta_ranks(
-        bf, bh, bp, blens, delta_toks, states=states, bf_top=bf_top
+        bf,
+        bh,
+        bp,
+        blens,
+        delta_toks,
+        states=states,
+        bf_top=bf_top,
+        max_delta_len=dmeta["maxlen"],
     )
     b_side = bf if base_filter is None else bf.filter(base_filter)
     u = b_side.select(
@@ -158,18 +187,24 @@ def merged_order_from(
             F.col("sa_rank").alias("k2"),
         )
     )
-    # bucket sizing needs only |union| — count the two CHECKPOINTED
-    # inputs instead of ``u`` itself (round 15): u's plan embeds the
-    # whole placement chain, so u.count() executed placement once just
-    # to size buckets and the ranking pass then executed it again
-    # (its interior frames are not all checkpointed). One cheap scan
-    # of the stored order + the delta build's final checkpoint gives
-    # the identical n_total.
-    n_total = (
-        b_side.select(F.lit(1).alias("one"))
-        .unionByName(d_final.select(F.lit(1).alias("one")))
-        .count()
-    )
+    # bucket sizing needs only |union| — a DRIVER-KNOWN scalar since
+    # round 16 (r15 verdict ask #6): the stored artifact's manifest
+    # carries the base position count and the delta build's own stats
+    # collect carries the delta's, so the unfiltered case runs ZERO
+    # sizing jobs (round 15 paid one checkpointed-union count per
+    # merge). Under a tombstone filter the surviving count comes from
+    # the DOC-cardinality lens table (filter is doc-level, so
+    # Σ n_tokens over surviving docs = surviving positions) — a tiny
+    # aggregate instead of a corpus-width checkpoint scan.
+    if base_filter is None:
+        n_total = bmeta["npos"] + dmeta["npos"]
+    else:
+        n_total = int(
+            blens.filter(base_filter)
+            .agg(F.sum("n_tokens").cast("long").alias("n"))
+            .collect()[0][0]
+            or 0
+        ) + dmeta["npos"]
     # _ranked_ckpt materializes the ranking pass itself (one windowed
     # pass + driver-side offsets — round 15); ``merged`` is a narrow
     # projection over that checkpoint, so the former second eager
@@ -182,7 +217,7 @@ def merged_order_from(
         dense=False,
     )
     merged = ranked.select("doc_id", "pos", "tag", F.col("gr").alias("mr"))
-    return merged, (d_final, d_hist, d_pos, delta_toks, states)
+    return merged, (d_final, d_hist, d_pos, delta_toks, states, dmeta)
 
 
 def stored_base_spans(
@@ -198,8 +233,8 @@ def stored_base_spans(
         suffix_lcp_adjacent,
     )
 
-    bf, bh, bp, blens, _arts, _bf_top = bparts
-    d_final, d_hist, d_pos, delta_toks, states = dparts
+    bf, bh, bp, blens, _arts, _bf_top, _bmeta = bparts
+    d_final, d_hist, d_pos, delta_toks, states, _dmeta = dparts
     dlens = delta_toks.select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
@@ -310,8 +345,8 @@ def fold_xsb_parts(
         top_class_frame,
     )
 
-    bf, bh, bp, blens, _arts, _bf_top = bparts
-    d_final, d_hist, d_pos, delta_toks, states = dparts
+    bf, bh, bp, blens, _arts, _bf_top, bmeta = bparts
+    d_final, d_hist, d_pos, delta_toks, states, dmeta = dparts
     b_lens = blens if base_filter is None else blens.filter(base_filter)
     b_pos = bp if base_filter is None else bp.filter(base_filter)
     f2 = merged.select(
@@ -323,16 +358,29 @@ def fold_xsb_parts(
         )
     ).localCheckpoint(eager=True)
     pos2 = b_pos.unionByName(d_pos)
-    row = lens2.agg(
-        F.sum("n_tokens").alias("np"), F.max("n_tokens").alias("ml")
-    ).collect()[0]
+    # combined-corpus scalars: free from the manifests when nothing is
+    # tombstoned (round 16); under a filter, one DOC-cardinality
+    # aggregate over the just-checkpointed lens table (never a
+    # corpus-width pass).
+    if base_filter is None:
+        np2 = bmeta["npos"] + dmeta["npos"]
+        ml2 = max(bmeta["maxlen"], dmeta["maxlen"])
+    else:
+        row = lens2.agg(
+            F.sum("n_tokens").alias("np"), F.max("n_tokens").alias("ml")
+        ).collect()[0]
+        np2, ml2 = int(row.np or 0), int(row.ml or 0)
     h2 = fold_ladder(
         bh,
         states,
         d_hist,
-        int(row.ml or 0),
-        int(row.np or 0),
+        ml2,
+        np2,
         base_filter=base_filter,
+        # bucket widths must size to the ORIGINAL class-id span (the
+        # fold ranks pre-tombstone ids) — r15 ADVICE; without a filter
+        # this equals np2 exactly
+        key_npos=bmeta["npos"] + dmeta["npos"],
     )
     # the re-derived artifacts are consumed exactly once (by the next
     # delta's extension/placement), so their checkpoints are LAZY —
@@ -341,7 +389,7 @@ def fold_xsb_parts(
     # memo keeps eager artifacts — that one is served across entries)
     arts2 = ladder_artifacts(h2, pos2, eager=False)
     top2 = top_class_frame(f2, h2, lens2).localCheckpoint(eager=False)
-    return (f2, h2, pos2, lens2, arts2, top2)
+    return (f2, h2, pos2, lens2, arts2, top2, {"npos": np2, "maxlen": ml2})
 
 
 def store_xsb_parts(path: str, bparts: tuple) -> None:
@@ -359,7 +407,7 @@ def store_xsb_parts(path: str, bparts: tuple) -> None:
     import json
     import os
 
-    bf, bh, bp, blens, arts, bf_top = bparts
+    bf, bh, bp, blens, arts, bf_top, meta = bparts
     bf.write.mode("overwrite").parquet(os.path.join(path, "final_order"))
     for L, fr in bh:
         fr.write.mode("overwrite").parquet(os.path.join(path, f"rank_L{L}"))
@@ -379,6 +427,11 @@ def store_xsb_parts(path: str, bparts: tuple) -> None:
             {
                 "levels": [L for L, _ in bh],
                 "n_artifact_levels": len(arts["levels"]),
+                # driver scalars of the artifact (round 16): consumers
+                # size rank buckets / bound walk loops from these
+                # instead of re-counting the corpus per merge
+                "npos": meta["npos"],
+                "maxlen": meta["maxlen"],
             },
             fh,
         )
@@ -411,6 +464,7 @@ def load_xsb_parts(spark: SparkSession, path: str) -> tuple:
         rd("lens"),
         arts,
         rd("top_class"),
+        {"npos": man["npos"], "maxlen": man["maxlen"]},
     )
 
 
@@ -522,12 +576,10 @@ def doc_exact_substr_stored_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — the floor ANY merge must pay, and exactly the term the r13
     crossover measurement (PROBE_XSI) priced against the rebuild."""
     merged, bparts, dparts = _merged_order(spark, sf_dir)
-    maxlen = int(
-        _xsi_base(spark, sf_dir)
-        .select(F.max(F.size("toks")).alias("n"))
-        .collect()[0][0]
-        or 0
-    )
+    # walk rounds bound: max doc length over base ∪ delta — both are
+    # manifest scalars (round 16), replacing the full tokenize+max
+    # corpus pass _xsi_maxlen paid here; identical value by definition
+    maxlen = max(bparts[6]["maxlen"], dparts[5]["maxlen"])
     return stored_base_spans(bparts, dparts, merged, maxlen)
 
 
@@ -537,7 +589,7 @@ def release_xsb_models() -> None:
     from idh_etl_demo_spark.operators.graph import _release_checkpoint
 
     for v in _XSB_MODELS.values():
-        bf, bh, bp, _blens, arts, bf_top = v
+        bf, bh, bp, _blens, arts, bf_top, _meta = v
         _release_checkpoint(bf)
         _release_checkpoint(bf_top)
         _release_checkpoint(arts["seed_vocab"])

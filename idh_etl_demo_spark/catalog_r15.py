@@ -141,6 +141,10 @@ def doc_exact_substr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-publication floor — and never runs the rebuild's pair-compare
     joins. tools/probe_xsi.py's fold leg prices fold-then-place
     against re-store-then-place at 30×."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from idh_etl_demo_spark.operators.suffix import suffix_ranks
+
     _release_last_fold()
     bparts = _xsb_parts(spark, sf_dir)
     base_all = _xsi_base(spark, sf_dir)
@@ -148,10 +152,27 @@ def doc_exact_substr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5 == 4) & (F.col("doc_id") < 1000000)
     )
     d2 = base_all.filter(F.col("doc_id") >= 1000000)
-    merged1, dparts1 = merged_order_from(bparts, d1)
-    folded = fold_xsb_parts(bparts, dparts1, merged1)
-    merged2, dparts2 = merged_order_from(folded, d2)
-    f2, h2, _p2, lens2, arts2, top2 = folded
+
+    # day-2's delta-only build depends on NOTHING day-1 produces, so it
+    # runs on a driver thread concurrently with day-1's merge + fold
+    # (round 16, guide §2.6 — overlap independent jobs: the build's
+    # small doubling-round jobs back-fill scheduler gaps left by the
+    # merge/fold stages; at cluster scale they fill straggler tails).
+    def _build_d2() -> tuple:
+        spark.sparkContext.setJobDescription("fold: day-2 delta build")
+        cap: dict = {}
+        out = suffix_ranks(d2, capture=cap)
+        spark.sparkContext.setJobDescription(None)
+        return (*out, cap)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        d2_build = pool.submit(_build_d2)
+        merged1, dparts1 = merged_order_from(bparts, d1)
+        folded = fold_xsb_parts(bparts, dparts1, merged1)
+        merged2, dparts2 = merged_order_from(
+            folded, d2, delta_build=d2_build.result()
+        )
+    f2, h2, _p2, lens2, arts2, top2, meta2 = folded
     _LAST_FOLD_FRAMES.extend(
         [
             merged1,
@@ -170,8 +191,11 @@ def doc_exact_substr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             [list(t) for t in arts2["levels"]],
         ]
     )
+    # walk bound = max doc length over the full three-part corpus: the
+    # folded manifest covers day-0+day-1, the day-2 build's stats the
+    # rest — replaces the _xsi_maxlen tokenize+max pass (round 16)
     return stored_base_spans(
-        folded, dparts2, merged2, _xsi_maxlen(spark, sf_dir)
+        folded, dparts2, merged2, max(meta2["maxlen"], dparts2[5]["maxlen"])
     )
 
 
@@ -235,8 +259,12 @@ def doc_exact_substr_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged, dparts = merged_order_from(
         bparts, delta, base_filter=F.col("doc_id") % 10 != 1
     )
+    # walk bound from the manifests (round 16): max(base, delta) doc
+    # length — identical to the old _xsi_maxlen corpus pass (the
+    # unfiltered base maxlen can only over-estimate under tombstones,
+    # and the walk's rounds bound is exact under over-estimates)
     return stored_base_spans(
-        bparts, dparts, merged, _xsi_maxlen(spark, sf_dir)
+        bparts, dparts, merged, max(bparts[6]["maxlen"], dparts[5]["maxlen"])
     )
 
 

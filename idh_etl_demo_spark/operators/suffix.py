@@ -320,7 +320,12 @@ def suffix_ranks(
         carrying (r, r2, gr) = the (r1, r2, r12) pair-map triples
         (consumed by ``ladder_artifacts``);
       - ``final_top``: the final order WITH its top-level class column
-        (doc_id, pos, sa_rank, r) — consumed by ``top_class_frame``.
+        (doc_id, pos, sa_rank, r) — consumed by ``top_class_frame``;
+      - ``npos`` / ``maxlen``: the corpus position count and max
+        document length — DRIVER SCALARS the build's own stats
+        aggregate already collected (round 16: callers that used to
+        re-count the corpus to size rank buckets or bound walk loops
+        read them here for free — one action per merge removed).
     The returned (final, history, pos) shapes are unchanged."""
     pos = base.select(
         "doc_id", F.posexplode("toks").alias("pos", "token")
@@ -356,6 +361,9 @@ def suffix_ranks(
     ).collect()[0]
     npos, maxlen = int(stats.npos or 0), int(stats.maxpos or -1) + 1
     prev_top = int(stats.topr) if stats.topr is not None else -1
+    if capture is not None:
+        capture["npos"] = npos
+        capture["maxlen"] = maxlen
     if npos == 0:
         empty = cur.select(
             "doc_id", "pos", F.lit(0).cast("long").alias("sa_rank")
@@ -477,6 +485,7 @@ def fold_ladder(
     maxlen: int,
     npos: int,
     base_filter=None,
+    key_npos: int | None = None,
 ) -> list[tuple[int, DataFrame]]:
     """FOLD a placed delta INTO the stored rank ladder — multi-delta
     maintenance: after day-1's delta is placed, emit the COMBINED
@@ -540,9 +549,42 @@ def fold_ladder(
     differs, never a class id (placement parity is the pin:
     test_tombstone_fold_then_place_matches_surviving_rebuild).
 
+    ``key_npos``: the ORIGINAL (pre-tombstone) combined position count,
+    used only to size rank buckets. The fold ranks ORIGINAL class ids
+    (k1), whose span is bounded by the original corpus, not by the
+    surviving row count — deriving the width from surviving ``npos``
+    under heavy deletion ratios would grow the bucket count (and the
+    driver-collected offsets array) as original/surviving, unbounded by
+    ``_NBUCKETS`` (r15 ADVICE). Defaults to ``npos`` (exactly the old
+    behavior when nothing is tombstoned).
+
+    Per-level re-publications are INDEPENDENT (each folds base level i
+    with state level i — never a previous folded level), so they are
+    submitted from a small driver thread pool (optimization round 16,
+    guide §2.6 — overlap independent jobs): at bench scale the ~levels
+    serial rank jobs each underutilize the cores; at 100 TB the next
+    level's tasks back-fill executors freed by the current level's
+    straggler tail. Pool size via $SPARK_GRAFT_FOLD_POOL (default 4 —
+    2-3 jobs in flight is the guide's fill-the-tail guidance, +1 for
+    the bounded level count; values are unchanged at any pool size
+    because each level's rank is a pure function of its own inputs).
+
     Returns the folded history; the combined final order is the
     caller's merged order (``place_delta_ranks`` + one ranking pass),
     so fold never re-derives it."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    bwidth = max(1, math.ceil((key_npos or npos) / _NBUCKETS))
+    workers = max(1, int(os.environ.get("SPARK_GRAFT_FOLD_POOL", "4")))
+
+    def _pmap(fn, items):
+        items = list(items)
+        if workers == 1 or len(items) <= 1:
+            return [fn(x) for x in items]
+        with ThreadPoolExecutor(max_workers=min(workers, len(items))) as p:
+            return list(p.map(fn, items))
+
     if not delta_history:
         # empty delta: the combined corpus IS the (surviving) base. A
         # pure-removal day still re-publishes each level so the folded
@@ -550,9 +592,10 @@ def fold_ladder(
         if base_filter is None:
             # zero delta rows leave every dense rank unchanged
             return list(base_history)
-        bwidth = max(1, math.ceil(npos / _NBUCKETS))
-        return [
-            (
+
+        def _republish(item):
+            L, bfr = item
+            return (
                 L,
                 _ranked_ckpt(
                     bfr.filter(base_filter).select(
@@ -564,13 +607,12 @@ def fold_ladder(
                     dense=True,
                 )[0].select("doc_id", "pos", F.col("gr").alias("r")),
             )
-            for L, bfr in base_history
-        ]
+
+        return _pmap(_republish, base_history)
     if not base_history:
         # empty day-0 base: the combined corpus IS the delta, whose own
         # build already produced exactly the rebuild's ladder
         return list(delta_history)
-    bwidth = max(1, math.ceil(npos / _NBUCKETS))
 
     def _delta_level(L: int) -> DataFrame:
         for dl, fr in delta_history:
@@ -578,8 +620,8 @@ def fold_ladder(
                 return fr
         return delta_history[-1][1]
 
-    folded: list[tuple[int, DataFrame]] = []
-    for i, (L, bfr) in enumerate(base_history):
+    def _fold_level(item):
+        i, (L, bfr) = item
         st = states[i][1]
         dfr = _delta_level(L).select(
             "doc_id", "pos", F.col("r").alias("dr")
@@ -602,12 +644,16 @@ def fold_ladder(
             F.lit(0).alias("k2"),
             F.lit(-1).cast("long").alias("k3"),
         )
-        ranked, ncls = _ranked_ckpt(
+        return L, _ranked_ckpt(
             brows.unionByName(drows), ["k1", "k2", "k3"], "k1", bwidth, dense=True
         )
-        cur = ranked.select("doc_id", "pos", F.col("gr").alias("r"))
-        folded.append((L, cur))
-        top = ncls - 1
+
+    results = _pmap(_fold_level, enumerate(base_history))
+    folded: list[tuple[int, DataFrame]] = [
+        (L, ranked.select("doc_id", "pos", F.col("gr").alias("r")))
+        for L, (ranked, _ncls) in results
+    ]
+    top = results[-1][1][1] - 1
     # continue doubling past the folded top exactly as a rebuild would
     # (usually zero rounds: the base's exits already covered maxlen).
     # The last level's class count came back with its ranking pass, so
@@ -763,6 +809,13 @@ def extend_delta_states(
         # 0..n−1 per doc, so the row ``shift`` ahead IS pos+shift;
         # lead(True) reproduces the old left-join's presence flag
         wdoc2 = Window.partitionBy("doc_id").orderBy("pos")
+        # LAZY checkpoint (round 16, guide §1.2 — don't compute twice):
+        # ``st`` is referenced by the exact branch (twice — once for the
+        # output, once under the needs→cnt2 bracket-count aggregation)
+        # and by the gap branch, so without it the lead window over the
+        # level's state executed three times inside the level's job.
+        # eager=False keeps the builder action-free; the |delta|-width
+        # frame materializes once inside the level's own checkpoint job.
         st = cur.select(
             "doc_id",
             "pos",
@@ -771,7 +824,7 @@ def extend_delta_states(
             F.lead("e", shift).over(wdoc2).alias("e2"),
             F.lead("g", shift).over(wdoc2).alias("g2"),
             F.lead(F.lit(True), shift).over(wdoc2).alias("_has2"),
-        )
+        ).localCheckpoint(eager=False)
         # --- first block exact: pair lookup, else bracket by counts ---
         ex = st.filter(F.col("e").isNotNull()).withColumn(
             # second-block exact key: stored class, or −1 past-end;
@@ -884,6 +937,7 @@ def place_delta_ranks(
     delta_toks: DataFrame,
     states: list[tuple[int, DataFrame]] | None = None,
     bf_top: DataFrame | None = None,
+    max_delta_len: int | None = None,
 ) -> DataFrame:
     """Insertion ranks of every DELTA suffix into a STORED base suffix
     order — the placement stage of the stored-base incremental-SA
@@ -1008,8 +1062,15 @@ def place_delta_ranks(
         (F.col("rem") > top_len) & (F.col("brem") == top_len)
     ).select("doc_id", "pos", (F.col("kk") + F.col("cnt")).alias("ins"))
     amb = eq.filter((F.col("rem") > top_len) & (F.col("brem") > top_len))
-    # tail-compare loop: ⌈max tail / L_top⌉ fixed rounds, built lazily
-    maxrem = dlens.agg(F.max("n_tokens")).collect()[0][0] or 0
+    # tail-compare loop: ⌈max tail / L_top⌉ fixed rounds, built lazily.
+    # ``max_delta_len`` (the delta build's own stats scalar, passed by
+    # merged_order_from since round 16) skips the 1-row aggregate job
+    # this loop bound used to pay per merge — same value either way.
+    maxrem = (
+        max_delta_len
+        if max_delta_len is not None
+        else (dlens.agg(F.max("n_tokens")).collect()[0][0] or 0)
+    )
     rounds = max(0, math.ceil(maxrem / top_len) if maxrem > top_len else 0)
     cur = amb.select(
         "doc_id",

@@ -43,13 +43,15 @@ def _toks_df(spark, rows):
 def _bparts_of(spark, rows):
     """A catalog_r14._xsb_parts-shaped tuple for an arbitrary corpus."""
     base = _toks_df(spark, rows).localCheckpoint(eager=True)
-    bf, bh, bp = suffix_ranks(base)
+    cap: dict = {}
+    bf, bh, bp = suffix_ranks(base, capture=cap)
     blens = base.select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
     arts = ladder_artifacts(bh, bp)
     bf_top = top_class_frame(bf, bh, blens).localCheckpoint(eager=True)
-    return (bf, bh, bp, blens, arts, bf_top)
+    meta = {"npos": cap["npos"], "maxlen": cap["maxlen"]}
+    return (bf, bh, bp, blens, arts, bf_top, meta)
 
 
 def _level_rows(fr):
@@ -197,8 +199,9 @@ def test_xsb_store_roundtrip(spark, tmp_path):
         assert dict(a.dtypes) == dict(b.dtypes), what
         assert rows_of(a) == rows_of(b), what
 
-    bf, bh, bp, blens, arts, bf_top = bparts
-    lf, lh, lp, llens, larts, lf_top = loaded
+    bf, bh, bp, blens, arts, bf_top, meta = bparts
+    lf, lh, lp, llens, larts, lf_top, lmeta = loaded
+    assert lmeta == meta, "manifest scalars must round-trip"
     same(bf, lf, "final_order")
     assert [L for L, _ in bh] == [L for L, _ in lh]
     for (L, a), (_, b) in zip(bh, lh):
@@ -218,7 +221,7 @@ def test_xsb_store_roundtrip(spark, tmp_path):
     ).localCheckpoint(eager=True)
 
     def place_with(parts):
-        f, h, p, lens, a, t = parts
+        f, h, p, lens, a, t, _m = parts
         return sorted(
             (r.doc_id, r.pos, r.ins)
             for r in place_delta_ranks(
@@ -442,7 +445,7 @@ def test_tombstone_fold_then_place_matches_surviving_rebuild(spark):
     folded = fold_xsb_parts(bparts, dparts1, merged1, base_filter=alive1)
 
     def _assert_no_dead(parts, dead_ids):
-        f, h, p, lens, _a, top = parts
+        f, h, p, lens, _a, top, _m = parts
         for what, fr in (
             [("final", f), ("pos", p), ("lens", lens), ("top", top)]
             + [(f"rank_L{L}", fr) for L, fr in h]

@@ -296,7 +296,15 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         stored_base_build_s = round(time.perf_counter() - t0, 3)
         nb = bf_n.count()
-        bparts = (bf_n, bh_n, bp_n, blens, arts_n, bf_top_n)
+        bparts = (
+            bf_n,
+            bh_n,
+            bp_n,
+            blens,
+            arts_n,
+            bf_top_n,
+            {"npos": cap_n["npos"], "maxlen": cap_n["maxlen"]},
+        )
 
         def _leg_rebuild():
             t0 = time.perf_counter()
@@ -397,7 +405,7 @@ def main() -> None:
                 folded = fold_xsb_parts(bparts, dparts1, merged1)
                 folded[0].count()
                 s = round(time.perf_counter() - t0, 3)
-                f2, h2, _p2, lens2, arts2, top2 = folded
+                f2, h2, _p2, lens2, arts2, top2, _m2 = folded
                 _release_memo_value(
                     (
                         f2,
